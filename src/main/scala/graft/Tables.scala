@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every table is a single parquet file per scale-factor directory; schemas
+  * are fixed by the generator, so we read without inference or casts and let
+  * Catalyst push projection/predicates into the scan. At cluster scale the
+  * same loaders work over a directory of many parquet parts.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[Sessions]]) so it arrives as a nanosecond LongType. Normalize to
+    * `ord_us` (epoch micros, exact integer floor-division — a double-based
+    * conversion would lose precision above 2^53) plus a real TimestampType
+    * `ts` for event-time operators. Matches DuckDB's `epoch_us(ts)` exactly.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    val withOrd =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ord_us", expr("ts div 1000"))
+      else raw.withColumn("ord_us", unix_micros(col("ts")))
+    withOrd.withColumn("ts", timestamp_micros(col("ord_us")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{LatestPerKey, ServingJoin, TrailingWindows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity feature-engineering queries over the `events` table
+  * (`user_id` plays `cc_num`, `ts` plays `datetime`, `value` plays `amount`
+  * — FIXTURES.md §1 vs TESTDATA.md).
+  *
+  * Arithmetic discipline for the DuckDB oracle gate: money amounts are
+  * 2-decimal doubles, so window SUMs are computed on integer cents
+  * (`round(value*100)::bigint`) and averages derived as
+  * `(sum_cents / cnt) / 100.0`. Integer sums are order-independent, so the
+  * result is bit-identical regardless of partitioning — double-summation
+  * order would not be. Raw per-row doubles pass through untouched.
+  */
+object FeatureQueries {
+
+  private val ShortSecs = 600L // 10 minutes  (reference w1)
+  private val LongSecs = 604800L // 1 week    (reference w2)
+  private val CutoffSecs = 600L // staleness  (reference EVAL_CUTOFF)
+
+  /** Events (with `ord_us` from Tables.events) plus integer-cents amounts. */
+  private def prepared(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+
+  /** W1–W4 + P1: trailing 10-minute and 1-week RANGE window count/avg per
+    * user with the three ratio features, one row per event.
+    */
+  def trailingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = withAggColumns(prepared(spark, sfDir))
+    df.select(
+        col("event_id"),
+        col("user_id"),
+        col("amount"),
+        col("num_trans_last_10m"),
+        col("avg_amt_last_10m"),
+        col("num_trans_last_1w"),
+        col("avg_amt_last_1w"),
+        col("amt_ratio1"),
+        col("amt_ratio2"),
+        col("count_ratio"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Shared aggregate block: both horizons over ONE shuffle/sort. */
+  private def withAggColumns(prep: DataFrame): DataFrame = {
+    val agg = TrailingWindows.aggregates(
+      prep.withColumnRenamed("value", "amount"),
+      key = "user_id",
+      ts = "ts",
+      value = "cents",
+      horizons = Seq("10m" -> ShortSecs, "1w" -> LongSecs))
+    agg
+      .withColumn("num_trans_last_10m", col("cnt_10m"))
+      .withColumn("avg_amt_last_10m", col("sum_10m") / col("cnt_10m") / lit(100.0))
+      .withColumn("num_trans_last_1w", col("cnt_1w"))
+      .withColumn("avg_amt_last_1w", col("sum_1w") / col("cnt_1w") / lit(100.0))
+      .withColumn("amt_ratio1", col("avg_amt_last_10m") / col("avg_amt_last_1w"))
+      .withColumn("amt_ratio2", col("amount") / col("avg_amt_last_1w"))
+      .withColumn("count_ratio", col("num_trans_last_10m") / col("num_trans_last_1w"))
+  }
+
+  /** W5 + P2/P3: dense_rank latest-per-key compaction of the 1-week
+    * aggregates (the store-ingest projection). Tied rows at a key's max
+    * timestamp share the same RANGE frame, hence identical feature values.
+    */
+  def latestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = withAggColumns(prepared(spark, sfDir))
+    LatestPerKey
+      .denseRankLatest(agg, col("user_id"), col("ord_us"))
+      .select(
+        col("user_id"),
+        col("ord_us").as("ts_us"),
+        col("num_trans_last_1w"),
+        col("avg_amt_last_1w"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** J1 + J2 + F1 (serving side): enrich the last 24 h of events against the
+    * latest-per-key snapshot with the 600 s staleness cutoff and zero-fill.
+    * "now" is the max event time in the table (deterministic clock — SURVEY
+    * §7.4 risk 6).
+    */
+  def enrichStaleness(spark: SparkSession, sfDir: String): DataFrame = {
+    val prep = prepared(spark, sfDir)
+    val agg = withAggColumns(prep)
+
+    val snapshot = LatestPerKey
+      .denseRankLatest(agg, col("user_id"), col("ord_us"))
+      .select(
+        col("user_id"),
+        col("ord_us").as("snap_ts_us"),
+        col("num_trans_last_10m").as("cnt_short"),
+        col("avg_amt_last_10m").as("avg_short"),
+        col("num_trans_last_1w").as("cnt_long"),
+        col("avg_amt_last_1w").as("avg_long"))
+      .distinct()
+
+    val nowDf = prep.agg(max(col("ord_us")).as("now_us"))
+    val recent = prep
+      .withColumnRenamed("value", "amount")
+      .crossJoin(broadcast(nowDf))
+      .filter(col("ord_us") > col("now_us") - lit(86400L * 1000000L))
+
+    ServingJoin
+      .enrich(
+        recent,
+        snapshot,
+        key = "user_id",
+        valueCol = "amount",
+        nowUs = col("now_us"),
+        cutoffSeconds = CutoffSecs)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("amount"),
+        col("num_recent"),
+        col("avg_recent"),
+        col("amt_ratio1"),
+        col("amt_ratio2"),
+        col("count_ratio"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
+  val oracle: Map[String, String] = {
+    val prep =
+      """SELECT event_id, user_id, value AS amount,
+        |       epoch_us(ts) AS ord_us,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events""".stripMargin
+    val aggBody =
+      """SELECT event_id, user_id, amount, ord_us,
+        |  count(*) OVER w10 AS num_trans_last_10m,
+        |  (sum(cents) OVER w10 / count(*) OVER w10) / 100.0 AS avg_amt_last_10m,
+        |  count(*) OVER w1w AS num_trans_last_1w,
+        |  (sum(cents) OVER w1w / count(*) OVER w1w) / 100.0 AS avg_amt_last_1w
+        |FROM prep
+        |WINDOW
+        |  w10 AS (PARTITION BY user_id ORDER BY ord_us
+        |          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+        |  w1w AS (PARTITION BY user_id ORDER BY ord_us
+        |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+    val withRatios =
+      s"""WITH prep AS ($prep), agg0 AS ($aggBody), agg AS (
+         |  SELECT *,
+         |    avg_amt_last_10m / avg_amt_last_1w AS amt_ratio1,
+         |    amount / avg_amt_last_1w AS amt_ratio2,
+         |    num_trans_last_10m / num_trans_last_1w AS count_ratio
+         |  FROM agg0)""".stripMargin
+
+    Map(
+      "w1_trailing_agg" ->
+        s"""$withRatios
+           |SELECT event_id, user_id, amount, num_trans_last_10m, avg_amt_last_10m,
+           |       num_trans_last_1w, avg_amt_last_1w, amt_ratio1, amt_ratio2, count_ratio
+           |FROM agg ORDER BY event_id""".stripMargin,
+      "w5_latest_per_key" ->
+        s"""$withRatios
+           |SELECT DISTINCT user_id, ts_us, num_trans_last_1w, avg_amt_last_1w FROM (
+           |  SELECT user_id, ord_us AS ts_us, num_trans_last_1w, avg_amt_last_1w,
+           |         dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
+           |  FROM agg) WHERE rk = 1 ORDER BY user_id""".stripMargin,
+      "j1_enrich_staleness" ->
+        s"""$withRatios, snap AS (
+           |  SELECT DISTINCT user_id, ts_us AS snap_ts_us, cnt_short, avg_short, cnt_long, avg_long FROM (
+           |    SELECT user_id, ord_us AS ts_us,
+           |           num_trans_last_10m AS cnt_short, avg_amt_last_10m AS avg_short,
+           |           num_trans_last_1w AS cnt_long, avg_amt_last_1w AS avg_long,
+           |           dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
+           |    FROM agg) WHERE rk = 1),
+           |nw AS (SELECT max(ord_us) AS now_us FROM prep)
+           |SELECT e.event_id, e.user_id, e.amount,
+           |  coalesce(s.cnt_short, 0) AS num_recent,
+           |  coalesce(s.avg_short, 0.0) AS avg_recent,
+           |  CASE WHEN (nw.now_us - s.snap_ts_us) <= 600000000
+           |        AND s.avg_long IS NOT NULL AND s.avg_long > 0
+           |       THEN s.avg_short / s.avg_long ELSE 0.0 END AS amt_ratio1,
+           |  CASE WHEN (nw.now_us - s.snap_ts_us) <= 600000000
+           |        AND s.avg_long IS NOT NULL AND s.avg_long > 0
+           |       THEN e.amount / s.avg_long ELSE 0.0 END AS amt_ratio2,
+           |  CASE WHEN (nw.now_us - s.snap_ts_us) <= 600000000
+           |        AND s.cnt_long IS NOT NULL AND s.cnt_long > 0
+           |       THEN s.cnt_short / s.cnt_long ELSE 0.0 END AS count_ratio
+           |FROM prep e CROSS JOIN nw
+           |LEFT JOIN snap s ON e.user_id = s.user_id
+           |WHERE e.ord_us > nw.now_us - 86400000000
+           |ORDER BY e.event_id""".stripMargin
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_trailing_agg" -> (trailingAgg(_, _)),
+    "w5_latest_per_key" -> (latestPerKey(_, _)),
+    "j1_enrich_staleness" -> (enrichStaleness(_, _)))
+}
