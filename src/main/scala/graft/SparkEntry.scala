@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.FeatureQueries
+import graft.queries.{FeatureQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (FeatureQueries.queries, FeatureQueries.oracle)
+      (FeatureQueries.queries, FeatureQueries.oracle),
+      (RelationalQueries.queries, RelationalQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General relational coverage over the TPC-H-ish testdata: scan+filter
+  * pushdown, hash aggregation with partial (map-side) combine, multi-way
+  * joins with broadcast dims, top-k, JSON extraction (SURVEY §2.6 F6),
+  * scalar function pack (F2/F5/F8/F9/F10), windowed ranking/lag.
+  *
+  * Exact-arithmetic discipline (see FeatureQueries): 2-decimal money
+  * columns aggregate as integer cents; quantities are integer-valued
+  * doubles (sums exact in any order); derived doubles come from identical
+  * formulas over those exact values, so results are bit-identical to the
+  * DuckDB oracle regardless of partitioning.
+  */
+object RelationalQueries {
+
+  /** Lineitem with exact integer cents/pct columns. */
+  private def li(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc_pct", round(col("l_discount") * 100).cast("long"))
+      .withColumn("tax_pct", round(col("l_tax") * 100).cast("long"))
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg (partial+final) on
+    * two low-cardinality keys. The scan should show PushedFilters on
+    * l_shipdate and a pruned ReadSchema.
+    */
+  def pricingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(col("price_cents")) / lit(100.0)).as("sum_base_price"),
+        (sum(col("price_cents") * (lit(100L) - col("disc_pct"))) / lit(10000.0))
+          .as("sum_disc_price"),
+        (sum(col("price_cents") * (lit(100L) - col("disc_pct")) * (lit(100L) + col("tax_pct")))
+          .cast("double") / lit(1000000.0)).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(col("price_cents")) / count(lit(1)) / lit(100.0)).as("avg_price"),
+        (sum(col("disc_pct")) / count(lit(1)) / lit(100.0)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style shipping priority: selective dim filter → 3-way join →
+    * agg → exact-revenue top-k with a deterministic tiebreak. Customer is
+    * the small side post-filter; Catalyst should broadcast it.
+    */
+  def shippingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lines = li(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .select("l_orderkey", "price_cents", "disc_pct")
+
+    lines
+      .join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(col("price_cents") * (lit(100L) - col("disc_pct"))) / lit(10000.0))
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** Star rollup over broadcast dims: region <- nation <- customer. */
+  def regionRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .customer(spark, sfDir)
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("n_nationkey")).as("n_nations"),
+        (sum(col("bal_cents")) / lit(100.0)).as("total_acctbal"),
+        (sum(col("bal_cents")) / count(lit(1)) / lit(100.0)).as("avg_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** JSON property extraction (F6 analog of the stream codec) + agg. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")) / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Scalar function pack: md5 id (F9), concat_ws assembly (F8), integer
+    * round (F2), casts (F3/P8), timestamp format (F5), threshold CASE
+    * (F10), string functions. All outputs exact (ints/strings).
+    */
+  def scalarPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"),
+        md5(concat_ws(",",
+          col("event_id").cast("string"),
+          col("user_id").cast("string"),
+          col("cents").cast("string")).cast("binary")).as("tid"),
+        concat_ws(",",
+          col("event_type"),
+          col("cents").cast("string"),
+          col("user_id").cast("string")).as("vector"),
+        round(col("value")).cast("long").as("value_rounded"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_fmt"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("event_type"), 1, 3).as("type_prefix"),
+        length(col("props")).cast("long").as("props_len"),
+        when(col("value") > 100.0, lit("HIGH")).otherwise(lit("LOW")).as("value_band"))
+      .orderBy(col("event_id"))
+
+  /** P4-style event-time range split: filter to [2024-01-15, 2024-01-25)
+    * and aggregate per type. Filter is on exact epoch micros.
+    */
+  def dateSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = 1705276800000000L // 2024-01-15T00:00:00Z in micros
+    val hi = 1706140800000000L // 2024-01-25T00:00:00Z
+    Tables
+      .events(spark, sfDir)
+      .filter(col("ord_us") >= lo && col("ord_us") < hi)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("cents")) / lit(100.0)).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Row-frame window pack: row_number, running sum (rowsBetween), lag
+    * inter-arrival gap — per user over event time (SURVEY §2.4/§2.5).
+    */
+  def runningWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"))
+    Tables
+      .events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ord_us"),
+        row_number().over(w).cast("long").as("rn"),
+        (sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / lit(100.0)).as("running_value"),
+        (col("ord_us") - lag(col("ord_us"), 1).over(w)).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> (pricingAgg(_, _)),
+    "q3_shipping_topk" -> (shippingTopK(_, _)),
+    "j2_region_rollup" -> (regionRollup(_, _)),
+    "s2_json_props" -> (jsonProps(_, _)),
+    "f1_scalar_pack" -> (scalarPack(_, _)),
+    "p4_date_split" -> (dateSplit(_, _)),
+    "w6_running_windows" -> (runningWindows(_, _)))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """WITH l AS (
+        |  SELECT *, CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |         CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+        |         CAST(round(l_tax*100) AS BIGINT) AS tax_pct
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(price_cents) / 100.0 AS sum_base_price,
+        |  sum(price_cents * (100 - disc_pct)) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(price_cents * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  sum(price_cents) / count(*) / 100.0 AS avg_price,
+        |  sum(disc_pct) / count(*) / 100.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM l WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_topk" ->
+      """SELECT l.l_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority,
+        |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "j2_region_rollup" ->
+      """SELECT r.r_name,
+        |  count(*) AS n_customers,
+        |  count(DISTINCT n.n_nationkey) AS n_nations,
+        |  sum(CAST(round(c.c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal,
+        |  sum(CAST(round(c.c_acctbal*100) AS BIGINT)) / count(*) / 100.0 AS avg_acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
+    "s2_json_props" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  sum(k) / count(k) AS avg_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f1_scalar_pack" ->
+      """SELECT event_id,
+        |  md5(concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |                 CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR))) AS tid,
+        |  concat_ws(',', event_type, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR),
+        |            CAST(user_id AS VARCHAR)) AS vector,
+        |  CAST(round(value) AS BIGINT) AS value_rounded,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+        |  upper(event_type) AS type_upper,
+        |  substring(event_type, 1, 3) AS type_prefix,
+        |  length(props) AS props_len,
+        |  CASE WHEN value > 100.0 THEN 'HIGH' ELSE 'LOW' END AS value_band
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p4_date_split" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events
+        |WHERE epoch_us(ts) >= 1705276800000000 AND epoch_us(ts) < 1706140800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w6_running_windows" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ord_us,
+        |  row_number() OVER w AS rn,
+        |  sum(CAST(round(value*100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_value,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |ORDER BY event_id""".stripMargin
+  )
+}
