@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{FeatureQueries, RelationalQueries}
+import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,9 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (FeatureQueries.queries, FeatureQueries.oracle),
-      (RelationalQueries.queries, RelationalQueries.oracle)
+      (RelationalQueries.queries, RelationalQueries.oracle),
+      (DocQueries.queries, DocQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora at training-data scale:
+  * exact (hash group), n-gram Jaccard (shared-shingle blocking), MinHash
+  * LSH (banded candidate generation + exact verify), SimHash.
+  *
+  * Scale posture:
+  *   - exact dedup is one hash-aggregate (map-side partials, one shuffle);
+  *   - Jaccard pairs shuffle by shingle, so the candidate space is bounded
+  *     by co-occurring shingles, never the full n^2 cross join;
+  *   - MinHash banding cuts candidates to pairs likely >= the threshold
+  *     (P = 1-(1-j^2)^bands for band width 2), which is the 100 TB path —
+  *     the shingle join then verifies ONLY those pairs;
+  *   - SimHash reduces each doc to one 16-bit integer; equal-hash buckets
+  *     are near-dup candidates at O(n) shuffle cost.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups keyed by md5(text). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** (doc_id, shingle) pairs over the DISTINCT n-gram shingle set. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)))
+        .as("shingle"))
+
+  /** Exact pairwise Jaccard over shingle sets for every pair sharing at
+    * least one shingle. Output: doc_a < doc_b, n_common, n_union, jaccard.
+    */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_common"))
+      .withColumn("jaccard", col("n_common") / col("n_union"))
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+  }
+
+  /** Banded-LSH candidate pairs from a k-component MinHash signature with
+    * band width 2: docs agreeing on any (m_{2i}, m_{2i+1}) band.
+    * Output: doc_a < doc_b, n_shared_bands.
+    */
+  def minhashBandCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int): DataFrame = {
+    require(k % 2 == 0, "band width 2 needs an even k")
+    val shSet = array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN))
+    val sig = docs.select(
+      col(idCol).as("doc_id") +: TextAnalysis.minhashSignature(shSet, k): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until k / 2).map(b =>
+        md5(concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).cast("binary"))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 16-bit SimHash per document over the token multiset. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val withV = toks.withColumn("v16", expr(TextAnalysis.simhashTokenValueSql))
+    val contribs = withV.select(col("doc_id") +: TextAnalysis.simhashContribs(col("v16")): _*)
+    val sums = contribs
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c0")).as("s0"), (1 until 16).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+    val hash = (0 until 16)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (15 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), hash.as("simhash16"))
+  }
+
+  /** Keep-one policy over duplicate groups: mark all but the canonical
+    * (min-id) member of each group for removal.
+    */
+  def markDuplicates(docs: DataFrame, idCol: String, groupCol: Column): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+    docs.withColumn("is_duplicate", row_number().over(w) > 1)
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-pipeline queries over the `documents` table: exact
+  * dedup, n-gram Jaccard near-dup, MinHash-LSH near-dup, SimHash, token
+  * stats, quality scoring, language-ID, fingerprinting. Every query has a
+  * formula-identical DuckDB oracle (md5 hashing + integer arithmetic make
+  * results engine-exact).
+  */
+object DocQueries {
+
+  private val JaccardThreshold = 0.5
+  private val ShingleN = 3
+  private val MinhashK = 6
+
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup
+      .exactGroups(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, sfDir), "doc_id", "text", ShingleN)
+    Dedup
+      .jaccardPairs(sh)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cands = Dedup.minhashBandCandidates(docs, "doc_id", "text", ShingleN, MinhashK)
+    val jac = Dedup.jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", ShingleN))
+    cands
+      .join(jac, Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup
+      .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        TextAnalysis.sumTokenLength(col("w")).as("sum_token_len"),
+        (TextAnalysis.sumTokenLength(col("w")) / size(col("w"))).as("mean_token_len"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_tokens"))
+      .orderBy(col("doc_id"))
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("stop_cnt", TextAnalysis.profileScore(col("w"), TextAnalysis.qualityStopwords))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_tokens"))
+      .withColumn("rep_ratio", lit(1.0) - col("n_distinct") / col("n_tokens"))
+      .withColumn(
+        "quality_score",
+        col("stop_ratio") * lit(0.3)
+          + least(TextAnalysis.sumTokenLength(col("w")) / size(col("w")) / lit(10.0), lit(1.0)) * lit(0.3)
+          + (col("n_distinct") / col("n_tokens")) * lit(0.4))
+      .withColumn(
+        "quality_band",
+        when(col("quality_score") >= 0.5, lit("good")).otherwise(lit("low")))
+      .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
+      .orderBy(col("doc_id"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles = TextAnalysis.langProfiles
+    val scored = Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+    val withScores = profiles.foldLeft(scored) { case (df, (langName, words)) =>
+      df.withColumn(s"score_$langName", TextAnalysis.profileScore(col("w"), words))
+    }
+    withScores
+      .withColumn(
+        "lang_pred",
+        when(
+          col("score_en") >= col("score_es") && col("score_en") >= col("score_de")
+            && col("score_en") >= col("score_fr"), lit("en"))
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr"), lit("es"))
+          .when(col("score_de") >= col("score_fr"), lit("de"))
+          .otherwise(lit("fr")))
+      .select("doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred")
+      .orderBy(col("doc_id"))
+  }
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("w"), col("text")).as("fingerprint"),
+        md5(array_join(slice(col("w"), 1, 3), " ").cast("binary")).as("head_hash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (exactDedup(_, _)),
+    "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
+    "d3_minhash_lsh" -> (minhashLsh(_, _)),
+    "d4_simhash" -> (simhash(_, _)),
+    "t1_token_stats" -> (tokenStats(_, _)),
+    "t2_quality_score" -> (qualityScore(_, _)),
+    "t3_lang_id" -> (langId(_, _)),
+    "t4_fingerprint" -> (docFingerprint(_, _)))
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+
+  /** 3-gram shingle list over the split words `w` (DuckDB dialect). */
+  private val shingles3 =
+    "CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [] END"
+
+  private val shinglePairs =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union,
+       |         n_common / (sa.sz + sb.sz - n_common) AS jaccard
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  private val simhashV16 = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substring(md5(tok), ${i + 1}, 1)) - 1)"
+    s"(((${nib(0)} * 16 + ${nib(1)}) * 16 + ${nib(2)}) * 16 + ${nib(3)})"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_jaccard_neardup" ->
+      s"""WITH $shinglePairs
+         |SELECT doc_a, doc_b, n_common, n_union, jaccard
+         |FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_minhash_lsh" -> {
+      val sigCols = (0 until MinhashK)
+        .map(i => s"list_min(list_transform(sh_set, s -> md5('$i|' || s))) AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashK / 2)
+        .map(b => s"SELECT doc_id, $b AS band_idx, md5(m${2 * b} || '|' || m${2 * b + 1}) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shinglePairs,
+         |t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM t),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM bands a
+         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |              AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
+         |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+         |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+    "d4_simhash" -> {
+      val sums = (0 until 16).map { j =>
+        val m = 1 << (16 - j)
+        val h = 1 << (15 - j)
+        s"sum(CASE WHEN (v16 % $m) >= $h THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val bits = (0 until 16)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << (15 - j)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |v AS (SELECT doc_id, $simhashV16 AS v16 FROM toks),
+         |c AS (SELECT doc_id,
+         |    $sums
+         |  FROM v GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM c ORDER BY doc_id""".stripMargin
+    },
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_token_len,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) / len(w) AS mean_token_len,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, n_tokens,
+        |  stop_cnt / n_tokens AS stop_ratio,
+        |  1.0 - n_distinct / n_tokens AS rep_ratio,
+        |  (stop_cnt / n_tokens) * 0.3
+        |    + least(sum_len / n_tokens / 10.0, 1.0) * 0.3
+        |    + (n_distinct / n_tokens) * 0.4 AS quality_score,
+        |  CASE WHEN (stop_cnt / n_tokens) * 0.3
+        |    + least(sum_len / n_tokens / 10.0, 1.0) * 0.3
+        |    + (n_distinct / n_tokens) * 0.4 >= 0.5 THEN 'good' ELSE 'low' END AS quality_band
+        |FROM (
+        |  SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    len(list_distinct(w)) AS n_distinct,
+        |    len(list_filter(w, t -> t IN ('the','a','of','and','to','in'))) AS stop_cnt,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" -> {
+      val scoreCols = TextAnalysis.langProfiles.map { case (langName, words) =>
+        val inList = words.map(w => s"'$w'").mkString(",")
+        s"len(list_filter(w, t -> t IN ($inList))) AS score_$langName"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |  CASE
+         |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |    WHEN score_de >= score_fr THEN 'de'
+         |    ELSE 'fr' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  coalesce(
+         |    list_min(list_transform(
+         |      CASE WHEN len(w) >= 5 THEN list_transform(generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' ')) ELSE [] END,
+         |      s -> md5('0|' || s))),
+         |    md5(text)) AS fingerprint,
+         |  md5(array_to_string(w[1:3], ' ')) AS head_hash
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table: brute-force
+  * cosine top-k (exact baseline), sign-LSH bucketed ANN (scale path), and
+  * embedding near-dup pairs. Components quantize to integer micros so the
+  * cosine doubles are bit-identical to the DuckDB oracle (see
+  * [[graft.operators.Similarity]]).
+  */
+object VectorQueries {
+
+  private val TopK = 5
+  private val LshBits = 8
+  private val NearDupThreshold = 0.45
+
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .bruteForceTopK(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") % 10 === 0,
+        TopK)
+      .orderBy(col("query_id"), col("rnk"))
+
+  def annSignLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .signBucketTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding", LshBits, 1)
+      .orderBy(col("query_id"), col("rnk"))
+
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cosine_topk" -> (cosineTopK(_, _)),
+    "v2_ann_signlsh" -> (annSignLsh(_, _)),
+    "d5_embed_neardup" -> (embedNearDup(_, _)))
+
+  /** Quantized-vector CTE shared by the oracles (DuckDB dialect). */
+  private val prep =
+    """n AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+      |         embedding
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, qv, embedding,
+      |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM n)""".stripMargin
+
+  private val cosineExpr =
+    """CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      s"""WITH $prep,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS cosine
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id % 10 = 0)
+         |SELECT query_id, vec_id, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "v2_ann_signlsh" -> {
+      val bucketExpr = (1 to LshBits)
+        .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH $prep,
+         |bucketed AS (SELECT *, $bucketExpr AS bucket FROM base),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.bucket AS bucket,
+         |    $cosineExpr AS cosine
+         |  FROM bucketed a
+         |  JOIN bucketed b ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+         |SELECT query_id, vec_id, bucket, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin
+    },
+    "d5_embed_neardup" ->
+      s"""WITH $prep
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  $cosineExpr AS cosine
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |WHERE $cosineExpr >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

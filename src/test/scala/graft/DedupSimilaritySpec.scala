@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.queries.{DocQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the training-data pipeline operators. Engine-vs-
+  * oracle correctness is covered by the Verify gate; these pin the
+  * LIBRARY-level contracts: dedup policies, LSH candidate quality,
+  * similarity ranking invariants.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup groups duplicates and markDuplicates keeps one per group") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) == 1L) // canonical = min id
+    val marked = Dedup
+      .markDuplicates(docs, "doc_id", md5(col("text").cast("binary")))
+      .filter(col("is_duplicate"))
+      .select("doc_id").as[Long].collect()
+    assert(marked.toSeq == Seq(2L))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs produce no pair") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"), // identical to 1
+      (3L, "p q r s t") // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", 3))
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getDouble(p.fieldIndex("jaccard")) == 1.0)
+  }
+
+  test("minhash-LSH candidates recover the planted near-dups found by full jaccard") {
+    val d2 = DocQueries.jaccardNearDup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val d3 = DocQueries.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(d3.subsetOf(d2), "LSH must never invent pairs the exact measure rejects")
+    // recall on this fixture: banding (3 bands of width 2) over jac>=0.5 pairs
+    assert(d3.size >= (d2.size * 0.8).toInt, s"LSH recall too low: ${d3.size}/${d2.size}")
+  }
+
+  test("simhash: high-jaccard pairs land within small hamming distance") {
+    val sig = Dedup.simhash16(Tables.documents(spark, sf), "doc_id", "text")
+    val pairs = DocQueries.jaccardNearDup(spark, sf).filter(col("jaccard") >= 0.9)
+    val joined = pairs
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash16", "h_a"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash16", "h_b"), "doc_b")
+      .select(bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .as[Int].collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(_ <= 6), s"hamming distances: ${joined.mkString(",")}")
+  }
+
+  test("brute-force top-k: k rows per query, ranks dense, cosine non-increasing") {
+    val topk = VectorQueries.cosineTopK(spark, sf).collect()
+    val perQuery = topk.groupBy(_.getLong(0))
+    assert(perQuery.size == 50) // vec_id % 10 == 0 of 500
+    perQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 5L))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("sign-LSH ANN: every neighbor shares the query's bucket and is imperfect-but-sane") {
+    val ann = VectorQueries.annSignLsh(spark, sf)
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.signBucket(col("embedding"), 8).as("bucket"))
+    val bad = ann
+      .join(base.withColumnRenamed("vec_id", "query_id").withColumnRenamed("bucket", "qb"), "query_id")
+      .filter(col("bucket") =!= col("qb"))
+    assert(bad.count() == 0)
+  }
+
+  test("quality + langid + fingerprint produce total, deterministic outputs") {
+    assert(DocQueries.qualityScore(spark, sf).filter(col("quality_score").isNull).count() == 0)
+    val langs = DocQueries.langId(spark, sf).select("lang_pred").distinct().as[String].collect()
+    assert(langs.forall(TextAnalysis.langProfiles.map(_._1).contains))
+    assert(DocQueries.docFingerprint(spark, sf).filter(col("fingerprint").isNull).count() == 0)
+  }
+}
