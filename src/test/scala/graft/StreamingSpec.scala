@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.TrailingWindows
+import graft.store.OnlineFeatureStore
+import graft.streaming.{EnrichAndScore, StreamingAgg}
+import graft.streaming.StreamingAgg.{AggEmit, StreamEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-plane tests (SURVEY.md §5.3/5.4): batch≡stream parity of the
+  * per-event trailing window, store last-write-wins, and the end-to-end
+  * burst scenario from the reference's notebook 4 smoke test.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+
+  private def runStream(chunks: Seq[Seq[StreamEvent]]): Seq[AggEmit] = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[StreamEvent]
+    val sinkName = s"agg_out_${System.nanoTime()}"
+    val q = StreamingAgg
+      .trailingAgg(source.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+      spark.table(sinkName).as[AggEmit].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("stream per-event trailing agg == batch RANGE window on replayed sf0.001 events") {
+    import spark.implicits._
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id").as("userId"), col("ord_us").as("ordUs"), col("cents"))
+      .as[StreamEvent]
+      .collect()
+      .sortBy(_.ordUs)
+      .toSeq
+
+    // replay in 4 event-time-ordered chunks (cross-microbatch state carry)
+    val emits = runStream(events.grouped((events.size / 4) + 1).toSeq)
+    assert(emits.size == events.size, "one emission per input event")
+
+    val batch = TrailingWindows
+      .aggregates(
+        Tables
+          .events(spark, "/root/testdata/sf0.001")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "ts", "cents", Seq("10m" -> 600L))
+      .select(
+        col("user_id"),
+        col("ord_us"),
+        col("cnt_10m"),
+        col("sum_10m"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .map { case (k, t, c, s) => (k, t) -> ((c, s)) }
+      .toMap
+
+    emits.foreach { e =>
+      val (bc, bs) = batch((e.userId, e.ordUs))
+      assert(bc == e.cnt, s"count mismatch for (${e.userId}, ${e.ordUs})")
+      assert(bs == e.sumCents, s"sum mismatch for (${e.userId}, ${e.ordUs})")
+    }
+  }
+
+  test("late event within horizon still aggregates as-of itself") {
+    val emits = runStream(Seq(
+      Seq(StreamEvent(1, 1000L * 1000000L, 100)),
+      Seq(StreamEvent(1, 1500L * 1000000L, 200)),
+      Seq(StreamEvent(1, 1200L * 1000000L, 300)) // late, inside 600 s of both
+    ))
+    val byTs = emits.map(e => e.ordUs / 1000000L -> ((e.cnt, e.sumCents))).toMap
+    assert(byTs(1000L) == ((1L, 100L)))
+    assert(byTs(1500L) == ((2L, 300L))) // 1000 within [900, 1500]
+    assert(byTs(1200L) == ((2L, 400L))) // as-of 1200: events 1000 + 1200
+  }
+
+  test("online store: last-write-wins by event time, string codec, snapshot round-trip") {
+    val store = new OnlineFeatureStore(Seq("cnt_10m", "avg_10m"))
+    store.put(7L, 100L, Array(2.0, 50.0))
+    store.put(7L, 90L, Array(9.0, 9.0)) // older: ignored
+    assert(store.get(7L).get._2.toSeq == Seq(2.0, 50.0))
+    store.put(7L, 100L, Array(3.0, 60.0)) // equal time: latest put wins
+    assert(store.get(7L).get._2.toSeq == Seq(3.0, 60.0))
+    assert(store.getFeature(7L, "avg_10m").contains(60.0))
+    assert(store.recordAsStrings(7L).get("cnt_10m") == "3.0")
+
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    store.save(spark, s"$dir/snap")
+    val restored = new OnlineFeatureStore(Seq("cnt_10m", "avg_10m"))
+    restored.load(spark, s"$dir/snap")
+    assert(restored.get(7L).get._2.toSeq == Seq(3.0, 60.0))
+  }
+
+  test("burst scenario: 10-event burst flips NOT FRAUD -> FRAUD after warmup") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val batchStore = new OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    batchStore.put(99L, 0L, Array(20.0, 50.0)) // card history: 20 txns/week
+    val streamStore = new OnlineFeatureStore(Seq("cnt_10m", "avg_10m"))
+
+    val source = MemoryStream[StreamEvent]
+    val q = StreamingAgg
+      .trailingAgg(source.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[AggEmit], _: Long) =>
+        streamStore.upsertBatch(
+          ds.toDF().select(
+            col("userId").as("key"),
+            col("ordUs").as("event_time_us"),
+            col("cnt").cast("double").as("cnt_10m"),
+            col("avgAmount").as("avg_10m")))
+      }
+      .start()
+    try {
+      val base = 5000L * 1000000L
+      val labels = (1 to 10).map { k =>
+        val ts = base + k * 1500000L // 1.5 s apart
+        source.addData(StreamEvent(99L, ts, 10000))
+        q.processAllAvailable()
+        val scored = EnrichAndScore.score(streamStore, batchStore, 99L, ts, 100.0, nowUs = ts)
+        assert(scored.nonEmpty)
+        scored.get.label
+      }
+      assert(labels.take(2).forall(_ == "NOT FRAUD"), s"warmup mislabeled: $labels")
+      assert(labels.drop(2).forall(_ == "FRAUD"), s"burst not flagged: $labels")
+    } finally q.stop()
+  }
+
+  test("staleness gate: stale streaming aggregate zeroes ratios but still scores") {
+    val batchStore = new OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    batchStore.put(1L, 0L, Array(10.0, 40.0))
+    val streamStore = new OnlineFeatureStore(Seq("cnt_10m", "avg_10m"))
+    streamStore.put(1L, 1000L * 1000000L, Array(5.0, 80.0))
+
+    val fresh = EnrichAndScore.lookupFeatures(streamStore, batchStore, 1L, 100.0,
+      nowUs = 1500L * 1000000L)
+    assert(fresh.countRatio == 0.5 && fresh.amtRatio1 == 2.0 && fresh.amtRatio2 == 2.5)
+
+    val stale = EnrichAndScore.lookupFeatures(streamStore, batchStore, 1L, 100.0,
+      nowUs = 1700L * 1000000L) // 700 s later > 600 s cutoff
+    assert(stale == EnrichAndScore.Features(100.0, 0.0, 0.0, 0.0))
+
+    // missing streaming record: event skipped entirely (reference :76-77)
+    assert(EnrichAndScore.score(streamStore, batchStore, 42L, 0L, 1.0, 0L).isEmpty)
+  }
+}
