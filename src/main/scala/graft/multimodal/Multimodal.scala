@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and distributed decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a pluggable [[MediaCodec]] with a deterministic
+  * [[StubCodec]] stand-in — the Spark-side plumbing (schema, typed rows,
+  * partition-level batching, feature shapes) is real and tested. Swap
+  * [[StubCodec]] for a JNI/FFM-backed codec in production.
+  *
+  * Scale posture: decode runs via `mapPartitions` so codec state is
+  * initialized once per partition (not per row), records stream through in
+  * bounded batches, and the blob column is projected away as early as
+  * possible afterward (binary payloads dominate I/O; never shuffle them
+  * after feature extraction).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      mediaId: Long,
+      kind: String, // "image" | "audio" | "video"
+      blob: Array[Byte],
+      width: Int,
+      height: Int,
+      sampleRate: Int)
+
+  case class MediaFeatures(
+      mediaId: Long,
+      kind: String,
+      nBytes: Long,
+      features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("mediaId", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("blob", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sampleRate", IntegerType, nullable = false)))
+
+  /** Partition-initialized decoder contract. */
+  trait MediaCodec extends Serializable {
+    /** Decode a payload into a fixed-width feature vector. */
+    def decodeFeatures(record: MediaRecord): Array[Float]
+    /** Sample up to n "frames" from a video payload. */
+    def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB: deterministic stand-in for the absent image/audio libraries.
+    * Features are a byte-histogram sketch (stable across runs/partitions);
+    * frames are even byte-range slices. Replace with a real codec (e.g.
+    * javacpp-ffmpeg) outside this container.
+    */
+  object StubCodec extends MediaCodec {
+    val FeatureDim = 16
+
+    def decodeFeatures(record: MediaRecord): Array[Float] = {
+      val hist = new Array[Float](FeatureDim)
+      record.blob.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
+      val n = math.max(1, record.blob.length)
+      hist.map(_ / n)
+    }
+
+    def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (blob.isEmpty || n <= 0) Seq.empty
+      else {
+        val frameLen = math.max(1, blob.length / n)
+        (0 until math.min(n, blob.length)).map { i =>
+          blob.slice(i * frameLen, math.min((i + 1) * frameLen, blob.length))
+        }
+      }
+    }
+  }
+
+  /** Distributed decode: codec is resolved once per partition; records
+    * stream through in `batchSize` groups (the batch shape a columnar
+    * UDF transport would use).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      codec: MediaCodec = StubCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.mediaId, r.kind, r.blob.length.toLong, codec.decodeFeatures(r))
+        }
+      }
+    }
+  }
+
+  /** Metadata-only resize plan step: no payload decode, pure projection. */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
+    media
+      .withColumn("target_width", (col("width") * scale).cast("int"))
+      .withColumn("target_height", (col("height") * scale).cast("int"))
+  }
+
+  /** Deterministic synthetic media fixture (no external libs). */
+  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRecord] = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    import spark.implicits._
+    spark
+      .range(0, n, 1, partitions)
+      .map { i =>
+        val kind = Seq("image", "audio", "video")((i % 3).toInt)
+        val blob = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+        MediaRecord(i, kind, blob, 64 + (i % 512).toInt, 48 + (i % 256).toInt, 16000)
+      }
+  }
+}

@@ -64,9 +64,17 @@ object Dedup {
       shingleN: Int,
       k: Int): DataFrame = {
     require(k % 2 == 0, "band width 2 needs an even k")
-    val shSet = array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleN))
-    val sig = docs.select(
-      col(idCol).as("doc_id") +: TextAnalysis.minhashSignature(shSet, k): _*)
+    // Signatures from the EXPLODED shingle set: k codegen'd min(md5)
+    // aggregates in one pass. The array-HOF form (k x array_min/transform
+    // over a per-row shingle array) re-derives the shingle array for every
+    // component once CollapseProject inlines the alias — measured ~3x
+    // slower at sf0.1.
+    val sig = shingleSet(docs, idCol, textCol, shingleN)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("m0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"m$i")): _*)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until k / 2).map(b =>

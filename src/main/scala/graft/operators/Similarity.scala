@@ -26,12 +26,15 @@ object Similarity {
     transform(embedding, x => round(x.cast("double") * 1000000).cast("long"))
 
   /** Exact integer self dot product (squared norm). */
-  def normSq(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+  def normSq(q: Column): Column = dot(q, q)
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression; the composable HOF form
+    * (`aggregate(zip_with(...))`) measured ~10x slower on the all-pairs
+    * hot path.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongDotProduct.dotLong(a, b)
 
   /** Cosine from exact integer dot/norms (identical formula to oracle). */
   def cosine(dotCol: Column, normA: Column, normB: Column): Column =

@@ -1,0 +1,78 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.FeatureAggJob
+import graft.sources.Csv
+import graft.store.OnlineFeatureStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end composition tests: the reference's batch job (scan ->
+  * windows -> export + store), CSV source parity quirk, and the
+  * multimodal decode plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  test("batch feature job: store snapshot matches the latest-per-key query") {
+    val store = new OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value").as("amount"))
+    val dir = java.nio.file.Files.createTempDirectory("job").toString
+
+    val result = FeatureAggJob.run(
+      events, "user_id", "ts", "amount", store, Some(s"$dir/train"))
+
+    assert(store.size == 15) // one record per user at sf0.001
+    // cross-check one user against the aggregate frame
+    val snap = result.snapshot.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    snap.foreach { case (k, cnt) =>
+      assert(store.getFeature(k, "cnt_1w").contains(cnt))
+    }
+    // training CSV written as a single part with header
+    val files = new java.io.File(s"$dir/train").listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val firstLine = scala.io.Source.fromFile(files.head).getLines().next()
+    assert(firstLine.startsWith("user_id,amount,num_trans_last_10m"))
+  }
+
+  test("csv reference quirk: header row becomes an all-null artifact, dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType)))
+    Seq((1L, 2.5), (2L, 3.5)).toDF("id", "amount").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir + "/data")
+
+    val fixed = Csv.readTyped(spark, dir + "/data", schema)
+    assert(fixed.count() == 2)
+
+    val quirkKept = Csv.readReferenceQuirk(spark, dir + "/data", schema, dropNullArtifacts = false)
+    assert(quirkKept.count() == 3) // header parsed as null row (reference S1)
+    assert(quirkKept.filter(col("id").isNull && col("amount").isNull).count() == 1)
+
+    val quirkDropped = Csv.readReferenceQuirk(spark, dir + "/data", schema)
+    assert(quirkDropped.count() == 2) // reference's later dropna (P6)
+  }
+
+  test("multimodal: decode runs per-partition, features deterministic, resize plan pure") {
+    val media = Multimodal.syntheticMedia(spark, 100, partitions = 4)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.features.length == Multimodal.StubCodec.FeatureDim))
+    // deterministic across re-runs (stable hash features, no RNG)
+    val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(feats.sortBy(_.mediaId).zip(again.sortBy(_.mediaId))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+    // frame sampling bounds
+    val frames = Multimodal.StubCodec.sampleFrames(Array.tabulate[Byte](100)(_.toByte), 5)
+    assert(frames.length == 5 && frames.forall(_.nonEmpty))
+    // resize plan never upscales and preserves aspect bound
+    val resized = Multimodal.resizePlan(media.toDF(), maxDim = 128)
+    assert(resized.filter(col("target_width") > col("width")).count() == 0)
+    assert(resized.filter(greatest(col("target_width"), col("target_height")) > 128).count() == 0)
+  }
+}
