@@ -1,0 +1,95 @@
+package graft
+
+import graft.ml.FraudModel
+import graft.operators.{Salting, TrainingSplit}
+import graft.streaming.JsonIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON stream codec round-trip, training-path transforms, MLlib scorer
+  * behavioral contract, and salted-aggregation/join equivalence.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  test("json codec: encode -> base64 -> decode round-trips the payload (F6/F7)") {
+    val src = Seq(
+      (4444L, "merchantA", 12.34, "94110", 1700000000.0),
+      (5555L, "merchantB", 999.99, "10001", 1700000060.5)
+    ).toDF("cc_num", "merchant", "amount", "zip_code", "trans_ts")
+
+    val wire = src.select(
+      base64(JsonIngest.encode(
+        $"cc_num", $"merchant", $"amount", $"zip_code", $"trans_ts").cast("binary")).as("payload"))
+
+    val decoded = JsonIngest.decodeBase64(wire, col("payload"))
+    assert(decoded.columns.toSeq == Seq("cc_num", "merchant", "amount", "zip_code", "trans_ts"))
+    val rows = decoded.orderBy($"cc_num").collect()
+    assert(rows(0).getLong(0) == 4444L && rows(0).getDouble(2) == 12.34)
+    assert(rows(1).getString(3) == "10001" && rows(1).getDouble(4) == 1700000060.5)
+
+    val ev = JsonIngest.toStreamEvents(decoded).orderBy($"userId").collect()
+    assert(ev(0).getLong(1) == 1700000000000000L) // seconds -> micros
+    assert(ev(0).getLong(2) == 1234L) // cents
+  }
+
+  test("training split: warm-up discarded, holdout disjoint, label-first projection") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val (train, test) = TrainingSplit.dateRangeSplit(
+      events, col("ts"), "2024-01-10 00:00:00", "2024-01-25 00:00:00")
+    val total = events.count()
+    assert(train.count() + test.count() < total) // warm-up rows in neither
+    assert(train.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")).count() == 0)
+    assert(test.filter(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp")).count() == 0)
+
+    val proj = TrainingSplit.labelFirst(
+      events.withColumn("fraud_label", lit(0)), "fraud_label", Seq("value", "user_id"))
+    assert(proj.columns.toSeq == Seq("fraud_label", "value", "user_id"))
+
+    val (a, b) = TrainingSplit.randomSplit70_30(events)
+    assert(a.count() + b.count() == total)
+  }
+
+  test("MLlib scorer reproduces the reference behavioral flip on count_ratio") {
+    // synthesize labeled aggregates where fraud concentrates at high
+    // count_ratio (the reference's planted-burst signature)
+    val labeled = (1 to 400).map { i =>
+      val countRatio = (i % 40) / 100.0 // 0.00 .. 0.39
+      val label = if (countRatio >= 0.25) 1.0 else 0.0
+      (50.0 + i % 7, 1.0 + countRatio, 0.8, countRatio, label)
+    }.toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio", "fraud_label")
+
+    val model = FraudModel.train(labeled)
+    val probe = Seq(
+      (100.0, 1.3, 0.8, 0.30), // reference smoke: high count_ratio
+      (100.0, 1.06, 0.8, 0.06) // low
+    ).toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio")
+    val scored = FraudModel.score(model, probe).orderBy(desc("count_ratio")).collect()
+    val (hi, lo) = (scored(0).getDouble(scored(0).fieldIndex("probability_fraud")),
+      scored(1).getDouble(scored(1).fieldIndex("probability_fraud")))
+    assert(hi > lo, s"expected monotone scorer: $hi vs $lo")
+    assert(scored(0).getString(scored(0).fieldIndex("prediction_label")) == "FRAUD")
+    assert(scored(1).getString(scored(1).fieldIndex("prediction_label")) == "NOT FRAUD")
+  }
+
+  test("salted aggregation and join equal their unsalted counterparts") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+
+    val direct = events.groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Salting.saltedSumCount(events, Seq("user_id"), "cents", col("event_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+
+    val dim = Seq((12L, "gold"), (13L, "silver")).toDF("user_id", "tier")
+    val plain = events.join(dim, Seq("user_id")).select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaSalt = Salting.saltedJoin(events, dim, "user_id", col("event_id"), 4)
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSalt == plain)
+  }
+}
