@@ -53,6 +53,29 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
   }
 
+  /** Exact Jaccard restricted to a given candidate pair set — the verify
+    * stage of LSH dedup. The candidate set is small (banding already
+    * filtered), so it broadcasts against the shingle table and only the
+    * candidates' intersections are ever materialized, instead of the full
+    * co-occurrence pair space. Output schema matches [[jaccardPairs]].
+    */
+  def jaccardForCandidates(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = broadcast(cands.select(col("doc_a"), col("doc_b")))
+    val aSide = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    val bSide = sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "b_shingle")
+    val inter = aSide
+      .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_common"))
+      .withColumn("jaccard", col("n_common") / col("n_union"))
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+  }
+
   /** Banded-LSH candidate pairs from a k-component MinHash signature with
     * band width 2: docs agreeing on any (m_{2i}, m_{2i+1}) band.
     * Output: doc_a < doc_b, n_shared_bands.

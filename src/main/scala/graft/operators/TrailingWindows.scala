@@ -46,14 +46,20 @@ object TrailingWindows {
       ts: String,
       value: String,
       horizons: Seq[(String, Long)]): DataFrame = {
-    val ordUs = ordMicros(col(ts))
-    horizons.foldLeft(df) { case (acc, (name, secs)) =>
-      val w = trailing(col(key), ordUs, secs)
-      acc
-        .withColumn(s"cnt_$name", count(lit(1)).over(w))
-        .withColumn(s"sum_$name", sum(col(value)).over(w))
-        .withColumn(s"avg_$name", avg(col(value)).over(w))
+    // One select carrying every window expression: sequential withColumn
+    // calls would mint a fresh ordering alias per aggregate and stack one
+    // Window+Sort pair per column (4 sorts for 2 horizons). In a single
+    // projection Catalyst groups identical (partition, order, frame) specs
+    // into one Window node per frame over ONE shared sort.
+    val withOrd = df.withColumn("__ord_us", ordMicros(col(ts)))
+    val aggCols = horizons.flatMap { case (name, secs) =>
+      val w = trailing(col(key), col("__ord_us"), secs)
+      Seq(
+        count(lit(1)).over(w).as(s"cnt_$name"),
+        sum(col(value)).over(w).as(s"sum_$name"),
+        avg(col(value)).over(w).as(s"avg_$name"))
     }
+    withOrd.select(col("*") +: aggCols: _*).drop("__ord_us")
   }
 
   /** Ratio feature projection (SURVEY.md §2.2 P1, reference

@@ -33,7 +33,9 @@ object DocQueries {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val cands = Dedup.minhashBandCandidates(docs, "doc_id", "text", ShingleN, MinhashK)
-    val jac = Dedup.jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", ShingleN))
+    // verify ONLY the banded candidates (same rows as verifying against the
+    // full pair space, at a fraction of the join cost)
+    val jac = Dedup.jaccardForCandidates(cands, Dedup.shingleSet(docs, "doc_id", "text", ShingleN))
     cands
       .join(jac, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= JaccardThreshold)

@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.FeatureQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan posture gates for the core pipeline: these encode the
+  * scale claims (single shuffle for both window horizons, codegen'd hot
+  * path) so a regression that silently doubles the exchanges fails CI.
+  */
+class PlanPostureSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("both trailing horizons share ONE hash exchange and ONE partition sort") {
+    val plan = FeatureQueries
+      .trailingAgg(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected a single hash exchange, got $hashExchanges in:\n$plan")
+    // the only sort keyed by user_id is the shared window partition sort
+    // (the second sort in the plan is the final ORDER BY event_id)
+    val windowSorts = "Sort \\[user_id".r.findAllIn(plan).length
+    assert(windowSorts == 1, s"window horizons should share one partition sort; plan:\n$plan")
+  }
+
+  test("driver entry() answers with rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() == 1000)
+  }
+
+  test("similarity hot path uses the native dot-product expression, not HOFs") {
+    val plan = queries.VectorQueries.embedNearDup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("longdotproduct"), s"custom expression missing from:\n$plan")
+    assert(!plan.contains("zip_with"), "HOF dot product crept back in")
+  }
+}
