@@ -61,8 +61,9 @@ object FeatureAggJob {
         p)
     }
 
+    // P7: null-key guard before the store upsert (reference `if cc_num:`)
     val snapshot = LatestPerKey
-      .denseRankLatest(agg, col(key), TrailingWindows.ordMicros(col(ts)))
+      .denseRankLatest(agg.filter(col(key).isNotNull), col(key), TrailingWindows.ordMicros(col(ts)))
       .select(
         col(key).as("key"),
         TrailingWindows.ordMicros(col(ts)).as("event_time_us"),
