@@ -1,6 +1,9 @@
 package graft.streaming
 
+import graft.operators.ServingJoin
 import graft.store.OnlineFeatureStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Online inference path (SURVEY.md §3.3; reference
   * `src/lambda/InvokeFraudEndpointLambda/lambda_function.py:44-329`):
@@ -50,6 +53,29 @@ object EnrichAndScore {
 
   def label(prob: Double): String =
     if (prob > FraudThreshold) "FRAUD" else "NOT FRAUD"
+
+  /** Distributed form of the inference path (SURVEY §3.3 "our
+    * lifecycle"): works identically on a batch frame or a streaming
+    * DataFrame via a stream-static broadcast join against the store
+    * snapshot — the whole enrichment+scoring runs as ONE Spark query
+    * with no per-event RPC.
+    *
+    * @param events   frame with (key, valueCol) columns
+    * @param snapshot latest-per-key features in ServingJoin's contract
+    *                 (key, snap_ts_us, cnt_short/avg_short/cnt_long/avg_long)
+    */
+  def scoreFrame(
+      events: DataFrame,
+      snapshot: DataFrame,
+      key: String,
+      valueCol: String,
+      nowUs: Column): DataFrame =
+    ServingJoin
+      .enrich(events, snapshot, key, valueCol, nowUs, CutoffSecs)
+      .withColumn("probability", least(lit(1.0), col("count_ratio") * lit(2.5)))
+      .withColumn("label", ServingJoin.thresholdLabel(col("probability"), FraudThreshold))
+
+  val CutoffSecs: Long = 600L
 
   /** Score one event end-to-end (the lambda body). */
   def score(

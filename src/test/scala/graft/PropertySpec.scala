@@ -1,0 +1,61 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.TrailingWindows
+import graft.store.OnlineFeatureStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style oracles (SURVEY.md §5.2) over seeded random inputs:
+  * trailing-window aggregates vs an O(n^2) brute force on random keyed
+  * sequences (dense timestamps to exercise ties), and store
+  * last-write-wins vs a max-by-event-time fold of the put log.
+  * (Plain seeded `Random` rather than scalacheck's scalatest bridge —
+  * the offline dependency set has no scalatestplus artifact.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  test("trailing window count/sum match brute force on random keyed sequences") {
+    (1 to 12).foreach { seed =>
+      val rnd = new Random(seed)
+      val events = List.fill(40)(
+        (1L + rnd.nextInt(3), rnd.nextInt(2000).toLong * 1000000L, 1L + rnd.nextInt(100000)))
+      val df = events.toDF("k", "ord_us", "cents")
+        .withColumn("ts", timestamp_micros($"ord_us"))
+      val got = TrailingWindows
+        .aggregates(df, "k", "ts", "cents", Seq("h" -> 600L))
+        .select($"k", $"ord_us", $"cents", $"cnt_h", $"sum_h")
+        .as[(Long, Long, Long, Long, Long)]
+        .collect()
+      assert(got.length == events.length, s"seed $seed: row count")
+      val gotSorted = got.sortBy(r => (r._1, r._2, r._3, r._4, r._5)).toSeq
+      val expSorted = events.map { case (k, t, c) =>
+        val in = events.filter { case (k2, t2, _) =>
+          k2 == k && t2 <= t && t2 >= t - 600L * 1000000L
+        }
+        (k, t, c, in.size.toLong, in.map(_._3).sum)
+      }.sortBy(r => (r._1, r._2, r._3, r._4, r._5))
+      assert(gotSorted == expSorted, s"seed $seed: window mismatch")
+    }
+  }
+
+  test("store last-write-wins equals max-by-event-time over any put log") {
+    (1 to 30).foreach { seed =>
+      val rnd = new Random(seed)
+      val puts = List.fill(60)(
+        (1L + rnd.nextInt(5), rnd.nextInt(50).toLong, rnd.nextInt(1000).toDouble))
+      val store = new OnlineFeatureStore(Seq("v"))
+      puts.foreach { case (k, t, v) => store.put(k, t, Array(v)) }
+      puts.groupBy(_._1).foreach { case (k, kp) =>
+        val maxT = kp.map(_._2).max
+        val expect = kp.filter(_._2 == maxT).last._3 // LWW among equal times
+        val (storedT, storedV) = store.get(k).get
+        assert(storedT == maxT, s"seed $seed key $k: time")
+        assert(storedV.toSeq == Seq(expect), s"seed $seed key $k: value")
+      }
+    }
+  }
+}
