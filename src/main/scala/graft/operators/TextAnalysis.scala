@@ -84,6 +84,8 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: min md5 over 5-gram shingles,
     * falling back to md5(text) for very short docs.
     */
-  def fingerprint(words: Column, text: Column): Column =
-    coalesce(minhashComponent(shingles(words, 5), 0), md5(text.cast("binary")))
+  def fingerprint(text: Column): Column =
+    coalesce(
+      minhashComponent(graft.functions.WordShingles.wordShingles(text, 5), 0),
+      md5(text.cast("binary")))
 }

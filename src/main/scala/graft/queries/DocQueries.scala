@@ -20,14 +20,14 @@ object DocQueries {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .exactGroups(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("text_hash"))
+      .transform(orderedOutput(_, col("text_hash")))
 
   def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, sfDir), "doc_id", "text", ShingleN)
     Dedup
       .jaccardPairs(sh)
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
@@ -40,13 +40,13 @@ object DocQueries {
       .join(jac, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
-      .orderBy(col("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
 
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
@@ -59,7 +59,7 @@ object DocQueries {
         TextAnalysis.sumTokenLength(col("w")).as("sum_token_len"),
         (TextAnalysis.sumTokenLength(col("w")) / size(col("w"))).as("mean_token_len"),
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_tokens"))
-      .orderBy(col("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables
@@ -79,7 +79,7 @@ object DocQueries {
         "quality_band",
         when(col("quality_score") >= 0.5, lit("good")).otherwise(lit("low")))
       .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
-      .orderBy(col("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val profiles = TextAnalysis.langProfiles
@@ -99,7 +99,7 @@ object DocQueries {
           .when(col("score_de") >= col("score_fr"), lit("de"))
           .otherwise(lit("fr")))
       .select("doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred")
-      .orderBy(col("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
   }
 
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -108,9 +108,9 @@ object DocQueries {
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("w"), col("text")).as("fingerprint"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         md5(array_join(slice(col("w"), 1, 3), " ").cast("binary")).as("head_hash"))
-      .orderBy(col("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup(_, _)),

@@ -44,7 +44,7 @@ object FeatureQueries {
         col("amt_ratio1"),
         col("amt_ratio2"),
         col("count_ratio"))
-      .orderBy(col("event_id"))
+      .transform(orderedOutput(_, col("event_id")))
   }
 
   /** Shared aggregate block: both horizons over ONE shuffle/sort. */
@@ -79,7 +79,7 @@ object FeatureQueries {
         col("num_trans_last_1w"),
         col("avg_amt_last_1w"))
       .distinct()
-      .orderBy(col("user_id"))
+      .transform(orderedOutput(_, col("user_id")))
   }
 
   /** J1 + J2 + F1 (serving side): enrich the last 24 h of events against the
@@ -125,7 +125,7 @@ object FeatureQueries {
         col("amt_ratio1"),
         col("amt_ratio2"),
         col("count_ratio"))
-      .orderBy(col("event_id"))
+      .transform(orderedOutput(_, col("event_id")))
   }
 
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */

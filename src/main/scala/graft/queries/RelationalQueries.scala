@@ -44,7 +44,7 @@ object RelationalQueries {
         (sum(col("price_cents")) / count(lit(1)) / lit(100.0)).as("avg_price"),
         (sum(col("disc_pct")) / count(lit(1)) / lit(100.0)).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(orderedOutput(_, col("l_returnflag"), col("l_linestatus")))
 
   /** TPC-H Q3-style shipping priority: selective dim filter → 3-way join →
     * agg → exact-revenue top-k with a deterministic tiebreak. Customer is
@@ -74,7 +74,7 @@ object RelationalQueries {
         to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"),
         col("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .transform(orderedOutput(_, col("revenue").desc, col("l_orderkey")))
       .limit(10)
 
   }
@@ -92,7 +92,7 @@ object RelationalQueries {
         countDistinct(col("n_nationkey")).as("n_nations"),
         (sum(col("bal_cents")) / lit(100.0)).as("total_acctbal"),
         (sum(col("bal_cents")) / count(lit(1)) / lit(100.0)).as("avg_acctbal"))
-      .orderBy(col("r_name"))
+      .transform(orderedOutput(_, col("r_name")))
 
   /** JSON property extraction (F6 analog of the stream codec) + agg. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
@@ -106,7 +106,7 @@ object RelationalQueries {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         (sum(col("k")) / count(col("k"))).as("avg_k"))
-      .orderBy(col("event_type"))
+      .transform(orderedOutput(_, col("event_type")))
 
   /** Scalar function pack: md5 id (F9), concat_ws assembly (F8), integer
     * round (F2), casts (F3/P8), timestamp format (F5), threshold CASE
@@ -132,7 +132,7 @@ object RelationalQueries {
         substring(col("event_type"), 1, 3).as("type_prefix"),
         length(col("props")).cast("long").as("props_len"),
         when(col("value") > 100.0, lit("HIGH")).otherwise(lit("LOW")).as("value_band"))
-      .orderBy(col("event_id"))
+      .transform(orderedOutput(_, col("event_id")))
 
   /** P4-style event-time range split: filter to [2024-01-15, 2024-01-25)
     * and aggregate per type. Filter is on exact epoch micros.
@@ -148,7 +148,7 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n"),
         (sum(col("cents")) / lit(100.0)).as("sum_value"))
-      .orderBy(col("event_type"))
+      .transform(orderedOutput(_, col("event_type")))
   }
 
   /** Row-frame window pack: row_number, running sum (rowsBetween), lag
@@ -168,7 +168,7 @@ object RelationalQueries {
         (sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           / lit(100.0)).as("running_value"),
         (col("ord_us") - lag(col("ord_us"), 1).over(w)).as("gap_us"))
-      .orderBy(col("event_id"))
+      .transform(orderedOutput(_, col("event_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

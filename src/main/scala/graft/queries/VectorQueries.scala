@@ -25,17 +25,17 @@ object VectorQueries {
         "embedding",
         col("vec_id") % 10 === 0,
         TopK)
-      .orderBy(col("query_id"), col("rnk"))
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
   def annSignLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .signBucketTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding", LshBits, 1)
-      .orderBy(col("query_id"), col("rnk"))
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
