@@ -17,7 +17,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Reference-workload headline: the reference's own batch job shape
+    // (5.4M txns / 10K cards, trailing 10m + 1w window aggregation) had a
+    // 1,200 s budget => >= 4,500 rows/s implied (BASELINE.md). Measure the
+    // same shape here and report rows/s.
+    val refRate =
+      try {
+        val txns = datagen.TransactionGen
+          .transactions(spark, datagen.TransactionGen.Params(nCards = 10000, nTxns = 5400000L))
+          .cache()
+        val n = txns.count()
+        val t0 = System.nanoTime()
+        operators.TrailingWindows
+          .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L))
+          .select(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("cnt_1w")))
+          .collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        txns.unpersist()
+        n / secs
+      } catch { case _: Throwable => -1.0 }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""ref_workload_rows_per_sec":${refRate.round}}""")
     spark.stop()
   }
 }

@@ -91,17 +91,18 @@ object Dedup {
       shingleN: Int,
       k: Int): DataFrame = {
     require(k % 2 == 0, "band width 2 needs an even k")
-    // Signatures from the EXPLODED shingle set: k codegen'd min(md5)
-    // aggregates in one pass. The array-HOF form (k x array_min/transform
-    // over a per-row shingle array) re-derives the shingle array for every
-    // component once CollapseProject inlines the alias — measured ~3x
-    // slower at sf0.1.
+    // Signatures from the EXPLODED shingle set in one aggregation pass,
+    // with all k components sliced from ONE md5 per shingle (5 hex chars =
+    // 20 bits each): k independent min-hashes at 1/k of the hashing cost.
+    // (The array-HOF form re-derived the shingle array per component once
+    // CollapseProject inlined the alias — measured ~3x slower at sf0.1.)
+    require(k * 5 <= 32, "k*5 hex chars must fit one md5")
+    val md5h = md5(concat(lit("0|"), col("shingle")).cast("binary"))
     val sig = shingleSet(docs, idCol, textCol, shingleN)
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("m0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"m$i")): _*)
+        min(substring(md5h, 1, 5)).as("m0"),
+        (1 until k).map(i => min(substring(md5h, i * 5 + 1, 5)).as(s"m$i")): _*)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until k / 2).map(b =>

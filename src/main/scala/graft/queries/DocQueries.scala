@@ -157,7 +157,7 @@ object DocQueries {
          |FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" -> {
       val sigCols = (0 until MinhashK)
-        .map(i => s"list_min(list_transform(sh_set, s -> md5('$i|' || s))) AS m$i")
+        .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
         .mkString(",\n    ")
       val bandSelects = (0 until MinhashK / 2)
         .map(b => s"SELECT doc_id, $b AS band_idx, md5(m${2 * b} || '|' || m${2 * b + 1}) AS band_hash FROM sig")
