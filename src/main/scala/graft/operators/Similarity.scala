@@ -97,6 +97,47 @@ object Similarity {
       .select("query_id", "vec_id", "bucket", "rnk", "cosine")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `nCells` vectors act as centroids — standing in for trained k-means
+    * centroids), each vector assigned to its nearest centroid by exact
+    * integer squared distance (`|a|^2 + |c|^2 - 2<a,c>`), then top-k
+    * search restricted to the query's cell. Scale path: candidate
+    * generation is an equi-join on cell id — probe cost n/nCells per
+    * query instead of n.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCells: Int,
+      k: Int): DataFrame = {
+    val base = prepared(emb, idCol, embCol)
+    val centroids = broadcast(
+      base
+        .filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("qv").as("c_qv"), col("nrm").as("c_nrm")))
+    // nearest centroid per vector: distance^2 = nrm + c_nrm - 2*dot (exact)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    val assigned = base
+      .crossJoin(centroids)
+      .withColumn("dist2", col("nrm") + col("c_nrm") - lit(2L) * dot(col("qv"), col("c_qv")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("vec_id"),
+        col("a.cell").as("cell"),
+        cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cell", "rnk", "cosine")
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection). */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
     val base = prepared(emb, idCol, embCol)

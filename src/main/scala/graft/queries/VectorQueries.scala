@@ -37,9 +37,17 @@ object VectorQueries {
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
+  private val IvfCells = 16
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .ivfTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding", IvfCells, 1)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
+    "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). */
@@ -86,6 +94,27 @@ object VectorQueries {
          |  FROM scored)
          |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin
     },
+    "v3_ann_ivf" ->
+      s"""WITH $prep,
+         |cent AS (
+         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM base WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT vec_id, qv, nrm, cell FROM (
+         |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        b.nrm + c.c_nrm
+         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cell) AS arnk
+         |    FROM base b CROSS JOIN cent c)
+         |  WHERE arnk = 1),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
+         |    $cosineExpr AS cosine
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
+         |SELECT query_id, vec_id, cell, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
     "d5_embed_neardup" ->
       s"""WITH $prep
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
