@@ -39,6 +39,22 @@ object Dedup {
       explode(array_distinct(graft.functions.WordShingles.wordShingles(col(textCol), n)))
         .as("shingle"))
 
+  /** Drop shingles whose document frequency exceeds `maxDf`. At corpus
+    * scale the shared-shingle join is quadratic in per-shingle document
+    * frequency, and ubiquitous shingles dominate that cost while carrying
+    * almost no similarity signal — capping df bounds the join at
+    * O(distinct_shingles * maxDf^2). Sizes must then be computed over the
+    * SAME filtered set so Jaccard stays a proper ratio (callers pass the
+    * result to [[jaccardPairs]] wholesale). Not used by the oracle-gate
+    * queries (their corpora are small); this is the 100 TB knob.
+    */
+  def dropHotShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
   /** Exact pairwise Jaccard over shingle sets for every pair sharing at
     * least one shingle. Output: doc_a < doc_b, n_common, n_union, jaccard.
     */
