@@ -91,16 +91,24 @@ object FeatureQueries {
     val prep = prepared(spark, sfDir)
     val agg = withAggColumns(prep)
 
+    // max_by aggregation form instead of dense_rank+DISTINCT: rows tied at
+    // a key's max timestamp share the same RANGE frame, so every selected
+    // column is identical across ties and the arbitrary-survivor semantics
+    // produce the same snapshot — at one hash aggregate instead of a
+    // second sort (the oracle keeps the dense_rank+DISTINCT spelling;
+    // results are equal by the tie argument).
     val snapshot = LatestPerKey
-      .denseRankLatest(agg, col("user_id"), col("ord_us"))
-      .select(
-        col("user_id"),
-        col("ord_us").as("snap_ts_us"),
-        col("num_trans_last_10m").as("cnt_short"),
-        col("avg_amt_last_10m").as("avg_short"),
-        col("num_trans_last_1w").as("cnt_long"),
-        col("avg_amt_last_1w").as("avg_long"))
-      .distinct()
+      .maxByOrd(
+        agg.select(
+          col("user_id"),
+          col("ord_us"),
+          col("num_trans_last_10m").as("cnt_short"),
+          col("avg_amt_last_10m").as("avg_short"),
+          col("num_trans_last_1w").as("cnt_long"),
+          col("avg_amt_last_1w").as("avg_long")),
+        "user_id",
+        "ord_us")
+      .withColumnRenamed("ord_us", "snap_ts_us")
 
     val nowDf = prep.agg(max(col("ord_us")).as("now_us"))
     val recent = prep
