@@ -127,6 +127,17 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       val base = 5000L * 1000000L
+      // notebook-4 scenario part 1: single transactions on three DISTINCT
+      // cards with ordinary history score NOT FRAUD
+      (101L to 103L).foreach { card =>
+        batchStore.put(card, 0L, Array(20.0, 50.0))
+        val ts = base + card * 1000L
+        source.addData(StreamEvent(card, ts, 5000))
+        q.processAllAvailable()
+        val scored = EnrichAndScore.score(streamStore, batchStore, card, ts, 50.0, nowUs = ts)
+        assert(scored.map(_.label).contains("NOT FRAUD"), s"normal txn on $card mislabeled")
+      }
+      // part 2: a 10-transaction burst on ONE card flips to FRAUD after warmup
       val labels = (1 to 10).map { k =>
         val ts = base + k * 1500000L // 1.5 s apart
         source.addData(StreamEvent(99L, ts, 10000))
