@@ -61,6 +61,16 @@ object ProbeMain {
         .select(sum(col("cnt_10m")), sum(col("cnt_1w")))
         .collect()
     }
+    // the reference's ENTIRE batch job (agg + ratios + training export +
+    // latest-per-key store upsert) at its own scale, vs its 1200 s budget
+    val store = new graft.store.OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    time("5.4M-row FULL batch job (export + store)") {
+      val dir = java.nio.file.Files.createTempDirectory("job54").toString
+      graft.operators.FeatureAggJob.run(
+        txns.withColumnRenamed("amount", "amt").withColumnRenamed("amt", "amount"),
+        "cc_num", "datetime", "amount", store, Some(s"$dir/train"))
+    }
+    println(s"[probe] store keys after job: ${store.size}")
     spark.stop()
   }
 }
