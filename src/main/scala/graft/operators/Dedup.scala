@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora at training-data scale:
   * exact (hash group), n-gram Jaccard (shared-shingle blocking), MinHash
-  * LSH (banded candidate generation + exact verify), SimHash.
+  * LSH (banded candidate generation + exact verify; Broder 1997 minhash +
+  * the standard banding construction), SimHash (Charikar 2002 random
+  * hyperplane sketch, 16-bit variant).
   *
   * Scale posture:
   *   - exact dedup is one hash-aggregate (map-side partials, one shuffle);

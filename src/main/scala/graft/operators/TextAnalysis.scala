@@ -31,15 +31,16 @@ object TextAnalysis {
         i => array_join(slice(words, i, lit(n)), " ")))
       .otherwise(array())
 
-  /** MinHash signature component i: min over shingles of md5(i || shingle).
-    * Lexicographic min over fixed-width hex == numeric min over 128 bits.
+  /** MinHash signature component i: min over shingles of md5(i || shingle)
+    * (Broder's min-wise independent permutations, approximated by seeded
+    * cryptographic hashing). Lexicographic min over fixed-width hex ==
+    * numeric min over 128 bits. Full signatures are built by
+    * [[Dedup.minhashBandCandidates]] from the exploded shingle set, which
+    * is the efficient form; this array-HOF form serves single-component
+    * uses like [[fingerprint]].
     */
   def minhashComponent(shingleSet: Column, i: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(s"$i|"), s).cast("binary"))))
-
-  /** k MinHash components as named columns m0..m{k-1}. */
-  def minhashSignature(shingleSet: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => minhashComponent(shingleSet, i).as(s"m$i"))
 
   /** 16-bit token hash: first 4 hex nibbles of md5(token) via a
     * position-in-alphabet decode that has an identical SQL spelling in
