@@ -75,6 +75,25 @@ object TextAnalysis {
   def profileScore(words: Column, profile: Seq[String]): Column =
     size(filter(words, t => t.isInCollection(profile))).cast("long")
 
+  /** Character-trigram language profiles (most-frequent trigrams per
+    * language, including word-boundary spaces — the classic Cavnar-Trenkle
+    * n-gram heuristic, truncated to a handful of high-signal grams).
+    */
+  val charTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", " th", "ing", "and", " of"),
+    "es" -> Seq(" de", "os ", " la", "ión", "ent", " el"),
+    "de" -> Seq("en ", "er ", "ch", " de", "ein", "sch"),
+    "fr" -> Seq(" de", "es ", "le ", "ent", " le", "que"))
+
+  /** Count of profile n-gram occurrences in the raw text (overlapping,
+    * via substring containment scan over each gram).
+    */
+  def charNgramScore(text: Column, grams: Seq[String]): Column =
+    grams
+      .map(g => (length(text) - length(replace(text, lit(g), lit("")))) / lit(g.length))
+      .reduce(_ + _)
+      .cast("long")
+
   /** English-ish stopwords for the quality-score ratio. */
   val qualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

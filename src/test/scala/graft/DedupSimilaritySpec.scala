@@ -87,6 +87,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("char-ngram language heuristic separates obvious english from german text") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "the cat and the dog sing of things",
+      "ein schönes haus in der schweiz machen").toDF("text")
+    val scored = df.select(
+      TextAnalysis.charNgramScore(col("text"), TextAnalysis.charTrigramProfiles.toMap.apply("en")).as("en"),
+      TextAnalysis.charNgramScore(col("text"), TextAnalysis.charTrigramProfiles.toMap.apply("de")).as("de"))
+      .as[(Long, Long)].collect()
+    assert(scored(0)._1 > scored(0)._2, s"english text misscored: ${scored(0)}")
+    assert(scored(1)._2 > scored(1)._1, s"german text misscored: ${scored(1)}")
+  }
+
   test("quality + langid + fingerprint produce total, deterministic outputs") {
     assert(DocQueries.qualityScore(spark, sf).filter(col("quality_score").isNull).count() == 0)
     val langs = DocQueries.langId(spark, sf).select("lang_pred").distinct().as[String].collect()
