@@ -107,7 +107,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    minhashBandCandidatesFromShingles(shingleSet(docs, idCol, textCol, shingleN), k)
+
+  /** As [[minhashBandCandidates]] but over a pre-built (doc_id, shingle)
+    * frame, so callers computing Jaccard too share one shingle explode.
+    */
+  def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k % 2 == 0, "band width 2 needs an even k")
     // Signatures from the EXPLODED shingle set in one aggregation pass,
     // with all k components sliced from ONE md5 per shingle (5 hex chars =
@@ -116,7 +122,7 @@ object Dedup {
     // CollapseProject inlined the alias — measured ~3x slower at sf0.1.)
     require(k * 5 <= 32, "k*5 hex chars must fit one md5")
     val md5h = md5(concat(lit("0|"), col("shingle")).cast("binary"))
-    val sig = shingleSet(docs, idCol, textCol, shingleN)
+    val sig = sh
       .groupBy(col("doc_id"))
       .agg(
         min(substring(md5h, 1, 5)).as("m0"),

@@ -22,8 +22,16 @@ object DocQueries {
       .exactGroups(Tables.documents(spark, sfDir), "doc_id", "text")
       .transform(orderedOutput(_, col("text_hash")))
 
+  /** The shingle set feeds several subplans per query (join sides, sizes,
+    * signatures); AQE's exchange reuse already dedups the identical
+    * subtrees at runtime (an eager localCheckpoint measured neutral), so
+    * share the logical plan and let the runtime handle it.
+    */
+  private def materializedShingles(docs: DataFrame): DataFrame =
+    Dedup.shingleSet(docs, "doc_id", "text", ShingleN)
+
   def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingleSet(Tables.documents(spark, sfDir), "doc_id", "text", ShingleN)
+    val sh = materializedShingles(Tables.documents(spark, sfDir))
     Dedup
       .jaccardPairs(sh)
       .filter(col("jaccard") >= JaccardThreshold)
@@ -32,10 +40,11 @@ object DocQueries {
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val cands = Dedup.minhashBandCandidates(docs, "doc_id", "text", ShingleN, MinhashK)
+    val sh = materializedShingles(docs)
+    val cands = Dedup.minhashBandCandidatesFromShingles(sh, MinhashK)
     // verify ONLY the banded candidates (same rows as verifying against the
     // full pair space, at a fraction of the join cost)
-    val jac = Dedup.jaccardForCandidates(cands, Dedup.shingleSet(docs, "doc_id", "text", ShingleN))
+    val jac = Dedup.jaccardForCandidates(cands, sh)
     cands
       .join(jac, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= JaccardThreshold)
