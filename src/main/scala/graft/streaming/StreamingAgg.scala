@@ -14,7 +14,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order within each (key, micro-batch); an event older than the key's
   * newest buffered event minus the horizon contributes nothing and emits
   * the aggregate as-of itself (late-data policy matching the reference's
-  * 600 s discard, T4).
+  * 600 s discard, T4). Same-timestamp ties are processed sequentially, so
+  * the FIRST tied event's emission sees a partial frame while the batch
+  * RANGE window includes all ties — the same per-arrival semantics as the
+  * reference's continuous query; the final emission per (key, ts) always
+  * agrees with the batch operator.
   *
   * Implementation: `flatMapGroupsWithState` with ProcessingTimeTimeout for
   * idle-key state expiry. The buffer holds (tsUs, cents) pairs inside the
