@@ -1,17 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object Bench {
+  /** Consume the FULL result: hash every output column of every row into
+    * one aggregate so Catalyst cannot prune the projections. Under the old
+    * `count()` consumer the optimizer dropped unreferenced expressions
+    * (f1's md5/concat_ws/date_format, t4's fingerprint, ...), so those
+    * queries were timed without doing their work. bit_xor, not sum: ANSI
+    * mode throws on long overflow, which summing random 64-bit hashes hits
+    * almost immediately.
+    */
+  private def consume(df: DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(bit_xor(col("h")))
+      .collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // JIT/codegen/parquet-reader warmup so the first timed query doesn't
     // absorb ~3-4 s of one-time JVM cost (standard benchmarking practice;
     // warmup runs the flagship slice at the smallest scale factor).
-    try SparkEntry.entry(spark).count()
+    try consume(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -28,18 +43,28 @@ object Bench {
           .cache()
         val n = txns.count()
         val t0 = System.nanoTime()
-        operators.TrailingWindows
-          .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L))
-          .select(org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("cnt_1w")))
-          .collect()
+        consume(
+          operators.TrailingWindows
+            .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L)))
         val secs = (System.nanoTime() - t0) / 1e9
         txns.unpersist()
         n / secs
-      } catch { case _: Throwable => -1.0 }
-    println(
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ref workload failed: $e")
+          -1.0
+      }
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""ref_workload_rows_per_sec":${refRate.round}}""")
+        s""""ref_workload_rows_per_sec":${refRate.round}}"""
+    // Emit on stdout AND to a dedicated file: the sbt log decorates stdout
+    // with [info] prefixes, which broke the driver's line parser in r1
+    // (BENCH_r01.json "parsed": null).
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
+    catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_latest.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -29,6 +29,13 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() == 1000)
   }
 
+  test("blocked near-dup plans equi-joins only — no nested-loop/cartesian anywhere") {
+    val plan = queries.VectorQueries.embedNearDupLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in blocked plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in blocked plan:\n$plan")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString
