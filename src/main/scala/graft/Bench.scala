@@ -16,6 +16,32 @@ object Bench {
       .collect()
     ()
   }
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Time each query under the full-result consumer, capturing failures
+    * instead of swallowing them: a throwing query must show up in the
+    * bench JSON (round-2 audit: `catch { _ => () }` let a regression be
+    * timed as ~0 and "pass").
+    */
+  def timeQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame])
+      : Seq[(String, Double, Option[String])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { consume(fn(spark, sfDir)); None }
+        catch { case e: Throwable => Some(e.toString.linesIterator.next().take(300)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -24,14 +50,15 @@ object Bench {
     // warmup runs the flagship slice at the smallest scale factor).
     try consume(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = timeQueries(spark, sfDir, SparkEntry.queries)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${jsonEscape(e)}\"" }
+      .mkString("{", ",", "}")
+    results.foreach { case (k, _, e) =>
+      e.foreach(msg => System.err.println(s"[bench] QUERY FAILED $k: $msg"))
+    }
+    val total = results.map(_._2).sum
     // Reference-workload headline: the reference's own batch job shape
     // (5.4M txns / 10K cards, trailing 10m + 1w window aggregation) had a
     // 1,200 s budget => >= 4,500 rows/s implied (BASELINE.md). Measure the
@@ -55,8 +82,8 @@ object Bench {
           -1.0
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""ref_workload_rows_per_sec":${refRate.round}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,""" +
+        s""""sf":"$sfDir","ref_workload_rows_per_sec":${refRate.round}}"""
     // Emit on stdout AND to a dedicated file: the sbt log decorates stdout
     // with [info] prefixes, which broke the driver's line parser in r1
     // (BENCH_r01.json "parsed": null).

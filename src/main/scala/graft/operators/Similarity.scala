@@ -25,6 +25,26 @@ object Similarity {
   def quantize(embedding: Column): Column =
     transform(embedding, x => round(x.cast("double") * 1000000).cast("long"))
 
+  /** Scale-derived LSH bit width: the smallest b >= floorBits with
+    * n / targetBucket < 2^b, i.e. the bit length of n/targetBucket — so the
+    * expected bucket size stays ~targetBucket as the corpus grows instead
+    * of buckets absorbing n/2^const vectors (the round-2 scale-killer: a
+    * constant bucket count makes every in-bucket self-join quadratic
+    * again). Integer-exact (no float log2), so the DuckDB oracle reproduces
+    * it verbatim via length(bin(n // target)).
+    */
+  def autoBits(n: Long, targetBucket: Long, floorBits: Int): Int = {
+    val x = math.max(1L, n / targetBucket)
+    math.max(floorBits, 64 - java.lang.Long.numberOfLeadingZeros(x))
+  }
+
+  /** Scale-derived IVF cell count: n / targetCellSize, floored — keeps the
+    * expected in-cell candidate set ~targetCellSize so the per-cell verify
+    * join is bounded work at any corpus size.
+    */
+  def autoCells(n: Long, targetCellSize: Long, floorCells: Int): Int =
+    math.max(floorCells.toLong, n / targetCellSize).toInt
+
   /** Exact integer self dot product (squared norm). */
   def normSq(q: Column): Column = dot(q, q)
 
@@ -211,30 +231,75 @@ object Similarity {
     *
     * Parameter math (random hyperplane LSH, Goemans-Williamson): a pair at
     * cosine rho agrees on one sign bit w.p. 1 - acos(rho)/pi, on a b-bit
-    * table w.p. p^b, and survives T tables w.p. 1-(1-p^b)^T. The defaults
-    * (b=4, T=16) give recall 1.0 on the sf0.01 corpus at the gate's LOW
-    * threshold 0.45 (p ~ 0.65 => per-table 0.18). Production near-dup
-    * thresholds (0.9+) push p toward 0.95, letting b grow to 16+ with few
-    * tables — candidate volume drops exponentially in b, which is the
-    * actual 100 TB operating point; low thresholds are intrinsically
-    * unselective for ANY LSH family.
+    * table w.p. p^b, and survives T tables w.p. 1-(1-p^b)^T. Callers derive
+    * `bits` from corpus size ([[autoBits]]: b = bitlength(n/targetBucket))
+    * so expected bucket size — and with it per-bucket join cost — stays
+    * constant as n grows; a constant b is a disguised partitioned
+    * cartesian (candidates ~ T*n^2/2^(b+1)). `maxBucket` bounds the worst
+    * bucket absolutely ([[dropHotBuckets]]). At the gate (n=500,
+    * threshold 0.45) derivation yields b=4/T=16: recall 1.0, p ~ 0.65 =>
+    * per-table 0.18. Production near-dup thresholds (0.9+) push p toward
+    * 0.95, letting b sit at 16 with few tables — candidate volume drops
+    * exponentially in b (the d7 gate's operating point: b=16/T=4 leaves
+    * buckets near-singleton); low thresholds are intrinsically unselective
+    * for ANY LSH family, so growing n at fixed threshold 0.45 trades
+    * recall (the derivation keeps cost, not recall, constant — documented
+    * contract, same as every sub-quadratic LSH).
     */
+  /** (vec_id, bucket) pairs, one row per (vector, hash table). */
+  def signBucketsExploded(emb: DataFrame, idCol: String, embCol: String, bits: Int, tables: Int): DataFrame =
+    emb.select(
+      col(idCol).as("vec_id"),
+      explode(signBuckets(col(embCol), bits, tables)).as("bucket"))
+
+  /** Drop buckets holding more than `maxBucket` vectors before candidate
+    * generation — the vector-plane twin of [[Dedup.dropHotShingles]]. The
+    * in-bucket self-join is quadratic in bucket size, so one degenerate
+    * bucket (a sign pattern half the corpus shares) would dominate total
+    * cost while pairing mostly-dissimilar vectors; capping bounds per-
+    * bucket work at maxBucket^2 absolutely. Recall cost is bounded too: a
+    * pair sharing a dropped bucket still surfaces via any other table
+    * whose bucket stays under the cap.
+    */
+  def dropHotBuckets(bucketed: DataFrame, maxBucket: Long): DataFrame = {
+    val hot = bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > maxBucket)
+      .select("bucket")
+    bucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
+  }
+
   def nearDupPairsBlocked(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
       bits: Int = 4,
-      tables: Int = 16): DataFrame = {
-    val bucketed = emb.select(
-      col(idCol).as("vec_id"),
-      explode(signBuckets(col(embCol), bits, tables)).as("bucket"))
+      tables: Int = 16,
+      maxBucket: Long = 256L): DataFrame = {
+    val bucketed =
+      dropHotBuckets(signBucketsExploded(emb, idCol, embCol, bits, tables), maxBucket)
+    // Pair expansion via one grouped collect instead of a bucket self-join:
+    // the cap guarantees each collected list holds <= maxBucket ids, so the
+    // in-row double explode is bounded work (maxBucket^2 worst case) and the
+    // plan pays ONE shuffle of the bucketed rows (the count() inside
+    // dropHotBuckets shuffles only per-bucket partial counts) instead of a
+    // sort-merge self-join over both sides.
     val cands = bucketed
-      .as("a")
-      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"), explode(col("ids")).as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
     val base = prepared(emb, idCol, embCol)
+    // Dedup AFTER the threshold filter, not before the verify: a pair
+    // colliding in k <= tables buckets costs k - 1 redundant dot products
+    // (bounded, cheap) but skipping the pre-verify distinct() drops a full
+    // shuffle of the candidate set — the largest intermediate in the plan.
+    // The cosine is deterministic integer math, so duplicate rows are
+    // bit-identical and the final distinct is exact.
     cands
       .join(
         base.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"), col("nrm").as("a_nrm")),
@@ -247,5 +312,6 @@ object Similarity {
         col("vec_b"),
         cosine(dot(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }

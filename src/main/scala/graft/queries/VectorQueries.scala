@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * + the LSH-blocked scale path). Components quantize to integer micros so
   * the cosine doubles are bit-identical to the DuckDB oracle (see
   * [[graft.operators.Similarity]]).
+  *
+  * Partition counts are DERIVED from corpus size (bucket bits =
+  * bitlength(n / targetBucket), IVF cells = n / targetCell) so expected
+  * bucket/cell size — and with it every in-bucket self-join — stays
+  * constant as the corpus grows; each oracle reproduces the derivation in
+  * SQL from count(*) (`length(bin(n // target))`), so the gate also covers
+  * the formula. Hot buckets are capped ([[Similarity.dropHotBuckets]]).
   */
 object VectorQueries {
 
   private val TopK = 5
-  private val LshBits = 8
   private val NearDupThreshold = 0.45
 
   /** Fixed-size query set: the first NQueries ids. A CONSTANT number of
@@ -24,6 +30,9 @@ object VectorQueries {
     * — a scale-killer flagged in round 1).
     */
   private val NQueries = 64
+
+  /** Embedding dimensionality (TESTDATA.md; bounds disjoint table slices). */
+  private val EmbedDim = 64
 
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
@@ -35,45 +44,95 @@ object VectorQueries {
         TopK)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
-  def annSignLsh(spark: SparkSession, sfDir: String): DataFrame =
+  /** v2 ANN bucket sizing: ~2 vectors per bucket (nearest-neighbor probes
+    * want near-singleton buckets; n=500 derives the round-2 value b=8).
+    */
+  private val AnnTargetBucket = 2L
+  private val AnnFloorBits = 4
+
+  def annSignLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bits = Similarity.autoBits(emb.count(), AnnTargetBucket, AnnFloorBits)
     Similarity
-      .signBucketTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding", LshBits, 1)
+      .signBucketTopK(emb, "vec_id", "embedding", bits, 1)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
 
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
-  /** d6: same contract as d5, LSH-blocked (the 100 TB path). */
-  private val BlockBits = 4
-  private val BlockTables = 16
+  /** d6: same contract as d5, LSH-blocked (the 100 TB path). Bits derived
+    * (n=500 at the gate => b=4, T=16 — the round-2 constants), tables fill
+    * the remaining disjoint component slices, hot buckets capped.
+    */
+  private val BlockTargetBucket = 32L
+  private val BlockFloorBits = 4
+  private val BlockMaxTables = 16
+  private val MaxBucket = 256L
 
-  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
+  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bits = Similarity.autoBits(emb.count(), BlockTargetBucket, BlockFloorBits)
+    val tables = math.min(BlockMaxTables, EmbedDim / bits)
+    Similarity
+      .nearDupPairsBlocked(
+        emb,
+        "vec_id",
+        "embedding",
+        NearDupThreshold,
+        bits,
+        tables,
+        MaxBucket)
+      .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
+  }
+
+  /** d7: the production near-dup operating point — threshold 0.9 with
+    * b=16/T=4, where sign-LSH is genuinely selective (p^16 collisions
+    * leave buckets near-singleton; the sf0.1 probe saw 124 candidates out
+    * of ~2M pairs). This corpus has no pairs at 0.9 (max cosine ~0.6), so
+    * the gate pins the 0-row contract + formula parity; the planted-pair
+    * recall spec (DedupSimilaritySpec) exercises the non-vacuous case.
+    */
+  private val HiThreshold = 0.9
+  private val HiBits = 16
+  private val HiTables = 4
+
+  def embedNearDupLshHi(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairsBlocked(
         Tables.embeddings(spark, sfDir),
         "vec_id",
         "embedding",
-        NearDupThreshold,
-        BlockBits,
-        BlockTables)
+        HiThreshold,
+        HiBits,
+        HiTables,
+        MaxBucket)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
-  private val IvfCells = 16
+  /** v3 IVF cell sizing: ~32 vectors per cell (n=500 => the round-2 value
+    * 16 cells via the floor).
+    */
+  private val IvfTargetCell = 32L
+  private val IvfFloorCells = 16
   private val LloydIters = 2
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val nCells = Similarity.autoCells(emb.count(), IvfTargetCell, IvfFloorCells)
     Similarity
-      .ivfTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding", IvfCells, 1, LloydIters)
+      .ivfTopK(emb, "vec_id", "embedding", nCells, 1, LloydIters)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
-    "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)))
+    "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
+    "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). */
   private val prep =
@@ -90,6 +149,39 @@ object VectorQueries {
   private val cosineExpr =
     """CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
       |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))""".stripMargin
+
+  /** SQL twin of [[Similarity.autoBits]]: bitlength via bin(), no float
+    * log2 (floor(log2(2^k)) can land on k-1 in doubles).
+    */
+  private def autoBitsSql(target: Long, floor: Int): String =
+    s"greatest($floor, length(bin(greatest(1, cnt // $target))))"
+
+  /** Multi-table LSH block -> cap -> distinct candidates -> exact verify,
+    * with b/T either derived from count(*) or fixed (d7).
+    */
+  private def blockedNearDupSql(paramsCte: String, threshold: Double): String =
+    s"""WITH $prep,
+       |$paramsCte,
+       |slots AS (
+       |  SELECT vec_id, embedding, b, unnest(generate_series(0, t - 1)) AS tt
+       |  FROM base CROSS JOIN params),
+       |bucketed AS (
+       |  SELECT vec_id,
+       |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
+       |      CASE WHEN embedding[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM slots),
+       |cool AS (
+       |  SELECT vec_id, bucket FROM bucketed
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |    $cosineExpr AS cosine
+       |  FROM cand c JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id)
+       |WHERE cosine >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** One Lloyd round in SQL: assign to nearest centroid (exact integer
     * dist^2, (dist2, cell) tie-break), then component-wise integer-rounded
@@ -126,12 +218,15 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
-    "v2_ann_signlsh" -> {
-      val bucketExpr = (1 to LshBits)
-        .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+    "v2_ann_signlsh" ->
       s"""WITH $prep,
-         |bucketed AS (SELECT *, $bucketExpr AS bucket FROM base),
+         |params AS (
+         |  SELECT ${autoBitsSql(AnnTargetBucket, AnnFloorBits)} AS b
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |bucketed AS (
+         |  SELECT base.*, array_to_string(list_transform(generate_series(1, p.b), i ->
+         |    CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM base CROSS JOIN params p),
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.bucket AS bucket,
          |    $cosineExpr AS cosine
@@ -140,12 +235,15 @@ object VectorQueries {
          |SELECT query_id, vec_id, bucket, rnk, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
-         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin
-    },
+         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
     "v3_ann_ivf" ->
       s"""WITH $prep,
+         |params AS (
+         |  SELECT greatest($IvfFloorCells, cnt // $IvfTargetCell) AS c
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
          |cent0 AS (
-         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM base WHERE vec_id < $IvfCells),
+         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM base
+         |  WHERE vec_id < (SELECT c FROM params)),
          |${lloydRound("cent0", 1)},
          |${lloydRound("cent1", 2)},
          |assigned AS (
@@ -172,23 +270,14 @@ object VectorQueries {
          |FROM base a JOIN base b ON a.vec_id < b.vec_id
          |WHERE $cosineExpr >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "d6_embed_neardup_lsh" -> {
-      val bucketExpr = (1 to BlockBits)
-        .map(i => s"CASE WHEN embedding[t * $BlockBits + $i] >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
-      s"""WITH $prep,
-         |bucketed AS (
-         |  SELECT vec_id, CAST(t AS VARCHAR) || ':' || $bucketExpr AS bucket
-         |  FROM base CROSS JOIN range(0, $BlockTables) r(t)),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT c.vec_a, c.vec_b,
-         |    $cosineExpr AS cosine
-         |  FROM cand c JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id)
-         |WHERE cosine >= $NearDupThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin
-    }
+    "d6_embed_neardup_lsh" -> blockedNearDupSql(
+      s"""params AS (
+         |  SELECT b, least($BlockMaxTables, $EmbedDim // b) AS t FROM (
+         |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
+         |    FROM (SELECT count(*) AS cnt FROM embeddings)))""".stripMargin,
+      NearDupThreshold),
+    "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
+      s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
+      HiThreshold)
   )
 }

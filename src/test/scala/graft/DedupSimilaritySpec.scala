@@ -99,6 +99,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"blocked recall too low: ${blocked.size}/${exact.size}")
   }
 
+  test("d7 operating point (threshold .97, b=16/T=4): planted near-dups recalled exactly") {
+    // Mixed-sign vectors with |component| >= 0.1 and sign-preserving noise
+    // 0.005: a planted copy agrees with its source on EVERY sign bit, so it
+    // collides in all 4 tables deterministically; random pairs sit near
+    // cosine 0 and cannot cross 0.97. This is the non-vacuous twin of the
+    // d7 parquet gate (that corpus has no pairs above 0.9 at all).
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] =
+      Array.fill(64)((0.1 + 0.9 * rnd.nextDouble()) * (if (rnd.nextBoolean()) 1 else -1))
+        .map(_.toFloat)
+    val bases = (0 until 50).map(i => (i.toLong, vec()))
+    val copies = (0 until 10).map { i =>
+      (100L + i, bases(i)._2.map(x => x + (if (x > 0) 0.005f else -0.005f)))
+    }
+    val emb = (bases ++ copies).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.97)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.nearDupPairsBlocked(emb, "vec_id", "embedding", 0.97, 16, 4, 256L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 10, s"expected the 10 planted pairs, got $exact")
+    assert(blocked == exact, s"selective-LSH recall must be 1.0 on sign-identical pairs: $blocked vs $exact")
+  }
+
+  test("hot-bucket cap drops degenerate buckets; survivors bounded by the cap") {
+    // All-positive vectors: every vector lands in the ONE table-0 bucket
+    // (bits=16, tables=1). Uncapped, that bucket routes all pairs (blocked
+    // == exact); capped below the corpus size it is dropped wholesale.
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] =
+      Array.fill(64)((0.1 + 0.9 * rnd.nextDouble()).toFloat)
+    val emb = (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val uncapped = Similarity.nearDupPairsBlocked(emb, "vec_id", "embedding", 0.45, 16, 1, 1000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == exact, "single shared bucket must route every exact pair")
+    val capped = Similarity.nearDupPairsBlocked(emb, "vec_id", "embedding", 0.45, 16, 1, 8L)
+    assert(capped.count() == 0, "a bucket over the cap must be excluded from candidates")
+    val cooled = Similarity.dropHotBuckets(
+      Similarity.signBucketsExploded(emb, "vec_id", "embedding", 16, 1), 8L)
+    assert(cooled.count() == 0)
+  }
+
   test("ANN recall@1 (sf0.01): trained IVF beats untrained seeds; both measured vs exact") {
     val sf01 = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, sf01)

@@ -36,6 +36,35 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in blocked plan:\n$plan")
   }
 
+  test("blocked near-dup: no candidate bucket exceeds the hot-bucket cap") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val bits = operators.Similarity.autoBits(n, 32L, 4)
+    val bucketed = operators.Similarity
+      .signBucketsExploded(emb, "vec_id", "embedding", bits, math.min(16, 64 / bits))
+    val cap = 256L
+    val maxUsed = operators.Similarity
+      .dropHotBuckets(bucketed, cap)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head.getLong(0)
+    assert(maxUsed <= cap, s"cooled bucket of size $maxUsed exceeds cap $cap")
+  }
+
+  test("derived LSH bits keep expected bucket size constant as n grows") {
+    import operators.Similarity.autoBits
+    // gate corpus (n=500) derives the round-2 constants
+    assert(autoBits(500L, 32L, 4) == 4)
+    assert(autoBits(500L, 2L, 4) == 8)
+    // 1000x the corpus: bits grow ~log2(n), bucket count scales with n
+    for (n <- Seq(2000L, 500000L, 500000000L)) {
+      val b = autoBits(n, 32L, 4)
+      val expectedBucket = n.toDouble / (1L << b)
+      assert(expectedBucket <= 32.0, s"n=$n b=$b leaves E[bucket]=$expectedBucket > target")
+      assert(b == 4 || expectedBucket > 8.0, s"n=$n b=$b over-partitions (sparse buckets)")
+    }
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString
