@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -18,6 +19,11 @@ import org.apache.spark.sql.functions._
   * dot product, so sums are order-independent integers and the derived
   * cosine double is bit-identical across engines/partitionings (the same
   * trick FeatureQueries uses for money). Norms/dots stay far below 2^53.
+  *
+  * Multi-pass operators ([[nearDupPairsBlocked]], [[ivfTopK]]) persist the
+  * prepared (vec_id, qv, nrm) projection (MEMORY_AND_DISK): candidate
+  * generation and verify both read it, and at corpus scale one spill-able
+  * materialization is cheaper than re-scanning the source parquet per pass.
   */
 object Similarity {
 
@@ -38,12 +44,26 @@ object Similarity {
     math.max(floorBits, 64 - java.lang.Long.numberOfLeadingZeros(x))
   }
 
-  /** Scale-derived IVF cell count: n / targetCellSize, floored — keeps the
-    * expected in-cell candidate set ~targetCellSize so the per-cell verify
-    * join is bounded work at any corpus size.
+  /** Scale-derived IVF cell count: floor(sqrt(n)), clamped to
+    * [floorCells, capCells] — the classic IVF operating point. Cells ~
+    * sqrt(n) balances the two costs that pull in opposite directions:
+    * centroid assignment is O(n * cells * d) (so cells must grow far
+    * slower than n — the round-3 derivation cells = n/32 made assignment
+    * O(n^2/32), a scale-killer) while the in-cell probe join is
+    * O(n * n/cells), so cells must still grow with n. sqrt(n) gives
+    * O(n^1.5) total instead of O(n^2), and `capCells` bounds the broadcast
+    * centroid table absolutely (65536 * 64 longs ~ 32 MB). The clamp also
+    * guards the Int overflow a raw toInt invites at 100 TB corpus counts.
     */
-  def autoCells(n: Long, targetCellSize: Long, floorCells: Int): Int =
-    math.max(floorCells.toLong, n / targetCellSize).toInt
+  def autoCells(n: Long, floorCells: Int, capCells: Int): Int =
+    math.min(capCells.toLong, math.max(floorCells.toLong, math.sqrt(n.toDouble).toLong)).toInt
+
+  /** Training-sample stride for k-means: keep ~perCell sample vectors per
+    * centroid (sample size ~ cells * perCell), so Lloyd cost is bounded by
+    * the CELL count, not the corpus: train on vec_id % stride == 0.
+    */
+  def trainStride(n: Long, nCells: Int, perCell: Long): Long =
+    math.max(1L, n / (nCells.toLong * perCell))
 
   /** Exact integer self dot product (squared norm). */
   def normSq(q: Column): Column = dot(q, q)
@@ -67,6 +87,23 @@ object Similarity {
       .withColumn("nrm", normSq(col("qv")))
       .select(col(idCol).as("vec_id"), col("qv"), col("nrm"))
 
+  /** [[prepared]], persisted for multi-pass consumers (count + bucket +
+    * verify sides read it; the CacheManager dedups identical plans, so
+    * repeated calls share one materialization).
+    */
+  private def preparedCached(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    prepared(emb, idCol, embCol).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Keep only rows whose `key` group has at most `cap` members — ONE
+    * hash exchange on `key` (a window count), which downstream group-bys /
+    * joins keyed on the same column reuse, instead of a separate
+    * count-aggregate + anti-join pass.
+    */
+  def capBySize(df: DataFrame, key: String, cap: Long): DataFrame =
+    df.withColumn("__grp_sz", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("__grp_sz") <= cap)
+      .drop("__grp_sz")
+
   /** Exact cosine top-k for a query subset (broadcast the small side). */
   def bruteForceTopK(
       emb: DataFrame,
@@ -89,34 +126,52 @@ object Similarity {
       .select("query_id", "vec_id", "rnk", "cosine")
   }
 
-  /** Sign-LSH bucket key: the sign bits of the first b raw components. */
-  def signBucket(embedding: Column, b: Int): Column =
+  /** Sign-LSH bucket key: the sign bits of the first b QUANTIZED
+    * components (quantization preserves sign, and deriving buckets from
+    * `qv` lets every consumer share the one prepared frame instead of
+    * re-reading the raw embedding column).
+    */
+  def signBucket(qv: Column, b: Int): Column =
     concat((1 to b).map(i =>
-      when(element_at(embedding, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      when(element_at(qv, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   /** One bucket key per hash table: table t reads the sign bits of
     * components [t*b+1, t*b+b] (disjoint component slices, so tables are
     * independent). The table index is prefixed into the key, so a single
     * equi-join on the key string covers all tables at once.
     */
-  def signBuckets(embedding: Column, bits: Int, tables: Int): Column =
+  def signBuckets(qv: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map { t =>
       concat(
         lit(s"$t:") +: (1 to bits).map(i =>
-          when(element_at(embedding, t * bits + i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+          when(element_at(qv, t * bits + i) >= 0, lit("1")).otherwise(lit("0"))): _*)
     }: _*)
 
-  /** Top-1 in-bucket neighbor per vector (approximate ANN; vectors alone
-    * in their bucket yield no row — that is the LSH contract).
+  /** Default hot-bucket / hot-cell caps (see [[dropHotBuckets]]). */
+  val DefaultMaxBucket: Long = 256L
+  val DefaultMaxCell: Long = 4096L
+
+  /** Top-k in-bucket neighbor per vector (approximate ANN; vectors alone
+    * in their bucket yield no row — that is the LSH contract). Buckets
+    * holding more than `maxBucket` vectors are dropped BEFORE the
+    * self-join ([[capBySize]]): one degenerate sign pattern (e.g. an
+    * all-positive corpus) would otherwise collapse everything into a
+    * single bucket and make the join Θ(n²). Vectors whose bucket is
+    * dropped emit nothing — approximate recall, mirrored by the oracle.
     */
-  def signBucketTopK(emb: DataFrame, idCol: String, embCol: String, bits: Int, k: Int): DataFrame = {
+  def signBucketTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      k: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val base = prepared(emb, idCol, embCol)
-      .join(
-        emb.select(col(idCol).as("vec_id"), signBucket(col(embCol), bits).as("bucket")),
-        "vec_id")
-    val paired = base
+      .withColumn("bucket", signBucket(col("qv"), bits))
+    val cool = capBySize(base, "bucket", maxBucket)
+    val paired = cool
       .as("a")
-      .join(base.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .join(cool.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("vec_id"),
@@ -130,8 +185,10 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment by exact integer squared distance
-    * (`|a|^2 + |c|^2 - 2<a,c>`): broadcast the nCells centroids against
-    * every vector, rank by (dist2, cell) for a deterministic tie-break.
+    * (`|a|^2 + |c|^2 - 2<a,c>`): broadcast the centroids against every
+    * vector, rank by (dist2, cell) for a deterministic tie-break. The
+    * broadcast side is bounded by [[autoCells]]'s capCells (it never grows
+    * with the corpus), so per-vector cost is O(cells * d) flat.
     */
   private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
@@ -144,20 +201,22 @@ object Similarity {
   }
 
   /** Deterministic k-means (Lloyd) over the quantized vectors: seed with
-    * the first `nCells` vectors, then `iters` rounds of assign +
-    * component-wise integer-rounded mean. All arithmetic is exact-integer
-    * or a single deterministic double division + round-to-0-decimals, so
-    * the oracle reproduces the centroids bit-for-bit. Each round is one
-    * broadcast assignment plus one (cell, component) aggregation — O(n *
-    * nCells * d) compute, no O(n^2) anywhere; at 100 TB one would train on
-    * a sample, which this accepts via a pre-filtered `base`.
+    * the first `nCells` training vectors (ids {0, stride, 2*stride, ...}
+    * below nCells*stride when training on a strided sample), then `iters`
+    * rounds of assign + component-wise integer-rounded mean. All
+    * arithmetic is exact-integer or a single deterministic double division
+    * + round-to-0-decimals, so the oracle reproduces the centroids
+    * bit-for-bit. Each round is one broadcast assignment plus one
+    * (cell, component) aggregation over the TRAINING set only — pass a
+    * strided sample ([[trainStride]]) so Lloyd cost scales with the cell
+    * count, not the corpus.
     */
-  def kmeansCentroids(base: DataFrame, nCells: Int, iters: Int): DataFrame = {
-    val seed = base
-      .filter(col("vec_id") < nCells)
+  def kmeansCentroids(train: DataFrame, nCells: Int, iters: Int, seedStride: Long = 1L): DataFrame = {
+    val seed = train
+      .filter(col("vec_id") < lit(nCells.toLong * seedStride))
       .select(col("vec_id").as("cell"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     (1 to iters).foldLeft(seed) { (cent, _) =>
-      val assigned = assignCells(base, cent)
+      val assigned = assignCells(train, cent)
       val comps = assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -174,11 +233,18 @@ object Similarity {
   }
 
   /** IVF-style ANN: a deterministic k-means coarse quantizer
-    * ([[kmeansCentroids]] — seeded from the first `nCells` vectors, then
-    * `lloydIters` Lloyd rounds), each vector assigned to its nearest
-    * centroid by exact integer squared distance, then top-k search
-    * restricted to the query's cell. Scale path: candidate generation is
-    * an equi-join on cell id — probe cost n/nCells per query instead of n.
+    * ([[kmeansCentroids]]), each vector assigned to its nearest centroid
+    * by exact integer squared distance, then top-k search restricted to
+    * the query's cell. Scale posture:
+    *   - cell count ~ sqrt(n), capped ([[autoCells]] via [[ivfTopKAuto]]):
+    *     assignment O(n * sqrt(n)), probe O(n / sqrt(n)) per query, and
+    *     the broadcast centroid table is absolutely bounded;
+    *   - k-means trains on a strided sample (`trainStride`), so Lloyd
+    *     rounds never scan the full corpus;
+    *   - cells larger than `maxCell` are dropped before the probe join
+    *     ([[capBySize]]) — one degenerate cell cannot make the self-join
+    *     quadratic; vectors in a dropped cell emit nothing (approximate
+    *     recall, mirrored by the oracle).
     */
   def ivfTopK(
       emb: DataFrame,
@@ -186,10 +252,43 @@ object Similarity {
       embCol: String,
       nCells: Int,
       k: Int,
-      lloydIters: Int = 0): DataFrame = {
-    val base = prepared(emb, idCol, embCol)
-    val centroids = kmeansCentroids(base, nCells, lloydIters)
-    val assigned = assignCells(base, centroids)
+      lloydIters: Int = 0,
+      maxCell: Long = DefaultMaxCell,
+      trainStrideN: Long = 1L): DataFrame =
+    ivfFromPrepared(preparedCached(emb, idCol, embCol), nCells, k, lloydIters, maxCell, trainStrideN)
+
+  /** [[ivfTopK]] with every parameter derived from the corpus count:
+    * cells = clamp(sqrt(n)) and a training stride keeping ~perCell sample
+    * vectors per centroid. The one count() materializes the shared
+    * prepared frame, so candidate and verify passes read the cache.
+    */
+  def ivfTopKAuto(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      floorCells: Int,
+      capCells: Int,
+      k: Int,
+      lloydIters: Int,
+      maxCell: Long = DefaultMaxCell,
+      perCell: Long = 64L): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val n = base.count()
+    val nCells = autoCells(n, floorCells, capCells)
+    ivfFromPrepared(base, nCells, k, lloydIters, maxCell, trainStride(n, nCells, perCell))
+  }
+
+  private def ivfFromPrepared(
+      base: DataFrame,
+      nCells: Int,
+      k: Int,
+      lloydIters: Int,
+      maxCell: Long,
+      trainStrideN: Long): DataFrame = {
+    val train =
+      if (trainStrideN > 1L) base.filter(col("vec_id") % trainStrideN === 0) else base
+    val centroids = kmeansCentroids(train, nCells, lloydIters, trainStrideN)
+    val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     assigned
       .as("a")
@@ -208,7 +307,8 @@ object Similarity {
     *
     * EXACT but O(n^2): the self-join has no equi-key, so Spark plans a
     * broadcast-nested-loop. Correctness baseline only — the scale path is
-    * [[nearDupPairsBlocked]] (same output contract, LSH-bounded work).
+    * [[nearDupPairsBlocked]] (same output schema and threshold semantics,
+    * approximate recall, LSH-bounded work).
     */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
     val base = prepared(emb, idCol, embCol)
@@ -248,27 +348,25 @@ object Similarity {
     */
   /** (vec_id, bucket) pairs, one row per (vector, hash table). */
   def signBucketsExploded(emb: DataFrame, idCol: String, embCol: String, bits: Int, tables: Int): DataFrame =
-    emb.select(
-      col(idCol).as("vec_id"),
-      explode(signBuckets(col(embCol), bits, tables)).as("bucket"))
+    bucketsFromPrepared(prepared(emb, idCol, embCol), bits, tables)
+
+  private def bucketsFromPrepared(base: DataFrame, bits: Int, tables: Int): DataFrame =
+    base.select(col("vec_id"), explode(signBuckets(col("qv"), bits, tables)).as("bucket"))
 
   /** Drop buckets holding more than `maxBucket` vectors before candidate
     * generation — the vector-plane twin of [[Dedup.dropHotShingles]]. The
     * in-bucket self-join is quadratic in bucket size, so one degenerate
     * bucket (a sign pattern half the corpus shares) would dominate total
     * cost while pairing mostly-dissimilar vectors; capping bounds per-
-    * bucket work at maxBucket^2 absolutely. Recall cost is bounded too: a
-    * pair sharing a dropped bucket still surfaces via any other table
-    * whose bucket stays under the cap.
+    * bucket work at maxBucket^2 absolutely. Recall cost: a pair sharing a
+    * dropped bucket survives only through another table whose bucket stays
+    * under the cap — if EVERY bucket a pair shares is hot, the pair is
+    * lost (recall 0 for that pair; the degenerate-corpus spec demonstrates
+    * this). The oracle applies the identical cap, so parity holds; this is
+    * the documented approximate-recall contract of the blocked path.
     */
-  def dropHotBuckets(bucketed: DataFrame, maxBucket: Long): DataFrame = {
-    val hot = bucketed
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") > maxBucket)
-      .select("bucket")
-    bucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
-  }
+  def dropHotBuckets(bucketed: DataFrame, maxBucket: Long): DataFrame =
+    capBySize(bucketed, "bucket", maxBucket)
 
   def nearDupPairsBlocked(
       emb: DataFrame,
@@ -277,23 +375,50 @@ object Similarity {
       threshold: Double,
       bits: Int = 4,
       tables: Int = 16,
-      maxBucket: Long = 256L): DataFrame = {
-    val bucketed =
-      dropHotBuckets(signBucketsExploded(emb, idCol, embCol, bits, tables), maxBucket)
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    blockedFromPrepared(preparedCached(emb, idCol, embCol), threshold, bits, tables, maxBucket)
+
+  /** [[nearDupPairsBlocked]] with `bits`/`tables` derived from the corpus
+    * count ([[autoBits]]); the count() doubles as the materialization of
+    * the shared prepared frame, so it costs one scan total, not one per
+    * pass.
+    */
+  def nearDupPairsBlockedAuto(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      targetBucket: Long,
+      floorBits: Int,
+      maxTables: Int,
+      dim: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val bits = autoBits(base.count(), targetBucket, floorBits)
+    val tables = math.min(maxTables, dim / bits)
+    blockedFromPrepared(base, threshold, bits, tables, maxBucket)
+  }
+
+  private def blockedFromPrepared(
+      base: DataFrame,
+      threshold: Double,
+      bits: Int,
+      tables: Int,
+      maxBucket: Long): DataFrame = {
+    val cool = dropHotBuckets(bucketsFromPrepared(base, bits, tables), maxBucket)
     // Pair expansion via one grouped collect instead of a bucket self-join:
     // the cap guarantees each collected list holds <= maxBucket ids, so the
-    // in-row double explode is bounded work (maxBucket^2 worst case) and the
-    // plan pays ONE shuffle of the bucketed rows (the count() inside
-    // dropHotBuckets shuffles only per-bucket partial counts) instead of a
-    // sort-merge self-join over both sides.
-    val cands = bucketed
+    // in-row double explode is bounded work (maxBucket^2 worst case). The
+    // groupBy reuses the cap's hash exchange on `bucket` (capBySize is a
+    // window over the same key), so candidate generation costs ONE shuffle
+    // of the bucketed rows total.
+    val cands = cool
       .groupBy(col("bucket"))
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("vec_a"), col("ids"))
       .select(col("vec_a"), explode(col("ids")).as("vec_b"))
       .filter(col("vec_a") < col("vec_b"))
-    val base = prepared(emb, idCol, embCol)
     // Dedup AFTER the threshold filter, not before the verify: a pair
     // colliding in k <= tables buckets costs k - 1 redundant dot products
     // (bounded, cheap) but skipping the pre-verify distinct() drops a full

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Similarity]]).
   *
   * Partition counts are DERIVED from corpus size (bucket bits =
-  * bitlength(n / targetBucket), IVF cells = n / targetCell) so expected
-  * bucket/cell size — and with it every in-bucket self-join — stays
-  * constant as the corpus grows; each oracle reproduces the derivation in
-  * SQL from count(*) (`length(bin(n // target))`), so the gate also covers
-  * the formula. Hot buckets are capped ([[Similarity.dropHotBuckets]]).
+  * bitlength(n / targetBucket); IVF cells = clamp(sqrt(n)) with a strided
+  * training sample) so per-bucket/per-cell join cost stays bounded as the
+  * corpus grows while the broadcast centroid table stays O(1); each oracle
+  * reproduces the derivation in SQL from count(*), so the gate also covers
+  * the formulas. Hot buckets AND hot cells are capped
+  * ([[Similarity.capBySize]]), mirrored by the oracles' QUALIFY clauses.
   */
 object VectorQueries {
 
@@ -46,6 +47,9 @@ object VectorQueries {
 
   /** v2 ANN bucket sizing: ~2 vectors per bucket (nearest-neighbor probes
     * want near-singleton buckets; n=500 derives the round-2 value b=8).
+    * Hot buckets (a sign pattern shared by > MaxBucket vectors) are
+    * dropped before the self-join — without the cap one degenerate
+    * pattern makes the probe Θ(n²) (round-3 finding).
     */
   private val AnnTargetBucket = 2L
   private val AnnFloorBits = 4
@@ -54,7 +58,7 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, sfDir)
     val bits = Similarity.autoBits(emb.count(), AnnTargetBucket, AnnFloorBits)
     Similarity
-      .signBucketTopK(emb, "vec_id", "embedding", bits, 1)
+      .signBucketTopK(emb, "vec_id", "embedding", bits, 1, MaxBucket)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
@@ -63,7 +67,8 @@ object VectorQueries {
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
-  /** d6: same contract as d5, LSH-blocked (the 100 TB path). Bits derived
+  /** d6: same output schema and threshold semantics as d5 with
+    * approximate recall, LSH-blocked (the 100 TB path). Bits derived
     * (n=500 at the gate => b=4, T=16 — the round-2 constants), tables fill
     * the remaining disjoint component slices, hot buckets capped.
     */
@@ -72,21 +77,19 @@ object VectorQueries {
   private val BlockMaxTables = 16
   private val MaxBucket = 256L
 
-  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val bits = Similarity.autoBits(emb.count(), BlockTargetBucket, BlockFloorBits)
-    val tables = math.min(BlockMaxTables, EmbedDim / bits)
+  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
-      .nearDupPairsBlocked(
-        emb,
+      .nearDupPairsBlockedAuto(
+        Tables.embeddings(spark, sfDir),
         "vec_id",
         "embedding",
         NearDupThreshold,
-        bits,
-        tables,
+        BlockTargetBucket,
+        BlockFloorBits,
+        BlockMaxTables,
+        EmbedDim,
         MaxBucket)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
-  }
 
   /** d7: the production near-dup operating point — threshold 0.9 with
     * b=16/T=4, where sign-LSH is genuinely selective (p^16 collisions
@@ -111,20 +114,31 @@ object VectorQueries {
         MaxBucket)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
-  /** v3 IVF cell sizing: ~32 vectors per cell (n=500 => the round-2 value
-    * 16 cells via the floor).
+  /** v3 IVF sizing: cells = clamp(sqrt(n), 16, 65536) (n=500 at the gate
+    * => 22 cells), k-means trained on a strided sample of ~64 vectors per
+    * cell, assigned cells capped at MaxCell before the probe join. See
+    * [[Similarity.autoCells]] for why sqrt — the round-3 derivation
+    * (cells = n/32) made centroid assignment O(n²/32).
     */
-  private val IvfTargetCell = 32L
   private val IvfFloorCells = 16
+  private val IvfCapCells = 65536
+  private val IvfTrainPerCell = 64L
+  private val MaxCell = 4096L
   private val LloydIters = 2
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val nCells = Similarity.autoCells(emb.count(), IvfTargetCell, IvfFloorCells)
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
-      .ivfTopK(emb, "vec_id", "embedding", nCells, 1, LloydIters)
+      .ivfTopKAuto(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        IvfFloorCells,
+        IvfCapCells,
+        1,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
@@ -134,15 +148,17 @@ object VectorQueries {
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
     "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)))
 
-  /** Quantized-vector CTE shared by the oracles (DuckDB dialect). */
+  /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
+    * derive from qv signs (not the raw floats) — identical to the Scala
+    * path, where quantization preserves sign.
+    */
   private val prep =
     """n AS (
       |  SELECT vec_id,
-      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
-      |         embedding
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       |  FROM embeddings),
       |base AS (
-      |  SELECT vec_id, qv, embedding,
+      |  SELECT vec_id, qv,
       |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
       |  FROM n)""".stripMargin
 
@@ -163,12 +179,12 @@ object VectorQueries {
     s"""WITH $prep,
        |$paramsCte,
        |slots AS (
-       |  SELECT vec_id, embedding, b, unnest(generate_series(0, t - 1)) AS tt
+       |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
        |  FROM base CROSS JOIN params),
        |bucketed AS (
        |  SELECT vec_id,
        |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
-       |      CASE WHEN embedding[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |      CASE WHEN qv[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
        |  FROM slots),
        |cool AS (
        |  SELECT vec_id, bucket FROM bucketed
@@ -183,9 +199,10 @@ object VectorQueries {
        |WHERE cosine >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** One Lloyd round in SQL: assign to nearest centroid (exact integer
-    * dist^2, (dist2, cell) tie-break), then component-wise integer-rounded
-    * mean. Mirrors [[Similarity.kmeansCentroids]] exactly.
+  /** One Lloyd round in SQL over the training sample: assign to nearest
+    * centroid (exact integer dist^2, (dist2, cell) tie-break), then
+    * component-wise integer-rounded mean. Mirrors
+    * [[Similarity.kmeansCentroids]] exactly.
     */
   private def lloydRound(centIn: String, n: Int): String =
     s"""a$n AS (
@@ -195,7 +212,7 @@ object VectorQueries {
        |        b.nrm + c.c_nrm
        |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
        |        c.cell) AS arnk
-       |    FROM base b CROSS JOIN $centIn c)
+       |    FROM train b CROSS JOIN $centIn c)
        |  WHERE arnk = 1),
        |m$n AS (
        |  SELECT cell, pos,
@@ -225,13 +242,16 @@ object VectorQueries {
          |  FROM (SELECT count(*) AS cnt FROM embeddings)),
          |bucketed AS (
          |  SELECT base.*, array_to_string(list_transform(generate_series(1, p.b), i ->
-         |    CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |    CASE WHEN qv[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
          |  FROM base CROSS JOIN params p),
+         |cool AS (
+         |  SELECT * FROM bucketed
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.bucket AS bucket,
          |    $cosineExpr AS cosine
-         |  FROM bucketed a
-         |  JOIN bucketed b ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+         |  FROM cool a
+         |  JOIN cool b ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
          |SELECT query_id, vec_id, bucket, rnk, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
@@ -239,14 +259,18 @@ object VectorQueries {
     "v3_ann_ivf" ->
       s"""WITH $prep,
          |params AS (
-         |  SELECT greatest($IvfFloorCells, cnt // $IvfTargetCell) AS c
+         |  SELECT cnt, least($IvfCapCells, greatest($IvfFloorCells, CAST(floor(sqrt(cnt)) AS BIGINT))) AS c
          |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |params2 AS (
+         |  SELECT cnt, c, greatest(1, cnt // (c * $IvfTrainPerCell)) AS s FROM params),
+         |train AS (
+         |  SELECT b.* FROM base b CROSS JOIN params2 p WHERE b.vec_id % p.s = 0),
          |cent0 AS (
-         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM base
-         |  WHERE vec_id < (SELECT c FROM params)),
+         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm
+         |  FROM train CROSS JOIN params2 p WHERE vec_id < p.c * p.s),
          |${lloydRound("cent0", 1)},
          |${lloydRound("cent1", 2)},
-         |assigned AS (
+         |assigned0 AS (
          |  SELECT vec_id, qv, nrm, cell FROM (
          |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
          |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
@@ -255,6 +279,9 @@ object VectorQueries {
          |        c.cell) AS arnk
          |    FROM base b CROSS JOIN cent2 c)
          |  WHERE arnk = 1),
+         |assigned AS (
+         |  SELECT * FROM assigned0
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxCell),
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
          |    $cosineExpr AS cosine

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.collection.mutable
+
 /** Per-event trailing-window streaming aggregation (SURVEY.md §2.4 W6,
   * §2.7; reference KDA continuous query `notebooks/1_setup.ipynb:466-478`).
   *
@@ -45,6 +47,66 @@ object StreamingAgg {
 
   val HorizonUs: Long = 600L * 1000000L // 10 minutes, reference w1
 
+  /** Per-(key, micro-batch) trailing-window engine shared by the
+    * flatMapGroupsWithState and transformWithState forms: ONE O(B) rebuild
+    * of the sorted buffer per batch (state deserialization is O(B)
+    * regardless), then amortized O(1) per event — head-pruning against the
+    * monotone horizon threshold plus tail append for in-order events; a
+    * late event pays O(#buffered-newer-events) to splice and re-derive its
+    * frame. The previous per-event `List.filter.sortBy` was O(events × B)
+    * per batch — quadratic on a hot key, where B = events-per-horizon can
+    * reach 10^5+ at 100 TB ingest rates.
+    *
+    * `appendOnly` stays true while the net effect on the buffer is exactly
+    * `prior ++ newEvents` (no prune, no mid-splice) — the condition under
+    * which the RocksDB ListState consumer may use O(1)-per-element
+    * `appendList` instead of rewriting the whole value.
+    */
+  private[streaming] final class TrailingBuffer(
+      prior: IterableOnce[(Long, Long)],
+      horizonUs: Long) {
+    private val dq = mutable.ArrayDeque.empty[(Long, Long)] ++= prior
+    private var totalCents: Long = {
+      var s = 0L; dq.foreach(s += _._2); s
+    }
+    private var appendOnly = true
+
+    /** Process one event (callers feed events sorted by ordUs within the
+      * batch) and return its emission.
+      */
+    def add(key: Long, e: StreamEvent): AggEmit = {
+      val threshold = e.ordUs - horizonUs
+      while (dq.nonEmpty && dq.head._1 < threshold) {
+        totalCents -= dq.removeHead()._2
+        appendOnly = false
+      }
+      // Splice after the last element with ts <= e.ordUs; the suffix scan
+      // is empty for in-order arrivals (the hot-key fast path).
+      var sufCnt = 0L
+      var sufCents = 0L
+      var idx = dq.size
+      while (idx > 0 && dq(idx - 1)._1 > e.ordUs) {
+        idx -= 1
+        sufCnt += 1
+        sufCents += dq(idx)._2
+      }
+      if (idx == dq.size) dq.append((e.ordUs, e.cents))
+      else {
+        dq.insert(idx, (e.ordUs, e.cents))
+        appendOnly = false
+      }
+      totalCents += e.cents
+      // Frame = everything in [threshold, e.ordUs]: the pruned buffer minus
+      // the strictly-newer suffix (late-arrival case only).
+      val cnt = dq.size - sufCnt
+      val sum = totalCents - sufCents
+      AggEmit(key, e.ordUs, cnt, sum, sum.toDouble / cnt / 100.0)
+    }
+
+    def isAppendOnly: Boolean = appendOnly
+    def snapshot: Array[(Long, Long)] = dq.toArray
+  }
+
   private def process(horizonUs: Long, idleTimeoutMs: Option[Long])(
       key: Long,
       events: Iterator[StreamEvent],
@@ -53,16 +115,9 @@ object StreamingAgg {
       state.remove()
       Iterator.empty
     } else {
-      var buf = state.getOption.map(_.events).getOrElse(Nil)
-      val out = events.toSeq.sortBy(_.ordUs).map { e =>
-        buf = ((e.ordUs, e.cents) :: buf.filter(_._1 >= e.ordUs - horizonUs))
-          .sortBy(_._1)
-        val inWindow = buf.filter(t => t._1 >= e.ordUs - horizonUs && t._1 <= e.ordUs)
-        val cnt = inWindow.size.toLong
-        val sum = inWindow.map(_._2).sum
-        AggEmit(key, e.ordUs, cnt, sum, sum.toDouble / cnt / 100.0)
-      }
-      state.update(Buffer(buf))
+      val engine = new TrailingBuffer(state.getOption.map(_.events).getOrElse(Nil), horizonUs)
+      val out = events.toSeq.sortBy(_.ordUs).map(e => engine.add(key, e))
+      state.update(Buffer(engine.snapshot.toList))
       idleTimeoutMs.foreach(state.setTimeoutDuration)
       out.iterator
     }

@@ -33,23 +33,19 @@ class TrailingAggProcessor(horizonUs: Long)
       key: Long,
       rows: Iterator[StreamEvent],
       timerValues: TimerValues): Iterator[AggEmit] = {
-    val prior = if (buffer.exists()) buffer.get().toList else Nil
-    var buf = prior
+    val engine = new StreamingAgg.TrailingBuffer(
+      if (buffer.exists()) buffer.get() else Iterator.empty,
+      horizonUs)
     val newEvents = rows.toSeq.sortBy(_.ordUs)
-    val out = newEvents.map { e =>
-      buf = ((e.ordUs, e.cents) :: buf.filter(_._1 >= e.ordUs - horizonUs)).sortBy(_._1)
-      val inWindow = buf.filter(t => t._1 >= e.ordUs - horizonUs && t._1 <= e.ordUs)
-      val cnt = inWindow.size.toLong
-      val sum = inWindow.map(_._2).sum
-      AggEmit(key, e.ordUs, cnt, sum, sum.toDouble / cnt / 100.0)
-    }
-    // RocksDB-friendly write: when nothing aged out, append only the new
-    // elements instead of rewriting the whole list (append is O(1) per
-    // element in the RocksDB ListState; full put rewrites the value)
-    if (buf.size == prior.size + newEvents.size && buf.startsWith(prior))
+    val out = newEvents.map(e => engine.add(key, e))
+    // RocksDB-friendly write: when nothing aged out and no late splice
+    // happened, append only the new elements instead of rewriting the whole
+    // list (append is O(1) per element in the RocksDB ListState; full put
+    // rewrites the value)
+    if (engine.isAppendOnly)
       buffer.appendList(newEvents.map(e => (e.ordUs, e.cents)).toArray)
     else
-      buffer.put(buf.toArray)
+      buffer.put(engine.snapshot)
     out.iterator
   }
 }

@@ -80,11 +80,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("sign-LSH ANN: every neighbor shares the query's bucket and is imperfect-but-sane") {
     val ann = VectorQueries.annSignLsh(spark, sf)
     val base = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), Similarity.signBucket(col("embedding"), 8).as("bucket"))
+      .select(
+        col("vec_id"),
+        Similarity.signBucket(Similarity.quantize(col("embedding")), 8).as("bucket"))
     val bad = ann
       .join(base.withColumnRenamed("vec_id", "query_id").withColumnRenamed("bucket", "qb"), "query_id")
       .filter(col("bucket") =!= col("qb"))
     assert(bad.count() == 0)
+  }
+
+  test("sign-LSH ANN cap: a degenerate all-positive corpus yields zero candidates, not Θ(n²)") {
+    // Every all-positive vector shares the ONE 8-bit bucket; with the cap
+    // below the corpus size the bucket is dropped wholesale, so the probe
+    // self-join sees no rows at all (bounded work, approximate recall —
+    // the documented contract, mirrored by the v2 oracle's QUALIFY).
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] =
+      Array.fill(64)((0.1 + 0.9 * rnd.nextDouble()).toFloat)
+    val emb = (0 until 40).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val capped = Similarity.signBucketTopK(emb, "vec_id", "embedding", 8, 1, maxBucket = 16L)
+    assert(capped.count() == 0, "hot bucket must be excluded from the ANN probe")
+    val uncapped = Similarity.signBucketTopK(emb, "vec_id", "embedding", 8, 1, maxBucket = 1000L)
+    assert(uncapped.count() == 40, "below the cap every vector keeps its top-1 neighbor")
   }
 
   test("LSH-blocked embedding near-dup: subset of exact, recall >= 0.9 (sf0.01)") {

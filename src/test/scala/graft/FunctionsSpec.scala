@@ -33,9 +33,17 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("IVF ANN: every neighbor shares the query's cell; cells cover all vectors") {
-    val ann = VectorQueries.annIvf(spark, "/root/testdata/sf0.001").cache()
+    import graft.operators.Similarity.{autoCells, trainStride}
+    val sf = "/root/testdata/sf0.001"
+    val n = Tables.embeddings(spark, sf).count()
+    // cell ids are the SEED vectors' vec_ids: multiples of the training
+    // stride below nCells * stride (kmeansCentroids seeds from the strided
+    // sample), so the id space is bounded but not contiguous
+    val c = autoCells(n, 16, 65536)
+    val s = trainStride(n, c, 64L)
+    val ann = VectorQueries.annIvf(spark, sf).cache()
     assert(ann.count() > 0)
-    assert(ann.filter(col("cell") >= 16 || col("cell") < 0).count() == 0)
+    assert(ann.filter(col("cell") >= c * s || col("cell") < 0 || col("cell") % s =!= 0).count() == 0)
     // each query appears at most once (k=1) with rank 1
     assert(ann.groupBy("query_id").count().filter(col("count") > 1).count() == 0)
     assert(ann.filter(col("rnk") =!= 1).count() == 0)

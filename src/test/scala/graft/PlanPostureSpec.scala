@@ -65,6 +65,25 @@ class PlanPostureSpec extends AnyFunSuite {
     }
   }
 
+  test("derived IVF cells stay sqrt-bounded and the centroid broadcast never grows past the cap") {
+    import operators.Similarity.{autoCells, trainStride}
+    // gate corpus: sqrt(500) = 22 cells, full-corpus training (stride 1)
+    assert(autoCells(500L, 16, 65536) == 22)
+    assert(trainStride(500L, 22, 64L) == 1L)
+    // floor guards tiny corpora; cap bounds the broadcast side absolutely
+    assert(autoCells(10L, 16, 65536) == 16)
+    assert(autoCells(1L << 40, 16, 65536) == 65536, "cap must bound the centroid table")
+    // Int-overflow guard (round-3 ADVICE): a 100 TB corpus count must not
+    // truncate into a negative/garbage cell count
+    assert(autoCells(Long.MaxValue, 16, 65536) == 65536)
+    // sampling keeps Lloyd cost ~ cells * perCell, not the corpus: at n=1e9
+    // the sample is ~65536*64 = 4.2M vectors, stride ~238
+    val bigN = 1000000000L
+    val c = autoCells(bigN, 16, 65536)
+    val s = trainStride(bigN, c, 64L)
+    assert(bigN / s <= c.toLong * 64L + c, s"sample ~${bigN / s} exceeds training budget for $c cells")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString
