@@ -24,22 +24,53 @@ object Bench {
       case c => c.toString
     }
 
-  /** Time each query under the full-result consumer, capturing failures
-    * instead of swallowing them: a throwing query must show up in the
-    * bench JSON (round-2 audit: `catch { _ => () }` let a regression be
-    * timed as ~0 and "pass").
+  /** Middle element of the sorted runs (lower-middle for even counts —
+    * a real measurement, not an interpolation).
+    */
+  def median(runs: Seq[Double]): Double = {
+    require(runs.nonEmpty, "median of no runs")
+    runs.sorted.apply((runs.size - 1) / 2)
+  }
+
+  /** One timed query: every completed repetition's wall seconds (a failed
+    * attempt's elapsed is NOT a measurement and is excluded), plus the
+    * first error if any repetition threw.
+    */
+  final case class Timing(name: String, runs: Seq[Double], err: Option[String]) {
+    def med: Double = if (runs.nonEmpty) median(runs) else 0.0
+  }
+
+  /** Time each query `reps` times under the full-result consumer,
+    * capturing failures instead of swallowing them: a throwing query must
+    * show up in the bench JSON (round-2 audit: `catch { _ => () }` let a
+    * regression be timed as ~0 and "pass"). Repetitions exist because the
+    * round-3 audit showed single-shot numbers swinging 2-3x on unchanged
+    * code (JVM/OS contention noise) — per-query medians with the full
+    * spread in the JSON make cross-round deltas gradeable. A query that
+    * throws stops repeating (the error, not the time, is the result).
     */
   def timeQueries(
       spark: SparkSession,
       sfDir: String,
-      queries: Map[String, (SparkSession, String) => DataFrame])
-      : Seq[(String, Double, Option[String])] =
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      reps: Int = 3): Seq[Timing] =
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { consume(fn(spark, sfDir)); None }
-        catch { case e: Throwable => Some(e.toString.linesIterator.next().take(300)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      var err: Option[String] = None
+      val runs = Seq.newBuilder[Double]
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          consume(fn(spark, sfDir))
+          runs += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(
+              e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName).take(300))
+        }
+        r += 1
+      }
+      Timing(name, runs.result(), err)
     }
 
   def main(args: Array[String]): Unit = {
@@ -51,39 +82,47 @@ object Bench {
     try consume(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
     val results = timeQueries(spark, sfDir, SparkEntry.queries)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map(t => s"\"" + t.name + "\":" + t.med)
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${jsonEscape(e)}\"" }
+    val runsJson = results
+      .map(t => s"\"" + t.name + "\":" + t.runs.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    results.foreach { case (k, _, e) =>
-      e.foreach(msg => System.err.println(s"[bench] QUERY FAILED $k: $msg"))
+    val errs = results.collect { case Timing(k, _, Some(e)) => s"\"$k\":\"${jsonEscape(e)}\"" }
+      .mkString("{", ",", "}")
+    results.foreach { t =>
+      t.err.foreach(msg => System.err.println(s"[bench] QUERY FAILED ${t.name}: $msg"))
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_.med).sum
     // Reference-workload headline: the reference's own batch job shape
     // (5.4M txns / 10K cards, trailing 10m + 1w window aggregation) had a
     // 1,200 s budget => >= 4,500 rows/s implied (BASELINE.md). Measure the
-    // same shape here and report rows/s.
-    val refRate =
+    // same shape here (median of 3 runs over one cached input) and report
+    // rows/s.
+    val refRates =
       try {
         val txns = datagen.TransactionGen
           .transactions(spark, datagen.TransactionGen.Params(nCards = 10000, nTxns = 5400000L))
           .cache()
         val n = txns.count()
-        val t0 = System.nanoTime()
-        consume(
-          operators.TrailingWindows
-            .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L)))
-        val secs = (System.nanoTime() - t0) / 1e9
+        val rates = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          consume(
+            operators.TrailingWindows
+              .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L)))
+          n / ((System.nanoTime() - t0) / 1e9)
+        }
         txns.unpersist()
-        n / secs
+        rates
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ref workload failed: $e")
-          -1.0
+          Seq(-1.0)
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,""" +
-        s""""sf":"$sfDir","ref_workload_rows_per_sec":${refRate.round}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,""" +
+        s""""query_errors":$errs,"sf":"$sfDir",""" +
+        s""""ref_workload_rows_per_sec":${median(refRates).round},""" +
+        s""""ref_rate_runs":${refRates.map(_.round).mkString("[", ",", "]")}}"""
     // Emit on stdout AND to a dedicated file: the sbt log decorates stdout
     // with [info] prefixes, which broke the driver's line parser in r1
     // (BENCH_r01.json "parsed": null).

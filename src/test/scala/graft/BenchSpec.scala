@@ -5,23 +5,37 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench harness must surface query failures, not time them as ~0 and
   * move on (round-2 audit finding: a silently-caught Throwable could hide
-  * a regression across rounds).
+  * a regression across rounds), and must repeat measurements — round-3
+  * audit: single-shot timings swung 2-3x on unchanged code, making
+  * per-query deltas ungradeable.
   */
 class BenchSpec extends AnyFunSuite {
   lazy val spark = Sessions.local("4")
 
-  test("timeQueries records an error for a throwing query and times the healthy one") {
+  test("timeQueries repeats healthy queries, records an error and stops repeating a throwing one") {
     val results = Bench.timeQueries(
       spark,
       "/root/testdata/sf0.001",
       Map(
         "ok_query" -> ((s, _) => s.range(10).toDF("id").withColumn("x", col("id") * 2)),
-        "broken_query" -> ((s, dir) => s.read.parquet(s"$dir/no_such_table.parquet"))))
-    val byName = results.map(r => r._1 -> r).toMap
-    assert(byName("ok_query")._3.isEmpty)
-    val err = byName("broken_query")._3
-    assert(err.isDefined, "a throwing query must carry its error")
-    assert(err.get.nonEmpty)
-    assert(results.map(_._1) == results.map(_._1).sorted, "stable ordering for diffable output")
+        "broken_query" -> ((s, dir) => s.read.parquet(s"$dir/no_such_table.parquet"))),
+      reps = 3)
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("ok_query").err.isEmpty)
+    assert(byName("ok_query").runs.size == 3, "healthy queries are measured reps times")
+    assert(byName("ok_query").runs.forall(_ > 0.0))
+    val broken = byName("broken_query")
+    assert(broken.err.isDefined, "a throwing query must carry its error")
+    assert(broken.err.get.nonEmpty)
+    assert(broken.runs.isEmpty, "a failed attempt's elapsed is not a measurement")
+    assert(results.map(_.name) == results.map(_.name).sorted, "stable ordering for diffable output")
+  }
+
+  test("median is a real measurement: middle of odd runs, lower-middle of even") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.0)
+    assert(Bench.Timing("q", Seq(9.0, 1.0, 5.0), None).med == 5.0)
+    assert(Bench.Timing("q", Nil, Some("boom")).med == 0.0)
   }
 }
