@@ -38,6 +38,27 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** d2c: the capped-Jaccard 100 TB path — identical to d2 except shingles
+    * with document frequency > maxDf are dropped BEFORE pairing and sizes,
+    * bounding the shared-shingle join at O(shingles * maxDf^2)
+    * ([[Dedup.dropHotShingles]]). The cap changes results (a pair whose
+    * every common shingle is hot is lost, and Jaccard is computed over the
+    * filtered sets) — which is exactly why it is oracle-gated: the gate
+    * pins the approximate contract bit-for-bit. maxDf=2 bites at the gate
+    * corpus (df reaches 7 at sf0.01): 23 pairs vs d2's 25.
+    */
+  private val JaccardMaxDf = 2L
+
+  def jaccardNearDupCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.dropHotShingles(
+      materializedShingles(Tables.documents(spark, sfDir)),
+      JaccardMaxDf)
+    Dedup
+      .jaccardPairs(sh)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sh = materializedShingles(docs)
@@ -124,6 +145,7 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
+    "d2c_jaccard_capped" -> (jaccardNearDupCapped(_, _)),
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
     "d4_simhash" -> (simhash(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
@@ -162,6 +184,26 @@ object DocQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d2_jaccard_neardup" ->
       s"""WITH $shinglePairs
+         |SELECT doc_a, doc_b, n_common, n_union, jaccard
+         |FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // d2 with the hot-shingle df cap applied before pairing AND sizes —
+    // the QUALIFY mirrors Dedup.dropHotShingles exactly
+    "d2c_jaccard_capped" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sh AS (
+         |  SELECT * FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardMaxDf),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union,
+         |         n_common / (sa.sz + sb.sz - n_common) AS jaccard
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_common, n_union, jaccard
          |FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" -> {
