@@ -43,11 +43,35 @@ object JsonIngest {
     df.withColumn("p", from_json(json, payloadSchema)).select(col("p.*"))
 
   /** Typed payload -> the streaming-agg input contract (exact cents,
-    * epoch-seconds -> micros).
+    * epoch-seconds -> micros). EVENT-TIME mode: `ordUs` is the payload's
+    * own `trans_ts` — the documented semantic upgrade over the reference
+    * (SURVEY §2.7 T1).
     */
   def toStreamEvents(decoded: DataFrame): DataFrame =
     decoded.select(
       col("cc_num").as("userId"),
       (col("trans_ts") * 1000000).cast("long").as("ordUs"),
+      round(col("amount") * 100).cast("long").as("cents"))
+
+  /** ARRIVAL-TIME parity mode (SURVEY §2.7 T1): `ordUs` is stamped from an
+    * injectable arrival clock instead of the payload timestamp, which is
+    * exactly KDA ROWTIME — the reference's continuous query windows
+    * `RANGE INTERVAL '10' MINUTE PRECEDING` over the row's stream-entry
+    * time, not `trans_ts` (`notebooks/1_setup.ipynb` STREAM_PUMP window).
+    * Downstream trailing windows ([[StreamingAgg.trailingAgg]]) then
+    * reproduce ROWTIME semantics verbatim: a late-arriving event is
+    * windowed where it ARRIVED, so its frame counts everything that
+    * arrived in the preceding horizon regardless of how stale its payload
+    * is — where event-time mode windows it back at its own `trans_ts`.
+    *
+    * `arrivalUs` is a Column so the clock is injectable: production
+    * ingest stamps `unix_micros(current_timestamp())` per micro-batch;
+    * tests and replays pass a recorded arrival column for deterministic
+    * parity runs.
+    */
+  def toStreamEventsArrival(decoded: DataFrame, arrivalUs: Column): DataFrame =
+    decoded.select(
+      col("cc_num").as("userId"),
+      arrivalUs.cast("long").as("ordUs"),
       round(col("amount") * 100).cast("long").as("cents"))
 }

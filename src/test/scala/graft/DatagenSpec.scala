@@ -53,6 +53,18 @@ class DatagenSpec extends AnyFunSuite {
     assert(gaps.forall(g => g >= 30 && g <= 120), s"bad gaps: ${gaps.filter(g => g < 30 || g > 120).take(5).toSeq}")
   }
 
+  test("payload completeness: deterministic merchant and zip_code in the reference shape") {
+    assert(txns.columns.toSeq ==
+      Seq("tid", "datetime", "cc_num", "merchant", "amount", "zip_code", "fraud_label"))
+    assert(txns.filter($"merchant".isNull || $"zip_code".isNull).count() == 0)
+    assert(txns.filter(!$"merchant".rlike("^merchant-[0-9]{4}$")).count() == 0)
+    assert(txns.filter(!$"zip_code".rlike("^[0-9]{5}$")).count() == 0)
+    assert(txns.select("merchant").distinct().count() > 100) // hashed, not constant
+    val again = TransactionGen.transactions(spark, params)
+    assert(again.select("tid", "merchant", "zip_code")
+      .except(txns.select("tid", "merchant", "zip_code")).count() == 0)
+  }
+
   test("deterministic: same params give identical tids; timestamps ascending") {
     val again = TransactionGen.transactions(spark, params)
     assert(again.select("tid").except(txns.select("tid")).count() == 0)

@@ -51,26 +51,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.count() + b.count() == total)
   }
 
-  test("MLlib scorer reproduces the reference behavioral flip on count_ratio") {
-    // synthesize labeled aggregates where fraud concentrates at high
-    // count_ratio (the reference's planted-burst signature)
-    val labeled = (1 to 400).map { i =>
-      val countRatio = (i % 40) / 100.0 // 0.00 .. 0.39
-      val label = if (countRatio >= 0.25) 1.0 else 0.0
-      (50.0 + i % 7, 1.0 + countRatio, 0.8, countRatio, label)
-    }.toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio", "fraud_label")
+  // synthesize labeled aggregates where fraud concentrates at high
+  // count_ratio (the reference's planted-burst signature)
+  private def labeledAggregates = (1 to 400).map { i =>
+    val countRatio = (i % 40) / 100.0 // 0.00 .. 0.39
+    val label = if (countRatio >= 0.25) 1.0 else 0.0
+    (50.0 + i % 7, 1.0 + countRatio, 0.8, countRatio, label)
+  }.toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio", "fraud_label")
 
-    val model = FraudModel.train(labeled)
-    val probe = Seq(
-      (100.0, 1.3, 0.8, 0.30), // reference smoke: high count_ratio
-      (100.0, 1.06, 0.8, 0.06) // low
-    ).toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio")
-    val scored = FraudModel.score(model, probe).orderBy(desc("count_ratio")).collect()
+  private def scorerProbe = Seq(
+    (100.0, 1.3, 0.8, 0.30), // reference smoke: high count_ratio
+    (100.0, 1.06, 0.8, 0.06) // low
+  ).toDF("amount", "amt_ratio1", "amt_ratio2", "count_ratio")
+
+  private def assertFlip(model: org.apache.spark.ml.Transformer): Unit = {
+    val scored = FraudModel.score(model, scorerProbe).orderBy(desc("count_ratio")).collect()
     val (hi, lo) = (scored(0).getDouble(scored(0).fieldIndex("probability_fraud")),
       scored(1).getDouble(scored(1).fieldIndex("probability_fraud")))
     assert(hi > lo, s"expected monotone scorer: $hi vs $lo")
     assert(scored(0).getString(scored(0).fieldIndex("prediction_label")) == "FRAUD")
     assert(scored(1).getString(scored(1).fieldIndex("prediction_label")) == "NOT FRAUD")
+  }
+
+  test("MLlib scorer reproduces the reference behavioral flip on count_ratio") {
+    assertFlip(FraudModel.train(labeledAggregates))
+  }
+
+  test("GBT scorer (the reference's XGBoost analog) reproduces the same flip") {
+    assertFlip(FraudModel.trainGbt(labeledAggregates))
   }
 
   test("salted aggregation and join equal their unsalted counterparts") {

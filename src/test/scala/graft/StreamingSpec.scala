@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.TrailingWindows
 import graft.store.OnlineFeatureStore
-import graft.streaming.{EnrichAndScore, StreamingAgg}
+import graft.streaming.{EnrichAndScore, JsonIngest, StreamingAgg}
 import graft.streaming.StreamingAgg.{AggEmit, StreamEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -84,6 +84,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(byTs(1000L) == ((1L, 100L)))
     assert(byTs(1500L) == ((2L, 300L))) // 1000 within [900, 1500]
     assert(byTs(1200L) == ((2L, 400L))) // as-of 1200: events 1000 + 1200
+  }
+
+  test("arrival-time parity mode (KDA ROWTIME) diverges from event-time mode exactly on a late event") {
+    import spark.implicits._
+    // One payload replay, one card, horizon 600 s. The third event is
+    // STALE: its trans_ts is 900 s old, but it arrives last.
+    //            trans_ts   arrival
+    //   e1         1000       1000
+    //   e2         1100       1100
+    //   e3 (late)   100       1200
+    val payloads = Seq(
+      (4003L, "m1", 1.00, "z", 1000.0, 1000L),
+      (4003L, "m2", 2.00, "z", 1100.0, 1100L),
+      (4003L, "m3", 4.00, "z", 100.0, 1200L))
+      .toDF("cc_num", "merchant", "amount", "zip_code", "trans_ts", "arrival_s")
+    def emitsOf(events: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      StreamingAgg
+        .trailingAgg(events.as[StreamEvent])
+        .collect()
+        .map(e => e.sumCents -> ((e.ordUs / 1000000L, e.cnt)))
+        .toMap // keyed by running sum (unique per emission here)
+
+    val eventMode = emitsOf(JsonIngest.toStreamEvents(payloads))
+    val arrivalMode = emitsOf(
+      JsonIngest.toStreamEventsArrival(payloads, col("arrival_s") * 1000000L))
+
+    // In-order events agree in both modes (arrival == event time for them)
+    assert(eventMode(100L) == ((1000L, 1L)))
+    assert(arrivalMode(100L) == ((1000L, 1L)))
+    assert(eventMode(300L) == ((1100L, 2L)))
+    assert(arrivalMode(300L) == ((1100L, 2L)))
+    // The late event is where the modes diverge, exactly:
+    //   event time: windowed back at trans_ts=100 -> frame holds only itself
+    assert(eventMode(400L) == ((100L, 1L)))
+    //   ROWTIME: windowed at arrival=1200 -> frame holds all three arrivals
+    assert(arrivalMode(700L) == ((1200L, 3L)))
   }
 
   test("online store: last-write-wins by event time, string codec, snapshot round-trip") {
