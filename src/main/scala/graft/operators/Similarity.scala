@@ -345,6 +345,12 @@ object Similarity {
     * for ANY LSH family, so growing n at fixed threshold 0.45 trades
     * recall (the derivation keeps cost, not recall, constant — documented
     * contract, same as every sub-quadratic LSH).
+    *
+    * CEILING: axis-aligned tables slice the component range disjointly, so
+    * bits * tables <= dim — once autoBits pushes b past dim/2 only ONE
+    * table fits and multi-table recall is gone. The random-hyperplane
+    * variant ([[rpBucketsExploded]] / [[nearDupPairsRpAuto]], gated as d8)
+    * removes the constraint: tables stay constant at any derived b.
     */
   /** (vec_id, bucket) pairs, one row per (vector, hash table). */
   def signBucketsExploded(emb: DataFrame, idCol: String, embCol: String, bits: Int, tables: Int): DataFrame =
@@ -378,6 +384,74 @@ object Similarity {
       maxBucket: Long = DefaultMaxBucket): DataFrame =
     blockedFromPrepared(preparedCached(emb, idCol, embCol), threshold, bits, tables, maxBucket)
 
+  /** Deterministic ±1 random hyperplanes: planes(k)(j) from md5 parity of
+    * (seed, k, j) — a pure function of its arguments, so the DuckDB oracle
+    * embeds the IDENTICAL literals and parity holds bit-for-bit.
+    *
+    * This is the full Goemans-Williamson random-hyperplane family: each
+    * plane is an independent ±1 projection over ALL components, unlike
+    * [[signBuckets]] whose axis-aligned planes must slice the component
+    * range disjointly and therefore obey bits * tables <= dim. With random
+    * planes the table count is independent of both dimensionality and the
+    * derived bit count — the fix for the scale ceiling where autoBits
+    * growth (b ~ log n) eats the table budget and recall collapses to a
+    * single table at very large n.
+    */
+  def hyperplanes(seed: Long, count: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(count, dim) { (k, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"rp|$seed|$k|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+
+  /** (vec_id, bucket) pairs from random-hyperplane projections: bit i of
+    * table t is the sign of <qv, planes(t*bits + i)>, computed by the
+    * codegen'd [[graft.functions.LongDotProduct]] (exact integer dot, so
+    * the oracle's list_sum reproduces every sign bit-for-bit).
+    */
+  def rpBucketsExploded(
+      base: DataFrame,
+      planes: Array[Array[Long]],
+      bits: Int,
+      tables: Int): DataFrame = {
+    require(planes.length >= bits * tables, "need bits*tables hyperplanes")
+    val buckets = array((0 until tables).map { t =>
+      concat(lit(s"$t:") +: (0 until bits).map { i =>
+        val dotP = graft.functions.LongDotProduct.dotLong(
+          col("qv"),
+          typedLit(planes(t * bits + i).toSeq))
+        when(dotP >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }: _*)
+    base.select(col("vec_id"), explode(buckets).as("bucket"))
+  }
+
+  /** [[nearDupPairsBlocked]] over random hyperplanes with bits derived
+    * from the corpus count (clamped to capBits) and a table count chosen
+    * FREELY — the 10^12-corpus shape: as autoBits grows with n the table
+    * budget no longer shrinks (the disjoint-slice variant forces
+    * T <= dim/bits, i.e. one table once b > dim/2). Same candidates ->
+    * cap -> verify pipeline and output contract as [[nearDupPairsBlocked]].
+    */
+  def nearDupPairsRpAuto(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      seed: Long,
+      targetBucket: Long,
+      floorBits: Int,
+      capBits: Int,
+      tables: Int,
+      dim: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val bits = math.min(capBits, autoBits(base.count(), targetBucket, floorBits))
+    val planes = hyperplanes(seed, capBits * tables, dim)
+    val cool = dropHotBuckets(rpBucketsExploded(base, planes, bits, tables), maxBucket)
+    verifyCandidates(base, cool, threshold)
+  }
+
   /** [[nearDupPairsBlocked]] with `bits`/`tables` derived from the corpus
     * count ([[autoBits]]); the count() doubles as the materialization of
     * the shared prepared frame, so it costs one scan total, not one per
@@ -404,8 +478,20 @@ object Similarity {
       threshold: Double,
       bits: Int,
       tables: Int,
-      maxBucket: Long): DataFrame = {
-    val cool = dropHotBuckets(bucketsFromPrepared(base, bits, tables), maxBucket)
+      maxBucket: Long): DataFrame =
+    verifyCandidates(
+      base,
+      dropHotBuckets(bucketsFromPrepared(base, bits, tables), maxBucket),
+      threshold)
+
+  /** Candidates -> exact verify, shared by the disjoint-slice and
+    * random-hyperplane block variants. `cool` is the capped (vec_id,
+    * bucket) frame; `base` the prepared (vec_id, qv, nrm) frame.
+    */
+  private def verifyCandidates(
+      base: DataFrame,
+      cool: DataFrame,
+      threshold: Double): DataFrame = {
     // Pair expansion via one grouped collect instead of a bucket self-join:
     // the cap guarantees each collected list holds <= maxBucket ids, so the
     // in-row double explode is bounded work (maxBucket^2 worst case). The

@@ -114,6 +114,33 @@ object VectorQueries {
         MaxBucket)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
+  /** d8: d6's contract over RANDOM hyperplanes — the 10^12-corpus LSH
+    * shape. Axis-aligned tables (d6/d7) obey bits*tables <= 64, so at very
+    * large n the derived b eats the table budget (T -> 1, recall
+    * collapses); random ±1 projections keep T = 16 at ANY derived b
+    * (clamped to RpCapBits). Planes are md5-derived pure functions of
+    * (seed, k, j); the oracle embeds the identical literals.
+    */
+  private val RpSeed = 42L
+  private val RpCapBits = 16
+  private val RpTables = 16
+
+  def embedNearDupRp(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .nearDupPairsRpAuto(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        NearDupThreshold,
+        RpSeed,
+        BlockTargetBucket,
+        BlockFloorBits,
+        RpCapBits,
+        RpTables,
+        EmbedDim,
+        MaxBucket)
+      .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
+
   /** v3 IVF sizing: cells = clamp(sqrt(n), 16, 65536) (n=500 at the gate
     * => 22 cells), k-means trained on a strided sample of ~64 vectors per
     * cell, assigned cells capped at MaxCell before the probe join. See
@@ -146,7 +173,8 @@ object VectorQueries {
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
-    "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)))
+    "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)),
+    "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -305,6 +333,43 @@ object VectorQueries {
       NearDupThreshold),
     "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
       s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
-      HiThreshold)
+      HiThreshold),
+    "d8_embed_neardup_rp" -> {
+      // The IDENTICAL ±1 planes the Scala path derives (pure function of
+      // (RpSeed, k, j)), embedded as a flat list-of-lists literal; bucket
+      // bit i of table tt reads pl[tt*b + i] (1-based), matching the
+      // Scala layout planes(t*bits + i) exactly.
+      val planes = Similarity.hyperplanes(RpSeed, RpCapBits * RpTables, EmbedDim)
+      val planesLit = planes
+        .map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""WITH $prep,
+         |params AS (
+         |  SELECT least($RpCapBits, ${autoBitsSql(BlockTargetBucket, BlockFloorBits)}) AS b,
+         |         $RpTables AS t
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |pls AS (SELECT $planesLit AS pl),
+         |slots AS (
+         |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
+         |  FROM base CROSS JOIN params),
+         |bucketed AS (
+         |  SELECT vec_id,
+         |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
+         |      CASE WHEN CAST(list_sum(list_transform(list_zip(qv, pl[tt * b + i]), p -> p[1] * p[2])) AS BIGINT) >= 0
+         |           THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM slots CROSS JOIN pls),
+         |cool AS (
+         |  SELECT vec_id, bucket FROM bucketed
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    $cosineExpr AS cosine
+         |  FROM cand c JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id)
+         |WHERE cosine >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }
   )
 }

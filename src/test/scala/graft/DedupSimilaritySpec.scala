@@ -116,6 +116,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"blocked recall too low: ${blocked.size}/${exact.size}")
   }
 
+  test("random-hyperplane near-dup (d8): subset of exact, recall >= 0.9 (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = VectorQueries.queries("d5_embed_neardup")(spark, sf01)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val rp = VectorQueries.queries("d8_embed_neardup_rp")(spark, sf01)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(rp.subsetOf(exact), "RP blocking must never invent pairs the exact verify rejects")
+    assert(
+      rp.size >= math.ceil(exact.size * 0.9).toInt,
+      s"RP recall too low: ${rp.size}/${exact.size}")
+  }
+
+  test("random hyperplanes are deterministic ±1 and lift the bits*tables <= dim ceiling") {
+    val p1 = Similarity.hyperplanes(42L, 8, 16)
+    val p2 = Similarity.hyperplanes(42L, 8, 16)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq, "pure function of (seed, k, j)")
+    assert(p1.flatten.forall(v => v == 1L || v == -1L))
+    assert(p1.flatten.count(_ == 1L) > 8 && p1.flatten.count(_ == -1L) > 8, "both signs present")
+    // The ceiling, concretely: at n = 10^12 the derived b = bitlength(n/32)
+    // = 35 leaves the disjoint-slice family ONE table (64/35 = 1) — recall
+    // collapses; the RP family keeps all 16 tables at the capped b.
+    val hugeBits = Similarity.autoBits(1000000000000L, 32L, 4)
+    assert(hugeBits >= 32)
+    assert(64 / hugeBits <= 1, "disjoint slices are down to one table at 10^12 corpus")
+    val rpBits = math.min(16, hugeBits)
+    assert(rpBits == 16) // b capped, T untouched: 16 independent tables remain
+  }
+
   test("d7 operating point (threshold .97, b=16/T=4): planted near-dups recalled exactly") {
     // Mixed-sign vectors with |component| >= 0.1 and sign-preserving noise
     // 0.005: a planted copy agrees with its source on EVERY sign bit, so it
