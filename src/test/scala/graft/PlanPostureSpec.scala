@@ -36,6 +36,31 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in blocked plan:\n$plan")
   }
 
+  test("random-hyperplane near-dup plans equi-joins only, dots stay codegen'd") {
+    val plan = queries.VectorQueries.embedNearDupRp(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in RP plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in RP plan:\n$plan")
+    assert(plan.contains("longdotproduct"), "RP sign bits must use the codegen'd dot")
+  }
+
+  test("IVF: the only non-equi join is the centroid assignment, whose broadcast side is capped") {
+    // assignCells cross-joins a broadcast of the centroid table; autoCells
+    // caps that table at 65536 rows REGARDLESS of n (asserted below), so
+    // the one BNLJ in the plan is O(1)-bounded — every other join (the
+    // in-cell probe) must be an equi-join that shuffles by cell id.
+    val plan = queries.VectorQueries.annIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val cartesian = "CartesianProduct".r.findAllIn(plan).length
+    // 2 Lloyd rounds + final assignment = 3 bounded centroid broadcasts;
+    // the in-cell probe self-join duplicates the assignment subtree on its
+    // a/b sides, so the physical plan shows each at most twice
+    assert(bnlj + cartesian <= 6, s"unexpected unbounded join shape ($bnlj BNLJ/$cartesian cartesian):\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"in-cell probe must be an equi-join:\n$plan")
+  }
+
   test("blocked near-dup: no candidate bucket exceeds the hot-bucket cap") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
