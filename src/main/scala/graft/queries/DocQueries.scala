@@ -23,12 +23,15 @@ object DocQueries {
       .transform(orderedOutput(_, col("text_hash")))
 
   /** The shingle set feeds several subplans per query (join sides, sizes,
-    * signatures); AQE's exchange reuse already dedups the identical
-    * subtrees at runtime (an eager localCheckpoint measured neutral), so
-    * share the logical plan and let the runtime handle it.
+    * signatures) — persist it so the WordShingles explode runs ONCE per
+    * corpus instead of once per subplan (the CacheManager dedups the
+    * identical plan across d2/d2c/d3, so they share one spill-able
+    * materialization; same pattern as the vector plane's prepared frame).
     */
   private def materializedShingles(docs: DataFrame): DataFrame =
-    Dedup.shingleSet(docs, "doc_id", "text", ShingleN)
+    Dedup
+      .shingleSet(docs, "doc_id", "text", ShingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = materializedShingles(Tables.documents(spark, sfDir))
