@@ -288,7 +288,11 @@ object Similarity {
     val train =
       if (trainStrideN > 1L) base.filter(col("vec_id") % trainStrideN === 0) else base
     val centroids = kmeansCentroids(train, nCells, lloydIters, trainStrideN)
+    // the probe self-join reads the assignment on both sides — persist it
+    // so the Lloyd chain runs once, not per subtree (plan-deduped with
+    // semDedup's identical assignment across queries)
     val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     assigned
       .as("a")
@@ -301,6 +305,57 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "cell", "rnk", "cosine")
+  }
+
+  /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster with the IVF coarse quantizer, then compare
+    * pairs ONLY within a cluster and mark the higher id of every pair at
+    * cosine >= threshold as a duplicate (keep-lowest-id, the greedy
+    * keep-one policy). Output: (vec_id, cell, is_dup 0/1) for every vector
+    * whose cell survives the size cap.
+    *
+    * Scale posture is v3's: sqrt-n cells, sample-trained centroids,
+    * bounded centroid broadcast, capped cells — so the in-cell pair scan
+    * is O(n * cellSize) with cellSize capped, never all-pairs. Like every
+    * blocked path, recall is approximate: a near-dup pair split across two
+    * cells (or in a dropped hot cell) is not marked.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      floorCells: Int,
+      capCells: Int,
+      lloydIters: Int,
+      maxCell: Long = DefaultMaxCell,
+      perCell: Long = 64L): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val n = base.count()
+    val nCells = autoCells(n, floorCells, capCells)
+    val stride = trainStride(n, nCells, perCell)
+    val train = if (stride > 1L) base.filter(col("vec_id") % stride === 0) else base
+    val centroids = kmeansCentroids(train, nCells, lloydIters, stride)
+    // both sides of the in-cell pair join and the final output read the
+    // assignment — persist it so the Lloyd chain runs once, not per subtree
+    val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dups = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("b.vec_id").as("dup_id"),
+        cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("dup_id")
+      .distinct()
+    assigned
+      .join(dups, assigned("vec_id") === dups("dup_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        when(col("dup_id").isNull, lit(0L)).otherwise(lit(1L)).as("is_dup"))
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection).

@@ -94,6 +94,28 @@ object DocQueries {
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_tokens"))
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t5: BPE-style token counting — the GPT-2 pre-tokenizer shape
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs), simplified to the character classes this corpus
+    * contains and to syntax Java regex and RE2 evaluate identically (no
+    * lookaround, no backrefs). This is the LLM-budgeting token count;
+    * t1's whitespace count stays the linguistic one.
+    */
+  private[queries] val BpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  /** [[BpePattern]] with the apostrophe doubled for SQL string literals. */
+  private val BpePatternSql = BpePattern.replace("'", "''")
+
+  def bpeTokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .withColumn("tokens_per_word", col("n_bpe_tokens") / col("n_ws_tokens"))
+      .transform(orderedOutput(_, col("doc_id")))
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -152,6 +174,7 @@ object DocQueries {
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
     "d4_simhash" -> (simhash(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
+    "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
     "t2_quality_score" -> (qualityScore(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
@@ -260,6 +283,14 @@ object DocQueries {
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "t5_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$BpePatternSql')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpePatternSql')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS tokens_per_word
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "t2_quality_score" ->
       """SELECT doc_id, n_tokens,
         |  stop_cnt / n_tokens AS stop_ratio,

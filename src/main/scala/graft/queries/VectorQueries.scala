@@ -167,6 +167,23 @@ object VectorQueries {
         IvfTrainPerCell)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** d9: SemDeDup-style cluster-scoped dedup ([[Similarity.semDedup]]) at
+    * the d5 threshold — v3's quantizer, in-cell pairs only, keep-lowest-id.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .semDedup(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        NearDupThreshold,
+        IvfFloorCells,
+        IvfCapCells,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell)
+      .transform(orderedOutput(_, col("vec_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
@@ -174,7 +191,8 @@ object VectorQueries {
     "d5_embed_neardup" -> (embedNearDup(_, _)),
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
     "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)),
-    "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)))
+    "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)),
+    "d9_semdedup" -> (semDedup(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -251,6 +269,38 @@ object VectorQueries {
        |  SELECT cell, c_qv, CAST(list_sum(list_transform(c_qv, x -> x * x)) AS BIGINT) AS c_nrm
        |  FROM (SELECT cell, list(comp ORDER BY pos) AS c_qv FROM m$n GROUP BY cell))""".stripMargin
 
+  /** The IVF quantizer chain shared by v3 and d9: derived cell count,
+    * strided training sample, seeded + 2 Lloyd rounds, nearest-centroid
+    * assignment, hot-cell cap. Mirrors [[Similarity.semDedup]] /
+    * [[Similarity.ivfTopKAuto]] stage for stage.
+    */
+  private lazy val ivfAssignedCtes: String =
+    s"""$prep,
+       |params AS (
+       |  SELECT cnt, least($IvfCapCells, greatest($IvfFloorCells, CAST(floor(sqrt(cnt)) AS BIGINT))) AS c
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |params2 AS (
+       |  SELECT cnt, c, greatest(1, cnt // (c * $IvfTrainPerCell)) AS s FROM params),
+       |train AS (
+       |  SELECT b.* FROM base b CROSS JOIN params2 p WHERE b.vec_id % p.s = 0),
+       |cent0 AS (
+       |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm
+       |  FROM train CROSS JOIN params2 p WHERE vec_id < p.c * p.s),
+       |${lloydRound("cent0", 1)},
+       |${lloydRound("cent1", 2)},
+       |assigned0 AS (
+       |  SELECT vec_id, qv, nrm, cell FROM (
+       |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        b.nrm + c.c_nrm
+       |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+       |        c.cell) AS arnk
+       |    FROM base b CROSS JOIN cent2 c)
+       |  WHERE arnk = 1),
+       |assigned AS (
+       |  SELECT * FROM assigned0
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxCell)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
       s"""WITH $prep,
@@ -285,31 +335,7 @@ object VectorQueries {
          |  FROM scored)
          |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
     "v3_ann_ivf" ->
-      s"""WITH $prep,
-         |params AS (
-         |  SELECT cnt, least($IvfCapCells, greatest($IvfFloorCells, CAST(floor(sqrt(cnt)) AS BIGINT))) AS c
-         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
-         |params2 AS (
-         |  SELECT cnt, c, greatest(1, cnt // (c * $IvfTrainPerCell)) AS s FROM params),
-         |train AS (
-         |  SELECT b.* FROM base b CROSS JOIN params2 p WHERE b.vec_id % p.s = 0),
-         |cent0 AS (
-         |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm
-         |  FROM train CROSS JOIN params2 p WHERE vec_id < p.c * p.s),
-         |${lloydRound("cent0", 1)},
-         |${lloydRound("cent1", 2)},
-         |assigned0 AS (
-         |  SELECT vec_id, qv, nrm, cell FROM (
-         |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
-         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-         |        b.nrm + c.c_nrm
-         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
-         |        c.cell) AS arnk
-         |    FROM base b CROSS JOIN cent2 c)
-         |  WHERE arnk = 1),
-         |assigned AS (
-         |  SELECT * FROM assigned0
-         |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxCell),
+      s"""WITH $ivfAssignedCtes,
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
          |    $cosineExpr AS cosine
@@ -318,6 +344,17 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
+    "d9_semdedup" ->
+      s"""WITH $ivfAssignedCtes,
+         |pairs AS (
+         |  SELECT b.vec_id AS dup_id,
+         |    $cosineExpr AS cosine
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dups AS (SELECT DISTINCT dup_id FROM pairs WHERE cosine >= $NearDupThreshold)
+         |SELECT s.vec_id, s.cell,
+         |  CAST(CASE WHEN d.dup_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.dup_id
+         |ORDER BY s.vec_id""".stripMargin,
     "d5_embed_neardup" ->
       s"""WITH $prep
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -144,6 +144,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rpBits == 16) // b capped, T untouched: 16 independent tables remain
   }
 
+  test("SemDeDup (d9): marked dups are exactly higher ids of in-cell exact pairs (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exactBs = VectorQueries.queries("d5_embed_neardup")(spark, sf01)
+      .select("vec_b").as[Long].collect().toSet
+    val d9 = VectorQueries.queries("d9_semdedup")(spark, sf01).cache()
+    val marked = d9.filter(col("is_dup") === 1L).select("vec_id").as[Long].collect().toSet
+    assert(marked.nonEmpty, "the gate corpus has near-dups; cluster scoping should find some")
+    assert(
+      marked.subsetOf(exactBs),
+      s"every marked dup must be the higher id of a true near-dup pair: ${marked.diff(exactBs)}")
+    // keep-one policy: lowest id of every pair is never marked purely by
+    // being in a pair (it can only be marked via a pair where IT is vec_b)
+    val n = Tables.embeddings(spark, sf01).count()
+    assert(d9.count() == n, "no cell exceeds the cap at gate scale - every vector present")
+  }
+
   test("d7 operating point (threshold .97, b=16/T=4): planted near-dups recalled exactly") {
     // Mixed-sign vectors with |component| >= 0.1 and sign-preserving noise
     // 0.005: a planted copy agrees with its source on EVERY sign bit, so it
