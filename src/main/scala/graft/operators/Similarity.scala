@@ -190,13 +190,13 @@ object Similarity {
     * broadcast side is bounded by [[autoCells]]'s capCells (it never grows
     * with the corpus), so per-vector cost is O(cells * d) flat.
     */
-  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignCells(base: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
     base
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", col("nrm") + col("c_nrm") - lit(2L) * dot(col("qv"), col("c_qv")))
       .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+      .filter(col("arnk") <= probes)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cell"))
   }
 
@@ -271,11 +271,12 @@ object Similarity {
       k: Int,
       lloydIters: Int,
       maxCell: Long = DefaultMaxCell,
-      perCell: Long = 64L): DataFrame = {
+      perCell: Long = 64L,
+      nProbe: Int = 1): DataFrame = {
     val base = preparedCached(emb, idCol, embCol)
     val n = base.count()
     val nCells = autoCells(n, floorCells, capCells)
-    ivfFromPrepared(base, nCells, k, lloydIters, maxCell, trainStride(n, nCells, perCell))
+    ivfFromPrepared(base, nCells, k, lloydIters, maxCell, trainStride(n, nCells, perCell), nProbe)
   }
 
   private def ivfFromPrepared(
@@ -284,7 +285,8 @@ object Similarity {
       k: Int,
       lloydIters: Int,
       maxCell: Long,
-      trainStrideN: Long): DataFrame = {
+      trainStrideN: Long,
+      nProbe: Int = 1): DataFrame = {
     val train =
       if (trainStrideN > 1L) base.filter(col("vec_id") % trainStrideN === 0) else base
     val centroids = kmeansCentroids(train, nCells, lloydIters, trainStrideN)
@@ -293,14 +295,22 @@ object Similarity {
     // semDedup's identical assignment across queries)
     val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Multi-probe: the QUERY side fans out to its nProbe nearest cells
+    // (recall at cell boundaries — the classic IVF nprobe knob); the data
+    // side stays the capped single-cell assignment, so probe cost is
+    // nProbe * cellSize per query, still bounded. nProbe=1 degenerates to
+    // the plain in-cell search and reuses the cached assignment.
+    val queries =
+      if (nProbe == 1) assigned
+      else assignCells(base, centroids, nProbe)
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    assigned
+    queries
       .as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("vec_id"),
-        col("a.cell").as("cell"),
+        col("b.cell").as("cell"),
         cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)

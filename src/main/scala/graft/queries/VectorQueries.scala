@@ -167,6 +167,27 @@ object VectorQueries {
         IvfTrainPerCell)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** v4: v3 with multi-probe — the query side fans out to its NProbe
+    * nearest cells (recall at cell boundaries, the classic IVF nprobe
+    * knob); probe cost stays bounded at nProbe * cellSize per query.
+    */
+  private val NProbe = 4
+
+  def annIvfMultiProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .ivfTopKAuto(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        IvfFloorCells,
+        IvfCapCells,
+        1,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell,
+        NProbe)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
   /** d9: SemDeDup-style cluster-scoped dedup ([[Similarity.semDedup]]) at
     * the d5 threshold — v3's quantizer, in-cell pairs only, keep-lowest-id.
     */
@@ -192,7 +213,8 @@ object VectorQueries {
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
     "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)),
     "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)),
-    "d9_semdedup" -> (semDedup(_, _)))
+    "d9_semdedup" -> (semDedup(_, _)),
+    "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -340,6 +362,25 @@ object VectorQueries {
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
          |    $cosineExpr AS cosine
          |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
+         |SELECT query_id, vec_id, cell, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
+    "v4_ann_ivf_multiprobe" ->
+      s"""WITH $ivfAssignedCtes,
+         |probes AS (
+         |  SELECT vec_id, qv, nrm, cell FROM (
+         |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        b.nrm + c.c_nrm
+         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cell) AS arnk
+         |    FROM base b CROSS JOIN cent2 c)
+         |  WHERE arnk <= $NProbe),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.cell AS cell,
+         |    $cosineExpr AS cosine
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
          |SELECT query_id, vec_id, cell, rnk, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)

@@ -215,12 +215,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val trained = recall(top1(Similarity.ivfTopK(emb, "vec_id", "embedding", 16, 1, 2)))
     val untrained = recall(top1(Similarity.ivfTopK(emb, "vec_id", "embedding", 16, 1, 0)))
     val signLsh = recall(top1(Similarity.signBucketTopK(emb, "vec_id", "embedding", 8, 1)))
-    info(f"recall@1 exact-baseline=1.0 ivf-trained=$trained%.3f ivf-untrained=$untrained%.3f sign-lsh=$signLsh%.3f")
+    val multiProbe = recall(top1(VectorQueries.queries("v4_ann_ivf_multiprobe")(spark, sf01)))
+    val singleProbe = recall(top1(VectorQueries.queries("v3_ann_ivf")(spark, sf01)))
+    info(f"recall@1 exact-baseline=1.0 ivf-trained=$trained%.3f ivf-untrained=$untrained%.3f " +
+      f"sign-lsh=$signLsh%.3f nprobe1=$singleProbe%.3f nprobe4=$multiProbe%.3f")
     // The corpus is near-random (no planted NN structure), so nprobe=1
     // recall is intrinsically modest; the gates pin the ORDERING (training
-    // helps) and a floor that catches assignment regressions.
+    // helps, probing more cells helps) and floors that catch regressions.
     assert(trained >= untrained, f"Lloyd training should not hurt recall: $trained%.3f < $untrained%.3f")
     assert(trained >= 0.25, f"trained IVF recall@1 regressed: $trained%.3f")
+    assert(
+      multiProbe > singleProbe,
+      f"nprobe=4 must beat nprobe=1 on a boundary-heavy corpus: $multiProbe%.3f vs $singleProbe%.3f")
+    assert(multiProbe >= 0.5, f"multi-probe recall@1 regressed: $multiProbe%.3f")
   }
 
   test("char-ngram language heuristic separates obvious english from german text") {
