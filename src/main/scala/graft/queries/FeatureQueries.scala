@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{LatestPerKey, ServingJoin, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, ServingJoin, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,33 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** j3: general as-of join ([[AsOfJoin.asof]]) — every event enriched
+    * with the user's latest snapshot at-or-before its own time; snapshots
+    * are every 10th event (deterministic id-mod sample), grouped to unique
+    * (user, ts) so the match is unambiguous. The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, so the union+window plan is gated against an
+    * independent first-class implementation of the semantics, not a
+    * transliteration of itself. No-match rows coalesce to -1 both sides.
+    */
+  def asofSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select("event_id", "user_id", "ord_us", "cents")
+    val snaps = ev
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("user_id"), col("ord_us").as("snap_ts"), col("cents"))
+      .groupBy(col("user_id"), col("snap_ts"))
+      .agg(max(col("cents")).as("snap_cents"))
+    AsOfJoin
+      .asof(ev, snaps, "user_id", "ord_us", "snap_ts", Seq("snap_cents"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ord_us"),
+        col("cents"),
+        coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+        coalesce(col("snap_cents"), lit(-1L)).as("snap_cents"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -199,12 +226,24 @@ object FeatureQueries {
            |FROM prep e CROSS JOIN nw
            |LEFT JOIN snap s ON e.user_id = s.user_id
            |WHERE e.ord_us > nw.now_us - 86400000000
-           |ORDER BY e.event_id""".stripMargin
+           |ORDER BY e.event_id""".stripMargin,
+      "j3_asof_join" ->
+        s"""WITH prep AS ($prep),
+           |snaps AS (
+           |  SELECT user_id, ord_us AS snap_ts, max(cents) AS snap_cents
+           |  FROM prep WHERE event_id % 10 = 0 GROUP BY 1, 2)
+           |SELECT p.event_id, p.user_id, p.ord_us, p.cents,
+           |  coalesce(s.snap_ts, -1) AS asof_ts,
+           |  coalesce(s.snap_cents, -1) AS snap_cents
+           |FROM prep p ASOF LEFT JOIN snaps s
+           |  ON p.user_id = s.user_id AND p.ord_us >= s.snap_ts
+           |ORDER BY p.event_id""".stripMargin
     )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_trailing_agg" -> (trailingAgg(_, _)),
     "w5_latest_per_key" -> (latestPerKey(_, _)),
-    "j1_enrich_staleness" -> (enrichStaleness(_, _)))
+    "j1_enrich_staleness" -> (enrichStaleness(_, _)),
+    "j3_asof_join" -> (asofSnapshots(_, _)))
 }
