@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, LatestPerKey, ServingJoin, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, Sampling, ServingJoin, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,29 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** s4: deterministic stratified sampling ([[Sampling]]) — strata by
+    * user-id mod 4 at rates 50%/25%/12.5%, stratum 3 dropped entirely.
+    * The draw (`u8`) is part of the output, so the gate pins the sampling
+    * decision itself, not just the surviving row set.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        pmod(col("user_id"), lit(4L)).as("stratum"))
+    Sampling
+      .stratified(
+        ev,
+        "event_id",
+        col("stratum"),
+        "smp",
+        Seq(0L -> "80000000", 1L -> "40000000", 2L -> "20000000"))
+      .withColumn("u8", Sampling.hashUniformHex("smp", col("event_id")))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -237,7 +260,16 @@ object FeatureQueries {
            |  coalesce(s.snap_cents, -1) AS snap_cents
            |FROM prep p ASOF LEFT JOIN snaps s
            |  ON p.user_id = s.user_id AND p.ord_us >= s.snap_ts
-           |ORDER BY p.event_id""".stripMargin
+           |ORDER BY p.event_id""".stripMargin,
+      "s4_stratified_sample" ->
+        """SELECT event_id, user_id, stratum, u8 FROM (
+          |  SELECT event_id, user_id, user_id % 4 AS stratum,
+          |    substr(md5('smp|' || CAST(event_id AS VARCHAR)), 1, 8) AS u8
+          |  FROM events)
+          |WHERE (stratum = 0 AND u8 < '80000000')
+          |   OR (stratum = 1 AND u8 < '40000000')
+          |   OR (stratum = 2 AND u8 < '20000000')
+          |ORDER BY event_id""".stripMargin
     )
   }
 
@@ -245,5 +277,6 @@ object FeatureQueries {
     "w1_trailing_agg" -> (trailingAgg(_, _)),
     "w5_latest_per_key" -> (latestPerKey(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),
-    "j3_asof_join" -> (asofSnapshots(_, _)))
+    "j3_asof_join" -> (asofSnapshots(_, _)),
+    "s4_stratified_sample" -> (stratifiedSample(_, _)))
 }

@@ -81,6 +81,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assertFlip(FraudModel.trainGbt(labeledAggregates))
   }
 
+  test("hash sampling is partitioning-independent and rate-accurate (df.sample is neither)") {
+    import graft.operators.Sampling
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.bernoulli(df, "event_id", "s", "40000000").select("event_id").as[Long].collect().toSet
+    val a = ids(ev)
+    val b = ids(ev.repartition(7))
+    val c = ids(ev.repartition(1).sortWithinPartitions(col("event_id").desc))
+    assert(a == b && b == c, "the sample must not depend on partitioning or order")
+    val n = ev.count().toDouble
+    assert(math.abs(a.size / n - 0.25) < 0.05, s"rate off: ${a.size / n}")
+    // join-stable: the same rows are picked when sampling a derived table
+    val derived = ev.withColumn("x", col("event_id") * 2)
+    val d = Sampling.bernoulli(derived, "event_id", "s", "40000000")
+      .select("event_id").as[Long].collect().toSet
+    assert(d == a, "same ids must survive in any table keyed by the same id")
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
