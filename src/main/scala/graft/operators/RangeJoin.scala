@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyless interval-containment join (point IN [start, end)) without a
+  * nested-loop plan.
+  *
+  * Spark plans a join whose only predicate is an inequality as a
+  * BroadcastNestedLoopJoin (or a cartesian product) — O(|events| *
+  * |intervals|) compute and, at 100 TB, a broadcast of whatever side is
+  * "small". The standard fix is binning: quantize time into fixed-width
+  * buckets, explode each interval into every bucket it touches, tag each
+  * point with its bucket, equi-join on the bucket id, and re-check the
+  * exact predicate as a residual filter. The join becomes a shuffled (or
+  * broadcast) HASH join on `_bin` — one shuffle, no quadratic pairing —
+  * at the cost of interval rows replicated by ceil(span / binUs).
+  * Pick `binUs` near the typical interval span so the replication factor
+  * stays small while bucket populations stay bounded.
+  *
+  * All bin arithmetic is exact integer floor-division (micros are > 2^53,
+  * so double math would mis-bin boundary timestamps).
+  */
+object RangeJoin {
+
+  /** Exact floor-division for non-negative long columns. */
+  private def idiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+
+  /** Pairs (point row ++ interval row) where `points.tsCol` lies in
+    * `[intervals.startCol, intervals.endCol)`. Column sets of the two
+    * inputs must be disjoint. `binUs` must divide nothing in particular —
+    * any positive width is correct; it only tunes replication.
+    */
+  def binnedContains(
+      points: DataFrame,
+      tsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binUs: Long): DataFrame = {
+    val binned = intervals.withColumn(
+      "_bin",
+      explode(sequence(idiv(col(startCol), binUs), idiv(col(endCol) - 1, binUs))))
+    points
+      .withColumn("_bin", idiv(col(tsCol), binUs))
+      .join(binned, Seq("_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bin")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, LatestPerKey, Sampling, ServingJoin, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Sampling, ServingJoin, Sessionize, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -186,6 +186,66 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** w7: gap sessionization ([[Sessionize]]) — 1-hour gap over each user's
+    * event stream, rolled up to one row per session with exact-integer
+    * spend. One shuffle by user; both window layers share a single sort.
+    */
+  private val SessionGapUs = 3600L * 1000000L
+
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize
+      .sessionRollup(
+        prepared(spark, sfDir).select("user_id", "ord_us", "cents"),
+        key = "user_id",
+        tsUs = "ord_us",
+        gapUs = SessionGapUs,
+        valueCol = "cents")
+      .transform(orderedOutput(_, col("user_id"), col("session_idx")))
+
+  /** j4: keyless interval-containment join via [[RangeJoin.binnedContains]].
+    * Every 50th event opens a global 30-minute interval; each event is
+    * enriched with how many open intervals contain it and their total
+    * weight. The oracle is DuckDB's native inequality join (IEJoin) — an
+    * independent first-class implementation of the semantics — while the
+    * Spark plan is the binned equi-join (10-minute bins), asserted
+    * BNLJ-free in PlanPostureSpec.
+    */
+  private val IntervalSpanUs = 1800L * 1000000L
+  private val RangeBinUs = 600L * 1000000L
+
+  def rangeJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select("event_id", "user_id", "ord_us", "cents")
+    val intervals = ev
+      .filter(pmod(col("event_id"), lit(50)) === 0)
+      .select(
+        col("event_id").as("interval_id"),
+        col("ord_us").as("start_us"),
+        (col("ord_us") + IntervalSpanUs).as("end_us"),
+        col("cents").as("weight"))
+    val hits = RangeJoin
+      .binnedContains(
+        ev.select("event_id", "ord_us"),
+        "ord_us",
+        intervals,
+        "start_us",
+        "end_us",
+        RangeBinUs)
+      .groupBy("event_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("weight")).as("w_sum"),
+        max(col("interval_id")).as("last_interval"))
+    ev.select("event_id", "ord_us")
+      .join(hits, Seq("event_id"), "left")
+      .select(
+        col("event_id"),
+        col("ord_us"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        coalesce(col("last_interval"), lit(-1L)).as("last_interval"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -261,6 +321,44 @@ object FeatureQueries {
            |FROM prep p ASOF LEFT JOIN snaps s
            |  ON p.user_id = s.user_id AND p.ord_us >= s.snap_ts
            |ORDER BY p.event_id""".stripMargin,
+      "w7_sessionize" ->
+        s"""WITH prep AS ($prep),
+           |s1 AS (
+           |  SELECT user_id, ord_us, cents,
+           |    CASE WHEN lag(ord_us) OVER w IS NULL
+           |           OR ord_us - lag(ord_us) OVER w > $SessionGapUs
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM prep
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ord_us)),
+           |s2 AS (
+           |  SELECT user_id, ord_us, cents,
+           |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ord_us
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           |  FROM s1)
+           |SELECT user_id, session_idx, count(*) AS n_events,
+           |  min(ord_us) AS start_us, max(ord_us) AS end_us,
+           |  max(ord_us) - min(ord_us) AS span_us,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM s2 GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+      "j4_range_join" ->
+        s"""WITH prep AS ($prep),
+           |iv AS (
+           |  SELECT event_id AS interval_id, ord_us AS start_us,
+           |         ord_us + $IntervalSpanUs AS end_us, cents AS weight
+           |  FROM prep WHERE event_id % 50 = 0),
+           |hits AS (
+           |  SELECT e.event_id, count(*) AS n_intervals,
+           |         CAST(sum(i.weight) AS BIGINT) AS w_sum,
+           |         max(i.interval_id) AS last_interval
+           |  FROM prep e JOIN iv i
+           |    ON e.ord_us >= i.start_us AND e.ord_us < i.end_us
+           |  GROUP BY 1)
+           |SELECT p.event_id, p.ord_us,
+           |  coalesce(h.n_intervals, 0) AS n_intervals,
+           |  coalesce(h.w_sum, 0) AS w_sum,
+           |  coalesce(h.last_interval, -1) AS last_interval
+           |FROM prep p LEFT JOIN hits h ON p.event_id = h.event_id
+           |ORDER BY p.event_id""".stripMargin,
       "s4_stratified_sample" ->
         """SELECT event_id, user_id, stratum, u8 FROM (
           |  SELECT event_id, user_id, user_id % 4 AS stratum,
@@ -278,5 +376,7 @@ object FeatureQueries {
     "w5_latest_per_key" -> (latestPerKey(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),
     "j3_asof_join" -> (asofSnapshots(_, _)),
+    "j4_range_join" -> (rangeJoinAgg(_, _)),
+    "w7_sessionize" -> (sessionize(_, _)),
     "s4_stratified_sample" -> (stratifiedSample(_, _)))
 }

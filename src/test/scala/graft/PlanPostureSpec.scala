@@ -109,6 +109,25 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(bigN / s <= c.toLong * 64L + c, s"sample ~${bigN / s} exceeds training budget for $c cells")
   }
 
+  test("binned range join plans a hash equi-join — no nested-loop/cartesian") {
+    val plan = FeatureQueries.rangeJoinAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in binned range join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in binned range join:\n$plan")
+  }
+
+  test("sessionize: lag + running-sum window layers share ONE exchange and ONE sort") {
+    val plan = operators.Sessionize
+      .sessionIndex(
+        Tables.events(spark, sf).select("user_id", "ord_us"),
+        "user_id", "ord_us", 3600L * 1000000L)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected one hash exchange, got $hashExchanges in:\n$plan")
+    val sorts = "Sort \\[user_id".r.findAllIn(plan).length
+    assert(sorts == 1, s"both window layers should share one sort; plan:\n$plan")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString

@@ -99,6 +99,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(d == a, "same ids must survive in any table keyed by the same id")
   }
 
+  test("binned range join equals the naive inequality join at any bin width") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select(col("event_id"), col("ord_us"))
+    val iv = ev
+      .filter(pmod(col("event_id"), lit(50)) === 0)
+      .select(
+        col("event_id").as("interval_id"),
+        col("ord_us").as("start_us"),
+        (col("ord_us") + 1800L * 1000000L).as("end_us"))
+    val naive = ev
+      .join(iv, col("ord_us") >= col("start_us") && col("ord_us") < col("end_us"))
+      .select("event_id", "interval_id")
+      .as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must produce matches")
+    // bin width is a pure tuning knob: results identical whether bins are
+    // far smaller or far larger than the interval span
+    for (binUs <- Seq(60L * 1000000L, 600L * 1000000L, 7200L * 1000000L)) {
+      val binned = RangeJoin
+        .binnedContains(ev, "ord_us", iv, "start_us", "end_us", binUs)
+        .select("event_id", "interval_id")
+        .as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binUs=$binUs diverges from exact join")
+    }
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
