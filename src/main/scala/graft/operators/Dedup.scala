@@ -57,6 +57,20 @@ object Dedup {
     sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct shingles appear anywhere in the benchmark set. The benchmark
+    * shingle vocabulary is tiny relative to the corpus (eval suites are
+    * KBs-to-MBs against TBs of training text), so it is broadcast and the
+    * corpus side joins map-side with NO shuffle of the big table; the only
+    * shuffle is the per-doc count of MATCHED rows, which is at most the
+    * contaminated subset. Inputs are shingle frames from [[shingleSet]].
+    */
+  def contaminationCounts(corpusSh: DataFrame, benchSh: DataFrame): DataFrame =
+    corpusSh
+      .join(broadcast(benchSh.select("shingle").distinct()), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Exact pairwise Jaccard over shingle sets for every pair sharing at
     * least one shingle. Output: doc_a < doc_b, n_common, n_union, jaccard.
     */

@@ -31,6 +31,21 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: String, seed: String, thresholdHex: String): DataFrame =
     df.filter(hashUniformHex(seed, col(idCol)) < lit(thresholdHex))
 
+  /** Deterministic train/val/test assignment: `cuts` are (label,
+    * upperHexExclusive) in ascending threshold order; the first threshold
+    * the row's draw falls under wins, and rows above every cut get
+    * `default`. Because the draw is keyed on the row id, the split is
+    * stable across runs, engines, repartitions, and derived tables — the
+    * property that keeps eval rows from leaking into training when the
+    * pipeline is re-run on re-partitioned data.
+    */
+  def splitLabel(seed: String, id: Column, cuts: Seq[(String, String)], default: String): Column = {
+    val u = hashUniformHex(seed, id)
+    cuts.foldRight(lit(default): Column) { case ((label, hi), acc) =>
+      when(u < lit(hi), lit(label)).otherwise(acc)
+    }
+  }
+
   /** Per-stratum Bernoulli: `rates` maps stratum value -> threshold hex;
     * strata not listed are dropped entirely. One scan, no shuffle — the
     * filter is a pure row-local expression.

@@ -76,6 +76,38 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** t6: benchmark decontamination ([[Dedup.contaminationCounts]]) — every
+    * 17th document plays the held-out eval set; each remaining corpus doc
+    * reports how many of its distinct 3-gram shingles appear anywhere in
+    * that set. The benchmark shingle vocabulary broadcasts, so the corpus
+    * never shuffles for the match — the standard shape for scrubbing eval
+    * overlap out of a 100 TB training corpus.
+    */
+  private val BenchMod = 17L
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = materializedShingles(docs)
+    val benchSh = sh.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+    val corpusSh = sh.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    val sizes = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = Dedup.contaminationCounts(corpusSh, benchSh)
+    docs
+      .filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+      .select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0L)) / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L)).as("contaminated"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -176,6 +208,7 @@ object DocQueries {
     "t1_token_stats" -> (tokenStats(_, _)),
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
     "t2_quality_score" -> (qualityScore(_, _)),
+    "t6_decontaminate" -> (decontaminate(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
@@ -326,6 +359,27 @@ object DocQueries {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+    "t6_decontaminate" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |bench AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 17 = 0),
+         |corpus AS (SELECT * FROM sh0 WHERE doc_id % 17 <> 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_hits
+         |  FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(s.n_shingles, 0) AS n_shingles,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CASE WHEN coalesce(s.n_shingles, 0) > 0
+         |       THEN coalesce(h.n_hits, 0) / s.n_shingles ELSE 0.0 END AS contamination,
+         |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN sizes s ON d.doc_id = s.doc_id
+         |LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 17 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  coalesce(

@@ -246,6 +246,26 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** s5: deterministic train/val/test split ([[Sampling.splitLabel]]) —
+    * hash-range assignment at ~80/10/10 (hex cuts cc000000 / e6000000).
+    * The draw is in the output so the gate pins each row's assignment.
+    */
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id")
+    ev.select(
+        col("event_id"),
+        col("user_id"),
+        Sampling.hashUniformHex("split", col("event_id")).as("u8"),
+        Sampling
+          .splitLabel(
+            "split",
+            col("event_id"),
+            Seq("train" -> "cc000000", "val" -> "e6000000"),
+            default = "test")
+          .as("split"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -359,6 +379,16 @@ object FeatureQueries {
            |  coalesce(h.last_interval, -1) AS last_interval
            |FROM prep p LEFT JOIN hits h ON p.event_id = h.event_id
            |ORDER BY p.event_id""".stripMargin,
+      "s5_hash_split" ->
+        """SELECT event_id, user_id, u8,
+          |  CASE WHEN u8 < 'cc000000' THEN 'train'
+          |       WHEN u8 < 'e6000000' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (
+          |  SELECT event_id, user_id,
+          |    substr(md5('split|' || CAST(event_id AS VARCHAR)), 1, 8) AS u8
+          |  FROM events)
+          |ORDER BY event_id""".stripMargin,
       "s4_stratified_sample" ->
         """SELECT event_id, user_id, stratum, u8 FROM (
           |  SELECT event_id, user_id, user_id % 4 AS stratum,
@@ -378,5 +408,6 @@ object FeatureQueries {
     "j3_asof_join" -> (asofSnapshots(_, _)),
     "j4_range_join" -> (rangeJoinAgg(_, _)),
     "w7_sessionize" -> (sessionize(_, _)),
-    "s4_stratified_sample" -> (stratifiedSample(_, _)))
+    "s4_stratified_sample" -> (stratifiedSample(_, _)),
+    "s5_hash_split" -> (hashSplit(_, _)))
 }

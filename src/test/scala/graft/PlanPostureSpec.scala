@@ -128,6 +128,14 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(sorts == 1, s"both window layers should share one sort; plan:\n$plan")
   }
 
+  test("decontamination matches corpus shingles via broadcast — no corpus-side shuffle for the match") {
+    val plan = queries.DocQueries.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench-shingle match must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join crept into decontamination:\n$plan")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString

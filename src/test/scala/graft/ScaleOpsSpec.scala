@@ -124,6 +124,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split partitions every row exactly once, stably across repartition") {
+    import graft.operators.Sampling
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select(
+          col("event_id"),
+          Sampling.splitLabel(
+            "split", col("event_id"), Seq("train" -> "cc000000", "val" -> "e6000000"), "test"))
+        .as[(Long, String)].collect().toMap
+    val a = splits(ev)
+    assert(a.size == ev.count(), "every row gets exactly one label")
+    assert(a.values.toSet == Set("train", "val", "test"))
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / a.size.toDouble).toMap
+    assert(math.abs(frac("train") - 0.796875) < 0.05, s"train fraction off: $frac")
+    assert(splits(ev.repartition(13)) == a, "split must not depend on partitioning")
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
