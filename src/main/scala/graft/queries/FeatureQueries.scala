@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Sampling, ServingJoin, Sessionize, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Sampling, ServingJoin, Sessionize, Sketches, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -266,6 +266,27 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** k1: KMV distinct-users-per-day sketch ([[Sketches.kmvDistinct]],
+    * k=64) next to the exact count. Days at the gate scale hold >64
+    * distinct users, so the ESTIMATOR branch (not just the exact-m
+    * fallback) is oracle-gated; sf0.001 days hold <64, gating the
+    * fallback. The sketch is deterministic md5+integer math, so the gate
+    * pins it bit-for-bit — no tolerance band.
+    */
+  private val KmvK = 64
+
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(expr("ord_us div 86400000000").as("day"), col("user_id"))
+    val sketch = Sketches.kmvDistinct(ev, "day", col("user_id"), KmvK, "kmv")
+    val exact = ev.groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_nd"))
+    sketch
+      .join(exact, Seq("day"))
+      .select("day", "m", "hk", "est_nd", "exact_nd")
+      .transform(orderedOutput(_, col("day")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -379,6 +400,24 @@ object FeatureQueries {
            |  coalesce(h.last_interval, -1) AS last_interval
            |FROM prep p LEFT JOIN hits h ON p.event_id = h.event_id
            |ORDER BY p.event_id""".stripMargin,
+      "k1_kmv_distinct" ->
+        s"""WITH prep AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+           |h AS (
+           |  SELECT DISTINCT day,
+           |    CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+           |  FROM prep),
+           |rk AS (
+           |  SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS r FROM h),
+           |top AS (
+           |  SELECT day, count(*) AS m, max(hv) AS hk FROM rk WHERE r <= $KmvK GROUP BY 1),
+           |ex AS (SELECT day, count(DISTINCT user_id) AS exact_nd FROM prep GROUP BY 1)
+           |SELECT t.day, t.m, t.hk,
+           |  CASE WHEN t.m < $KmvK THEN t.m
+           |       ELSE (${(KmvK - 1).toLong * 4294967296L} // t.hk) END AS est_nd,
+           |  e.exact_nd
+           |FROM top t JOIN ex e ON t.day = e.day
+           |ORDER BY t.day""".stripMargin,
       "s5_hash_split" ->
         """SELECT event_id, user_id, u8,
           |  CASE WHEN u8 < 'cc000000' THEN 'train'
@@ -409,5 +448,6 @@ object FeatureQueries {
     "j4_range_join" -> (rangeJoinAgg(_, _)),
     "w7_sessionize" -> (sessionize(_, _)),
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
-    "s5_hash_split" -> (hashSplit(_, _)))
+    "s5_hash_split" -> (hashSplit(_, _)),
+    "k1_kmv_distinct" -> (kmvDistinct(_, _)))
 }
