@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Components, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,29 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** d10: dedup cluster formation ([[Components.connectedComponents]]) —
+    * the d2 near-dup PAIRS resolved into GROUPS: every doc labeled with
+    * the min doc id reachable through the jaccard>=0.5 similarity graph,
+    * so deduplication is `filter(is_dup = 0)`. The Spark side is
+    * iterative min-label propagation (one equi-join per round); the
+    * oracle is a DuckDB RECURSIVE CTE transitive closure — two
+    * independent fixpoint algorithms gated to identical labels.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup
+      .jaccardPairs(materializedShingles(docs))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Components
+      .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("canonical_id"),
+        when(col("id") =!= col("label"), lit(1L)).otherwise(lit(0L)).as("is_dup"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -205,6 +228,7 @@ object DocQueries {
     "d2c_jaccard_capped" -> (jaccardNearDupCapped(_, _)),
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
     "d4_simhash" -> (simhash(_, _)),
+    "d10_dedup_clusters" -> (dedupClusters(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
     "t2_quality_score" -> (qualityScore(_, _)),
@@ -359,6 +383,19 @@ object DocQueries {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+    "d10_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglePairs,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS canonical_id,
+         |  CAST(CASE WHEN min(b) <> a THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM reach GROUP BY a ORDER BY a""".stripMargin,
     "t6_decontaminate" ->
       s"""WITH sh0 AS (
          |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle

@@ -161,6 +161,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(errs.nonEmpty && errs.max < 0.25, s"KMV error ${errs.max} out of band")
   }
 
+  test("connected components: chains, disjoint clusters, and singletons all converge") {
+    import graft.operators.Components
+    // a 10-node chain (diameter 9 — forces several propagation rounds),
+    // a triangle, and two singletons
+    val edges = ((10L to 18L).map(i => (i, i + 1)) ++ Seq((30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("src", "dst")
+    val nodes = ((10L to 19L) ++ Seq(30L, 31L, 32L, 77L, 99L)).toDF("id")
+    val got = Components.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 19L).forall(got(_) == 10L), s"chain not converged: $got")
+    assert(Seq(30L, 31L, 32L).forall(got(_) == 30L))
+    assert(got(77L) == 77L && got(99L) == 99L)
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
