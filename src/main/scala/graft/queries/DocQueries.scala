@@ -171,6 +171,21 @@ object DocQueries {
       .withColumn("tokens_per_word", col("n_bpe_tokens") / col("n_ws_tokens"))
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t7: vocabulary building — global term frequency + document frequency
+    * per token, top 50 by tf (token tie-break keeps the cut deterministic
+    * in both engines). One shuffle by token with map-side partial
+    * aggregation; the top-k is TakeOrderedAndProject — per-partition
+    * heaps, never a global sort.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .transform(orderedOutput(_, col("tf").desc, col("token")))
+      .limit(50)
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -233,6 +248,7 @@ object DocQueries {
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
     "t2_quality_score" -> (qualityScore(_, _)),
     "t6_decontaminate" -> (decontaminate(_, _)),
+    "t7_vocab_topk" -> (vocabTopK(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
@@ -417,6 +433,10 @@ object DocQueries {
          |LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id % 17 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    "t7_vocab_topk" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  coalesce(
