@@ -45,9 +45,17 @@ object Components {
     var labels = nodes
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var changed = 1L
+    // Labels only ever DECREASE (least of own + neighbor min), so the
+    // label sum strictly decreases exactly when any label changed —
+    // convergence detection is one aggregate over the checkpointed round,
+    // not a join against the previous one. decimal(38,0) because a sum of
+    // n ids is O(n^2), past Long at corpus scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val neighborMin = undirected
         .join(labels, undirected("dst") === labels("id"))
         .groupBy(undirected("src").as("nid"))
@@ -58,10 +66,9 @@ object Components {
           labels("id"),
           least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
