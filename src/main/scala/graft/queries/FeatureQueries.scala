@@ -287,6 +287,24 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("day")))
   }
 
+  /** a2: per-user spend quantiles — exact interpolated percentiles
+    * (Spark `percentile`, DuckDB `quantile_cont`: both define the
+    * p-quantile at rank p*(n-1) with linear interpolation) over exact
+    * integer cents, so the doubles agree bit-for-bit. The oracle-exact
+    * alternative to approx_percentile when per-group cardinalities are
+    * sortable; the sketch-based path stays k1's territory.
+    */
+  def spendQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("cents"), lit(0.5)).as("p50"),
+        percentile(col("cents"), lit(0.9)).as("p90"),
+        percentile(col("cents"), lit(0.99)).as("p99"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -400,6 +418,13 @@ object FeatureQueries {
            |  coalesce(h.last_interval, -1) AS last_interval
            |FROM prep p LEFT JOIN hits h ON p.event_id = h.event_id
            |ORDER BY p.event_id""".stripMargin,
+      "a2_spend_quantiles" ->
+        s"""WITH prep AS ($prep)
+           |SELECT user_id, count(*) AS n,
+           |  quantile_cont(cents, 0.5) AS p50,
+           |  quantile_cont(cents, 0.9) AS p90,
+           |  quantile_cont(cents, 0.99) AS p99
+           |FROM prep GROUP BY user_id ORDER BY user_id""".stripMargin,
       "k1_kmv_distinct" ->
         s"""WITH prep AS (
            |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
@@ -449,5 +474,6 @@ object FeatureQueries {
     "w7_sessionize" -> (sessionize(_, _)),
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
     "s5_hash_split" -> (hashSplit(_, _)),
-    "k1_kmv_distinct" -> (kmvDistinct(_, _)))
+    "k1_kmv_distinct" -> (kmvDistinct(_, _)),
+    "a2_spend_quantiles" -> (spendQuantiles(_, _)))
 }
