@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed parquet tables: the storage-layout half of the shuffle story.
+  *
+  * A join or aggregation on a key always shuffles UNLESS the data is
+  * already laid out by that key. Bucketing bakes the hash partitioning
+  * into the table: `bucketBy(n, key)` writes each partition's rows into
+  * n files by `hash(key) % n`, and `sortBy` orders rows within each
+  * bucket file. Two tables bucketed by the same key into the same bucket
+  * count then join with ZERO exchanges (and, with one file per bucket,
+  * zero sorts) — at 100 TB that converts the recurring per-query shuffle
+  * of a fact table into a one-time cost paid at ingest. The same layout
+  * satisfies groupBy distribution, so per-key aggregations skip their
+  * exchange too.
+  *
+  * Bucketed layout requires the table catalog (the bucket spec lives in
+  * table metadata, not the parquet files), hence `saveAsTable` rather
+  * than `parquet(path)`. BucketedJoinSpec asserts the exchange-free plans.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed, bucket-sorted catalog table. */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
