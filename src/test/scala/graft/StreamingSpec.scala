@@ -122,6 +122,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(arrivalMode(700L) == ((1200L, 3L)))
   }
 
+  test("streaming exact dedup drops watermark-window duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[StreamEvent]
+    val deduped = graft.streaming.StreamDedup.withinWatermark(
+      source.toDS().withColumn("ts", timestamp_micros(col("ordUs"))),
+      tsCol = "ts",
+      delay = "10 minutes",
+      idCols = Seq("userId", "ordUs"))
+    val sinkName = s"dedup_out_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+    try {
+      val t0 = 1700000000L * 1000000L
+      // batch 1: two originals + an in-batch duplicate
+      source.addData(Seq(
+        StreamEvent(1L, t0, 100L),
+        StreamEvent(1L, t0, 100L),
+        StreamEvent(2L, t0 + 1000000L, 200L)))
+      q.processAllAvailable()
+      // batch 2: a replayed duplicate (within watermark) + one new event
+      source.addData(Seq(
+        StreamEvent(1L, t0, 100L),
+        StreamEvent(3L, t0 + 2000000L, 300L)))
+      q.processAllAvailable()
+      val got = spark.table(sinkName).select("userId", "ordUs").as[(Long, Long)].collect().toSeq
+      assert(got.size == 3, s"duplicates must be dropped, got $got")
+      assert(got.toSet == Set((1L, t0), (2L, t0 + 1000000L), (3L, t0 + 2000000L)))
+    } finally q.stop()
+  }
+
   test("online store: last-write-wins by event time, string codec, snapshot round-trip") {
     val store = new OnlineFeatureStore(Seq("cnt_10m", "avg_10m"))
     store.put(7L, 100L, Array(2.0, 50.0))
