@@ -21,14 +21,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, bucket-sorted catalog table. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, bucket-sorted catalog table, replacing any
+    * previous incarnation. The location is cleaned explicitly because a
+    * managed table's files outlive an in-memory catalog: a fresh session
+    * no longer knows the table, so `mode(overwrite)` alone would refuse
+    * the orphaned directory with LOCATION_ALREADY_EXISTS.
+    */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
