@@ -51,7 +51,9 @@ object Components {
     // not a join against the previous one. decimal(38,0) because a sum of
     // n ids is O(n^2), past Long at corpus scale.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .head
+        .getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -39,9 +39,15 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       binUs: Long): DataFrame = {
-    val binned = intervals.withColumn(
-      "_bin",
-      explode(sequence(idiv(col(startCol), binUs), idiv(col(endCol) - 1, binUs))))
+    // Empty/inverted intervals can't match anything, and Spark's
+    // sequence(hi, lo) COUNTS DOWN rather than returning empty — drop
+    // them before exploding so a degenerate interval can't fan out junk
+    // bins.
+    val binned = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
+        "_bin",
+        explode(sequence(idiv(col(startCol), binUs), idiv(col(endCol) - 1, binUs))))
     points
       .withColumn("_bin", idiv(col(tsCol), binUs))
       .join(binned, Seq("_bin"))
