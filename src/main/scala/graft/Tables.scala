@@ -37,6 +37,28 @@ object Tables {
       else raw.withColumn("ord_us", unix_micros(col("ts")))
     withOrd.withColumn("ts", timestamp_micros(col("ord_us")))
   }
+  /** Events restricted to `ord_us` in [loUs, hiUs), with the predicate
+    * applied to the RAW `ts` column so it reaches the parquet scan as a
+    * pushed filter (row-group pruning — the difference between skipping
+    * and reading a 100 TB table for a narrow date range). A filter on the
+    * derived `ord_us` cannot push past its own projection; the raw-column
+    * range is exactly equivalent: for non-negative nanos,
+    * ts div 1000 >= lo  <=>  ts >= lo*1000, and likewise for the upper
+    * bound. PlanPostureSpec asserts the pushdown.
+    */
+  def eventsInRange(spark: SparkSession, sfDir: String, loUs: Long, hiUs: Long): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    val restricted =
+      if (raw.schema("ts").dataType == LongType)
+        raw.filter(col("ts") >= loUs * 1000L && col("ts") < hiUs * 1000L)
+          .withColumn("ord_us", expr("ts div 1000"))
+      else
+        raw.filter(
+            col("ts") >= timestamp_micros(lit(loUs)) && col("ts") < timestamp_micros(lit(hiUs)))
+          .withColumn("ord_us", unix_micros(col("ts")))
+    restricted.withColumn("ts", timestamp_micros(col("ord_us")))
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -141,8 +141,7 @@ object RelationalQueries {
     val lo = 1705276800000000L // 2024-01-15T00:00:00Z in micros
     val hi = 1706140800000000L // 2024-01-25T00:00:00Z
     Tables
-      .events(spark, sfDir)
-      .filter(col("ord_us") >= lo && col("ord_us") < hi)
+      .eventsInRange(spark, sfDir, lo, hi)
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(col("event_type"))
       .agg(

@@ -136,6 +136,24 @@ class PlanPostureSpec extends AnyFunSuite {
       s"non-equi join crept into decontamination:\n$plan")
   }
 
+  test("date-range predicate pushes into the parquet scan; projections prune the read schema") {
+    // p4: the range must reach the scan as pushed min/max filters on the
+    // RAW ts column (row-group pruning), not sit above the projection
+    val p4 = SparkEntry.queries("p4_date_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p4).mkString("\n")
+    assert(
+      pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"date range not pushed to the events scan:\n$pushed")
+    // s5 touches 2 of events' columns; the scan must read exactly those
+    val s5 = SparkEntry.queries("s5_hash_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(s5).map(_.group(1)).getOrElse("")
+    val colNames = scanCols.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(colNames == Set("event_id", "user_id"), s"scan not pruned: read $scanCols")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString
