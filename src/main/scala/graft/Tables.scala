@@ -29,8 +29,11 @@ object Tables {
     * conversion would lose precision above 2^53) plus a real TimestampType
     * `ts` for event-time operators. Matches DuckDB's `epoch_us(ts)` exactly.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = load(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTime(load(spark, sfDir, "events"))
+
+  /** Shared ord_us/ts normalization for the two event loaders. */
+  private def normalizeEventTime(raw: DataFrame): DataFrame = {
     val withOrd =
       if (raw.schema("ts").dataType == LongType)
         raw.withColumn("ord_us", expr("ts div 1000"))
@@ -48,15 +51,20 @@ object Tables {
     */
   def eventsInRange(spark: SparkSession, sfDir: String, loUs: Long, hiUs: Long): DataFrame = {
     val raw = load(spark, sfDir, "events")
+    // Bounds past Long.MaxValue/1000 cannot be converted to nanos without
+    // overflow (a Long.MaxValue "no upper bound" sentinel would wrap
+    // negative and match nothing); they are exactly "no events" below and
+    // "no cutoff" above, so degenerate to constant predicates instead.
+    val maxUs = Long.MaxValue / 1000L
     val restricted =
-      if (raw.schema("ts").dataType == LongType)
-        raw.filter(col("ts") >= loUs * 1000L && col("ts") < hiUs * 1000L)
-          .withColumn("ord_us", expr("ts div 1000"))
-      else
+      if (raw.schema("ts").dataType == LongType) {
+        val loPred = if (loUs > maxUs) lit(false) else col("ts") >= loUs * 1000L
+        val hiPred = if (hiUs > maxUs) lit(true) else col("ts") < hiUs * 1000L
+        raw.filter(loPred && hiPred)
+      } else
         raw.filter(
-            col("ts") >= timestamp_micros(lit(loUs)) && col("ts") < timestamp_micros(lit(hiUs)))
-          .withColumn("ord_us", unix_micros(col("ts")))
-    restricted.withColumn("ts", timestamp_micros(col("ord_us")))
+          col("ts") >= timestamp_micros(lit(loUs)) && col("ts") < timestamp_micros(lit(hiUs)))
+    normalizeEventTime(restricted)
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -75,6 +75,12 @@ object Components {
       iter += 1
     }
     undirected.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph diameter " +
+          "exceeds the budget; raise maxIter (or use a star-contraction variant for " +
+          "adversarially deep graphs). Returning partial labels would silently keep " +
+          "duplicates downstream.")
     labels
   }
 }

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor-division for non-negative long columns. */
-  private def idiv(c: Column, d: Long): Column =
-    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+  /** Exact integral floor-division by SQL name (`div` is Spark's integer
+    * division OPERATOR, so this never routes through doubles — `/` would
+    * lose units above 2^53, i.e. on nanosecond timestamps).
+    */
+  private def idivExpr(colName: String, offset: Long, d: Long): Column =
+    expr(s"(`$colName` + ($offset)) div $d")
 
   /** Pairs (point row ++ interval row) where `points.tsCol` lies in
     * `[intervals.startCol, intervals.endCol)`. Column sets of the two
@@ -47,9 +50,9 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn(
         "_bin",
-        explode(sequence(idiv(col(startCol), binUs), idiv(col(endCol) - 1, binUs))))
+        explode(sequence(idivExpr(startCol, 0L, binUs), idivExpr(endCol, -1L, binUs))))
     points
-      .withColumn("_bin", idiv(col(tsCol), binUs))
+      .withColumn("_bin", idivExpr(tsCol, 0L, binUs))
       .join(binned, Seq("_bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bin")

@@ -183,7 +183,10 @@ object DocQueries {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .transform(orderedOutput(_, col("tf").desc, col("token")))
+      // a GLOBAL sort under limit is what Catalyst rewrites to
+      // TakeOrderedAndProject — orderedOutput's single-partition sort
+      // would instead drag the whole vocabulary onto one task
+      .orderBy(col("tf").desc, col("token"))
       .limit(50)
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =

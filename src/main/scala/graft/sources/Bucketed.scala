@@ -30,9 +30,13 @@ object Bucketed {
   def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase)
+    // Managed-table locations are <warehouse>/<db>.db/<table> except for
+    // the default database, which sits directly under the warehouse root.
+    val db = spark.catalog.currentDatabase
+    val rel =
+      if (db == "default") table.toLowerCase
+      else s"${db.toLowerCase}.db/${table.toLowerCase}"
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

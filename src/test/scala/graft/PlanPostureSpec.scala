@@ -154,6 +154,13 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(colNames == Set("event_id", "user_id"), s"scan not pruned: read $scanCols")
   }
 
+  test("vocab top-k plans TakeOrderedAndProject, not a single-partition global sort") {
+    val plan = queries.DocQueries.vocabTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut must use per-partition heaps:\n$plan")
+  }
+
   test("similarity hot path uses the native dot-product expression, not HOFs") {
     val plan = queries.VectorQueries.embedNearDup(spark, sf)
       .queryExecution.executedPlan.toString
