@@ -189,6 +189,38 @@ object DocQueries {
       .orderBy(col("tf").desc, col("token"))
       .limit(50)
 
+  /** t8: sequence packing — lay documents contiguously into fixed
+    * token-budget training sequences (GPT-style packed pretraining with
+    * document spillover): each doc's pack id and intra-pack offset fall
+    * out of a prefix sum of token counts. Packing is per SHARD
+    * (doc_id mod 8) so the cumsum is a partitioned window — the global
+    * single-sequence variant would serialize the corpus through one
+    * partition, which is exactly what sharded packing exists to avoid at
+    * 100 TB (shards map to parallel writer tasks).
+    */
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_tok div $PackBudget"))
+      .withColumn("pack_off", pmod(col("start_tok"), lit(PackBudget)))
+      .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id", "pack_off")
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -252,6 +284,7 @@ object DocQueries {
     "t2_quality_score" -> (qualityScore(_, _)),
     "t6_decontaminate" -> (decontaminate(_, _)),
     "t7_vocab_topk" -> (vocabTopK(_, _)),
+    "t8_sequence_packing" -> (sequencePacking(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
@@ -440,6 +473,21 @@ object DocQueries {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    "t8_sequence_packing" ->
+      """SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  start_tok // 2048 AS pack_id,
+        |  start_tok % 2048 AS pack_off
+        |FROM (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |    CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS start_tok
+        |  FROM (
+        |    SELECT doc_id, doc_id % 8 AS shard,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents)
+        |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  coalesce(
