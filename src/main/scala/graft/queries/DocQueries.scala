@@ -221,6 +221,27 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** s6: deterministic epoch shuffle — the training-order stage that
+    * precedes packing: each epoch's order is a rank over md5(seed|doc_id)
+    * within a shard, so the "random" order is reproducible across runs,
+    * engines, and partitionings (an RNG-based shuffle is none of these),
+    * and changing the seed string re-shuffles. Shard-local ranks keep the
+    * sort partitioned; the tie-break on doc_id pins md5-collision order.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u8 = graft.operators.Sampling.hashUniformHex("epoch0", col("doc_id"))
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"), u8.as("u8"))
+      .withColumn(
+        "shuffle_pos",
+        row_number()
+          .over(Window.partitionBy(col("shard")).orderBy(col("u8"), col("doc_id")))
+          .cast("long"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -285,6 +306,7 @@ object DocQueries {
     "t6_decontaminate" -> (decontaminate(_, _)),
     "t7_vocab_topk" -> (vocabTopK(_, _)),
     "t8_sequence_packing" -> (sequencePacking(_, _)),
+    "s6_epoch_shuffle" -> (epochShuffle(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
@@ -473,6 +495,15 @@ object DocQueries {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    "s6_epoch_shuffle" ->
+      """SELECT doc_id, shard, u8,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "t8_sequence_packing" ->
       """SELECT doc_id, shard, n_tokens, cum_tokens,
         |  start_tok // 2048 AS pack_id,
