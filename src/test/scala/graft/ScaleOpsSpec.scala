@@ -175,6 +175,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got(77L) == 77L && got(99L) == 99L)
   }
 
+  test("star-contraction components equal min-propagation and survive a 200-node chain") {
+    import graft.operators.Components
+    // the deep-chain case min-propagation cannot touch (needs 199 rounds)
+    val chainEdges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainNodes = (0L to 200L).toDF("id") // 200 is a singleton
+    val star = Components.connectedComponentsStar(chainNodes, chainEdges)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 199L).forall(star(_) == 0L), "chain must collapse to root 0")
+    assert(star(200L) == 200L)
+    // equivalence with min-propagation on a multi-component mixed graph
+    val edges = Seq((10L, 11L), (11L, 12L), (30L, 31L), (31L, 32L), (30L, 32L), (5L, 3L))
+      .toDF("src", "dst")
+    val nodes = (Seq(3L, 5L, 77L) ++ (10L to 12L) ++ (30L to 32L)).toDF("id")
+    val a = Components.connectedComponents(nodes, edges).as[(Long, Long)].collect().toMap
+    val b = Components.connectedComponentsStar(nodes, edges).as[(Long, Long)].collect().toMap
+    assert(a == b, s"star and propagation disagree: $a vs $b")
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
