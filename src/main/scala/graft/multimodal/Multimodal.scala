@@ -97,6 +97,24 @@ object Multimodal {
     }
   }
 
+  /** Real header-derived dimensions ([[ImageHeaders]]): parses PNG/BMP
+    * container bytes per record — validates or replaces sidecar metadata
+    * without any codec library. Runs in the same mapPartitions shape as
+    * feature extraction; only the leading header bytes are touched.
+    */
+  def probeDims(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc: Encoder[(Long, String, Int, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaInt, Encoders.scalaInt)
+    media
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = ImageHeaders.probe(r.blob)
+          (r.mediaId, p.format, p.width, p.height)
+        }
+      }
+      .toDF("mediaId", "format", "probe_width", "probe_height")
+  }
+
   /** Metadata-only resize plan step: no payload decode, pure projection. */
   def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(

@@ -75,4 +75,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.filter(col("target_width") > col("width")).count() == 0)
     assert(resized.filter(greatest(col("target_width"), col("target_height")) > 128).count() == 0)
   }
+
+  test("multimodal: PNG/BMP dimensions parse from REAL container headers, not metadata") {
+    import graft.multimodal.{ImageHeaders, Multimodal}
+    import graft.multimodal.Multimodal.MediaRecord
+    // genuine PNG layout: signature, IHDR length(13), "IHDR", BE w/h
+    def be(i: Int) = Array[Byte]((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be(13) ++ "IHDR".getBytes ++ be(640) ++ be(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    // genuine BMP layout: "BM", file header, LE w/h at offsets 18/22
+    def le(i: Int) = Array[Byte](i.toByte, (i >>> 8).toByte, (i >>> 16).toByte, (i >>> 24).toByte)
+    val bmp = "BM".getBytes ++ le(126) ++ le(0) ++ le(54) ++ le(40) ++ le(320) ++ le(-200) ++
+      Array[Byte](1, 0)
+    assert(ImageHeaders.probe(png) == ImageHeaders.Probe("png", 640, 480))
+    assert(ImageHeaders.probe(bmp) == ImageHeaders.Probe("bmp", 320, 200), "top-down BMP height")
+    assert(ImageHeaders.probe(Array[Byte](1, 2, 3)).format == "unknown")
+
+    import spark.implicits._
+    val rows = Seq(
+      MediaRecord(1L, "image", png, 0, 0, 0),
+      MediaRecord(2L, "image", bmp, 0, 0, 0),
+      MediaRecord(3L, "audio", Array[Byte](9, 9, 9), 0, 0, 16000)).toDS()
+    val probed = Multimodal.probeDims(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(probed(1L) == (("png", 640, 480)))
+    assert(probed(2L) == (("bmp", 320, 200)))
+    assert(probed(3L) == (("unknown", 0, 0)))
+  }
 }
