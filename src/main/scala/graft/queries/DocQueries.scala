@@ -243,6 +243,12 @@ object DocQueries {
   }
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    scoredDocs(spark, sfDir)
+      .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
+      .transform(orderedOutput(_, col("doc_id")))
+
+  /** Shared t2 scoring frame (no gate-output sort) — feeds t2 and s7. */
+  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
       .withColumn("w", TextAnalysis.tokens(col("text")))
@@ -259,8 +265,24 @@ object DocQueries {
       .withColumn(
         "quality_band",
         when(col("quality_score") >= 0.5, lit("good")).otherwise(lit("low")))
-      .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
+
+  /** s7: quality-weighted importance sampling — each document survives
+    * with probability equal to its t2 quality score (the Common-Crawl-
+    * style "sample good text more" stage), decided deterministically:
+    * keep iff hash32(seed|doc_id) < floor(score * 2^32). Same
+    * reproducibility contract as s4/s5 (partitioning/engine/re-run
+    * stable); the weight formula and the draw are both in the output so
+    * the gate pins the decision, not just the survivors.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.operators.Sketches.hash32("wsmp", col("doc_id"))
+    qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("draw", h)
+      .withColumn("cut", floor(col("quality_score") * lit(4294967296.0)))
+      .filter(col("draw") < col("cut"))
       .transform(orderedOutput(_, col("doc_id")))
+  }
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val profiles = TextAnalysis.langProfiles
@@ -307,6 +329,7 @@ object DocQueries {
     "t7_vocab_topk" -> (vocabTopK(_, _)),
     "t8_sequence_packing" -> (sequencePacking(_, _)),
     "s6_epoch_shuffle" -> (epochShuffle(_, _)),
+    "s7_weighted_sample" -> (weightedSample(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
@@ -495,6 +518,24 @@ object DocQueries {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    "s7_weighted_sample" ->
+      """SELECT doc_id, quality_score, draw,
+        |  CAST(floor(quality_score * 4294967296.0) AS BIGINT) AS cut
+        |FROM (
+        |  SELECT doc_id,
+        |    (stop_cnt / n_tokens) * 0.3
+        |      + least(sum_len / n_tokens / 10.0, 1.0) * 0.3
+        |      + (n_distinct / n_tokens) * 0.4 AS quality_score,
+        |    CAST(('0x' || substr(md5('wsmp|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS draw
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(w) AS n_tokens,
+        |      len(list_distinct(w)) AS n_distinct,
+        |      len(list_filter(w, t -> t IN ('the','a','of','and','to','in'))) AS stop_cnt,
+        |      CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+        |WHERE draw < CAST(floor(quality_score * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "s6_epoch_shuffle" ->
       """SELECT doc_id, shard, u8,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS BIGINT)
