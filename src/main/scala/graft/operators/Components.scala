@@ -16,10 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * graph state (the only driver work is the per-round convergence count).
   * Rounds needed = graph diameter; near-dup clusters are shallow
   * (dozens of near-identical docs all pairwise linked), so 3-5 rounds is
-  * typical even at corpus scale. For adversarially deep graphs (long
-  * chains) the classic fix is large-star/small-star (Kiveris et al. 2014,
-  * "Connected Components in MapReduce and Beyond"), which squares path
-  * lengths per round; not needed for the similarity-graph shape.
+  * typical — use this as the shallow-graph fast path. For adversarially
+  * deep graphs (long transitive chains from templated/boilerplate
+  * corpora) rounds = diameter is a scale hazard, so the GATED production
+  * path is [[connectedComponentsStar]] (Kiveris et al. 2014, "Connected
+  * Components in MapReduce and Beyond"), which squares path lengths per
+  * round and converges in O(log^2 n) rounds at any diameter.
   *
   * Each round references the previous labels TWICE (own label + neighbor
   * propagation), so without cutting lineage the logical plan doubles per

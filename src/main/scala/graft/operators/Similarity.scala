@@ -65,6 +65,18 @@ object Similarity {
   def trainStride(n: Long, nCells: Int, perCell: Long): Long =
     math.max(1L, n / (nCells.toLong * perCell))
 
+  /** ~1/stride hash sample of the prepared frame for k-means training.
+    * Keyed on md5 of the id, NOT `vec_id % stride` — an id-modulo filter
+    * assumes dense ids, and a post-dedup / post-sample corpus (the normal
+    * input downstream of this very pipeline) can have ids that never hit
+    * a residue class, silently starving the training set. The md5 draw is
+    * uniform for ANY id distribution and engine-portable (the oracle
+    * reproduces it via `('0x' || substr(md5(...), 1, 8))::BIGINT % s`).
+    */
+  def trainSample(base: DataFrame, stride: Long): DataFrame =
+    if (stride > 1L) base.filter(Sketches.hash32("kmtrain", col("vec_id")) % stride === 0)
+    else base
+
   /** Exact integer self dot product (squared norm). */
   def normSq(q: Column): Column = dot(q, q)
 
@@ -201,19 +213,29 @@ object Similarity {
   }
 
   /** Deterministic k-means (Lloyd) over the quantized vectors: seed with
-    * the first `nCells` training vectors (ids {0, stride, 2*stride, ...}
-    * below nCells*stride when training on a strided sample), then `iters`
-    * rounds of assign + component-wise integer-rounded mean. All
-    * arithmetic is exact-integer or a single deterministic double division
-    * + round-to-0-decimals, so the oracle reproduces the centroids
-    * bit-for-bit. Each round is one broadcast assignment plus one
-    * (cell, component) aggregation over the TRAINING set only — pass a
-    * strided sample ([[trainStride]]) so Lloyd cost scales with the cell
-    * count, not the corpus.
+    * the `nCells` training vectors of smallest md5-rank (order by
+    * (md5("kmseed|" + vec_id), vec_id) — a pure function of the id, so
+    * seeding is DENSITY-FREE: a post-dedup / post-sample corpus with
+    * sparse or shifted ids still yields exactly nCells seeds, where the
+    * previous `vec_id < nCells * stride` filter silently under-seeded),
+    * then `iters` rounds of assign + component-wise integer-rounded mean.
+    * All arithmetic is exact-integer or a single deterministic double
+    * division + round-to-0-decimals, so the oracle reproduces the
+    * centroids bit-for-bit. The seed rank is TakeOrderedAndProject over
+    * (vec_id, 8-hex-hash) rows — per-partition heaps of nCells narrow
+    * rows, never a global sort of the vectors. Each Lloyd round is one
+    * broadcast assignment plus one (cell, component) aggregation over the
+    * TRAINING set only — pass a hash sample ([[trainSample]]) so Lloyd
+    * cost scales with the cell count, not the corpus.
     */
-  def kmeansCentroids(train: DataFrame, nCells: Int, iters: Int, seedStride: Long = 1L): DataFrame = {
+  def kmeansCentroids(train: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val seedIds = train
+      .select(col("vec_id"), Sampling.hashUniformHex("kmseed", col("vec_id")).as("__h"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(nCells)
+      .select("vec_id")
     val seed = train
-      .filter(col("vec_id") < lit(nCells.toLong * seedStride))
+      .join(seedIds, "vec_id")
       .select(col("vec_id").as("cell"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     (1 to iters).foldLeft(seed) { (cent, _) =>
       val assigned = assignCells(train, cent)
@@ -287,9 +309,8 @@ object Similarity {
       maxCell: Long,
       trainStrideN: Long,
       nProbe: Int = 1): DataFrame = {
-    val train =
-      if (trainStrideN > 1L) base.filter(col("vec_id") % trainStrideN === 0) else base
-    val centroids = kmeansCentroids(train, nCells, lloydIters, trainStrideN)
+    val train = trainSample(base, trainStrideN)
+    val centroids = kmeansCentroids(train, nCells, lloydIters)
     // the probe self-join reads the assignment on both sides — persist it
     // so the Lloyd chain runs once, not per subtree (plan-deduped with
     // semDedup's identical assignment across queries)
@@ -345,8 +366,8 @@ object Similarity {
     val n = base.count()
     val nCells = autoCells(n, floorCells, capCells)
     val stride = trainStride(n, nCells, perCell)
-    val train = if (stride > 1L) base.filter(col("vec_id") % stride === 0) else base
-    val centroids = kmeansCentroids(train, nCells, lloydIters, stride)
+    val train = trainSample(base, stride)
+    val centroids = kmeansCentroids(train, nCells, lloydIters)
     // both sides of the in-cell pair join and the final output read the
     // assignment — persist it so the Lloyd chain runs once, not per subtree
     val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
@@ -534,7 +555,11 @@ object Similarity {
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val base = preparedCached(emb, idCol, embCol)
     val bits = autoBits(base.count(), targetBucket, floorBits)
-    val tables = math.min(maxTables, dim / bits)
+    // clamped to >= 1: once the derived bits exceed dim, dim / bits is 0
+    // and the query would silently return empty instead of degrading to a
+    // single (truncated) table — past that point use nearDupPairsRpAuto,
+    // whose random planes keep the table count free at any derived b
+    val tables = math.max(1, math.min(maxTables, dim / bits))
     blockedFromPrepared(base, threshold, bits, tables, maxBucket)
   }
 

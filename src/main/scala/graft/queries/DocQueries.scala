@@ -108,13 +108,17 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
-  /** d10: dedup cluster formation ([[Components.connectedComponents]]) —
-    * the d2 near-dup PAIRS resolved into GROUPS: every doc labeled with
+  /** d10: dedup cluster formation ([[Components.connectedComponentsStar]])
+    * — the d2 near-dup PAIRS resolved into GROUPS: every doc labeled with
     * the min doc id reachable through the jaccard>=0.5 similarity graph,
-    * so deduplication is `filter(is_dup = 0)`. The Spark side is
-    * iterative min-label propagation (one equi-join per round); the
-    * oracle is a DuckDB RECURSIVE CTE transitive closure — two
-    * independent fixpoint algorithms gated to identical labels.
+    * so deduplication is `filter(is_dup = 0)`. The Spark side is the
+    * diameter-INDEPENDENT large-star/small-star contraction (O(log^2 n)
+    * rounds on any graph shape — templated/boilerplate corpora produce
+    * long transitive chains that would cost min-label propagation one
+    * round per hop); the oracle is a DuckDB RECURSIVE CTE transitive
+    * closure — two independent fixpoint algorithms gated to identical
+    * labels. [[Components.connectedComponents]] (propagation) remains the
+    * shallow-graph fast path, equivalence-tested in ScaleOpsSpec.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -123,7 +127,7 @@ object DocQueries {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     Components
-      .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .connectedComponentsStar(docs.select(col("doc_id").as("id")), pairs)
       .select(
         col("id").as("doc_id"),
         col("label").as("canonical_id"),
@@ -199,7 +203,23 @@ object DocQueries {
     * 100 TB (shards map to parallel writer tasks).
     */
   private val PackBudget = 2048L
-  private val PackShards = 8L
+
+  /** Shard count DERIVED from corpus size — `max(8, ceil(n / target))`,
+    * the autoBits/autoCells pattern: a CONSTANT shard count is a
+    * parallelism ceiling (8 fixed shards at 100 TB means ~12.5 TB of
+    * cumsum per task), while ceil-division keeps every shard's prefix sum
+    * at ~`PackTargetPerShard` docs regardless of corpus size. Exact
+    * integer math, so both oracles reproduce the derivation verbatim from
+    * `count(*)` (`greatest(8, (count(*) + target - 1) // target)`); the
+    * gate corpus (500 docs) derives 8, the pre-derivation value.
+    */
+  private[graft] val PackTargetPerShard = 100000L
+  private[graft] def packShards(n: Long): Long =
+    math.max(8L, (n + PackTargetPerShard - 1L) / PackTargetPerShard)
+
+  /** SQL twin of [[packShards]] (DuckDB dialect). */
+  private val packShardsSql =
+    s"(SELECT greatest(8, (count(*) + ${PackTargetPerShard - 1}) // $PackTargetPerShard) AS ns FROM documents)"
 
   def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -207,11 +227,12 @@ object DocQueries {
       .partitionBy(col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
-      .documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val shards = packShards(docs.count())
+    docs
       .select(
         col("doc_id"),
-        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
@@ -226,14 +247,16 @@ object DocQueries {
     * within a shard, so the "random" order is reproducible across runs,
     * engines, and partitionings (an RNG-based shuffle is none of these),
     * and changing the seed string re-shuffles. Shard-local ranks keep the
-    * sort partitioned; the tie-break on doc_id pins md5-collision order.
+    * sort partitioned ([[packShards]] sizes the shard count from the
+    * corpus); the tie-break on doc_id pins md5-collision order.
     */
   def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u8 = graft.operators.Sampling.hashUniformHex("epoch0", col("doc_id"))
-    Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"), u8.as("u8"))
+    val docs = Tables.documents(spark, sfDir)
+    val shards = packShards(docs.count())
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"), u8.as("u8"))
       .withColumn(
         "shuffle_pos",
         row_number()
@@ -276,7 +299,10 @@ object DocQueries {
     */
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val h = graft.operators.Sketches.hash32("wsmp", col("doc_id"))
-    qualityScore(spark, sfDir)
+    // selects from the UNSORTED scoring frame — qualityScore applies the
+    // gate-only single-partition sort, which s7 would pay redundantly
+    // before its own filter + orderedOutput
+    scoredDocs(spark, sfDir)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("draw", h)
       .withColumn("cut", floor(col("quality_score") * lit(4294967296.0)))
@@ -537,28 +563,28 @@ object DocQueries {
         |WHERE draw < CAST(floor(quality_score * 4294967296.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "s6_epoch_shuffle" ->
-      """SELECT doc_id, shard, u8,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS BIGINT)
-        |    AS shuffle_pos
-        |FROM (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, shard, u8,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS BIGINT)
+         |    AS shuffle_pos
+         |FROM (
+         |  SELECT doc_id, doc_id % p.ns AS shard,
+         |    substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+         |  FROM documents CROSS JOIN $packShardsSql p)
+         |ORDER BY doc_id""".stripMargin,
     "t8_sequence_packing" ->
-      """SELECT doc_id, shard, n_tokens, cum_tokens,
-        |  start_tok // 2048 AS pack_id,
-        |  start_tok % 2048 AS pack_off
-        |FROM (
-        |  SELECT doc_id, shard, n_tokens,
-        |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
-        |    CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS start_tok
-        |  FROM (
-        |    SELECT doc_id, doc_id % 8 AS shard,
-        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |    FROM documents)
-        |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      s"""SELECT doc_id, shard, n_tokens, cum_tokens,
+         |  start_tok // 2048 AS pack_id,
+         |  start_tok % 2048 AS pack_off
+         |FROM (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS start_tok
+         |  FROM (
+         |    SELECT doc_id, doc_id % p.ns AS shard,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |    FROM documents CROSS JOIN $packShardsSql p)
+         |  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,

@@ -142,10 +142,11 @@ object VectorQueries {
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
   /** v3 IVF sizing: cells = clamp(sqrt(n), 16, 65536) (n=500 at the gate
-    * => 22 cells), k-means trained on a strided sample of ~64 vectors per
-    * cell, assigned cells capped at MaxCell before the probe join. See
-    * [[Similarity.autoCells]] for why sqrt — the round-3 derivation
-    * (cells = n/32) made centroid assignment O(n²/32).
+    * => 22 cells), k-means trained on a ~64-vectors-per-cell hash sample
+    * and seeded by md5-rank (both density-free — a sparse-id corpus still
+    * trains and seeds fully), assigned cells capped at MaxCell before the
+    * probe join. See [[Similarity.autoCells]] for why sqrt — the round-3
+    * derivation (cells = n/32) made centroid assignment O(n²/32).
     */
   private val IvfFloorCells = 16
   private val IvfCapCells = 65536
@@ -304,10 +305,14 @@ object VectorQueries {
        |params2 AS (
        |  SELECT cnt, c, greatest(1, cnt // (c * $IvfTrainPerCell)) AS s FROM params),
        |train AS (
-       |  SELECT b.* FROM base b CROSS JOIN params2 p WHERE b.vec_id % p.s = 0),
+       |  SELECT b.* FROM base b CROSS JOIN params2 p
+       |  WHERE CAST(('0x' || substr(md5('kmtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
        |cent0 AS (
-       |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm
-       |  FROM train CROSS JOIN params2 p WHERE vec_id < p.c * p.s),
+       |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM (
+       |    SELECT t.*, row_number() OVER (ORDER BY
+       |        substr(md5('kmseed|' || CAST(t.vec_id AS VARCHAR)), 1, 8), t.vec_id) AS srnk
+       |    FROM train t) CROSS JOIN params2 p
+       |  WHERE srnk <= p.c),
        |${lloydRound("cent0", 1)},
        |${lloydRound("cent1", 2)},
        |assigned0 AS (
@@ -405,7 +410,7 @@ object VectorQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d6_embed_neardup_lsh" -> blockedNearDupSql(
       s"""params AS (
-         |  SELECT b, least($BlockMaxTables, $EmbedDim // b) AS t FROM (
+         |  SELECT b, greatest(1, least($BlockMaxTables, $EmbedDim // b)) AS t FROM (
          |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
          |    FROM (SELECT count(*) AS cnt FROM embeddings)))""".stripMargin,
       NearDupThreshold),

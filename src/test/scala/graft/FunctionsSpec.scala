@@ -32,20 +32,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr.toSeq == viaHof.toSeq)
   }
 
+  test("packShards: gate corpus derives the legacy 8; big corpora scale out") {
+    import graft.queries.DocQueries.packShards
+    assert(packShards(500L) == 8L) // gate corpus: hashes move only by design
+    assert(packShards(800000L) == 8L)
+    assert(packShards(800001L) == 9L)
+    assert(packShards(1000000000L) == 10000L) // 10^9 docs -> 10^4-way cumsum
+    assert(packShards(100L * 1000L * 1000L * 1000L) == 1000000L) // 10^11 docs
+  }
+
   test("IVF ANN: every neighbor shares the query's cell; cells cover all vectors") {
+    import graft.operators.{Similarity, Sketches}
     import graft.operators.Similarity.{autoCells, trainStride}
     val sf = "/root/testdata/sf0.001"
-    val n = Tables.embeddings(spark, sf).count()
-    // cell ids are the SEED vectors' vec_ids: multiples of the training
-    // stride below nCells * stride (kmeansCentroids seeds from the strided
-    // sample), so the id space is bounded but not contiguous
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // cell ids are the SEED vectors' vec_ids: members of the md5-hash
+    // training sample (kmeansCentroids seeds by md5-rank within it)
     val c = autoCells(n, 16, 65536)
     val s = trainStride(n, c, 64L)
+    val trainIds = Similarity.trainSample(
+      emb.select(col("vec_id")), s).as[Long].collect().toSet
     val ann = VectorQueries.annIvf(spark, sf).cache()
     assert(ann.count() > 0)
-    assert(ann.filter(col("cell") >= c * s || col("cell") < 0 || col("cell") % s =!= 0).count() == 0)
+    val cells = ann.select("cell").distinct().as[Long].collect()
+    assert(cells.forall(trainIds.contains), "cell ids must be training-sample vec_ids")
     // each query appears at most once (k=1) with rank 1
     assert(ann.groupBy("query_id").count().filter(col("count") > 1).count() == 0)
     assert(ann.filter(col("rnk") =!= 1).count() == 0)
+  }
+
+  test("k-means seeding is density-free: sparse ids still yield nCells seeds") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    // post-dedup-shaped ids: vec_id * 1000 + 7 never hits a small residue
+    // class or a dense prefix — the old `vec_id < nCells` seed filter
+    // found ONE seed here (only id 7 qualifies); md5-rank finds all 16
+    val sparse = Tables.embeddings(spark, sf)
+      .withColumn("vec_id", col("vec_id") * 1000L + 7L)
+    val prep = Similarity.prepared(sparse, "vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(prep, 16, 1)
+    assert(cents.count() == 16L, "sparse-id corpus must still seed nCells centroids")
   }
 }

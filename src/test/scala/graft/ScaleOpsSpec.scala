@@ -177,10 +177,12 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("star-contraction components equal min-propagation and survive a 200-node chain") {
     import graft.operators.Components
-    // the deep-chain case min-propagation cannot touch (needs 199 rounds)
+    // the deep-chain case min-propagation cannot touch (needs 199 rounds);
+    // maxIter=12 asserts the O(log^2 n)-rounds contract, not just
+    // convergence — star must collapse diameter 199 in ~log rounds
     val chainEdges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
     val chainNodes = (0L to 200L).toDF("id") // 200 is a singleton
-    val star = Components.connectedComponentsStar(chainNodes, chainEdges)
+    val star = Components.connectedComponentsStar(chainNodes, chainEdges, maxIter = 12)
       .as[(Long, Long)].collect().toMap
     assert((0L to 199L).forall(star(_) == 0L), "chain must collapse to root 0")
     assert(star(200L) == 200L)
