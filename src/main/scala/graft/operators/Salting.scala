@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities for hot keys at cluster scale (SURVEY.md §7.4
@@ -32,6 +33,35 @@ object Salting {
     partial
       .groupBy(key.map(col): _*)
       .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** Skew-safe exact top-k per key: phase one ranks within (key, salt)
+    * and keeps each bucket's top k; phase two ranks the <= k * buckets
+    * survivors within key. A plain per-key window funnels a hot key's
+    * ENTIRE row set through one task (partial aggregation rescues salted
+    * sums, but nothing rescues a window sort — this is where skew
+    * genuinely bites Spark); the salted form bounds any task's sort at
+    * its bucket and the final pass at k * buckets rows per key. Exact,
+    * not approximate: every global top-k row ranks <= k inside its own
+    * bucket, so phase one never discards a winner. `order` must be a
+    * TOTAL order (include a tie-break column) or survivors at the cut are
+    * nondeterministic. Output: the input columns plus `rnk` (1-based).
+    */
+  def saltedTopK(
+      df: DataFrame,
+      key: Seq[String],
+      order: Seq[Column],
+      k: Int,
+      saltSource: Column,
+      buckets: Int): DataFrame = {
+    val w1 = Window.partitionBy((key.map(col) :+ col("__salt")): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .drop("__salt", "__r1")
   }
 
   /** Skewed equi-join: salt the big side deterministically, replicate the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Sampling, ServingJoin, Sessionize, Sketches, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Salting, Sampling, ServingJoin, Sessionize, Sketches, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -305,6 +305,49 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** g1: salted two-phase rollup ([[Salting.saltedSumCount]]) over the
+    * 5-value `event_type` key — the skewed-aggregation shape (every key
+    * is hot: ~n/5 rows each at any corpus size). The salt splits each hot
+    * key across 32 deterministic buckets in phase one; phase two reduces
+    * <= 5 * 32 partial rows. Results equal the direct groupBy — integer-
+    * cents sums are order-independent — which is exactly what the plain
+    * GROUP BY oracle pins.
+    */
+  private val SaltBuckets = 32
+
+  def saltedRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Salting
+      .saltedSumCount(
+        prepared(spark, sfDir),
+        key = Seq("event_type"),
+        valueCol = "cents",
+        saltSource = col("event_id"),
+        buckets = SaltBuckets)
+      .withColumn("avg_amount", col("sum_cents") / col("cnt") / lit(100.0))
+      .transform(orderedOutput(_, col("event_type")))
+
+  /** g2: skew-safe exact top-k per key ([[Salting.saltedTopK]]) — top-5
+    * spend events per event_type. The UNSALTED twin is a single window
+    * rank per key: a hot key's entire row set sorts in ONE task (the
+    * genuinely skew-bound window case that partial aggregation cannot
+    * rescue); the salted two-phase plan bounds every task at its bucket.
+    * The oracle is the plain one-window spelling — the gate pins the
+    * exactness argument (every global winner ranks <= k in its bucket).
+    */
+  private val TopSpendK = 5
+
+  def saltedTopSpend(spark: SparkSession, sfDir: String): DataFrame =
+    Salting
+      .saltedTopK(
+        prepared(spark, sfDir).select("event_id", "user_id", "event_type", "cents"),
+        key = Seq("event_type"),
+        order = Seq(col("cents").desc, col("event_id")),
+        k = TopSpendK,
+        saltSource = col("event_id"),
+        buckets = SaltBuckets)
+      .select("event_type", "rnk", "event_id", "user_id", "cents")
+      .transform(orderedOutput(_, col("event_type"), col("rnk")))
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -453,6 +496,22 @@ object FeatureQueries {
           |    substr(md5('split|' || CAST(event_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "g1_salted_rollup" ->
+        """SELECT event_type,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |  count(*) AS cnt,
+          |  CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS avg_amount
+          |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "g2_salted_topk" ->
+        """SELECT event_type, rnk, event_id, user_id, cents FROM (
+          |  SELECT event_type, event_id, user_id, cents,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY cents DESC, event_id) AS BIGINT) AS rnk
+          |  FROM (SELECT event_type, event_id, user_id,
+          |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
+          |WHERE rnk <= 5
+          |ORDER BY event_type, rnk""".stripMargin,
       "s4_stratified_sample" ->
         """SELECT event_id, user_id, stratum, u8 FROM (
           |  SELECT event_id, user_id, user_id % 4 AS stratum,
@@ -475,5 +534,7 @@ object FeatureQueries {
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
     "s5_hash_split" -> (hashSplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
-    "a2_spend_quantiles" -> (spendQuantiles(_, _)))
+    "a2_spend_quantiles" -> (spendQuantiles(_, _)),
+    "g1_salted_rollup" -> (saltedRollup(_, _)),
+    "g2_salted_topk" -> (saltedTopSpend(_, _)))
 }

@@ -214,4 +214,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(viaSalt == plain)
   }
+
+  test("salted top-k equals the one-window rank, including at the tie boundary") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (10k rows incl. duplicate values at the cut) + one cold
+    // key: the shape where a per-key window serializes into a single task
+    val rows = (0L until 10000L).map(i => ("hot", i, i % 100)) ++
+      (0L until 5L).map(i => ("cold", 100000L + i, i))
+    val df = rows.toDF("k", "id", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val direct = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 7).select("k", "rnk", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = Salting
+      .saltedTopK(df, Seq("k"), Seq(col("v").desc, col("id")), 7, col("id"), 16)
+      .select("k", "rnk", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == direct, "two-phase top-k must equal the single-window rank")
+  }
 }
