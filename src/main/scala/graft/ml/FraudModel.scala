@@ -60,13 +60,16 @@ object FraudModel {
 
   /** Adds `probability_fraud` and the thresholded label (F10). Works for
     * any probabilistic MLlib classifier over the same feature vector (LR
-    * and GBT here).
+    * and GBT here). The probability extraction is the built-in
+    * `vector_to_array` (codegen-friendly), not a Scala UDF — keeps the
+    * scoring projection inside whole-stage codegen.
     */
   def score(model: Transformer, df: DataFrame, threshold: Double = 0.25): DataFrame = {
-    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     model
       .transform(assembler.transform(df))
-      .withColumn("probability_fraud", probOf(col("probability")))
+      .withColumn(
+        "probability_fraud",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       .withColumn(
         "prediction_label",
         when(col("probability_fraud") > threshold, lit("FRAUD")).otherwise(lit("NOT FRAUD")))

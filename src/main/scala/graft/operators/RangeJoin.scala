@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   * Pick `binUs` near the typical interval span so the replication factor
   * stays small while bucket populations stay bounded.
   *
-  * All bin arithmetic is exact integer floor-division (micros are > 2^53,
-  * so double math would mis-bin boundary timestamps).
+  * All bin arithmetic is exact integer division — Spark's `div` truncates
+  * toward zero, which equals floor-division on the non-negative
+  * micro/nano timestamp domain this operator serves (and bin MEMBERSHIP
+  * is preserved by monotonicity either way); the point is that it never
+  * routes through doubles, which would mis-bin boundary timestamps above
+  * 2^53. Support for negative times would need an explicit floor-div.
   */
 object RangeJoin {
 
-  /** Exact integral floor-division by SQL name (`div` is Spark's integer
+  /** Integral division by SQL name (`div` is Spark's truncating integer
     * division OPERATOR, so this never routes through doubles — `/` would
-    * lose units above 2^53, i.e. on nanosecond timestamps).
+    * lose units above 2^53, i.e. on nanosecond timestamps). Truncation ==
+    * floor for the non-negative inputs this operator accepts.
     */
   private def idivExpr(colName: String, offset: Long, d: Long): Column =
     expr(s"(`$colName` + ($offset)) div $d")

@@ -35,11 +35,18 @@ final class TypedFeatureStore(val schema: FeatureGroupSchema) {
     case FeatureType.FString => s
   }
 
-  private def eventTimeOf(vals: Array[Any]): Double = vals(timeIdx) match {
-    case l: Long => l.toDouble
-    case d: Double => d
-    case other => other.toString.toDouble
-  }
+  /** Event-time comparison for LWW, per declared type: Longs compare as
+    * Long (coercing to Double would lose precision above 2^53 — the exact
+    * rounding failure this typed store exists to avoid for Integral
+    * columns), Doubles as Double; mixed/unknown representations fall back
+    * to the string codec's numeric parse on BOTH sides.
+    */
+  private def newerOrSame(a: Array[Any], b: Array[Any]): Boolean =
+    (a(timeIdx), b(timeIdx)) match {
+      case (x: Long, y: Long) => x >= y
+      case (x: Double, y: Double) => x >= y
+      case (x, y) => x.toString.toDouble >= y.toString.toDouble
+    }
 
   /** Upsert one record in the reference wire format (ValueAsString in).
     * Replaces the key's record iff the new event time is >= the stored one
@@ -54,9 +61,8 @@ final class TypedFeatureStore(val schema: FeatureGroupSchema) {
           throw new IllegalArgumentException(s"record missing feature '${f.name}'")))
     }.toArray
     val key = vals(idIdx)
-    val t = eventTimeOf(vals)
     records.updateWith(key) {
-      case existing @ Some(old) if eventTimeOf(old) > t => existing
+      case existing @ Some(old) if !newerOrSame(vals, old) => existing
       case _ => Some(vals)
     }
   }

@@ -97,4 +97,24 @@ class FeatureGroupSchemaSpec extends AnyFunSuite {
       store.putRecord(Map("cc_num" -> "1", "trans_time" -> "1.0"))
     }
   }
+
+  test("Integral event times above 2^53 compare as Long, not via a Double detour") {
+    import graft.store.FeatureGroupSchema.FeatureDef
+    val schema = FeatureGroupSchema(
+      description = "nanosecond-event-time group",
+      features = Seq(FeatureDef("id", "bigint"), FeatureDef("t_ns", "bigint"),
+        FeatureDef("v", "double")),
+      recordIdentifier = "id",
+      eventTimeFeature = "t_ns",
+      tags = Map.empty)
+    val store = new TypedFeatureStore(schema)
+    // consecutive nanosecond stamps above 2^53: equal after a Double
+    // round-trip, so a Double-coerced LWW would wrongly accept the stale put
+    val t1 = (1L << 53) + 1L
+    val t0 = (1L << 53) // == t1.toDouble bit pattern
+    assert(t1.toDouble == t0.toDouble, "stamps must collide as doubles")
+    store.putRecord(Map("id" -> "7", "t_ns" -> t1.toString, "v" -> "2.0"))
+    store.putRecord(Map("id" -> "7", "t_ns" -> t0.toString, "v" -> "9.0"))
+    assert(store.getRecord(7L).get("v") == 2.0, "older Long stamp must lose LWW")
+  }
 }

@@ -90,6 +90,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ImageHeaders.probe(png) == ImageHeaders.Probe("png", 640, 480))
     assert(ImageHeaders.probe(bmp) == ImageHeaders.Probe("bmp", 320, 200), "top-down BMP height")
     assert(ImageHeaders.probe(Array[Byte](1, 2, 3)).format == "unknown")
+    // genuine JPEG layout: SOI, APP0 (JFIF), DQT filler segment, then a
+    // baseline SOF0 frame header [len][precision][BE height][BE width]
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >>> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    def be2(i: Int) = Array[Byte]((i >>> 8).toByte, (i & 0xff).toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = seg(0xe0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array.fill[Byte](65)(3))
+    val sof0 = seg(0xc0, Array[Byte](8) ++ be2(240) ++ be2(320) ++ Array[Byte](3))
+    val sof2 = seg(0xc2, Array[Byte](8) ++ be2(64) ++ be2(128) ++ Array[Byte](1))
+    assert(ImageHeaders.probe(soi ++ app0 ++ dqt ++ sof0) ==
+      ImageHeaders.Probe("jpeg", 320, 240), "baseline SOF0 dims")
+    assert(ImageHeaders.probe(soi ++ app0 ++ sof2) ==
+      ImageHeaders.Probe("jpeg", 128, 64), "progressive SOF2 dims")
+    // truncated-after-SOI and SOS-before-SOF streams probe as dimensionless jpeg
+    assert(ImageHeaders.probe(soi ++ app0) == ImageHeaders.Probe("jpeg", 0, 0))
+    assert(ImageHeaders.probe(soi ++ Array(0xff, 0xda).map(_.toByte)) ==
+      ImageHeaders.Probe("jpeg", 0, 0))
 
     import spark.implicits._
     val rows = Seq(

@@ -81,6 +81,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assertFlip(FraudModel.trainGbt(labeledAggregates))
   }
 
+  test("GBT at reference fidelity (100 rounds, matching num_round=100) still flips") {
+    // the reference trains XGBoost with num_round=100
+    // (/root/reference/notebooks/3_train_and_deploy_model.ipynb:182-188);
+    // the default 25 is the fast in-engine retrain setting — this pins the
+    // full-fidelity configuration too
+    assertFlip(FraudModel.trainGbt(labeledAggregates, trees = 100))
+  }
+
   test("hash sampling is partitioning-independent and rate-accurate (df.sample is neither)") {
     import graft.operators.Sampling
     val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id")
