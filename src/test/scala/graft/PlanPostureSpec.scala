@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.FeatureQueries
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan posture gates for the core pipeline: these encode the
@@ -126,6 +127,25 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected one hash exchange, got $hashExchanges in:\n$plan")
     val sorts = "Sort \\[user_id".r.findAllIn(plan).length
     assert(sorts == 1, s"both window layers should share one sort; plan:\n$plan")
+  }
+
+  test("salted top-k: phase one partitions by (key, salt) — the hot key never sorts in one task") {
+    val plan = operators.Salting
+      .saltedTopK(
+        Tables.events(spark, sf).select("event_id", "event_type", "value"),
+        Seq("event_type"),
+        Seq(col("value").desc, col("event_id")),
+        5,
+        col("event_id"),
+        32)
+      .queryExecution.executedPlan.toString
+    // two window layers: the first keyed on (event_type, __salt) so a hot
+    // key's rows spread across 32 reducers, the second on event_type over
+    // only the <= k * buckets survivors
+    assert("hashpartitioning\\(event_type[^)]*__salt".r.findAllIn(plan).nonEmpty,
+      s"phase-1 exchange must include the salt; plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected the two-phase exchanges, got $exchanges; plan:\n$plan")
   }
 
   test("decontamination matches corpus shingles via broadcast — no corpus-side shuffle for the match") {
