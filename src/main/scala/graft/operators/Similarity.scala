@@ -58,9 +58,10 @@ object Similarity {
   def autoCells(n: Long, floorCells: Int, capCells: Int): Int =
     math.min(capCells.toLong, math.max(floorCells.toLong, math.sqrt(n.toDouble).toLong)).toInt
 
-  /** Training-sample stride for k-means: keep ~perCell sample vectors per
-    * centroid (sample size ~ cells * perCell), so Lloyd cost is bounded by
-    * the CELL count, not the corpus: train on vec_id % stride == 0.
+  /** Training-sample rate divisor for k-means: keep ~perCell sample
+    * vectors per centroid (sample size ~ cells * perCell), so Lloyd cost
+    * is bounded by the CELL count, not the corpus; [[trainSample]] draws
+    * the ~1/stride subset by id hash.
     */
   def trainStride(n: Long, nCells: Int, perCell: Long): Long =
     math.max(1L, n / (nCells.toLong * perCell))
@@ -261,8 +262,8 @@ object Similarity {
     *   - cell count ~ sqrt(n), capped ([[autoCells]] via [[ivfTopKAuto]]):
     *     assignment O(n * sqrt(n)), probe O(n / sqrt(n)) per query, and
     *     the broadcast centroid table is absolutely bounded;
-    *   - k-means trains on a strided sample (`trainStride`), so Lloyd
-    *     rounds never scan the full corpus;
+    *   - k-means trains on a hash sample (`trainStride` rate via
+    *     `trainSample`), so Lloyd rounds never scan the full corpus;
     *   - cells larger than `maxCell` are dropped before the probe join
     *     ([[capBySize]]) — one degenerate cell cannot make the self-join
     *     quadratic; vectors in a dropped cell emit nothing (approximate
@@ -280,7 +281,7 @@ object Similarity {
     ivfFromPrepared(preparedCached(emb, idCol, embCol), nCells, k, lloydIters, maxCell, trainStrideN)
 
   /** [[ivfTopK]] with every parameter derived from the corpus count:
-    * cells = clamp(sqrt(n)) and a training stride keeping ~perCell sample
+    * cells = clamp(sqrt(n)) and a training-sample rate keeping ~perCell sample
     * vectors per centroid. The one count() materializes the shared
     * prepared frame, so candidate and verify passes read the cache.
     */

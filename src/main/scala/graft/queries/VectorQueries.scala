@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Similarity]]).
   *
   * Partition counts are DERIVED from corpus size (bucket bits =
-  * bitlength(n / targetBucket); IVF cells = clamp(sqrt(n)) with a strided
+  * bitlength(n / targetBucket); IVF cells = clamp(sqrt(n)) with a hashed
   * training sample) so per-bucket/per-cell join cost stays bounded as the
   * corpus grows while the broadcast centroid table stays O(1); each oracle
   * reproduces the derivation in SQL from count(*), so the gate also covers
@@ -293,7 +293,7 @@ object VectorQueries {
        |  FROM (SELECT cell, list(comp ORDER BY pos) AS c_qv FROM m$n GROUP BY cell))""".stripMargin
 
   /** The IVF quantizer chain shared by v3 and d9: derived cell count,
-    * strided training sample, seeded + 2 Lloyd rounds, nearest-centroid
+    * hash-drawn training sample, md5-rank seeds + 2 Lloyd rounds, nearest-centroid
     * assignment, hot-cell cap. Mirrors [[Similarity.semDedup]] /
     * [[Similarity.ivfTopKAuto]] stage for stage.
     */
