@@ -11,6 +11,8 @@ package graft.multimodal
   *   - BMP: 'B''M' signature; BITMAPINFOHEADER little-endian int32
   *     width/height at offsets 18 and 22 (height may be negative for
   *     top-down rows — reported as its magnitude).
+  *   - GIF: 'GIF87a'/'GIF89a' signature, then the logical-screen
+  *     little-endian uint16 width/height at byte offsets 6 and 8.
   *   - JPEG: FF D8 (SOI), then a marker-segment walk — each segment is
   *     FF <marker> <big-endian length incl. itself>; dimensions live in
   *     the first SOFn frame header (C0-CF except the non-frame C4/C8/CC):
@@ -74,6 +76,12 @@ object ImageHeaders {
       Probe("png", beInt(blob, 16), beInt(blob, 20))
     else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M')
       Probe("bmp", leInt(blob, 18), math.abs(leInt(blob, 22)))
+    else if (blob.length >= 10 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == '8' && (blob(4) == '7' || blob(4) == '9') && blob(5) == 'a')
+      Probe(
+        "gif",
+        ((blob(7) & 0xff) << 8) | (blob(6) & 0xff),
+        ((blob(9) & 0xff) << 8) | (blob(8) & 0xff))
     else if (blob.length >= 4 && (blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
       jpegProbe(blob)
     else Probe("unknown", 0, 0)

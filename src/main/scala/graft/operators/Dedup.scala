@@ -173,6 +173,44 @@ object Dedup {
     sums.select(col("doc_id"), hash.as("simhash16"))
   }
 
+  /** Exact long-substring overlap pairs (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array exact
+    * substring family, re-expressed as k-token shingle matching so it
+    * shuffles instead of building a global index): two docs pair iff they
+    * contain an identical k-token run (k ~ 15-50 in production; 3-gram
+    * Jaccard cannot see the difference between scattered shared phrases
+    * and one long verbatim copy — this operator can). Grams are
+    * md5-hashed BEFORE the shuffle so shuffle rows stay 32 hex chars at
+    * any k, and grams shared by more than `maxDf` docs are dropped first
+    * ([[Similarity.capBySize]] — one window pass; a boilerplate k-gram
+    * shared by millions of docs would otherwise make the pair join
+    * quadratic in its df). Sizes are computed over the SAME capped frame
+    * so containment stays a proper ratio. Output: doc_a < doc_b,
+    * n_shared (distinct shared k-grams), containment =
+    * n_shared / min(|grams_a|, |grams_b|).
+    */
+  def substringOverlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Long): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, k)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("gh"))
+    val cool = Similarity.capBySize(sh, "gh", maxDf)
+    val sizes = cool.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cool
+      .as("a")
+      .join(cool.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("containment", col("n_shared") / least(col("sz_a"), col("sz_b")))
+      .select("doc_a", "doc_b", "n_shared", "containment")
+  }
+
   /** Keep-one policy over duplicate groups: mark all but the canonical
     * (min-id) member of each group for removal.
     */

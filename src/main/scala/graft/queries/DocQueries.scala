@@ -135,6 +135,57 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** d11: exact long-substring overlap ([[Dedup.substringOverlapPairs]],
+    * k=15) — the Lee et al. 2022 "verbatim copy" detector next to d2's
+    * bag-of-shingles Jaccard: a pair appears iff the two docs share an
+    * identical 15-token run. md5-hashed grams keep the shuffle narrow;
+    * the df cap bounds boilerplate blowup (doesn't bite at the gate —
+    * d2c pins the cap-bites contract for the text plane).
+    */
+  private val SubstrN = 15
+  private val SubstrMaxDf = 256L
+
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup
+      .substringOverlapPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", SubstrN, SubstrMaxDf)
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+
+  /** t9: Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1): the fraction of the doc covered by its most frequent
+    * 2-gram and the duplicate-3-gram ratio — the standard "remove
+    * degenerate repetitive text" stage. The top-2-gram rank is a
+    * (count desc, gram) row_number so ties are deterministic in both
+    * engines; every ratio is integer/integer division.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("g3", TextAnalysis.shingles(col("w"), 3))
+      .withColumn("n_3grams", size(col("g3")).cast("long"))
+      .withColumn("n_distinct_3grams", size(array_distinct(col("g3"))).cast("long"))
+    val bigramCounts = docs
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("w"), 2)).as("g2"))
+      .groupBy(col("doc_id"), col("g2"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g2"))
+    val top = bigramCounts
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("g2").as("top_2gram"), col("c").as("top2_cnt"))
+    docs
+      .select("doc_id", "n_tokens", "n_3grams", "n_distinct_3grams")
+      .join(top, Seq("doc_id"))
+      .withColumn("top2_frac", col("top2_cnt") / (col("n_tokens") - 1))
+      .withColumn("dup3_ratio", lit(1.0) - col("n_distinct_3grams") / col("n_3grams"))
+      .select("doc_id", "n_tokens", "top_2gram", "top2_cnt", "top2_frac", "dup3_ratio")
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -348,6 +399,8 @@ object DocQueries {
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
     "d4_simhash" -> (simhash(_, _)),
     "d10_dedup_clusters" -> (dedupClusters(_, _)),
+    "d11_substring_dedup" -> (substringDedup(_, _)),
+    "t9_repetition" -> (repetitionStats(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
     "t2_quality_score" -> (qualityScore(_, _)),
@@ -519,6 +572,50 @@ object DocQueries {
          |SELECT a AS doc_id, min(b) AS canonical_id,
          |  CAST(CASE WHEN min(b) <> a THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
+    "d11_substring_dedup" -> {
+      val kg = SubstrN
+      s"""WITH sh AS (
+         |  SELECT doc_id, md5(g) AS gh FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      CASE WHEN len(w) >= $kg THEN list_transform(generate_series(1, len(w)-${kg - 1}),
+         |        i -> array_to_string(w[i:i+${kg - 1}], ' ')) ELSE [] END)) AS g
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         |cool AS (
+         |  SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY gh) <= $SubstrMaxDf),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM cool GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM cool a JOIN cool b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_shared,
+         |  i.n_shared / least(sa.sz, sb.sz) AS containment
+         |FROM inter i
+         |JOIN sizes sa ON i.doc_a = sa.doc_id
+         |JOIN sizes sb ON i.doc_b = sb.doc_id
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin
+    },
+    "t9_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+2], ' ')) ELSE [] END AS g3
+        |  FROM t),
+        |b2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS g2
+        |  FROM t),
+        |c2 AS (SELECT doc_id, g2, count(*) AS c FROM b2 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, g2 AS top_2gram, c AS top2_cnt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g2) AS r
+        |    FROM c2)
+        |  WHERE r = 1)
+        |SELECT s.doc_id, s.n_tokens, top_2gram, top2_cnt,
+        |  top2_cnt / (s.n_tokens - 1) AS top2_frac,
+        |  1.0 - len(list_distinct(g3)) / len(g3) AS dup3_ratio
+        |FROM base s JOIN top USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "t6_decontaminate" ->
       s"""WITH sh0 AS (
          |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle

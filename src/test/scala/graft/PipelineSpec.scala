@@ -109,6 +109,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(ImageHeaders.probe(soi ++ app0) == ImageHeaders.Probe("jpeg", 0, 0))
     assert(ImageHeaders.probe(soi ++ Array(0xff, 0xda).map(_.toByte)) ==
       ImageHeaders.Probe("jpeg", 0, 0))
+    // genuine GIF layout: signature + LE logical-screen dims at offsets 6/8
+    val gif = "GIF89a".getBytes ++
+      Array[Byte]((500 & 0xff).toByte, (500 >> 8).toByte, (300 & 0xff).toByte, (300 >> 8).toByte) ++
+      Array[Byte](0, 0, 0)
+    assert(ImageHeaders.probe(gif) == ImageHeaders.Probe("gif", 500, 300))
 
     import spark.implicits._
     val rows = Seq(
