@@ -223,6 +223,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaSalt == plain)
   }
 
+  test("substring overlap pairs verbatim copies but not scattered phrase overlap") {
+    import graft.operators.Dedup
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ") // a 20-token verbatim run
+    val docs = Seq(
+      // 1 and 2 share the 20-token run embedded in different contexts
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"omega $run"),
+      // 3 and 4 share every 3-gram of the run but never 15 consecutive
+      // tokens: same phrases, scattered — high Jaccard, no verbatim copy
+      (3L, (1 to 10).map(i => s"tok$i").mkString(" ") + " xx " +
+        (8 to 20).map(i => s"tok$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"tok$i").mkString(" ") + " yy " +
+        (8 to 20).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.substringOverlapPairs(docs, "doc_id", "text", 15, 256L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "the embedded 20-token run must pair 1-2")
+    assert(!pairs.contains((3L, 4L)), "scattered 3-gram overlap must NOT pair 3-4")
+    // n_shared for the 20-token run = 6 distinct 15-gram windows
+    val n = Dedup.substringOverlapPairs(docs, "doc_id", "text", 15, 256L)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("n_shared").as[Long].head()
+    assert(n == 6L, s"20-token run holds 6 shared 15-grams, got $n")
+  }
+
   test("salted top-k equals the one-window rank, including at the tie boundary") {
     import org.apache.spark.sql.expressions.Window
     // one hot key (10k rows incl. duplicate values at the cut) + one cold
