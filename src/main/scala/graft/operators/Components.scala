@@ -129,14 +129,15 @@ object Components {
     }
 
     // small-star: every neighbor v < u (and u itself) links to the min of
-    // u's below-neighborhood
+    // u's below-neighborhood. ONE join feeds both rewired edge sets (the
+    // v->mu and u->mu rows come out of the same joined row via explode)
+    // instead of joining down><m twice — one fewer shuffle per round.
     def smallStar(e: DataFrame): DataFrame = {
       val down = e.select(col("hi").as("u"), col("lo").as("v"))
       val m = down.groupBy(col("u")).agg(min(col("v")).as("mu"))
       val rewired = down
         .join(m, Seq("u"))
-        .select(col("v").as("src"), col("mu").as("dst"))
-        .union(down.join(m, Seq("u")).select(col("u").as("src"), col("mu").as("dst")))
+        .select(explode(array(col("v"), col("u"))).as("src"), col("mu").as("dst"))
       canonical(rewired)
     }
 
