@@ -305,6 +305,24 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** a3: approximate per-user quantiles via a deterministic 25% hash
+    * sample — a2's 100 TB companion: the exact per-group percentile sort
+    * runs over the md5-Bernoulli sample ([[Sampling.bernoulli]]), cutting
+    * sort/memory cost by the sample rate, while the estimate stays
+    * REPRODUCIBLE across engines, runs, and partitionings (an RNG sample
+    * or an engine-specific sketch is neither) — which is why the oracle
+    * can pin it bit-for-bit rather than within a tolerance band.
+    */
+  def sampledQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling
+      .bernoulli(prepared(spark, sfDir), "event_id", "aq", "40000000")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        percentile(col("cents"), lit(0.5)).as("p50"),
+        percentile(col("cents"), lit(0.9)).as("p90"))
+      .transform(orderedOutput(_, col("user_id")))
+
   /** g1: salted two-phase rollup ([[Salting.saltedSumCount]]) over the
     * 5-value `event_type` key — the skewed-aggregation shape (every key
     * is hot: ~n/5 rows each at any corpus size). The salt splits each hot
@@ -496,6 +514,15 @@ object FeatureQueries {
           |    substr(md5('split|' || CAST(event_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "a3_sampled_quantiles" ->
+        """WITH s AS (
+          |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events
+          |  WHERE substr(md5('aq|' || CAST(event_id AS VARCHAR)), 1, 8) < '40000000')
+          |SELECT user_id, count(*) AS n_sampled,
+          |  quantile_cont(cents, 0.5) AS p50,
+          |  quantile_cont(cents, 0.9) AS p90
+          |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
       "g1_salted_rollup" ->
         """SELECT event_type,
           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -535,6 +562,7 @@ object FeatureQueries {
     "s5_hash_split" -> (hashSplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
+    "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
     "g2_salted_topk" -> (saltedTopSpend(_, _)))
 }
