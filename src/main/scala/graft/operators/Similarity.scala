@@ -203,7 +203,7 @@ object Similarity {
     * broadcast side is bounded by [[autoCells]]'s capCells (it never grows
     * with the corpus), so per-vector cost is O(cells * d) flat.
     */
-  private def assignCells(base: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame = {
+  private[operators] def assignCells(base: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
     base
       .crossJoin(broadcast(centroids))

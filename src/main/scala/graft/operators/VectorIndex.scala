@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.sources.Bucketed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted IVF vector index — the production ANN lifecycle. The gated
+  * v3/v4/d9 queries derive + train + assign per run, which is right for
+  * one-shot pipeline stages; a serving corpus builds the index ONCE and
+  * amortizes it across every later query batch:
+  *
+  *   - [[build]] trains the same quantizer as [[Similarity.ivfTopKAuto]]
+  *     (sqrt-n cells, md5-hash training sample, md5-rank seeds, capped
+  *     cells) and persists BOTH halves: the bounded centroid table as a
+  *     plain catalog table and the cell assignment as a table BUCKETED BY
+  *     `cell` ([[graft.sources.Bucketed]]) — the 100 TB side of every
+  *     future probe join is hash-laid-out on disk at build time and never
+  *     shuffles again;
+  *   - [[topK]] assigns an arbitrary query batch to its nProbe nearest
+  *     stored centroids and joins in-cell. The only exchanges in the plan
+  *     sit on the (small) query side; VectorIndexSpec asserts the index
+  *     side reads its buckets exchange-free against an unbucketed control
+  *     AND that a probe against the reloaded index is bit-identical to
+  *     the from-scratch [[Similarity.ivfTopKAuto]] run (stored values are
+  *     the exact integers of the oracle discipline, so a parquet
+  *     round-trip changes nothing).
+  */
+object VectorIndex {
+
+  /** Derive, train, assign, persist. `table` gets the bucketed
+    * assignment (vec_id, qv, nrm, cell); `<table>_centroids` the
+    * centroid frame (cell, c_qv, c_nrm).
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      table: String,
+      floorCells: Int,
+      capCells: Int,
+      lloydIters: Int,
+      maxCell: Long = Similarity.DefaultMaxCell,
+      perCell: Long = 64L,
+      buckets: Int = 32): Unit = {
+    val base = Similarity.prepared(emb, idCol, embCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      val nCells = Similarity.autoCells(n, floorCells, capCells)
+      val stride = Similarity.trainStride(n, nCells, perCell)
+      val centroids =
+        Similarity.kmeansCentroids(Similarity.trainSample(base, stride), nCells, lloydIters)
+      val assigned = Similarity.capBySize(Similarity.assignCells(base, centroids), "cell", maxCell)
+      Bucketed.write(assigned, table, "cell", buckets)
+      Bucketed.writePlain(centroids, s"${table}_centroids")
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+
+  /** Top-k cosine probe of a query batch against persisted index frames.
+    * Exposed frame-first so callers (and the spec's unbucketed control)
+    * can supply any assignment source; [[topK]] is the catalog form.
+    */
+  def probeFrames(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val probes =
+      Similarity.assignCells(Similarity.prepared(queries, idCol, embCol), centroids, nProbe)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    probes
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("vec_id"),
+        col("b.cell").as("cell"),
+        Similarity
+          .cosine(Similarity.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm"))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cell", "rnk", "cosine")
+  }
+
+  /** [[probeFrames]] against the catalog tables [[build]] wrote. */
+  def topK(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nProbe: Int = 1): DataFrame =
+    probeFrames(
+      spark.table(table),
+      spark.table(s"${table}_centroids"),
+      queries,
+      idCol,
+      embCol,
+      k,
+      nProbe)
+}

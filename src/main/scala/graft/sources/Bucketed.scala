@@ -21,14 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, bucket-sorted catalog table, replacing any
-    * previous incarnation. The location is cleaned explicitly because a
-    * managed table's files outlive an in-memory catalog: a fresh session
-    * no longer knows the table, so `mode(overwrite)` alone would refuse
-    * the orphaned directory with LOCATION_ALREADY_EXISTS.
+  /** Drop `table` and its managed location. The location is cleaned
+    * explicitly because a managed table's files outlive an in-memory
+    * catalog: a fresh session no longer knows the table, so
+    * `mode(overwrite)` alone would refuse the orphaned directory with
+    * LOCATION_ALREADY_EXISTS.
     */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // Managed-table locations are <warehouse>/<db>.db/<table> except for
     // the default database, which sits directly under the warehouse root.
@@ -39,12 +38,28 @@ object Bucketed {
     val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Write `df` as a bucketed, bucket-sorted catalog table, replacing any
+    * previous incarnation (including its orphaned location).
+    */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, table)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Write `df` as a plain (unbucketed) catalog table with the same
+    * replace-including-location semantics as [[write]] — for the small
+    * side of an index (e.g. centroid tables) where bucketing buys nothing.
+    */
+  def writePlain(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

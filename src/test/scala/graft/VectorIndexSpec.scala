@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Similarity, VectorIndex}
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-index contract: a probe against the reloaded bucketed
+  * index must be bit-identical to the from-scratch IVF run, and the index
+  * side of the probe join must read its buckets without an exchange
+  * (asserted against an unbucketed control so the claim can't pass
+  * vacuously — the Bucketed spec pattern).
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("index probe == from-scratch IVF; bucketed index side joins exchange-free") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndex.build(emb, "vec_id", "embedding", "ivf_idx", 16, 65536, 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Double)] =
+      df.select("query_id", "vec_id", "cell", "rnk", "cosine")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    val viaIndex = VectorIndex.topK(spark, "ivf_idx", emb, "vec_id", "embedding", 1)
+    val fresh = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", 16, 65536, 1, 2)
+    assert(rows(viaIndex) == rows(fresh),
+      "reloaded-index probe must be bit-identical to the from-scratch IVF")
+
+    // plan posture: the bucketed index side needs no exchange; the same
+    // probe against an unbucketed copy of the assignment pays one more
+    withNoBroadcast {
+      Bucketed.writePlain(spark.table("ivf_idx"), "ivf_idx_plain")
+      val centroids = spark.table("ivf_idx_centroids")
+      def exchanges(assignedTable: String): Int = {
+        val plan = VectorIndex
+          .probeFrames(spark.table(assignedTable), centroids, emb, "vec_id", "embedding", 1)
+          .queryExecution.executedPlan.toString
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      }
+      val bucketed = exchanges("ivf_idx")
+      val plain = exchanges("ivf_idx_plain")
+      assert(plain == bucketed + 1,
+        s"unbucketed control must pay exactly one more exchange ($plain vs $bucketed)")
+    }
+  }
+}
