@@ -114,6 +114,20 @@ class PipelineSpec extends AnyFunSuite {
       Array[Byte]((500 & 0xff).toByte, (500 >> 8).toByte, (300 & 0xff).toByte, (300 >> 8).toByte) ++
       Array[Byte](0, 0, 0)
     assert(ImageHeaders.probe(gif) == ImageHeaders.Probe("gif", 500, 300))
+    // genuine WAV layout: RIFF/WAVE, a junk chunk BEFORE fmt (the walk
+    // must skip unknown chunks, including odd-length pad), then PCM fmt
+    import graft.multimodal.AudioHeaders
+    def le2(i: Int) = Array[Byte]((i & 0xff).toByte, (i >> 8).toByte)
+    def le4(i: Int) = Array[Byte](
+      (i & 0xff).toByte, ((i >> 8) & 0xff).toByte, ((i >> 16) & 0xff).toByte, (i >>> 24).toByte)
+    val fmt = le2(1) ++ le2(2) ++ le4(44100) ++ le4(44100 * 4) ++ le2(4) ++ le2(16)
+    val wav = "RIFF".getBytes ++ le4(200) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le4(3) ++ Array[Byte](7, 7, 7, 0) ++ // odd payload, even-padded
+      "fmt ".getBytes ++ le4(16) ++ fmt ++
+      "data".getBytes ++ le4(0)
+    assert(AudioHeaders.probe(wav) == AudioHeaders.AudioProbe("wav-pcm", 2, 44100, 16))
+    assert(AudioHeaders.probe("RIFF1234AVI ".getBytes).format == "unknown")
+    assert(AudioHeaders.probe(Array[Byte](1, 2)).format == "unknown")
 
     import spark.implicits._
     val rows = Seq(
