@@ -63,6 +63,13 @@ object VectorIndex {
   /** Top-k cosine probe of a query batch against persisted index frames.
     * Exposed frame-first so callers (and the spec's unbucketed control)
     * can supply any assignment source; [[topK]] is the catalog form.
+    *
+    * `excludeSelf` drops index rows whose id equals the query's id — set
+    * it ONLY when the query batch shares the index's id space (the
+    * self-probe "neighbors of every stored vector" shape, where a vector
+    * is trivially its own top-1). For an EXTERNAL query batch leave it
+    * false: a foreign query whose id happens to collide with an index
+    * vec_id would otherwise silently lose that (possibly top-1) neighbor.
     */
   def probeFrames(
       assigned: DataFrame,
@@ -71,13 +78,17 @@ object VectorIndex {
       idCol: String,
       embCol: String,
       k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame = {
     val probes =
       Similarity.assignCells(Similarity.prepared(queries, idCol, embCol), centroids, nProbe)
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val sameCell = col("a.cell") === col("b.cell")
+    val joinCond =
+      if (excludeSelf) sameCell && col("a.vec_id") =!= col("b.vec_id") else sameCell
     probes
       .as("a")
-      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .join(assigned.as("b"), joinCond)
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("vec_id"),
@@ -98,7 +109,8 @@ object VectorIndex {
       idCol: String,
       embCol: String,
       k: Int,
-      nProbe: Int = 1): DataFrame =
+      nProbe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame =
     probeFrames(
       spark.table(table),
       spark.table(s"${table}_centroids"),
@@ -106,5 +118,6 @@ object VectorIndex {
       idCol,
       embCol,
       k,
-      nProbe)
+      nProbe,
+      excludeSelf)
 }

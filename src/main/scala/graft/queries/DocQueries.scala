@@ -181,7 +181,13 @@ object DocQueries {
       .select("doc_id", "n_tokens", "n_3grams", "n_distinct_3grams")
       .join(top, Seq("doc_id"))
       .withColumn("top2_frac", col("top2_cnt") / (col("n_tokens") - 1))
-      .withColumn("dup3_ratio", lit(1.0) - col("n_distinct_3grams") / col("n_3grams"))
+      // guarded: a 2-token doc has a bigram (so it survives the `top` join)
+      // but zero 3-grams — unguarded 0/0 is null in Spark but NaN under
+      // DuckDB's IEEE float division, a latent engine divergence; the
+      // explicit CASE (mirrored in the oracle) makes both engines null
+      .withColumn(
+        "dup3_ratio",
+        when(col("n_3grams") > 0, lit(1.0) - col("n_distinct_3grams") / col("n_3grams")))
       .select("doc_id", "n_tokens", "top_2gram", "top2_cnt", "top2_frac", "dup3_ratio")
       .transform(orderedOutput(_, col("doc_id")))
   }
@@ -613,7 +619,7 @@ object DocQueries {
         |  WHERE r = 1)
         |SELECT s.doc_id, s.n_tokens, top_2gram, top2_cnt,
         |  top2_cnt / (s.n_tokens - 1) AS top2_frac,
-        |  1.0 - len(list_distinct(g3)) / len(g3) AS dup3_ratio
+        |  CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) / len(g3) END AS dup3_ratio
         |FROM base s JOIN top USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
     "t6_decontaminate" ->

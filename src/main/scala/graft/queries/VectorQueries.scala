@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Similarity, VectorIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,29 @@ object VectorQueries {
         NProbe)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** v5: the persisted-index ANN lifecycle ([[VectorIndex]]) — build the
+    * IVF index ONCE (centroid table + assignment bucketed by `cell` on
+    * disk, so the corpus side of every later probe join never shuffles
+    * again), then probe it. Build parameters are v3's, and the probe
+    * contract equals v3's in-cell top-1 (self-probe, so `excludeSelf`),
+    * which is exactly why v3's oracle SQL gates this query unchanged: the
+    * gate proves the build→persist→reload→probe lifecycle — the path a
+    * production deployment actually runs — is bit-identical to the
+    * from-scratch derivation, not just spec-asserted (VectorIndexSpec
+    * keeps the exchange-free plan posture).
+    */
+  private val IndexTable = "graft_ivf_index"
+
+  def ivfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(
+      emb, "vec_id", "embedding", IndexTable,
+      IvfFloorCells, IvfCapCells, LloydIters, MaxCell, IvfTrainPerCell)
+    VectorIndex
+      .topK(spark, IndexTable, emb, "vec_id", "embedding", 1, 1, excludeSelf = true)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   /** d9: SemDeDup-style cluster-scoped dedup ([[Similarity.semDedup]]) at
     * the d5 threshold — v3's quantizer, in-cell pairs only, keep-lowest-id.
     */
@@ -215,7 +238,8 @@ object VectorQueries {
     "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)),
     "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)),
     "d9_semdedup" -> (semDedup(_, _)),
-    "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)))
+    "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
+    "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -328,7 +352,24 @@ object VectorQueries {
        |  SELECT * FROM assigned0
        |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxCell)""".stripMargin
 
+  /** v3's oracle — shared verbatim by v5: the persisted-index probe's
+    * contract IS the from-scratch IVF in-cell top-1 (parquet round-trips
+    * of exact integers change nothing), so one SQL derivation gates both
+    * the one-shot and the build-once lifecycles.
+    */
+  private lazy val ivfTop1Sql: String =
+    s"""WITH $ivfAssignedCtes,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
+       |    $cosineExpr AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
+       |SELECT query_id, vec_id, cell, rnk, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "v5_ivf_index_probe" -> ivfTop1Sql,
     "v1_cosine_topk" ->
       s"""WITH $prep,
          |scored AS (
@@ -361,16 +402,7 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
-    "v3_ann_ivf" ->
-      s"""WITH $ivfAssignedCtes,
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
-         |    $cosineExpr AS cosine
-         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
-         |SELECT query_id, vec_id, cell, rnk, cosine FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
+    "v3_ann_ivf" -> ivfTop1Sql,
     "v4_ann_ivf_multiprobe" ->
       s"""WITH $ivfAssignedCtes,
          |probes AS (

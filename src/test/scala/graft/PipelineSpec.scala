@@ -125,9 +125,37 @@ class PipelineSpec extends AnyFunSuite {
       "LIST".getBytes ++ le4(3) ++ Array[Byte](7, 7, 7, 0) ++ // odd payload, even-padded
       "fmt ".getBytes ++ le4(16) ++ fmt ++
       "data".getBytes ++ le4(0)
-    assert(AudioHeaders.probe(wav) == AudioHeaders.AudioProbe("wav-pcm", 2, 44100, 16))
+    assert(AudioHeaders.probe(wav) ==
+      AudioHeaders.AudioProbe("wav-pcm", 2, 44100, 16, 44100 * 4, 0L, 0L))
     assert(AudioHeaders.probe("RIFF1234AVI ".getBytes).format == "unknown")
     assert(AudioHeaders.probe(Array[Byte](1, 2)).format == "unknown")
+    // duration from the data chunk's DECLARED size: 2.5 s of 44.1 kHz
+    // 16-bit stereo = 441000 bytes at byteRate 176400 — the payload itself
+    // is absent (header-prefix fetch), which must not matter
+    val wavDur = "RIFF".getBytes ++ le4(441036) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ fmt ++
+      "data".getBytes ++ le4(441000)
+    val durProbe = AudioHeaders.probe(wavDur)
+    assert(durProbe.dataBytes == 441000L && durProbe.durationMs == 2500L,
+      s"declared-size duration, got $durProbe")
+    // data BEFORE fmt (legal RIFF ordering): the walk continues past the
+    // payload and still finds fmt; 8820 bytes at byteRate 176400 = 50 ms
+    val wavRev = "RIFF".getBytes ++ le4(8856) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le4(8820) ++ Array.fill[Byte](8820)(0) ++
+      "fmt ".getBytes ++ le4(16) ++ fmt
+    val revProbe = AudioHeaders.probe(wavRev)
+    assert(revProbe.format == "wav-pcm" && revProbe.durationMs == 50L,
+      s"data-first chunk order, got $revProbe")
+    // a crafted chunk size near Int.MaxValue must yield a clean probe,
+    // not an ArrayIndexOutOfBoundsException from cursor wraparound
+    val wavEvil = "RIFF".getBytes ++ le4(200) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le4(Int.MaxValue - 4) ++ Array[Byte](0, 0, 0, 0)
+    assert(AudioHeaders.probe(wavEvil).format == "unknown")
+    val wavEvil2 = "RIFF".getBytes ++ le4(200) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ fmt ++
+      "JUNK".getBytes ++ le4(Int.MaxValue - 4)
+    assert(AudioHeaders.probe(wavEvil2).format == "wav-pcm",
+      "fmt params already parsed must survive a corrupt trailing chunk")
 
     import spark.implicits._
     val rows = Seq(

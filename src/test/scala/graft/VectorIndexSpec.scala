@@ -31,7 +31,8 @@ class VectorIndexSpec extends AnyFunSuite {
       df.select("query_id", "vec_id", "cell", "rnk", "cosine")
         .as[(Long, Long, Long, Long, Double)].collect().toSet
 
-    val viaIndex = VectorIndex.topK(spark, "ivf_idx", emb, "vec_id", "embedding", 1)
+    val viaIndex =
+      VectorIndex.topK(spark, "ivf_idx", emb, "vec_id", "embedding", 1, excludeSelf = true)
     val fresh = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", 16, 65536, 1, 2)
     assert(rows(viaIndex) == rows(fresh),
       "reloaded-index probe must be bit-identical to the from-scratch IVF")
@@ -43,7 +44,9 @@ class VectorIndexSpec extends AnyFunSuite {
       val centroids = spark.table("ivf_idx_centroids")
       def exchanges(assignedTable: String): Int = {
         val plan = VectorIndex
-          .probeFrames(spark.table(assignedTable), centroids, emb, "vec_id", "embedding", 1)
+          .probeFrames(
+            spark.table(assignedTable), centroids, emb, "vec_id", "embedding", 1,
+            excludeSelf = true)
           .queryExecution.executedPlan.toString
         "Exchange hashpartitioning".r.findAllIn(plan).length
       }
@@ -52,5 +55,28 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(plain == bucketed + 1,
         s"unbucketed control must pay exactly one more exchange ($plain vs $bucketed)")
     }
+  }
+
+  test("external query batch keeps an id-colliding index vector as a neighbor") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndex.build(emb, "vec_id", "embedding", "ivf_idx_ext", 16, 65536, 2)
+    // an "external" batch REUSING a stored id with the stored vector: by
+    // default (excludeSelf = false) the identical index vector must come
+    // back as the top-1 neighbor (cosine 1.0), not be silently dropped
+    val one = emb.filter(col("vec_id") === 7).cache()
+    assert(one.count() == 1, "fixture id 7 must exist")
+    val top = VectorIndex
+      .topK(spark, "ivf_idx_ext", one, "vec_id", "embedding", 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(top.length == 1 && top(0)._1 == 7L && top(0)._2 == 7L && top(0)._3 > 0.999,
+      s"external probe must keep the colliding id as its own neighbor, got ${top.toSeq}")
+    val excluded = VectorIndex
+      .topK(spark, "ivf_idx_ext", one, "vec_id", "embedding", 1, excludeSelf = true)
+      .select("vec_id").as[Long].collect()
+    assert(!excluded.contains(7L), "self-probe flag must drop the identical vector")
+    one.unpersist()
+    ()
   }
 }
