@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{bit_xor, col, round, struct, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, broadcast, col, lit, max, round, struct, xxhash64}
 object Bench {
   /** Consume the FULL result: hash every output column of every row into
     * one aggregate so Catalyst cannot prune the projections. Under the old
@@ -35,9 +35,19 @@ object Bench {
   /** One timed query: every completed repetition's wall seconds (a failed
     * attempt's elapsed is NOT a measurement and is excluded), plus the
     * first error if any repetition threw.
+    *
+    * The reported median EXCLUDES the first repetition (round-5 audit:
+    * rep 1 absorbs codegen compile, shared-frame cache materialization,
+    * and cross-query contention — s5, a stateless row-local projection,
+    * read 2.05 s on rep 1 vs 0.26-0.33 s steady, misreporting a 6x
+    * "regression" on unchanged code). The full run array, rep 1 included,
+    * stays in the JSON so the warm-up cost remains visible.
     */
   final case class Timing(name: String, runs: Seq[Double], err: Option[String]) {
-    def med: Double = if (runs.nonEmpty) median(runs) else 0.0
+    def med: Double =
+      if (runs.size > 1) median(runs.drop(1))
+      else if (runs.nonEmpty) runs.head
+      else 0.0
   }
 
   /** Time each query `reps` times under the full-result consumer,
@@ -117,6 +127,60 @@ object Bench {
     }
   }
 
+  /** Serving-plane throughput: the full online-inference path — broadcast
+    * enrichment against the latest-per-key feature snapshot, the 600 s
+    * staleness gate, guarded ratios, scorer, threshold label
+    * ([[graft.streaming.EnrichAndScore.scoreFrame]], mirroring the
+    * reference's InvokeFraudEndpointLambda body,
+    * /root/reference/src/lambda/InvokeFraudEndpointLambda/lambda_function.py:44-91)
+    * — replayed over the sf events as one stream-static-shaped query.
+    * The snapshot is prebuilt and cached (it is the store state a
+    * deployment maintains ahead of time); the measured work is the
+    * per-event join + score, reported as rows/s.
+    */
+  private def serveRates(spark: SparkSession, sfDir: String, reps: Int): Seq[Double] = {
+    import graft.operators.{LatestPerKey, TrailingWindows}
+    val ev = Tables
+      .events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumnRenamed("value", "amount")
+    val agg = TrailingWindows.aggregates(
+      ev, "user_id", "ts", "cents", Seq("10m" -> 600L, "1w" -> 604800L))
+    val snapshot = LatestPerKey
+      .maxByOrd(
+        agg.select(
+          col("user_id"),
+          col("ord_us"),
+          col("cnt_10m").as("cnt_short"),
+          (col("sum_10m") / col("cnt_10m") / lit(100.0)).as("avg_short"),
+          col("cnt_1w").as("cnt_long"),
+          (col("sum_1w") / col("cnt_1w") / lit(100.0)).as("avg_long")),
+        "user_id",
+        "ord_us")
+      .withColumnRenamed("ord_us", "snap_ts_us")
+      .cache()
+    snapshot.count()
+    val nowDf = ev.agg(max(col("ord_us")).as("now_us"))
+    val scoreable = ev
+      .select("event_id", "user_id", "ord_us", "amount")
+      .crossJoin(broadcast(nowDf))
+      .cache()
+    val n = scoreable.count()
+    try {
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        consume(
+          streaming.EnrichAndScore
+            .scoreFrame(scoreable, snapshot, "user_id", "amount", col("now_us")))
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+    } finally {
+      snapshot.unpersist()
+      scoreable.unpersist()
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -152,6 +216,15 @@ object Bench {
           System.err.println(s"[bench] stream workload failed: $e")
           Seq(-1.0)
       }
+    // Serving-plane headline (median of 3): the full enrich+score path
+    // over the replayed sf events against a prebuilt snapshot.
+    val serveRateRuns =
+      try serveRates(spark, sfDir, reps = 3)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] serve workload failed: $e")
+          Seq(-1.0)
+      }
     // Reference-workload headline: the reference's own batch job shape
     // (5.4M txns / 10K cards, trailing 10m + 1w window aggregation) had a
     // 1,200 s budget => >= 4,500 rows/s implied (BASELINE.md). Measure the
@@ -183,7 +256,9 @@ object Bench {
         s""""ref_workload_rows_per_sec":${median(refRates).round},""" +
         s""""ref_rate_runs":${refRates.map(_.round).mkString("[", ",", "]")},""" +
         s""""stream_rows_per_sec":${median(streamRateRuns).round},""" +
-        s""""stream_rate_runs":${streamRateRuns.map(_.round).mkString("[", ",", "]")}}"""
+        s""""stream_rate_runs":${streamRateRuns.map(_.round).mkString("[", ",", "]")},""" +
+        s""""serve_rows_per_sec":${median(serveRateRuns).round},""" +
+        s""""serve_rate_runs":${serveRateRuns.map(_.round).mkString("[", ",", "]")}}"""
     // Emit on stdout AND to a dedicated file: the sbt log decorates stdout
     // with [info] prefixes, which broke the driver's line parser in r1
     // (BENCH_r01.json "parsed": null).

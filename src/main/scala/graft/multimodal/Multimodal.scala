@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and distributed decode /
   * feature-extract / frame-sample operators.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a pluggable [[MediaCodec]] with a deterministic
-  * [[StubCodec]] stand-in — the Spark-side plumbing (schema, typed rows,
-  * partition-level batching, feature shapes) is real and tested. Swap
-  * [[StubCodec]] for a JNI/FFM-backed codec in production.
+  * The decode step is a pluggable [[MediaCodec]]. [[PixelCodec]] decodes
+  * the UNCOMPRESSED public formats (24-bit BMP, binary PPM) for REAL
+  * channel statistics ([[PixelDecode]] — pure bytes, same discipline as
+  * the header parsers); compressed-format media falls back to the
+  * deterministic [[StubCodec]] stand-in, since PNG/JPEG codec libraries
+  * are not available in this environment. The Spark-side plumbing
+  * (schema, typed rows, partition-level batching, feature shapes) is real
+  * and tested either way. Swap the fallback for a JNI/FFM-backed codec in
+  * production.
   *
   * Scale posture: decode runs via `mapPartitions` so codec state is
   * initialized once per partition (not per row), records stream through in
@@ -51,6 +55,32 @@ object Multimodal {
     def decodeFeatures(record: MediaRecord): Array[Float]
     /** Sample up to n "frames" from a video payload. */
     def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Real pixel features for the UNCOMPRESSED formats ([[PixelDecode]]:
+    * 24-bit BI_RGB BMP, binary PPM) — channel means + stddevs computed
+    * from the actual pixel array, no codec library needed — with
+    * [[StubCodec]] as the declared fallback for the compressed formats
+    * this environment cannot decode. Decoded features are 7 floats:
+    * a 1.0 "decoded" flag then R/G/B means and stddevs normalized to
+    * [0, 1]; fallback records keep StubCodec's 16-float histogram (also
+    * distinguishable by length: 16 vs 7).
+    */
+  object PixelCodec extends MediaCodec {
+    val FeatureDim = 7
+
+    def decodeFeatures(record: MediaRecord): Array[Float] =
+      PixelDecode.decode(record.blob) match {
+        case Some(img) =>
+          val s = PixelDecode.channelStats(img)
+          Array(1f,
+            (s.meanR / 255.0).toFloat, (s.meanG / 255.0).toFloat, (s.meanB / 255.0).toFloat,
+            (s.stdR / 255.0).toFloat, (s.stdG / 255.0).toFloat, (s.stdB / 255.0).toFloat)
+        case None => StubCodec.decodeFeatures(record)
+      }
+
+    def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(blob, n)
   }
 
   /** STUB: deterministic stand-in for the absent image/audio libraries.

@@ -1,0 +1,159 @@
+package graft.multimodal
+
+/** Real pixel decoding for the UNCOMPRESSED public image formats — the
+  * step past [[ImageHeaders]]'s metadata probes: 24-bit BI_RGB BMP and
+  * binary PPM (P6) store their pixel arrays as plain bytes, so actual
+  * channel statistics are computable with the same pure-byte discipline
+  * as the header parsers, no codec library involved. Compressed formats
+  * (PNG/JPEG/GIF) still require a real codec; [[Multimodal.StubCodec]]
+  * remains the declared stand-in for those.
+  *
+  * Formats (public specifications):
+  *   - BMP: 14-byte file header ('B''M', le32 file size, le32 reserved,
+  *     le32 pixel-array offset), then BITMAPINFOHEADER (le32 header size
+  *     >= 40, le32 width, le32 height — negative = top-down row order,
+  *     le16 planes, le16 bits-per-pixel, le32 compression). Decodable
+  *     here: bpp 24, compression 0 (BI_RGB). Rows are BGR byte triples
+  *     padded to 4-byte boundaries and stored bottom-up unless height is
+  *     negative.
+  *   - PPM P6: ASCII header "P6", whitespace-separated width, height,
+  *     maxval (decodable at maxval <= 255), '#' comment lines allowed,
+  *     one whitespace byte, then row-major RGB triples top-down.
+  *
+  * Like the header probes this reads UNTRUSTED bytes: every failure mode
+  * (wrong magic, unsupported bpp/compression, truncated pixel array,
+  * dimension overflow) returns None rather than throwing.
+  */
+object PixelDecode {
+
+  /** Decoded raster: row-major top-down RGB triples (3 bytes per pixel). */
+  case class RgbImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Per-channel statistics over a decoded raster: means and population
+    * standard deviations in [0, 255], plus the pixel count. Integer sums
+    * (Long, exact far past any real image size) with a final double
+    * division, so results are deterministic across partitionings.
+    */
+  case class ChannelStats(
+      nPixels: Long,
+      meanR: Double,
+      meanG: Double,
+      meanB: Double,
+      stdR: Double,
+      stdG: Double,
+      stdB: Double)
+
+  /** Cap on width*height (64 MPix) — bounds per-record decode memory so
+    * one absurd (or corrupt) header cannot allocate gigabytes in an
+    * executor task.
+    */
+  val MaxPixels: Long = 64L * 1024L * 1024L
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    ((b(off + 3) & 0xff) << 24) | ((b(off + 2) & 0xff) << 16) |
+      ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
+  private def dimsOk(w: Int, h: Int): Boolean =
+    w > 0 && h > 0 && w.toLong * h.toLong <= MaxPixels
+
+  /** Decode a 24-bit uncompressed (BI_RGB) BMP pixel array; None for any
+    * other BMP flavor or a truncated/corrupt stream.
+    */
+  def decodeBmp(blob: Array[Byte]): Option[RgbImage] = {
+    if (blob.length < 54 || blob(0) != 'B' || blob(1) != 'M') return None
+    val pixelOff = leInt(blob, 10)
+    val hdrSize = leInt(blob, 14)
+    val w = leInt(blob, 18)
+    val rawH = leInt(blob, 22)
+    val bpp = leShort(blob, 28)
+    val compression = leInt(blob, 30)
+    val topDown = rawH < 0
+    // math.abs(Int.MinValue) is negative — reject via the Long magnitude
+    val hL = math.abs(rawH.toLong)
+    if (hdrSize < 40 || bpp != 24 || compression != 0) return None
+    if (hL > Int.MaxValue || !dimsOk(w, hL.toInt)) return None
+    val h = hL.toInt
+    val rowStride = ((w.toLong * 3L + 3L) / 4L) * 4L
+    if (pixelOff < 0 || pixelOff.toLong + rowStride * h > blob.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      // bottom-up storage: file row 0 is the BOTTOM image row
+      val srcRow = if (topDown) row else h - 1 - row
+      var src = pixelOff + (rowStride * srcRow).toInt
+      var dst = row * w * 3
+      var x = 0
+      while (x < w) {
+        out(dst) = blob(src + 2) // BGR on disk -> RGB out
+        out(dst + 1) = blob(src + 1)
+        out(dst + 2) = blob(src)
+        src += 3
+        dst += 3
+        x += 1
+      }
+      row += 1
+    }
+    Some(RgbImage(w, h, out))
+  }
+
+  /** Decode a binary PPM (P6, maxval <= 255); None otherwise. */
+  def decodePpm(blob: Array[Byte]): Option[RgbImage] = {
+    if (blob.length < 2 || blob(0) != 'P' || blob(1) != '6') return None
+    var i = 2
+    // read the three header ints, skipping whitespace and '#' comments
+    def nextInt(): Long = {
+      var inComment = false
+      while (i < blob.length && {
+          val c = blob(i)
+          if (inComment) { if (c == '\n') inComment = false; true }
+          else if (c == '#') { inComment = true; true }
+          else c == ' ' || c == '\t' || c == '\n' || c == '\r'
+        }) i += 1
+      var v = -1L
+      while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10L + (blob(i) - '0')
+        if (v > Int.MaxValue) return -1L
+        i += 1
+      }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    if (!dimsOk(w.toInt, h.toInt)) return None
+    i += 1 // exactly one whitespace byte separates header and raster
+    val need = w * h * 3L
+    if (i.toLong + need > blob.length) return None
+    Some(RgbImage(w.toInt, h.toInt, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
+  }
+
+  /** Try every decodable format. */
+  def decode(blob: Array[Byte]): Option[RgbImage] =
+    decodeBmp(blob).orElse(decodePpm(blob))
+
+  /** Exact-integer channel means/stddevs over a decoded raster. */
+  def channelStats(img: RgbImage): ChannelStats = {
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      val r = img.rgb(i) & 0xff
+      val g = img.rgb(i + 1) & 0xff
+      val b = img.rgb(i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+      i += 3
+    }
+    def mean(s: Long) = s.toDouble / n
+    def std(s: Long, q: Long) = {
+      val m = mean(s)
+      math.sqrt(math.max(0.0, q.toDouble / n - m * m))
+    }
+    ChannelStats(n, mean(sr), mean(sg), mean(sb), std(sr, qr), std(sg, qg), std(sb, qb))
+  }
+}

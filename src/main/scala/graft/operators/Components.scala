@@ -164,4 +164,35 @@ object Components {
         "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
   }
+
+  /** Edge-count threshold below which [[connectedComponentsAuto]] tries
+    * propagation first. Both algorithms pay a near-constant per-round
+    * action overhead (joins + lineage cut + convergence aggregate) that
+    * dominates on small graphs, where star's machinery (two rewiring
+    * shuffles + canonical dedup per round) costs several times
+    * propagation's single join — while above the threshold the
+    * diameter-independence argument wins outright: a graph with that many
+    * edges can hide a chain no propagation budget should chase.
+    */
+  val PropagationMaxEdges: Long = 100000L
+
+  /** Size-dispatched components — the [[connectedComponents]] /
+    * [[connectedComponentsStar]] chooser: count the edges once (the pair
+    * frames feeding this are persisted by their producers, so the count
+    * is a cache scan); small graphs take the propagation fast path,
+    * everything else — including a small-but-DEEP graph that exhausts
+    * propagation's round budget (its non-convergence throw is the
+    * detection) — runs star contraction. Same contract as both: every
+    * node labeled with its component's minimum id.
+    */
+  def connectedComponentsAuto(
+      nodes: DataFrame,
+      edges: DataFrame,
+      propagationMaxEdges: Long = PropagationMaxEdges): DataFrame =
+    if (edges.limit((propagationMaxEdges + 1).toInt).count() <= propagationMaxEdges)
+      try connectedComponents(nodes, edges)
+      catch {
+        case _: IllegalStateException => connectedComponentsStar(nodes, edges)
+      }
+    else connectedComponentsStar(nodes, edges)
 }

@@ -33,13 +33,21 @@ object DocQueries {
       .shingleSet(docs, "doc_id", "text", ShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = materializedShingles(Tables.documents(spark, sfDir))
+  /** The thresholded Jaccard pair frame is BOTH d2's output and d10's
+    * edge list — persist it the way [[materializedShingles]] is shared so
+    * the shared-shingle self-join + pair aggregation (the most expensive
+    * text-plane subplan) runs once per corpus, not once per consumer (the
+    * CacheManager dedups the identical plan across d2 and d10).
+    */
+  private def thresholdedPairs(docs: DataFrame): DataFrame =
     Dedup
-      .jaccardPairs(sh)
+      .jaccardPairs(materializedShingles(docs))
       .filter(col("jaccard") >= JaccardThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def jaccardNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdedPairs(Tables.documents(spark, sfDir))
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
-  }
 
   /** d2c: the capped-Jaccard 100 TB path — identical to d2 except shingles
     * with document frequency > maxDf are dropped BEFORE pairing and sizes,
@@ -108,26 +116,26 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
-  /** d10: dedup cluster formation ([[Components.connectedComponentsStar]])
+  /** d10: dedup cluster formation ([[Components.connectedComponentsAuto]])
     * — the d2 near-dup PAIRS resolved into GROUPS: every doc labeled with
     * the min doc id reachable through the jaccard>=0.5 similarity graph,
-    * so deduplication is `filter(is_dup = 0)`. The Spark side is the
+    * so deduplication is `filter(is_dup = 0)`. The Spark side dispatches
+    * on edge count: small graphs take min-label propagation (rounds =
+    * diameter, near-zero per-round overhead), large ones the
     * diameter-INDEPENDENT large-star/small-star contraction (O(log^2 n)
     * rounds on any graph shape — templated/boilerplate corpora produce
-    * long transitive chains that would cost min-label propagation one
-    * round per hop); the oracle is a DuckDB RECURSIVE CTE transitive
-    * closure — two independent fixpoint algorithms gated to identical
-    * labels. [[Components.connectedComponents]] (propagation) remains the
-    * shallow-graph fast path, equivalence-tested in ScaleOpsSpec.
+    * long transitive chains that would cost propagation one round per
+    * hop); a small-but-deep graph that exhausts propagation's round
+    * budget falls back to star. The oracle is a DuckDB RECURSIVE CTE
+    * transitive closure — independent fixpoint algorithms gated to
+    * identical labels whichever path runs.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val pairs = Dedup
-      .jaccardPairs(materializedShingles(docs))
-      .filter(col("jaccard") >= JaccardThreshold)
+    val pairs = thresholdedPairs(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     Components
-      .connectedComponentsStar(docs.select(col("doc_id").as("id")), pairs)
+      .connectedComponentsAuto(docs.select(col("doc_id").as("id")), pairs)
       .select(
         col("id").as("doc_id"),
         col("label").as("canonical_id"),

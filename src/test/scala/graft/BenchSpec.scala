@@ -35,7 +35,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(5.0)) == 5.0)
     assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.0)
-    assert(Bench.Timing("q", Seq(9.0, 1.0, 5.0), None).med == 5.0)
     assert(Bench.Timing("q", Nil, Some("boom")).med == 0.0)
+  }
+
+  test("reported median drops the warm-up rep but keeps it in the runs array") {
+    // rep 1 (9.0) is warm-up — round-5 audit: it absorbs codegen compile +
+    // cache materialization and misreported a 6x "regression" on an
+    // unchanged stateless projection; the median covers reps 2..n only
+    val t = Bench.Timing("q", Seq(9.0, 1.0, 5.0, 2.0, 1.5), None)
+    assert(t.med == 1.5, s"median of reps 2..n, got ${t.med}")
+    assert(t.runs.head == 9.0, "warm-up rep stays visible in the JSON runs")
+    // a single completed rep is still a measurement, not a zero
+    assert(Bench.Timing("q", Seq(4.0), None).med == 4.0)
   }
 }

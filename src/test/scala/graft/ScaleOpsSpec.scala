@@ -203,6 +203,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a == b, s"star and propagation disagree: $a vs $b")
   }
 
+  test("auto-dispatched components: small graphs, and deep-chain fallback to star") {
+    import graft.operators.Components
+    assert(Components.PropagationMaxEdges == 100000L, "dispatch threshold pinned")
+    // small + shallow: the propagation fast path must produce star's labels
+    val edges = Seq((10L, 11L), (11L, 12L), (30L, 31L), (5L, 3L)).toDF("src", "dst")
+    val nodes = (Seq(3L, 5L, 77L, 30L, 31L) ++ (10L to 12L)).toDF("id")
+    val auto = Components.connectedComponentsAuto(nodes, edges).as[(Long, Long)].collect().toMap
+    val star = Components.connectedComponentsStar(nodes, edges).as[(Long, Long)].collect().toMap
+    assert(auto == star, s"auto and star disagree: $auto vs $star")
+    // small but DEEP (diameter 60 > propagation's 25-round budget): the
+    // fast path's non-convergence throw must fall back to star, not
+    // surface — auto still labels the whole chain
+    val chainEdges = (0L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainNodes = (0L to 60L).toDF("id")
+    val deep = Components.connectedComponentsAuto(chainNodes, chainEdges)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 60L).forall(deep(_) == 0L), s"deep chain must fall back to star: $deep")
+    // above the threshold the dispatch goes straight to star (threshold 2
+    // forces the branch on a 4-edge graph)
+    val forced = Components.connectedComponentsAuto(nodes, edges, propagationMaxEdges = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(forced == star)
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
