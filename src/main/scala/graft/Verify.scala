@@ -8,11 +8,16 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // One scope around the whole gate run: queries share their persisted
+    // frames (shingles, pairs, prepared vectors, IVF assignments) WITHIN
+    // the batch, and every block they materialized is freed after it.
+    CacheScope.scoped(spark) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -102,7 +102,10 @@ object Similarity {
 
   /** [[prepared]], persisted for multi-pass consumers (count + bucket +
     * verify sides read it; the CacheManager dedups identical plans, so
-    * repeated calls share one materialization).
+    * repeated calls share one materialization). Lifetime: the block lives
+    * until the session's harness scope ends — see [[graft.CacheScope]]
+    * for why a lazy builder cannot unpersist its own frame and how batch
+    * consumers reclaim it.
     */
   private def preparedCached(emb: DataFrame, idCol: String, embCol: String): DataFrame =
     prepared(emb, idCol, embCol).persist(StorageLevel.MEMORY_AND_DISK)

@@ -27,6 +27,7 @@ object DocQueries {
     * corpus instead of once per subplan (the CacheManager dedups the
     * identical plan across d2/d2c/d3, so they share one spill-able
     * materialization; same pattern as the vector plane's prepared frame).
+    * Reclaimed by the consuming harness's [[graft.CacheScope]] batch.
     */
   private def materializedShingles(docs: DataFrame): DataFrame =
     Dedup
