@@ -30,6 +30,33 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("canonical_id"))
 
+  /** Incremental exact dedup: match an arriving batch against a corpus
+    * hash index that is BUCKETED BY text_hash on disk
+    * ([[graft.sources.Bucketed]]) — the append-to-a-100TB-corpus shape:
+    * the corpus side of both the per-hash canonical aggregation and the
+    * match join reads its bucket layout exchange-free, so each increment
+    * costs one shuffle of the INCREMENT only, never of the corpus.
+    * Output: idCol, text_hash, canonical_id (the corpus's min id for that
+    * text, -1 when unseen), is_known 0/1.
+    */
+  def incrementalExact(
+      increment: DataFrame,
+      corpusHashes: DataFrame, // (corpus_id, text_hash), bucketed by text_hash
+      idCol: String,
+      textCol: String): DataFrame = {
+    val canon = corpusHashes
+      .groupBy(col("text_hash"))
+      .agg(min(col("corpus_id")).as("corpus_canonical"))
+    increment
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
+      .join(canon, Seq("text_hash"), "left")
+      .select(
+        col(idCol),
+        col("text_hash"),
+        coalesce(col("corpus_canonical"), lit(-1L)).as("canonical_id"),
+        when(col("corpus_canonical").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_known"))
+  }
+
   /** (doc_id, shingle) pairs over the DISTINCT n-gram shingle set. Uses
     * the single-pass [[graft.functions.WordShingles]] expression (same
     * semantics as the composable tokens->transform->slice form, ~2x

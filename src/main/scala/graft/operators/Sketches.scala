@@ -34,6 +34,64 @@ object Sketches {
       16,
       10).cast("long")
 
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005, "An improved
+    * data stream summary: the count-min sketch and its applications"):
+    * `depth` independent hash rows of `width` counters; every (key,
+    * value) increments counter [j][hash_j(key) % width] for each row j.
+    * Estimates ([[countMinEstimate]]) take the min over rows — NEVER an
+    * underestimate, overestimate bounded by sum/width per row w.h.p.
+    *
+    * The hash rows are md5 draws ([[hash32]] with seed "seed0".."seedN"),
+    * so the sketch — like KMV — is a pure function of the data,
+    * reproducible in any engine and oracle-gated bit-for-bit, not within
+    * a tolerance band.
+    *
+    * Scale posture: ONE explode to (j, bucket) and one aggregation — the
+    * map side collapses every partition to <= depth * width partial rows
+    * (the whole point of a sketch), so shuffle volume is bounded by
+    * partitions * depth * width regardless of corpus size, and the
+    * finished sketch (<= depth * width rows) broadcasts to probes.
+    */
+  def countMinSketch(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      depth: Int,
+      width: Int,
+      seed: String): DataFrame =
+    df.select(explode(cmSlots(key, depth, width, seed)).as("s"), value.as("__v"))
+      .select(col("s.j").as("j"), col("s.bucket").as("bucket"), col("__v"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("__v")).as("c"))
+
+  /** One (j, bucket) slot per hash row for a key. */
+  private def cmSlots(key: Column, depth: Int, width: Int, seed: String): Column =
+    array((0 until depth).map { j =>
+      struct(
+        lit(j).as("j"),
+        pmod(hash32(s"$seed$j", key), lit(width.toLong)).as("bucket"))
+    }: _*)
+
+  /** Point-estimate each probe key against a built sketch: fan the key
+    * out to its `depth` buckets, join the (bounded, broadcast) sketch,
+    * min over rows. A key whose buckets were never touched estimates 0.
+    * Output: keyName, cm_est.
+    */
+  def countMinEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      key: Column,
+      keyName: String,
+      depth: Int,
+      width: Int,
+      seed: String): DataFrame =
+    probes
+      .select(key.as(keyName), explode(cmSlots(key, depth, width, seed)).as("s"))
+      .select(col(keyName), col("s.j").as("j"), col("s.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyName))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+
   /** Per-group KMV distinct estimate. Output: groupCol, m (kept hashes,
     * <= k), hk (kth smallest hash), est_nd (exact m when the group is
     * smaller than k, else (k-1) * 2^32 div hk).

@@ -201,6 +201,63 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** d12: incremental exact dedup against a BUCKETED corpus hash index
+    * ([[Dedup.incrementalExact]]) — the shape of appending a fresh crawl
+    * batch to a 100 TB corpus: the corpus's (id, text_hash) index is laid
+    * out bucketed-by-hash on disk once ([[graft.sources.Bucketed]], the
+    * VectorIndex pattern on the text plane), and each arriving increment
+    * shuffles only ITSELF to match. The gate replays every 13th document
+    * as a "re-crawled" arrival under a shifted id: all of them must
+    * resolve to their original canonical id. BucketedJoinSpec's pattern
+    * asserts the corpus side joins exchange-free; the oracle reproduces
+    * the match relationally (bucketing changes layout, not results).
+    */
+  private val IncrMod = 13L
+  private val IncrIdShift = 1000000L
+  private val HashIndexTable = "graft_doc_hashes"
+
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Bucketed.write(
+      docs.select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("text_hash")),
+      HashIndexTable,
+      "text_hash",
+      32)
+    val increment = docs
+      .filter(pmod(col("doc_id"), lit(IncrMod)) === 0)
+      .select((col("doc_id") + IncrIdShift).as("new_id"), col("text"))
+    Dedup
+      .incrementalExact(increment, spark.table(HashIndexTable), "new_id", "text")
+      .transform(orderedOutput(_, col("new_id")))
+  }
+
+  /** t10: TF-IDF-shaped term importance — each doc's top 3 terms by
+    * tf * (N - df), the exact-INTEGER rarity weighting (a float idf log
+    * is the one place engines may differ in ulp, so the gate's weight is
+    * the rational surrogate with the same ordering intent: high term
+    * frequency, low document frequency). df is computed over the exploded
+    * token stream with one token-keyed shuffle; the per-doc rank is a
+    * window over <= |doc vocabulary| rows. Ties break on token so the cut
+    * is deterministic in both engines.
+    */
+  private val TermTopK = 3
+
+  def termImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("score", col("tf") * (lit(n) - col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TermTopK)
+      .select("doc_id", "rnk", "token", "tf", "df", "score")
+      .transform(orderedOutput(_, col("doc_id"), col("rnk")))
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -415,6 +472,8 @@ object DocQueries {
     "d4_simhash" -> (simhash(_, _)),
     "d10_dedup_clusters" -> (dedupClusters(_, _)),
     "d11_substring_dedup" -> (substringDedup(_, _)),
+    "d12_incremental_dedup" -> (incrementalDedup(_, _)),
+    "t10_term_importance" -> (termImportance(_, _)),
     "t9_repetition" -> (repetitionStats(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
@@ -609,6 +668,31 @@ object DocQueries {
          |JOIN sizes sb ON i.doc_b = sb.doc_id
          |ORDER BY i.doc_a, i.doc_b""".stripMargin
     },
+    "d12_incremental_dedup" ->
+      s"""WITH canon AS (
+         |  SELECT md5(text) AS text_hash, min(doc_id) AS corpus_canonical
+         |  FROM documents GROUP BY 1),
+         |incr AS (
+         |  SELECT doc_id + $IncrIdShift AS new_id, md5(text) AS text_hash
+         |  FROM documents WHERE doc_id % $IncrMod = 0)
+         |SELECT i.new_id, i.text_hash,
+         |  coalesce(c.corpus_canonical, -1) AS canonical_id,
+         |  CAST(CASE WHEN c.corpus_canonical IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_known
+         |FROM incr i LEFT JOIN canon c ON i.text_hash = c.text_hash
+         |ORDER BY i.new_id""".stripMargin,
+    "t10_term_importance" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df, tf * (n.n - df) AS score
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, rnk, token, tf, df, score FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TermTopK ORDER BY doc_id, rnk""".stripMargin,
     "t9_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |base AS (

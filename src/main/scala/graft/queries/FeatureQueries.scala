@@ -287,6 +287,61 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("day")))
   }
 
+  /** k2: Count-Min heavy-hitter spend totals ([[Sketches.countMinSketch]],
+    * depth 4 x width 256) — the frequency twin of k1's distinct sketch:
+    * per-user total spend estimated from a FIXED-SIZE counter table
+    * instead of a per-key aggregation. At 100 TB the sketch's shuffle is
+    * bounded by partitions * depth * width (map-side partials collapse to
+    * the counter table), and the finished 1024-row sketch broadcasts to
+    * the probe side. Estimates are never below the exact total (min over
+    * hash rows); the gate pins sketch AND estimate bit-for-bit next to
+    * the exact totals, including the overestimate each key carries.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  def countMinSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val sketch = Sketches.countMinSketch(ev, col("user_id"), col("cents"), CmDepth, CmWidth, "cm")
+    val est = Sketches.countMinEstimate(
+      sketch, ev.select("user_id").distinct(), col("user_id"), "user_id", CmDepth, CmWidth, "cm")
+    val exact = ev.groupBy(col("user_id")).agg(sum(col("cents")).as("exact_cents"))
+    est
+      .join(exact, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("exact_cents"),
+        col("cm_est"),
+        (col("cm_est") - col("exact_cents")).as("over_cents"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** s8: deterministic fixed-size per-group sample — each event_type keeps
+    * its k=20 smallest-hash events (order by (md5 draw, event_id)): a
+    * uniform without-replacement QUOTA sample per stratum, which the
+    * rate-based samplers (s4/s7) cannot express, reproducible across
+    * engines/partitionings like every hash draw here. Runs through
+    * [[Salting.saltedTopK]], so a hot stratum's rank never sorts in one
+    * task — the sample is exact (every global winner ranks <= k in its
+    * bucket) at bucket-bounded cost.
+    */
+  private val GroupSampleK = 20
+
+  def groupSample(spark: SparkSession, sfDir: String): DataFrame =
+    Salting
+      .saltedTopK(
+        Tables
+          .events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .withColumn("u8", Sampling.hashUniformHex("gsmp", col("event_id"))),
+        key = Seq("event_type"),
+        order = Seq(col("u8"), col("event_id")),
+        k = GroupSampleK,
+        saltSource = col("event_id"),
+        buckets = SaltBuckets)
+      .select("event_type", "rnk", "event_id", "user_id", "u8")
+      .transform(orderedOutput(_, col("event_type"), col("rnk")))
+
   /** a2: per-user spend quantiles — exact interpolated percentiles
     * (Spark `percentile`, DuckDB `quantile_cont`: both define the
     * p-quantile at rank p*(n-1) with linear interpolation) over exact
@@ -539,6 +594,33 @@ object FeatureQueries {
           |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
           |WHERE rnk <= 5
           |ORDER BY event_type, rnk""".stripMargin,
+      "k2_countmin_spend" ->
+        s"""WITH prep AS (
+           |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           |js AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS j),
+           |sk AS (
+           |  SELECT j,
+           |    CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $CmWidth AS bucket,
+           |    CAST(sum(cents) AS BIGINT) AS c
+           |  FROM prep CROSS JOIN js GROUP BY 1, 2),
+           |kb AS (
+           |  SELECT user_id, j,
+           |    CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $CmWidth AS bucket
+           |  FROM (SELECT DISTINCT user_id FROM prep) CROSS JOIN js),
+           |est AS (SELECT user_id, min(c) AS cm_est FROM kb JOIN sk USING (j, bucket) GROUP BY 1),
+           |ex AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS exact_cents FROM prep GROUP BY 1)
+           |SELECT e.user_id, x.exact_cents, e.cm_est, e.cm_est - x.exact_cents AS over_cents
+           |FROM est e JOIN ex x USING (user_id)
+           |ORDER BY e.user_id""".stripMargin,
+      "s8_group_sample" ->
+        s"""SELECT event_type, rnk, event_id, user_id, u8 FROM (
+           |  SELECT event_type, event_id, user_id, u8,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY u8, event_id) AS BIGINT) AS rnk
+           |  FROM (SELECT event_type, event_id, user_id,
+           |          substr(md5('gsmp|' || CAST(event_id AS VARCHAR)), 1, 8) AS u8
+           |        FROM events))
+           |WHERE rnk <= $GroupSampleK
+           |ORDER BY event_type, rnk""".stripMargin,
       "s4_stratified_sample" ->
         """SELECT event_id, user_id, stratum, u8 FROM (
           |  SELECT event_id, user_id, user_id % 4 AS stratum,
@@ -561,6 +643,8 @@ object FeatureQueries {
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
     "s5_hash_split" -> (hashSplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
+    "k2_countmin_spend" -> (countMinSpend(_, _)),
+    "s8_group_sample" -> (groupSample(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

@@ -47,4 +47,49 @@ class BucketedJoinSpec extends AnyFunSuite {
       assert(rawPlan.contains("Exchange"), s"unbucketed control should shuffle:\n$rawPlan")
     }
   }
+
+  test("incremental dedup: bucketed corpus index matches exchange-free and resolves canonicals") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Bucketed.write(
+      docs.select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("text_hash")),
+      "doc_hashes_spec",
+      "text_hash",
+      8)
+    val increment = docs
+      .filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
+
+    // every replayed doc must be recognized, its canonical at or below
+    // the original id (duplicate texts resolve to the group minimum)
+    import spark.implicits._
+    val rows = Dedup
+      .incrementalExact(increment, spark.table("doc_hashes_spec"), "new_id", "text")
+      .select("new_id", "canonical_id", "is_known").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 == 1L), "every replayed doc is known to the corpus")
+    assert(rows.forall { case (nid, canon, _) => canon != -1L && canon <= nid - 1000000L })
+    // a genuinely new text is unknown
+    val fresh = Seq((9999999L, "text the corpus has never seen zqx")).toDF("new_id", "text")
+    val unknown = Dedup
+      .incrementalExact(fresh, spark.table("doc_hashes_spec"), "new_id", "text")
+      .select("canonical_id", "is_known").as[(Long, Long)].head()
+    assert(unknown == ((-1L, 0L)))
+
+    // plan posture: the corpus index side of the canonical aggregation +
+    // match join needs no exchange; an unbucketed copy pays more
+    withNoBroadcast {
+      Bucketed.writePlain(spark.table("doc_hashes_spec"), "doc_hashes_plain")
+      def exchanges(table: String): Int = {
+        val plan = Dedup
+          .incrementalExact(increment, spark.table(table), "new_id", "text")
+          .queryExecution.executedPlan.toString
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      }
+      val bucketed = exchanges("doc_hashes_spec")
+      val plain = exchanges("doc_hashes_plain")
+      assert(plain > bucketed,
+        s"bucketed corpus side must save at least one exchange ($plain vs $bucketed)")
+    }
+  }
 }

@@ -227,6 +227,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(forced == star)
   }
 
+  test("count-min sketch: never underestimates, partitioning-independent, bounded size") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val sketch = Sketches.countMinSketch(ev, col("user_id"), col("cents"), 4, 256, "cm")
+    assert(sketch.count() <= 4L * 256L, "sketch is depth*width counters, not data-sized")
+    val est = Sketches
+      .countMinEstimate(sketch, ev.select("user_id").distinct(), col("user_id"), "user_id", 4, 256, "cm")
+    val exact = ev.groupBy(col("user_id")).agg(sum(col("cents")).as("ex"))
+    val rows = est.join(exact, Seq("user_id"))
+      .select("user_id", "cm_est", "ex").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, e, x) => e >= x },
+      "CMS estimates are never below the exact total")
+    // deterministic under any partitioning (integer sums + md5 buckets)
+    val reparted = Sketches
+      .countMinSketch(ev.repartition(13), col("user_id"), col("cents"), 4, 256, "cm")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(reparted == sketch.as[(Int, Long, Long)].collect().toSet)
+    // a probe key the sketch never saw estimates 0, not null/missing
+    val unseen = Sketches.countMinEstimate(
+      sketch, Seq(-12345L).toDF("user_id"), col("user_id"), "user_id", 4, 256, "unseen-seed")
+      .as[(Long, Long)].collect()
+    assert(unseen.forall(_._2 >= 0L))
+  }
+
+  test("group sample: exact per-group quota, stable across repartition") {
+    val q = queries.FeatureQueries.groupSample(spark, "/root/testdata/sf0.001")
+      .select("event_type", "rnk", "event_id").as[(String, Long, Long)].collect()
+    val perGroup = q.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(perGroup.nonEmpty && perGroup.values.forall(r => r == (1L to r.size)),
+      "ranks are a dense 1..k prefix per group")
+    assert(perGroup.values.forall(_.size <= 20), "quota respected")
+    val again = queries.FeatureQueries.groupSample(spark, "/root/testdata/sf0.001")
+      .select("event_type", "rnk", "event_id").as[(String, Long, Long)].collect()
+    assert(q.toSet == again.toSet, "the sample is a pure function of the data")
+  }
+
   test("salted aggregation and join equal their unsalted counterparts") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
