@@ -342,6 +342,21 @@ object FeatureQueries {
       .select("event_type", "rnk", "event_id", "user_id", "u8")
       .transform(orderedOutput(_, col("event_type"), col("rnk")))
 
+  /** w8: tumbling event-time rollup ([[graft.streaming.WindowedAgg]]) —
+    * hourly per-event_type counts and exact-integer spend, the SAME
+    * function that runs the streaming plane (withWatermark is a batch
+    * no-op): gating the batch output pins the window math the streaming
+    * parity spec then holds the stream to. The oracle reproduces the
+    * epoch-aligned window start with pure integer arithmetic
+    * (ord_us - ord_us % windowUs) — no timestamp types cross the gate.
+    */
+  private val TumbleSecs = 3600L
+
+  def tumblingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.WindowedAgg
+      .tumblingRollup(prepared(spark, sfDir), "ord_us", "event_type", "cents", TumbleSecs, 0L)
+      .transform(orderedOutput(_, col("win_start_us"), col("event_type")))
+
   /** a2: per-user spend quantiles — exact interpolated percentiles
     * (Spark `percentile`, DuckDB `quantile_cont`: both define the
     * p-quantile at rank p*(n-1) with linear interpolation) over exact
@@ -594,6 +609,12 @@ object FeatureQueries {
           |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
           |WHERE rnk <= 5
           |ORDER BY event_type, rnk""".stripMargin,
+      "w8_tumbling_rollup" ->
+        s"""SELECT ord_us - ord_us % ${TumbleSecs * 1000000L} AS win_start_us, event_type,
+           |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM (SELECT event_type, epoch_us(ts) AS ord_us,
+           |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "k2_countmin_spend" ->
         s"""WITH prep AS (
            |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
@@ -645,6 +666,7 @@ object FeatureQueries {
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
     "k2_countmin_spend" -> (countMinSpend(_, _)),
     "s8_group_sample" -> (groupSample(_, _)),
+    "w8_tumbling_rollup" -> (tumblingRollup(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
