@@ -258,6 +258,42 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id"), col("rnk")))
   }
 
+  /** t11: document chunking — split each doc into fixed-token training
+    * chunks with overlap (the context-window packing precursor: long docs
+    * become size-20 windows every 15 tokens, so consecutive chunks share
+    * 5 tokens of context). Chunk starts are a pure integer sequence, the
+    * chunk text a clamped array slice, the identity an md5 of the joined
+    * tokens — all row-local (explode + expressions, NO shuffle at all:
+    * the one stage a 100 TB corpus chunks in is embarrassingly parallel),
+    * and every piece reproducible in DuckDB, so the gate pins chunk
+    * boundaries, counts, and hashes bit-for-bit.
+    */
+  private val ChunkSize = 20
+  private val ChunkStride = 15
+
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("w"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(ChunkStride.toLong)))
+          .as("start_tok"))
+      .withColumn("chunk_idx", (col("start_tok") / ChunkStride).cast("long"))
+      .withColumn(
+        "chunk",
+        slice(col("w"), (col("start_tok") + 1).cast("int"), lit(ChunkSize)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_hash"))
+      .transform(orderedOutput(_, col("doc_id"), col("chunk_idx")))
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -474,6 +510,7 @@ object DocQueries {
     "d11_substring_dedup" -> (substringDedup(_, _)),
     "d12_incremental_dedup" -> (incrementalDedup(_, _)),
     "t10_term_importance" -> (termImportance(_, _)),
+    "t11_doc_chunks" -> (docChunks(_, _)),
     "t9_repetition" -> (repetitionStats(_, _)),
     "t1_token_stats" -> (tokenStats(_, _)),
     "t5_bpe_tokens" -> (bpeTokenStats(_, _)),
@@ -693,6 +730,20 @@ object DocQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TermTopK ORDER BY doc_id, rnk""".stripMargin,
+    "t11_doc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |starts AS (
+         |  SELECT doc_id, n, w, unnest(generate_series(0, n - 1, $ChunkStride)) AS start_tok
+         |  FROM t)
+         |SELECT doc_id,
+         |  start_tok // $ChunkStride AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  len(w[start_tok + 1 : start_tok + $ChunkSize]) AS n_chunk_tokens,
+         |  md5(array_to_string(w[start_tok + 1 : start_tok + $ChunkSize], ' ')) AS chunk_hash
+         |FROM starts
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "t9_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |base AS (
