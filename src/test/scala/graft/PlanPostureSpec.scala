@@ -187,4 +187,42 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(plan.contains("longdotproduct"), s"custom expression missing from:\n$plan")
     assert(!plan.contains("zip_with"), "HOF dot product crept back in")
   }
+
+  test("count-min estimate joins the sketch as a broadcast, with map-side partials") {
+    val plan = SparkEntry.queries("k2_countmin_spend")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded sketch must broadcast to the probe side:\n$plan")
+    // the sketch build's aggregation carries a partial_sum before its
+    // exchange — the map-side collapse that bounds shuffle volume at
+    // partitions * depth * width
+    assert(plan.contains("partial_sum"), s"sketch build lost map-side partials:\n$plan")
+  }
+
+  test("tumbling rollup is one hash aggregation pair — no window-function sort") {
+    val plan = SparkEntry.queries("w8_tumbling_rollup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange for the (window, key) aggregation; orderedOutput's
+    // gate-only single-partition collect is SinglePartition, not hash
+    assert(exchanges == 1, s"tumbling rollup should shuffle once, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no window operator belongs in a tumbling GROUP BY:\n$plan")
+  }
+
+  test("doc chunking plans no exchange at all — chunking is row-local") {
+    // build WITHOUT the gate-only output sort: the operator itself must
+    // be embarrassingly parallel (explode + expressions over the scan)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(15L))).as("start_tok"),
+        col("w"))
+      .withColumn("chunk", slice(col("w"), (col("start_tok") + 1).cast("int"), lit(20)))
+      .select(col("doc_id"), md5(array_join(col("chunk"), " ").cast("binary")).as("h"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
