@@ -357,6 +357,40 @@ object FeatureQueries {
       .tumblingRollup(prepared(spark, sfDir), "ord_us", "event_type", "cents", TumbleSecs, 0L)
       .transform(orderedOutput(_, col("win_start_us"), col("event_type")))
 
+  /** w9: the NATIVE session_window sessionizer
+    * ([[graft.streaming.WindowedAgg.sessionRollup]]) gated against the
+    * SAME DuckDB gap-session derivation that gates w7 — the j3-vs-ASOF
+    * pattern: two independent implementations (lag/cumsum window
+    * functions vs Spark's first-class session grouping) held to one
+    * oracle. This is the form that also runs streaming with
+    * watermark-bounded state, so its batch gate pins what the stream
+    * emits.
+    */
+  def sessionWindowRollup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.WindowedAgg
+      .sessionRollup(
+        prepared(spark, sfDir).select("user_id", "ord_us", "cents"),
+        "ord_us",
+        "user_id",
+        "cents",
+        gapSecs = 3600L,
+        watermarkSecs = 0L)
+      .transform(orderedOutput(_, col("user_id"), col("start_us")))
+
+  /** w10: sliding (hopping) rollup — 1-hour windows every 30 minutes per
+    * event_type, each event in exactly two windows. The oracle reproduces
+    * epoch-aligned membership by exploding the two integer offsets; all
+    * still one hash aggregation in Spark (the window fan-out is a
+    * row-local generator, not a shuffle multiplier beyond the x2 rows).
+    */
+  private val SlideSecs = 1800L
+
+  def slidingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.WindowedAgg
+      .slidingRollup(
+        prepared(spark, sfDir), "ord_us", "event_type", "cents", TumbleSecs, SlideSecs, 0L)
+      .transform(orderedOutput(_, col("win_start_us"), col("event_type")))
+
   /** a2: per-user spend quantiles — exact interpolated percentiles
     * (Spark `percentile`, DuckDB `quantile_cont`: both define the
     * p-quantile at rank p*(n-1) with linear interpolation) over exact
@@ -609,6 +643,34 @@ object FeatureQueries {
           |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
           |WHERE rnk <= 5
           |ORDER BY event_type, rnk""".stripMargin,
+      "w9_session_window" ->
+        s"""WITH prep AS ($prep),
+           |s1 AS (
+           |  SELECT user_id, ord_us, cents,
+           |    CASE WHEN lag(ord_us) OVER w IS NULL
+           |           OR ord_us - lag(ord_us) OVER w > $SessionGapUs
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM prep
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ord_us)),
+           |s2 AS (
+           |  SELECT user_id, ord_us, cents,
+           |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ord_us
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           |  FROM s1)
+           |SELECT user_id, min(ord_us) AS start_us, max(ord_us) AS end_us,
+           |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM s2 GROUP BY user_id, session_idx
+           |ORDER BY user_id, start_us""".stripMargin,
+      "w10_sliding_rollup" ->
+        s"""SELECT win_start_us, event_type, count(*) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM (
+           |  SELECT (ord_us // ${SlideSecs * 1000000L} - i) * ${SlideSecs * 1000000L} AS win_start_us,
+           |         event_type, cents
+           |  FROM (SELECT event_type, epoch_us(ts) AS ord_us,
+           |          CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, ${TumbleSecs / SlideSecs - 1})) AS i))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "w8_tumbling_rollup" ->
         s"""SELECT ord_us - ord_us % ${TumbleSecs * 1000000L} AS win_start_us, event_type,
            |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -667,6 +729,8 @@ object FeatureQueries {
     "k2_countmin_spend" -> (countMinSpend(_, _)),
     "s8_group_sample" -> (groupSample(_, _)),
     "w8_tumbling_rollup" -> (tumblingRollup(_, _)),
+    "w9_session_window" -> (sessionWindowRollup(_, _)),
+    "w10_sliding_rollup" -> (slidingRollup(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

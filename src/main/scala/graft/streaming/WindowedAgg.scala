@@ -39,6 +39,33 @@ object WindowedAgg {
         col("n_events"),
         col(s"sum_$valueCol"))
 
+  /** Sliding (hopping) per-(window, key) count/sum: windows of
+    * `windowSecs` every `slideSecs`, epoch-aligned, so each event lands
+    * in windowSecs/slideSecs windows. Same dual-plane contract as
+    * [[tumblingRollup]]; the oracle reproduces membership with an
+    * integer offset explode ((t div s - i) * s for i < w/s).
+    */
+  def slidingRollup(
+      events: DataFrame,
+      tsUsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowSecs: Long,
+      slideSecs: Long,
+      watermarkSecs: Long): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros(col(tsUsCol)))
+      .withWatermark("__ts", s"$watermarkSecs seconds")
+      .groupBy(
+        window(col("__ts"), s"$windowSecs seconds", s"$slideSecs seconds").as("__w"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as(s"sum_$valueCol"))
+      .select(
+        unix_micros(col("__w.start")).as("win_start_us"),
+        col(keyCol),
+        col("n_events"),
+        col(s"sum_$valueCol"))
+
   /** Gap-based session windows via the native `session_window` grouping —
     * the streaming-capable twin of [[graft.operators.Sessionize]] (whose
     * window-function form is batch-only): per (key, session) count, span
