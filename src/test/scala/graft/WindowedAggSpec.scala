@@ -71,6 +71,35 @@ class WindowedAggSpec extends AnyFunSuite {
     assert(viaOp == direct, "window() start must equal the epoch-aligned integer floor")
   }
 
+  test("streaming session windows finalize after the gap closes, matching batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[StreamEvent]
+    val q = WindowedAgg
+      .sessionRollup(source.toDF(), "ordUs", "userId", "cents", gapSecs = 60L, watermarkSecs = 10L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("w9_stream")
+      .start()
+    try {
+      // one session of three events (gaps < 60s), then silence: the next
+      // batch's far-future event moves the watermark past session end +
+      // gap, which finalizes and emits it
+      source.addData(
+        StreamEvent(5L, us(100), 10L),
+        StreamEvent(5L, us(130), 20L),
+        StreamEvent(5L, us(170), 30L))
+      q.processAllAvailable()
+      source.addData(StreamEvent(6L, us(5000), 1L))
+      q.processAllAvailable()
+      val got = spark.table("w9_stream")
+        .select("userId", "start_us", "end_us", "n_events", "sum_cents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((5L, us(100), us(170), 3L, 60L)),
+        s"merged session must finalize with last-event end time, got $got")
+    } finally q.stop()
+  }
+
   test("session_window rollup agrees with the batch sessionizer") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
