@@ -47,5 +47,8 @@ class BenchSpec extends AnyFunSuite {
     assert(t.runs.head == 9.0, "warm-up rep stays visible in the JSON runs")
     // a single completed rep is still a measurement, not a zero
     assert(Bench.Timing("q", Seq(4.0), None).med == 4.0)
+    // workload headlines share the discipline: rep 1 out of the median
+    assert(Bench.steadyMedian(Seq(100.0, 900.0, 800.0, 850.0)) == 850.0)
+    assert(Bench.steadyMedian(Seq(7.0)) == 7.0)
   }
 }
