@@ -391,6 +391,42 @@ object FeatureQueries {
         prepared(spark, sfDir), "ord_us", "event_type", "cents", TumbleSecs, SlideSecs, 0L)
       .transform(orderedOutput(_, col("win_start_us"), col("event_type")))
 
+  /** q4: pivot — per-user spend wide-formatted over the event_type
+    * domain (the feature-matrix export shape: one row per entity, one
+    * column per category). The value list is EXPLICIT, which matters at
+    * scale: `pivot(col)` without values runs a driver-side distinct job
+    * over the corpus first, while `pivot(col, values)` is a single hash
+    * aggregation with a static schema. Missing combinations zero-fill;
+    * integer cents keep the gate bit-exact (the oracle is the classic
+    * SUM(CASE...) spelling).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def pivotWide(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(sum(col("cents")))
+      .na.fill(0L, EventTypes)
+
+  def pivotSpend(spark: SparkSession, sfDir: String): DataFrame =
+    pivotWide(spark, sfDir).transform(orderedOutput(_, col("user_id")))
+
+  /** q5: unpivot/melt — q4's wide matrix back to long (user_id,
+    * event_type, spend_cents) via the native `unpivot`, the inverse
+    * export shape (feature matrix -> tidy rows). Row-local: unpivot is a
+    * generator expression, no shuffle beyond q4's aggregation. The oracle
+    * spells it as the UNION ALL of the five category columns.
+    */
+  def unpivotSpend(spark: SparkSession, sfDir: String): DataFrame =
+    pivotWide(spark, sfDir)
+      .unpivot(
+        Array(col("user_id")),
+        EventTypes.map(col).toArray,
+        "event_type",
+        "spend_cents")
+      .transform(orderedOutput(_, col("user_id"), col("event_type")))
+
   /** a2: per-user spend quantiles — exact interpolated percentiles
     * (Spark `percentile`, DuckDB `quantile_cont`: both define the
     * p-quantile at rank p*(n-1) with linear interpolation) over exact
@@ -643,6 +679,34 @@ object FeatureQueries {
           |          CAST(round(value * 100) AS BIGINT) AS cents FROM events))
           |WHERE rnk <= 5
           |ORDER BY event_type, rnk""".stripMargin,
+      "q4_pivot_spend" -> {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+          .map(t =>
+            s"CAST(coalesce(sum(CASE WHEN event_type = '$t' THEN cents END), 0) AS BIGINT) AS $t")
+          .mkString(",\n  ")
+        s"""SELECT user_id,
+           |  $cols
+           |FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin
+      },
+      "q5_unpivot_spend" -> {
+        val wide = Seq("click", "error", "purchase", "signup", "view")
+          .map(t =>
+            s"CAST(coalesce(sum(CASE WHEN event_type = '$t' THEN cents END), 0) AS BIGINT) AS $t")
+          .mkString(",\n    ")
+        val arms = Seq("click", "error", "purchase", "signup", "view")
+          .map(t => s"SELECT user_id, '$t' AS event_type, $t AS spend_cents FROM w")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (
+           |  SELECT user_id,
+           |    $wide
+           |  FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |        FROM events)
+           |  GROUP BY user_id)
+           |$arms
+           |ORDER BY user_id, event_type""".stripMargin
+      },
       "w9_session_window" ->
         s"""WITH prep AS ($prep),
            |s1 AS (
@@ -731,6 +795,8 @@ object FeatureQueries {
     "w8_tumbling_rollup" -> (tumblingRollup(_, _)),
     "w9_session_window" -> (sessionWindowRollup(_, _)),
     "w10_sliding_rollup" -> (slidingRollup(_, _)),
+    "q4_pivot_spend" -> (pivotSpend(_, _)),
+    "q5_unpivot_spend" -> (unpivotSpend(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
