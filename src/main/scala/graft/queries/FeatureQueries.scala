@@ -427,6 +427,25 @@ object FeatureQueries {
         "spend_cents")
       .transform(orderedOutput(_, col("user_id"), col("event_type")))
 
+  /** q6: ROLLUP — the multi-level aggregate (per (event_type, day), per
+    * event_type, grand total) in ONE pass: Spark expands the grouping
+    * sets map-side, so the three levels cost one shuffle, not three
+    * queries. Rolled-up positions are coalesced to sentinels ('ALL'/-1)
+    * in BOTH engines so no null crosses the gate boundary; DuckDB's
+    * native GROUP BY ROLLUP is the oracle.
+    */
+  def rollupSpend(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .withColumn("day", expr("ord_us div 86400000000"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit(-1L)).as("day"),
+        col("n_events"),
+        col("sum_cents"))
+      .transform(orderedOutput(_, col("event_type"), col("day")))
+
   /** a2: per-user spend quantiles — exact interpolated percentiles
     * (Spark `percentile`, DuckDB `quantile_cont`: both define the
     * p-quantile at rank p*(n-1) with linear interpolation) over exact
@@ -690,6 +709,15 @@ object FeatureQueries {
            |      FROM events)
            |GROUP BY user_id ORDER BY user_id""".stripMargin
       },
+      "q6_rollup_spend" ->
+        """SELECT coalesce(event_type, 'ALL') AS event_type,
+          |  coalesce(day, -1) AS day,
+          |  count(*) AS n_events,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |GROUP BY ROLLUP(event_type, day)
+          |ORDER BY 1, 2""".stripMargin,
       "q5_unpivot_spend" -> {
         val wide = Seq("click", "error", "purchase", "signup", "view")
           .map(t =>
@@ -797,6 +825,7 @@ object FeatureQueries {
     "w10_sliding_rollup" -> (slidingRollup(_, _)),
     "q4_pivot_spend" -> (pivotSpend(_, _)),
     "q5_unpivot_spend" -> (unpivotSpend(_, _)),
+    "q6_rollup_spend" -> (rollupSpend(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
