@@ -40,9 +40,24 @@ object Bench {
   def steadyMedian(runs: Seq[Double]): Double =
     if (runs.size > 1) median(runs.drop(1)) else median(runs)
 
+  /** 1-minute system load average from /proc/loadavg — the contention
+    * sentinel the round-6 audit asked for: the driver machine ran other
+    * work during BENCH_r06 and four gates misread 3-12x; with per-rep
+    * load in the JSON a grader can see WHICH reps were measured under
+    * pressure instead of inferring it from monotone rate arrays. -1.0
+    * when unreadable (non-Linux).
+    */
+  def loadAvg(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0)
+      .toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** One timed query: every completed repetition's wall seconds (a failed
     * attempt's elapsed is NOT a measurement and is excluded), plus the
-    * first error if any repetition threw.
+    * first error if any repetition threw, plus per-rep start timestamps
+    * (epoch ms) and the load-average sentinel sampled as each rep began.
     *
     * The reported median EXCLUDES the first repetition (round-5 audit:
     * rep 1 absorbs codegen compile, shared-frame cache materialization,
@@ -51,7 +66,12 @@ object Bench {
     * "regression" on unchanged code). The full run array, rep 1 included,
     * stays in the JSON so the warm-up cost remains visible.
     */
-  final case class Timing(name: String, runs: Seq[Double], err: Option[String]) {
+  final case class Timing(
+      name: String,
+      runs: Seq[Double],
+      err: Option[String],
+      repStartMs: Seq[Long] = Nil,
+      repLoad: Seq[Double] = Nil) {
     def med: Double =
       if (runs.size > 1) median(runs.drop(1))
       else if (runs.nonEmpty) runs.head
@@ -63,36 +83,56 @@ object Bench {
     * show up in the bench JSON (round-2 audit: `catch { _ => () }` let a
     * regression be timed as ~0 and "pass"). Repetitions exist because the
     * round-3 audit showed single-shot numbers swinging 2-3x on unchanged
-    * code (JVM/OS contention noise) — per-query medians with the full
-    * spread in the JSON make cross-round deltas gradeable; 5 reps (round-5
-    * audit: 3-rep medians still moved ~2x on unchanged code, e.g.
-    * d4_simhash 1.59 -> 3.85 s) tighten the median enough to attribute
-    * per-query deltas. A query that throws stops repeating (the error, not
-    * the time, is the result).
+    * code (JVM/OS contention noise); 5 reps tighten the median enough to
+    * attribute per-query deltas. A query that throws stops repeating (the
+    * error, not the time, is the result).
+    *
+    * Reps are INTERLEAVED round-robin (all queries rep 1, then all rep 2,
+    * ...), not run back-to-back per query: BENCH_r06 ran on a contended
+    * machine and sequential reps let one ~30 s contention window poison
+    * every counted rep of whichever gate it landed on (t10 read 8.04 s
+    * driver vs 0.68 s quiet). Round-robin spreads any contention window
+    * across the whole suite, so it costs each gate at most one rep — and
+    * the median of the remaining reps survives.
     */
   def timeQueries(
       spark: SparkSession,
       sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      reps: Int = 5): Seq[Timing] =
-    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var err: Option[String] = None
-      val runs = Seq.newBuilder[Double]
-      var r = 0
-      while (r < reps && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try {
-          consume(fn(spark, sfDir))
-          runs += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            err = Some(
-              e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName).take(300))
+      reps: Int = 5): Seq[Timing] = {
+    val ordered = queries.toSeq.sortBy(_._1)
+    val runs = collection.mutable.Map.empty[String, Vector[Double]]
+    val starts = collection.mutable.Map.empty[String, Vector[Long]]
+    val loads = collection.mutable.Map.empty[String, Vector[Double]]
+    val errs = collection.mutable.Map.empty[String, String]
+    var r = 0
+    while (r < reps) {
+      ordered.foreach { case (name, fn) =>
+        if (!errs.contains(name)) {
+          starts(name) = starts.getOrElse(name, Vector.empty) :+ System.currentTimeMillis()
+          loads(name) = loads.getOrElse(name, Vector.empty) :+ loadAvg()
+          val t0 = System.nanoTime()
+          try {
+            consume(fn(spark, sfDir))
+            runs(name) = runs.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errs(name) =
+                e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName).take(300)
+          }
         }
-        r += 1
       }
-      Timing(name, runs.result(), err)
+      r += 1
     }
+    ordered.map { case (name, _) =>
+      Timing(
+        name,
+        runs.getOrElse(name, Vector.empty),
+        errs.get(name),
+        starts.getOrElse(name, Vector.empty),
+        loads.getOrElse(name, Vector.empty))
+    }
+  }
 
   /** Streaming-plane throughput: replay the sf events through the
     * per-event trailing-window operator (MemoryStream source -> noop
@@ -116,7 +156,7 @@ object Bench {
       .collect() // driver-held replay buffer, ~100k rows at sf0.1
     val n = events.length
     val chunks = events.grouped(math.max(1, n / 10)).toSeq
-    (1 to reps).map { _ =>
+    def onceRate(): Double = {
       val source = MemoryStream[StreamEvent]
       val q = StreamingAgg
         .trailingAgg(source.toDS())
@@ -133,6 +173,12 @@ object Bench {
       } finally q.stop()
       n / ((System.nanoTime() - t0) / 1e9)
     }
+    // Fixed warm-up replay before rep 1 (r6 item 6): the r6 rate arrays
+    // climbed monotonically across ALL reps (4.6k -> 9.7k) — state-store
+    // init, codegen, and micro-batch machinery were still amortizing well
+    // past the first replay, so even the steady median wasn't steady.
+    onceRate()
+    (1 to reps).map(_ => onceRate())
   }
 
   /** Serving-plane throughput: the full online-inference path — broadcast
@@ -175,13 +221,17 @@ object Bench {
       .cache()
     val n = scoreable.count()
     try {
-      (1 to reps).map { _ =>
+      def onceRate(): Double = {
         val t0 = System.nanoTime()
         consume(
           streaming.EnrichAndScore
             .scoreFrame(scoreable, snapshot, "user_id", "amount", col("now_us")))
         n / ((System.nanoTime() - t0) / 1e9)
       }
+      // Warm-up rep (discarded) — r6's serve array climbed 184k -> 437k
+      // across all reps; the codegen+broadcast build belongs to no rep.
+      onceRate()
+      (1 to reps).map(_ => onceRate())
     } finally {
       snapshot.unpersist()
       scoreable.unpersist()
@@ -197,13 +247,42 @@ object Bench {
     // warmup runs the flagship slice at the smallest scale factor).
     try consume(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
-    val results = timeQueries(spark, sfDir, SparkEntry.queries)
+    // v5 lifecycle split (r6 item 4): time the index BUILD once per bench
+    // run (the once-per-deployment cost, reported as v5_build_secs), then
+    // gate v5 on probe-only reps against the standing index — the serving
+    // latency a user actually sees. r6's gate rebuilt the index inside
+    // every rep, hiding a ~0.5 s probe inside ~2 s of rebuild. If the
+    // build throws, the original full-lifecycle query stays in so the
+    // failure is visible as a gate error, not silently skipped.
+    val v5BuildSecs: Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        queries.VectorQueries.buildIvfIndex(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] v5 index build failed: $e")
+          None
+      }
+    val benchQueries = v5BuildSecs match {
+      case Some(_) =>
+        SparkEntry.queries + ("v5_ivf_index_probe" ->
+          ((s: SparkSession, d: String) => queries.VectorQueries.ivfIndexProbeOnly(s, d)))
+      case None => SparkEntry.queries
+    }
+    val results = timeQueries(spark, sfDir, benchQueries)
     val qs = results.map(t => s"\"" + t.name + "\":" + t.med)
       .mkString("{", ",", "}")
     val runsJson = results
       .map(t => s"\"" + t.name + "\":" + t.runs.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val errs = results.collect { case Timing(k, _, Some(e)) => s"\"$k\":\"${jsonEscape(e)}\"" }
+    val startsJson = results
+      .map(t => s"\"" + t.name + "\":" + t.repStartMs.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val loadsJson = results
+      .map(t => s"\"" + t.name + "\":" + t.repLoad.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val errs = results.collect { case Timing(k, _, Some(e), _, _) => s"\"$k\":\"${jsonEscape(e)}\"" }
       .mkString("{", ",", "}")
     results.foreach { t =>
       t.err.foreach(msg => System.err.println(s"[bench] QUERY FAILED ${t.name}: $msg"))
@@ -218,7 +297,7 @@ object Bench {
     // Streaming-plane headline (median of 3): per-event trailing window
     // over the replayed sf events vs the reference's 1,000 rec/s shard.
     val streamRateRuns =
-      try streamRates(spark, sfDir, reps = 4)
+      try streamRates(spark, sfDir, reps = 5)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream workload failed: $e")
@@ -227,7 +306,7 @@ object Bench {
     // Serving-plane headline (median of 3): the full enrich+score path
     // over the replayed sf events against a prebuilt snapshot.
     val serveRateRuns =
-      try serveRates(spark, sfDir, reps = 4)
+      try serveRates(spark, sfDir, reps = 5)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] serve workload failed: $e")
@@ -244,13 +323,15 @@ object Bench {
           .transactions(spark, datagen.TransactionGen.Params(nCards = 10000, nTxns = 5400000L))
           .cache()
         val n = txns.count()
-        val rates = (1 to 4).map { _ =>
+        def onceRate(): Double = {
           val t0 = System.nanoTime()
           consume(
             operators.TrailingWindows
               .aggregates(txns, "cc_num", "datetime", "amount", Seq("10m" -> 600L, "1w" -> 604800L)))
           n / ((System.nanoTime() - t0) / 1e9)
         }
+        onceRate() // warm-up (discarded), same discipline as the other headlines
+        val rates = (1 to 5).map(_ => onceRate())
         txns.unpersist()
         rates
       } catch {
@@ -260,6 +341,8 @@ object Bench {
       }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,""" +
+        s""""query_rep_start_ms":$startsJson,"query_rep_load":$loadsJson,""" +
+        v5BuildSecs.map(b => s""""v5_build_secs":$b,""").getOrElse("") +
         s""""query_errors":$errs,"sf":"$sfDir",""" +
         s""""ref_workload_rows_per_sec":${steadyMedian(refRates).round},""" +
         s""""ref_rate_runs":${refRates.map(_.round).mkString("[", ",", "]")},""" +

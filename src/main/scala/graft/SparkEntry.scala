@@ -23,7 +23,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     FeatureQueries.trailingAgg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Persist contract: a few gated queries persist shared frames
+    * (d2/d2c/d3/d10's shingle + thresholded-pair frames, v3/v4/d9's
+    * prepared vectors) so one materialization serves every consumer in a
+    * batch. The harnesses (Verify, Bench) reclaim them by running inside
+    * [[CacheScope.scoped]]; a DIRECT caller of these queries should do
+    * the same — `CacheScope.scoped(spark) { ... }` around the batch —
+    * or the frames stay cached until session end. Actions must stay
+    * inside the scope (localCheckpoint-backed frames cannot
+    * re-materialize after the scope drops them).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.iterator.flatMap(_._1).toMap
 

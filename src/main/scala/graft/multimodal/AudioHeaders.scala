@@ -65,23 +65,29 @@ object AudioHeaders {
     while (i + 8 <= blob.length && (fmtTag < 0 || dataBytes < 0)) {
       val id = tag(blob, i)
       val size = leInt(blob, i + 4)
-      if (size < 0) return Unknown // corrupt length
-      if (id == "fmt ") {
-        if (size < 16 || i + 8 + 16 > blob.length) return Unknown
-        fmtTag = leShort(blob, i + 8)
-        channels = leShort(blob, i + 10)
-        sampleRate = leInt(blob, i + 12)
-        byteRate = leInt(blob, i + 16)
-        bitsPerSample = leShort(blob, i + 22)
-      } else if (id == "data") {
-        dataBytes = size.toLong // declared size — payload may be truncated
+      if (size < 0) {
+        // corrupt length: stop the walk like the past-the-blob case so
+        // fmt params already parsed survive — a negative trailing chunk
+        // and a huge positive one are the same corrupt-tail condition
+        i = blob.length
+      } else {
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 16 > blob.length) return Unknown
+          fmtTag = leShort(blob, i + 8)
+          channels = leShort(blob, i + 10)
+          sampleRate = leInt(blob, i + 12)
+          byteRate = leInt(blob, i + 16)
+          bitsPerSample = leShort(blob, i + 22)
+        } else if (id == "data") {
+          dataBytes = size.toLong // declared size — payload may be truncated
+        }
+        // Long cursor: size can sit near Int.MaxValue in a corrupt stream,
+        // and wrapping negative here would index a negative header offset
+        // next iteration instead of falling out of the loop.
+        val next = i.toLong + 8L + size.toLong + (size & 1)
+        if (next > blob.length) i = blob.length // past the blob: stop
+        else i = next.toInt
       }
-      // Long cursor: size can sit near Int.MaxValue in a corrupt stream,
-      // and wrapping negative here would index a negative header offset
-      // next iteration instead of falling out of the loop.
-      val next = i.toLong + 8L + size.toLong + (size & 1)
-      if (next > blob.length) i = blob.length // past the blob: stop
-      else i = next.toInt
     }
     if (fmtTag < 0) return Unknown
     val data = math.max(0L, dataBytes)

@@ -58,26 +58,39 @@ object Multimodal {
   }
 
   /** Real pixel features for the UNCOMPRESSED formats ([[PixelDecode]]:
-    * 24-bit BI_RGB BMP, binary PPM) — channel means + stddevs computed
-    * from the actual pixel array, no codec library needed — with
-    * [[StubCodec]] as the declared fallback for the compressed formats
-    * this environment cannot decode. Decoded features are 7 floats:
-    * a 1.0 "decoded" flag then R/G/B means and stddevs normalized to
-    * [0, 1]; fallback records keep StubCodec's 16-float histogram (also
-    * distinguishable by length: 16 vs 7).
+    * 24-bit BI_RGB BMP, binary PPM, non-interlaced 8-bit PNG) — channel
+    * means + stddevs computed from the actual pixel array, no codec
+    * library needed — with [[StubCodec]] as the declared fallback for the
+    * formats this environment cannot decode.
+    *
+    * ONE declared output width either way (a fixed-dimension consumer —
+    * a vector assembler, a feature-store column — must never see ragged
+    * lengths): slot 0 is the decoded flag, slots 1-6 the R/G/B means and
+    * stddevs normalized to [0, 1] (zero when not decoded), slots 7-22
+    * StubCodec's 16-bin byte histogram (zero when decoded).
     */
   object PixelCodec extends MediaCodec {
-    val FeatureDim = 7
+    val StatsDim = 7
+    val FeatureDim: Int = StatsDim + StubCodec.FeatureDim // 23
 
-    def decodeFeatures(record: MediaRecord): Array[Float] =
+    def decodeFeatures(record: MediaRecord): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
       PixelDecode.decode(record.blob) match {
         case Some(img) =>
           val s = PixelDecode.channelStats(img)
-          Array(1f,
-            (s.meanR / 255.0).toFloat, (s.meanG / 255.0).toFloat, (s.meanB / 255.0).toFloat,
-            (s.stdR / 255.0).toFloat, (s.stdG / 255.0).toFloat, (s.stdB / 255.0).toFloat)
-        case None => StubCodec.decodeFeatures(record)
+          out(0) = 1f
+          out(1) = (s.meanR / 255.0).toFloat
+          out(2) = (s.meanG / 255.0).toFloat
+          out(3) = (s.meanB / 255.0).toFloat
+          out(4) = (s.stdR / 255.0).toFloat
+          out(5) = (s.stdG / 255.0).toFloat
+          out(6) = (s.stdB / 255.0).toFloat
+        case None =>
+          System.arraycopy(
+            StubCodec.decodeFeatures(record), 0, out, StatsDim, StubCodec.FeatureDim)
       }
+      out
+    }
 
     def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]] =
       StubCodec.sampleFrames(blob, n)

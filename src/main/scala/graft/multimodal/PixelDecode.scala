@@ -125,7 +125,13 @@ object PixelDecode {
     val maxval = nextInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     if (!dimsOk(w.toInt, h.toInt)) return None
-    i += 1 // exactly one whitespace byte separates header and raster
+    // exactly one whitespace byte separates header and raster — VERIFY it
+    // is whitespace before stepping over it: a malformed P6 whose maxval
+    // runs straight into raster bytes would otherwise decode one byte off
+    // and silently produce wrong channel stats instead of None
+    if (i >= blob.length || !(blob(i) == ' ' || blob(i) == '\t' || blob(i) == '\n' || blob(i) == '\r'))
+      return None
+    i += 1
     val need = w * h * 3L
     if (i.toLong + need > blob.length) return None
     Some(RgbImage(w.toInt, h.toInt, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))

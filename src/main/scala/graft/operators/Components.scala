@@ -189,7 +189,12 @@ object Components {
       nodes: DataFrame,
       edges: DataFrame,
       propagationMaxEdges: Long = PropagationMaxEdges): DataFrame =
-    if (edges.limit((propagationMaxEdges + 1).toInt).count() <= propagationMaxEdges)
+    // clamp: a caller-supplied threshold >= Int.MaxValue would overflow
+    // limit()'s Int argument to a negative count and fail at analysis
+    // time instead of dispatching to star
+    if (edges
+        .limit(math.min(propagationMaxEdges + 1, Int.MaxValue.toLong).toInt)
+        .count() <= propagationMaxEdges)
       try connectedComponents(nodes, edges)
       catch {
         case _: IllegalStateException => connectedComponentsStar(nodes, edges)

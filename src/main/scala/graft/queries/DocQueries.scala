@@ -245,13 +245,27 @@ object DocQueries {
   def termImportance(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count()
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    // df IS tf's per-token row count (tf holds exactly one row per
+    // (doc, token)), so deriving it from tf instead of re-aggregating the
+    // exploded stream lets AQE serve both join branches from ONE
+    // scan+explode+partial-agg shuffle stage — the r6 version exploded the
+    // corpus twice (a full wasted pass at 100 TB). Same reason N rides
+    // in-plan as a broadcast scalar rather than a separate docs.count()
+    // driver job. The count argument must keep a REAL data dependency on
+    // tf (>= 1 always, so the when() never misses): under plain count(*)
+    // — or count(tf), which the optimizer rewrites back to count(*) since
+    // tf is non-null — column pruning drops tf's partial_count from this
+    // branch's aggregate, de-canonicalizing the shared exchange and
+    // defeating the stage reuse (observed: 2 Generates in the final
+    // adaptive plan; PlanPostureSpec pins the single-Generate posture).
+    val df = tf.groupBy(col("token")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
     tf.join(df, Seq("token"))
-      .withColumn("score", col("tf") * (lit(n) - col("df")))
+      .crossJoin(nDocs)
+      .withColumn("score", col("tf") * (col("n_docs") - col("df")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TermTopK)
       .select("doc_id", "rnk", "token", "tf", "df", "score")

@@ -782,7 +782,9 @@ object FeatureQueries {
            |  SELECT user_id, j,
            |    CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $CmWidth AS bucket
            |  FROM (SELECT DISTINCT user_id FROM prep) CROSS JOIN js),
-           |est AS (SELECT user_id, min(c) AS cm_est FROM kb JOIN sk USING (j, bucket) GROUP BY 1),
+           |est AS (
+           |  SELECT user_id, min(coalesce(c, 0)) AS cm_est
+           |  FROM kb LEFT JOIN sk USING (j, bucket) GROUP BY 1),
            |ex AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS exact_cents FROM prep GROUP BY 1)
            |SELECT e.user_id, x.exact_cents, e.cm_est, e.cm_est - x.exact_cents AS over_cents
            |FROM est e JOIN ex x USING (user_id)

@@ -202,14 +202,29 @@ object VectorQueries {
     */
   private val IndexTable = "graft_ivf_index"
 
-  def ivfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+  /** Build half of the v5 lifecycle, exposed separately so the bench can
+    * time build (once per deployment) and probe (every query batch) as
+    * the two numbers they are in production — r6's single gate conflated
+    * them, hiding the serving latency inside ~2 s of per-rep rebuild.
+    */
+  def buildIvfIndex(spark: SparkSession, sfDir: String): Unit =
     VectorIndex.build(
-      emb, "vec_id", "embedding", IndexTable,
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", IndexTable,
       IvfFloorCells, IvfCapCells, LloydIters, MaxCell, IvfTrainPerCell)
+
+  /** Probe half — requires [[buildIvfIndex]] to have run in this session
+    * (the standing-index serving path).
+    */
+  def ivfIndexProbeOnly(spark: SparkSession, sfDir: String): DataFrame =
     VectorIndex
-      .topK(spark, IndexTable, emb, "vec_id", "embedding", 1, 1, excludeSelf = true)
+      .topK(
+        spark, IndexTable, Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", 1, 1, excludeSelf = true)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
+  def ivfIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    buildIvfIndex(spark, sfDir)
+    ivfIndexProbeOnly(spark, sfDir)
   }
 
   /** d9: SemDeDup-style cluster-scoped dedup ([[Similarity.semDedup]]) at

@@ -156,6 +156,13 @@ class PipelineSpec extends AnyFunSuite {
       "JUNK".getBytes ++ le4(Int.MaxValue - 4)
     assert(AudioHeaders.probe(wavEvil2).format == "wav-pcm",
       "fmt params already parsed must survive a corrupt trailing chunk")
+    // NEGATIVE trailing chunk size is the same corrupt-tail condition as
+    // the huge positive one — parsed fmt params must survive both alike
+    val wavEvil3 = "RIFF".getBytes ++ le4(200) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ fmt ++
+      "JUNK".getBytes ++ le4(-100)
+    assert(AudioHeaders.probe(wavEvil3).format == "wav-pcm",
+      "fmt params already parsed must survive a negative trailing chunk size")
 
     import spark.implicits._
     val rows = Seq(

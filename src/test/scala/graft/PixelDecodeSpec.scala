@@ -72,6 +72,10 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decodePpm("P6 3 2 65535\n".getBytes ++ raster ++ raster).isEmpty,
       "16-bit maxval is not decodable here")
     assert(PixelDecode.decodePpm(hdr ++ raster.take(10)).isEmpty, "truncated raster")
+    // maxval running straight into raster bytes (no whitespace separator)
+    // is malformed — must be None, not a silently one-byte-off decode
+    assert(PixelDecode.decodePpm("P6 3 2 255".getBytes ++ raster).isEmpty,
+      "missing header/raster separator byte")
     // decode() dispatches: BMP bytes via the BMP path, PPM via PPM
     assert(PixelDecode.decode(hdr ++ raster).nonEmpty)
     assert(PixelDecode.decode(bmp(3, 2, pix, storeTopDown = false)).nonEmpty)
@@ -98,14 +102,19 @@ class PixelDecodeSpec extends AnyFunSuite {
   }
 
   test("PixelCodec: real stats for decodable media, StubCodec fallback otherwise") {
+    val stats = Multimodal.PixelCodec.StatsDim
     val rec = Multimodal.MediaRecord(1L, "image", bmp(3, 2, pix, storeTopDown = false), 3, 2, 0)
     val f = Multimodal.PixelCodec.decodeFeatures(rec)
     assert(f.length == Multimodal.PixelCodec.FeatureDim && f(0) == 1f)
     assert(math.abs(f(1) - (638.0 / 6 / 255.0).toFloat) < 1e-6)
+    assert(f.drop(stats).forall(_ == 0f), "decoded records zero the histogram slots")
     val opaque = Multimodal.MediaRecord(2L, "image", Array[Byte](9, 9, 9, 9), 0, 0, 0)
     val fb = Multimodal.PixelCodec.decodeFeatures(opaque)
-    assert(fb.toSeq == Multimodal.StubCodec.decodeFeatures(opaque).toSeq,
-      "undecodable payloads take the stub fallback")
-    assert(fb(0) < 1f, "fallback leading value stays below the decoded flag")
+    // ONE declared width for both paths — never ragged
+    assert(fb.length == Multimodal.PixelCodec.FeatureDim)
+    assert(fb(0) == 0f, "fallback records clear the decoded flag")
+    assert(fb.slice(1, stats).forall(_ == 0f), "fallback records zero the stat slots")
+    assert(fb.drop(stats).toSeq == Multimodal.StubCodec.decodeFeatures(opaque).toSeq,
+      "undecodable payloads carry the stub histogram in the tail slots")
   }
 }

@@ -209,6 +209,22 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window operator belongs in a tumbling GROUP BY:\n$plan")
   }
 
+  test("term importance explodes the corpus ONCE — df branch reuses tf's shuffle stage") {
+    // df is derived from tf (one row per (doc, token)), so both join
+    // branches sit on the SAME hash(doc_id, token) exchange; AQE must
+    // serve the df branch from the reused shuffle stage instead of
+    // re-running the scan+explode+partial-agg (the r6 shape exploded the
+    // corpus twice). Reuse is decided at runtime, so execute first and
+    // then read the final adaptive plan.
+    val q = SparkEntry.queries("t10_term_importance")(spark, sf)
+    q.collect()
+    // the adaptive plan string repeats every node under "== Initial Plan
+    // ==" — count in the executed (final) section only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"corpus must be exploded exactly once, got $generates:\n$plan")
+  }
+
   test("doc chunking plans no exchange at all — chunking is row-local") {
     // build WITHOUT the gate-only output sort: the operator itself must
     // be embarrassingly parallel (explode + expressions over the scan)
