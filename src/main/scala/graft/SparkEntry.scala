@@ -1,5 +1,6 @@
 package graft
 
+import graft.multimodal.MediaFixtures
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,7 +17,12 @@ object SparkEntry {
       (FeatureQueries.queries, FeatureQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
       (DocQueries.queries, DocQueries.oracle),
-      (VectorQueries.queries, VectorQueries.oracle)
+      (VectorQueries.queries, VectorQueries.oracle),
+      // m1: the pixel-decode plane's fixture-hash gate — the oracle side
+      // is a VALUES literal derived from the ground-truth pixel tuples,
+      // so the decode path gets the same rows/schema/hash contract as
+      // the SQL-expressible operators
+      (MediaFixtures.queries, MediaFixtures.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,207 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The m1_pixel_stats oracle gate: deterministic in-code media fixtures
+  * whose pixel content is DEFINED as integer tuples, encoded into real
+  * container bytes (BMP bottom-up/top-down, PPM, PNG RGB/RGBA across all
+  * five row filters, plus undecodable streams), decoded back through the
+  * DISTRIBUTED [[PixelDecode]] path, and summarized as exact integer
+  * channel statistics.
+  *
+  * The two gate sides never share a derivation: the Spark result decodes
+  * the encoded BYTES (container parsing, inflate, unfilter), while
+  * [[oracleSql]] is a VALUES literal computed from the ground-truth pixel
+  * TUPLES by plain integer arithmetic at string-build time — if encoder
+  * and decoder ever agreed on a wrong byte layout, the tuples would not
+  * match and the hash would diverge. Statistics are integer sums/sums of
+  * squares (exact in Long far past any real image), following the repo's
+  * integer-oracle discipline; means/stddevs are derived downstream.
+  */
+object MediaFixtures {
+
+  /** One fixture: declared format label (what [[ImageHeaders.probe]]
+    * must report), ground-truth pixels (empty for undecodable streams),
+    * and the encoded container bytes.
+    */
+  final case class Fixture(
+      mediaId: Long,
+      format: String,
+      truth: Seq[(Int, Int, Int)],
+      blob: Array[Byte])
+
+  private val W = 8
+  private val H = 5
+
+  /** Deterministic pixel pattern — varies by fixture so no two fixtures
+    * share statistics.
+    */
+  private def pixels(k: Int): Seq[(Int, Int, Int)] =
+    (0 until W * H).map { i =>
+      (((k * 37 + i * 11) % 256), ((k * 53 + i * 7) % 256), ((k * 29 + i * 13) % 256))
+    }
+
+  // ---- container encoders (forward direction of PixelDecode's parsers) --
+
+  private def le4(i: Int) = Array[Byte](
+    (i & 0xff).toByte, ((i >> 8) & 0xff).toByte, ((i >> 16) & 0xff).toByte, (i >>> 24).toByte)
+  private def le2(i: Int) = Array[Byte]((i & 0xff).toByte, (i >> 8).toByte)
+  private def be4(i: Int) = Array[Byte](
+    (i >>> 24).toByte, ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+
+  private def bmpBytes(px: Seq[(Int, Int, Int)], storeTopDown: Boolean): Array[Byte] = {
+    val stride = ((W * 3 + 3) / 4) * 4
+    val pixelOff = 54
+    val body = new Array[Byte](stride * H)
+    for (row <- 0 until H; x <- 0 until W) {
+      val (r, g, b) = px(row * W + x)
+      val fileRow = if (storeTopDown) row else H - 1 - row
+      val off = fileRow * stride + x * 3
+      body(off) = b.toByte; body(off + 1) = g.toByte; body(off + 2) = r.toByte
+    }
+    "BM".getBytes ++ le4(pixelOff + body.length) ++ le4(0) ++ le4(pixelOff) ++
+      le4(40) ++ le4(W) ++ le4(if (storeTopDown) -H else H) ++ le2(1) ++ le2(24) ++
+      le4(0) ++ le4(body.length) ++ le4(2835) ++ le4(2835) ++ le4(0) ++ le4(0) ++ body
+  }
+
+  private def ppmBytes(px: Seq[(Int, Int, Int)]): Array[Byte] =
+    s"P6\n# graft fixture\n$W $H\n255\n".getBytes ++
+      px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+
+  /** Forward-filtered, deflated PNG; `alpha >= 0` switches to RGBA with
+    * that constant alpha byte (dropped by the decoder).
+    */
+  private def pngBytes(px: Seq[(Int, Int, Int)], rowFilters: Seq[Int], alpha: Int): Array[Byte] = {
+    val bpp = if (alpha >= 0) 4 else 3
+    val colorType = if (alpha >= 0) 6 else 2
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rowBytes = W * bpp
+    val plain = Array.tabulate(H, rowBytes) { (r, k) =>
+      val (pr, pg, pb) = px(r * W + k / bpp)
+      (k % bpp) match { case 0 => pr; case 1 => pg; case 2 => pb; case _ => alpha }
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until H) {
+      val f = rowFilters(r % rowFilters.size)
+      raw.write(f)
+      for (k <- 0 until rowBytes) {
+        val x = plain(r)(k)
+        val a = if (k >= bpp) plain(r)(k - bpp) else 0
+        val b = if (r > 0) plain(r - 1)(k) else 0
+        val c = if (r > 0 && k >= bpp) plain(r - 1)(k - bpp) else 0
+        val filtered = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 => x - paeth(a, b, c)
+        }
+        raw.write(filtered & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(payload)
+      be4(payload.length) ++ typ.getBytes ++ payload ++ be4(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be4(W) ++ be4(H) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** The fixture set: every decodable container flavor plus the two
+    * undecodable shapes (truncated PNG — header probes fine, pixels do
+    * not decode — and a non-image byte stream).
+    */
+  def fixtures: Seq[Fixture] = {
+    val truncatedPng = pngBytes(pixels(6), Seq(0), alpha = -1).dropRight(24)
+    Seq(
+      Fixture(1L, "bmp", pixels(1), bmpBytes(pixels(1), storeTopDown = false)),
+      Fixture(2L, "bmp", pixels(2), bmpBytes(pixels(2), storeTopDown = true)),
+      Fixture(3L, "unknown", pixels(3), ppmBytes(pixels(3))), // ImageHeaders has no PPM probe
+      Fixture(4L, "png", pixels(4), pngBytes(pixels(4), Seq(0, 1, 2, 3, 4), alpha = -1)),
+      Fixture(5L, "png", pixels(5), pngBytes(pixels(5), Seq(4, 3, 2, 1, 0), alpha = 200)),
+      Fixture(6L, "png", Seq.empty, truncatedPng),
+      Fixture(7L, "unknown", Seq.empty, Array.tabulate[Byte](64)(i => (i * 17).toByte)))
+  }
+
+  /** The m1 gate query: decode every fixture through the distributed
+    * mapPartitions path and emit exact integer channel statistics
+    * (decoded=0 rows carry zeros). `sfDir` is unused — the fixtures are
+    * the dataset — but the signature matches the SparkEntry contract.
+    */
+  def pixelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fx = fixtures.map(f => (f.mediaId, f.blob))
+    spark
+      .createDataset(fx)
+      .repartition(4) // exercise the multi-partition decode path
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val fmt = ImageHeaders.probe(blob).format
+          PixelDecode.decode(blob) match {
+            case Some(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var qr = 0L; var qg = 0L; var qb = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val r = img.rgb(i) & 0xff
+                val g = img.rgb(i + 1) & 0xff
+                val b = img.rgb(i + 2) & 0xff
+                sr += r; sg += g; sb += b
+                qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+                i += 3
+              }
+              (id, fmt, 1L, img.width.toLong * img.height, sr, sg, sb, qr, qg, qb)
+            case None => (id, fmt, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF(
+        "media_id", "format", "decoded", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "sumsq_r", "sumsq_g", "sumsq_b")
+      .orderBy("media_id")
+      .coalesce(1)
+  }
+
+  /** DuckDB twin: pure VALUES literals computed from the ground-truth
+    * pixel tuples (never from the decoder) at string-build time.
+    */
+  def oracleSql: String = {
+    val rows = fixtures.map { f =>
+      val dec = if (f.truth.nonEmpty) 1L else 0L
+      val n = if (f.truth.nonEmpty) f.truth.size.toLong else 0L
+      def s(sel: ((Int, Int, Int)) => Int) = if (dec == 1L) f.truth.map(p => sel(p).toLong).sum else 0L
+      def q(sel: ((Int, Int, Int)) => Int) =
+        if (dec == 1L) f.truth.map(p => sel(p).toLong * sel(p)).sum else 0L
+      s"(${f.mediaId}, '${f.format}', $dec, $n, " +
+        s"${s(_._1)}, ${s(_._2)}, ${s(_._3)}, ${q(_._1)}, ${q(_._2)}, ${q(_._3)})"
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, format,
+       |  CAST(decoded AS BIGINT) AS decoded, CAST(n_pixels AS BIGINT) AS n_pixels,
+       |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |  CAST(sum_b AS BIGINT) AS sum_b, CAST(sumsq_r AS BIGINT) AS sumsq_r,
+       |  CAST(sumsq_g AS BIGINT) AS sumsq_g, CAST(sumsq_b AS BIGINT) AS sumsq_b
+       |FROM (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |  t(media_id, format, decoded, n_pixels, sum_r, sum_g, sum_b, sumsq_r, sumsq_g, sumsq_b)
+       |ORDER BY media_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("m1_pixel_stats" -> (pixelStats(_, _)))
+
+  val oracle: Map[String, String] = Map("m1_pixel_stats" -> oracleSql)
+}

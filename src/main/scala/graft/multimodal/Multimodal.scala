@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample operators.
   *
   * The decode step is a pluggable [[MediaCodec]]. [[PixelCodec]] decodes
-  * the UNCOMPRESSED public formats (24-bit BMP, binary PPM) for REAL
-  * channel statistics ([[PixelDecode]] — pure bytes, same discipline as
-  * the header parsers); compressed-format media falls back to the
-  * deterministic [[StubCodec]] stand-in, since PNG/JPEG codec libraries
-  * are not available in this environment. The Spark-side plumbing
+  * the codec-free public formats (24-bit BMP, binary PPM, non-interlaced
+  * 8-bit PNG via the JDK Inflater) for REAL channel statistics
+  * ([[PixelDecode]] — pure bytes, same discipline as the header
+  * parsers); JPEG/GIF media falls back to the deterministic [[StubCodec]]
+  * stand-in, since DCT/LZW codec libraries are not available in this
+  * environment. The Spark-side plumbing
   * (schema, typed rows, partition-level batching, feature shapes) is real
   * and tested either way. Swap the fallback for a JNI/FFM-backed codec in
   * production.

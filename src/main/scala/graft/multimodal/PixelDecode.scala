@@ -1,12 +1,14 @@
 package graft.multimodal
 
-/** Real pixel decoding for the UNCOMPRESSED public image formats — the
+/** Real pixel decoding for the codec-free public image formats — the
   * step past [[ImageHeaders]]'s metadata probes: 24-bit BI_RGB BMP and
-  * binary PPM (P6) store their pixel arrays as plain bytes, so actual
-  * channel statistics are computable with the same pure-byte discipline
-  * as the header parsers, no codec library involved. Compressed formats
-  * (PNG/JPEG/GIF) still require a real codec; [[Multimodal.StubCodec]]
-  * remains the declared stand-in for those.
+  * binary PPM (P6) store their pixel arrays as plain bytes, and
+  * non-interlaced 8-bit PNG compresses them with DEFLATE, which the JDK's
+  * `java.util.zip.Inflater` decodes — so actual channel statistics are
+  * computable with the same pure-byte discipline as the header parsers,
+  * no external codec library involved. JPEG (DCT) and GIF (LZW) still
+  * require a real codec; [[Multimodal.StubCodec]] remains the declared
+  * stand-in for those.
   *
   * Formats (public specifications):
   *   - BMP: 14-byte file header ('B''M', le32 file size, le32 reserved,
@@ -19,6 +21,10 @@ package graft.multimodal
   *   - PPM P6: ASCII header "P6", whitespace-separated width, height,
   *     maxval (decodable at maxval <= 255), '#' comment lines allowed,
   *     one whitespace byte, then row-major RGB triples top-down.
+  *   - PNG: 8-byte signature, then chunks of [be32 length][4-byte type]
+  *     [payload][crc32]; IHDR carries be32 width/height + bit depth +
+  *     color type + interlace flag; the concatenated IDAT payloads are
+  *     one zlib stream of `height` filtered rows (see [[decodePng]]).
   *
   * Like the header probes this reads UNTRUSTED bytes: every failure mode
   * (wrong magic, unsupported bpp/compression, truncated pixel array,
@@ -137,9 +143,136 @@ object PixelDecode {
     Some(RgbImage(w.toInt, h.toInt, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
   }
 
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG spec's Paeth predictor: nearest of left/up/upper-left to the
+    * linear estimate a + b - c, ties resolved a, then b, then c.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode a non-interlaced 8-bit RGB (color type 2) or RGBA (type 6)
+    * PNG; None for palette/gray/16-bit/interlaced flavors or any corrupt
+    * stream. PNG's pixel data is DEFLATE-compressed — `java.util.zip
+    * .Inflater` ships in the JDK, so unlike JPEG/GIF no codec library is
+    * needed: inflate the concatenated IDAT payloads to `height` rows of
+    * [filter byte][width*bpp samples], undo the per-row filter (None/
+    * Sub/Up/Average/Paeth — byte arithmetic mod 256 against the left/up/
+    * upper-left neighbors), and for RGBA drop the alpha channel. Chunk
+    * CRCs are not validated: a flipped payload bit yields wrong pixels
+    * either way, and every structural hazard (lengths, dims, truncation)
+    * is bounds-checked explicitly.
+    */
+  def decodePng(blob: Array[Byte]): Option[RgbImage] = {
+    if (blob.length < 45 || !blob.take(8).sameElements(PngSig)) return None
+    // IHDR must be the first chunk, fixed 13-byte payload
+    if (beInt(blob, 8) != 13 || blob(12) != 'I' || blob(13) != 'H' || blob(14) != 'D' ||
+      blob(15) != 'R') return None
+    val w = beInt(blob, 16)
+    val h = beInt(blob, 20)
+    val bitDepth = blob(24) & 0xff
+    val colorType = blob(25) & 0xff
+    val compression = blob(26) & 0xff
+    val filterMethod = blob(27) & 0xff
+    val interlace = blob(28) & 0xff
+    if (bitDepth != 8 || (colorType != 2 && colorType != 6)) return None
+    if (compression != 0 || filterMethod != 0 || interlace != 0) return None
+    if (!dimsOk(w, h)) return None
+    val bpp = if (colorType == 6) 4 else 3
+    // chunk walk: concatenate IDAT payloads until IEND; Long cursor for
+    // the same crafted-length reason as the WAV walk
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33L // 8 signature + 25 IHDR chunk
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= blob.length) {
+      val len = beInt(blob, i.toInt)
+      if (len < 0) return None
+      val typ = new String(
+        blob.slice(i.toInt + 4, i.toInt + 8), java.nio.charset.StandardCharsets.US_ASCII)
+      val next = i + 8L + len + 4L // payload + CRC
+      if (next > blob.length) return None // truncated chunk
+      if (typ == "IDAT") idat.write(blob, i.toInt + 8, len)
+      else if (typ == "IEND") sawEnd = true
+      i = next
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val stride = 1L + w.toLong * bpp
+    val rawLen = stride * h // <= MaxPixels * 4 + h, bounded by dimsOk
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated/odd stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // undo the per-row filter in place (raw keeps its filter bytes; the
+    // sample at (row, k) sits at row*stride + 1 + k)
+    val strideI = stride.toInt
+    val rowBytes = w * bpp
+    var row = 0
+    while (row < h) {
+      val base = row * strideI
+      val filter = raw(base) & 0xff
+      if (filter > 4) return None
+      var k = 0
+      while (k < rowBytes) {
+        val x = raw(base + 1 + k) & 0xff
+        val a = if (k >= bpp) raw(base + 1 + k - bpp) & 0xff else 0
+        val b = if (row > 0) raw(base - strideI + 1 + k) & 0xff else 0
+        val c = if (row > 0 && k >= bpp) raw(base - strideI + 1 + k - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 => x + paeth(a, b, c)
+        }
+        raw(base + 1 + k) = (v & 0xff).toByte
+        k += 1
+      }
+      row += 1
+    }
+    // emit RGB, dropping alpha for color type 6
+    val out = new Array[Byte](w * h * 3)
+    row = 0
+    while (row < h) {
+      var src = row * strideI + 1
+      var dst = row * w * 3
+      var x = 0
+      while (x < w) {
+        out(dst) = raw(src)
+        out(dst + 1) = raw(src + 1)
+        out(dst + 2) = raw(src + 2)
+        src += bpp
+        dst += 3
+        x += 1
+      }
+      row += 1
+    }
+    Some(RgbImage(w, h, out))
+  }
+
   /** Try every decodable format. */
   def decode(blob: Array[Byte]): Option[RgbImage] =
-    decodeBmp(blob).orElse(decodePpm(blob))
+    decodeBmp(blob).orElse(decodePpm(blob)).orElse(decodePng(blob))
 
   /** Exact-integer channel means/stddevs over a decoded raster. */
   def channelStats(img: RgbImage): ChannelStats = {

@@ -81,6 +81,115 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decode(bmp(3, 2, pix, storeTopDown = false)).nonEmpty)
   }
 
+  /** Assemble a non-interlaced 8-bit PNG from row-major top-down pixels,
+    * FORWARD-filtering each row with the given filter type (so the
+    * decoder's unfilter of every type is checked against ground-truth
+    * pixels) and deflating with the JDK Deflater.
+    */
+  private def png(
+      w: Int,
+      h: Int,
+      px: Seq[Seq[Int]], // per pixel: RGB (3) or RGBA (4) samples
+      rowFilters: Seq[Int],
+      colorType: Int = 2): Array[Byte] = {
+    val bpp = if (colorType == 6) 4 else 3
+    require(px.size == w * h && rowFilters.size == h && px.forall(_.size == bpp))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rowBytes = w * bpp
+    val plain = Array.tabulate(h, rowBytes)((r, k) => px(r * w + k / bpp)(k % bpp))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until h) {
+      val f = rowFilters(r)
+      raw.write(f)
+      for (k <- 0 until rowBytes) {
+        val x = plain(r)(k)
+        val a = if (k >= bpp) plain(r)(k - bpp) else 0
+        val b = if (r > 0) plain(r - 1)(k) else 0
+        val c = if (r > 0 && k >= bpp) plain(r - 1)(k - bpp) else 0
+        val filtered = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 => x - paeth(a, b, c)
+        }
+        raw.write(filtered & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def be4(i: Int) = Array[Byte]((i >>> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(payload)
+      be4(payload.length) ++ typ.getBytes ++ payload ++ be4(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG: every filter type unfilters back to the ground-truth pixels") {
+    val rgb = pix.map { case (r, g, b) => Seq(r, g, b) }
+    // 3x2 image, one row per filter across two files: None/Sub then Up/Avg
+    for (filters <- Seq(Seq(0, 1), Seq(2, 3), Seq(4, 4), Seq(1, 4))) {
+      val img = PixelDecode.decodePng(png(3, 2, rgb, filters))
+        .getOrElse(fail(s"decode failed, filters=$filters"))
+      assert(img.width == 3 && img.height == 2)
+      val got = img.rgb.grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+      assert(got == pix, s"filters=$filters: $got")
+    }
+    // stats parity with the BMP twin of the same image
+    val viaPng = PixelDecode.channelStats(PixelDecode.decodePng(png(3, 2, rgb, Seq(4, 1))).get)
+    val viaBmp = PixelDecode.channelStats(PixelDecode.decodeBmp(bmp(3, 2, pix, false)).get)
+    assert(viaPng == viaBmp, "identical pixels must give identical stats across containers")
+  }
+
+  test("PNG: RGBA drops alpha; decode() dispatches PNG bytes") {
+    val rgba = pix.map { case (r, g, b) => Seq(r, g, b, 77) }
+    val img = PixelDecode.decodePng(png(3, 2, rgba, Seq(4, 3), colorType = 6))
+      .getOrElse(fail("RGBA decode failed"))
+    val got = img.rgb.grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    assert(got == pix, s"alpha must be dropped: $got")
+    assert(PixelDecode.decode(png(3, 2, rgba, Seq(0, 0), colorType = 6)).nonEmpty)
+  }
+
+  test("PNG: unsupported flavors and corrupt streams return None, never throw") {
+    val rgb = pix.map { case (r, g, b) => Seq(r, g, b) }
+    val good = png(3, 2, rgb, Seq(0, 0))
+    // palette color type
+    val pal = good.clone(); pal(25) = 3
+    assert(PixelDecode.decodePng(pal).isEmpty, "palette PNG needs a PLTE decoder")
+    // 16-bit depth
+    val deep = good.clone(); deep(24) = 16
+    assert(PixelDecode.decodePng(deep).isEmpty)
+    // Adam7 interlace
+    val adam = good.clone(); adam(28) = 1
+    assert(PixelDecode.decodePng(adam).isEmpty)
+    // truncated IDAT: drop the tail (inflate cannot complete)
+    assert(PixelDecode.decodePng(good.dropRight(20)).isEmpty)
+    // garbage where the zlib stream should be
+    val junk = png(3, 2, rgb, Seq(0, 0))
+    var j = 41 // first IDAT payload byte (8 sig + 25 IHDR + 8 len/type)
+    while (j < junk.length - 16) { junk(j) = 0x55; j += 1 }
+    assert(PixelDecode.decodePng(junk).isEmpty)
+    // 1 GPix dims rejected before any allocation
+    val huge = good.clone()
+    System.arraycopy(Array[Byte](0, 1, 0, 0), 0, huge, 16, 4) // w = 65536
+    System.arraycopy(Array[Byte](0, 1, 0, 0), 0, huge, 20, 4) // h = 65536
+    assert(PixelDecode.decodePng(huge).isEmpty)
+  }
+
   test("unsupported and corrupt flavors return None, never throw") {
     val good = bmp(3, 2, pix, storeTopDown = false)
     assert(PixelDecode.decodeBmp("BMjunk".getBytes).isEmpty, "truncated header")
