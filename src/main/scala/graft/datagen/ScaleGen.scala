@@ -1,0 +1,127 @@
+package graft.datagen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor generator for the empirical 100 TB-posture runs: produces
+  * `documents` / `embeddings` / `events` tables with the same schema and
+  * distribution SHAPE as the driver's testdata (TESTDATA.md) at any row
+  * count, so heavy gates can be timed at sf0.1-equivalent and sf1 sizes
+  * FROM THE SAME GENERATOR and the runtime ratio read as pure scaling
+  * (generator-vs-generator, never driver-data-vs-my-data).
+  *
+  * Shape matched against /root/testdata/sf0.1 (measured, not assumed):
+  * documents — the exact 31-word vocabulary, uniform token draws, 10-100
+  * tokens/doc, ~41% en + 4 other langs, 20 uniform sources, planted exact
+  * dups (~1/125) and near-dups (~1/40, one trailing token dropped);
+  * embeddings — 64-dim floats in ~N(0, 0.125) as 10 labeled clusters
+  * (center ±0.2, noise ±0.1), planted near-identical pairs (~1/150);
+  * events — users ≈ rows/67, 30 days of 2024-01 timestamps, 5 uniform
+  * event types, exp(mean 50)-ish value capped at 560, {"k": int} props.
+  *
+  * Everything is a pure Column function of the row id (xxhash64 draws),
+  * generated DISTRIBUTED via spark.range — no driver-side loop, so the
+  * generator itself scales to any sf.
+  */
+object ScaleGen {
+
+  /** The corpus vocabulary (driver testdata's exact 31 words). */
+  val Vocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast", "filter",
+    "group", "hash", "join", "key", "line", "merge", "order", "part", "query", "row",
+    "scan", "slow", "small", "sort", "spark", "stream", "table", "the", "value", "vector",
+    "window")
+
+  /** Deterministic uniform draw in [0, m) from (seed, id, k). */
+  private def draw(seed: String, id: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+    pmod(xxhash64(lit(seed), id, k), lit(1000000007L))
+
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val vocabCol = array(Vocab.map(lit): _*)
+    // near-dup plant: ids ≡ 1 (mod 40) regenerate their predecessor's
+    // tokens then drop the last (3-shingle Jaccard ~0.9); exact-dup
+    // plant: ids ≡ 3 (mod 125) regenerate id-2 verbatim
+    val base = when(pmod(col("id"), lit(40L)) === 1L && col("id") >= 1L, col("id") - 1L)
+      .when(pmod(col("id"), lit(125L)) === 3L && col("id") >= 2L, col("id") - 2L)
+      .otherwise(col("id"))
+    val trim = when(pmod(col("id"), lit(40L)) === 1L && col("id") >= 1L, lit(1)).otherwise(lit(0))
+    val lang = pmod(xxhash64(lit("lang"), col("id")), lit(100L))
+    spark
+      .range(0L, n, 1L, 32)
+      .withColumn("base_id", base)
+      .withColumn("len", (pmod(xxhash64(lit("len"), col("base_id")), lit(91L)) + 10L).cast("int"))
+      .withColumn(
+        "words",
+        transform(
+          sequence(lit(0), col("len") - 1 - trim),
+          i => element_at(vocabCol, (draw("tok", col("base_id"), i.cast("long")) % 31).cast("int") + 1)))
+      .select(
+        col("id").as("doc_id"),
+        array_join(col("words"), " ").as("text"),
+        when(lang < 41, "en")
+          .when(lang < 56, "zh")
+          .when(lang < 71, "es")
+          .when(lang < 86, "fr")
+          .otherwise("de")
+          .as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20L)).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    // center(label, d) in ±0.2, noise(vec, d) in ±0.1; near-dup plant:
+    // ids ≡ 1 (mod 150) sit at their predecessor's point with ±0.005 jitter
+    val base = when(pmod(col("id"), lit(150L)) === 1L && col("id") >= 1L, col("id") - 1L)
+      .otherwise(col("id"))
+    val tight = when(pmod(col("id"), lit(150L)) === 1L && col("id") >= 1L, lit(0.005))
+      .otherwise(lit(0.1))
+    spark
+      .range(0L, n, 1L, 32)
+      .withColumn("label", pmod(col("id"), lit(10L)).cast("int"))
+      .withColumn("base_id", base)
+      .select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(0), lit(63)),
+          d => (
+            ((draw("center", pmod(col("id"), lit(10L)), d.cast("long")) % 2001L) - 1000L)
+              .cast("double") / 5000.0 +
+              ((draw("noise", col("base_id"), d.cast("long")) % 2001L) - 1000L)
+                .cast("double") / 1000.0 * tight
+          ).cast("float")).as("embedding"),
+        col("label"))
+  }
+
+  def events(spark: SparkSession, n: Long): DataFrame = {
+    val users = math.max(100L, n / 67L)
+    val spanUs = 30L * 86400L * 1000000L // 30 days
+    val startUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val types = array(Seq("click", "error", "purchase", "signup", "view").map(lit): _*)
+    val u = (pmod(xxhash64(lit("val"), col("id")), lit(1000000L)).cast("double") + 1.0) / 1000000.0
+    spark
+      .range(0L, n, 1L, 32)
+      .select(
+        col("id").as("event_id"),
+        timestamp_micros(
+          lit(startUs) + pmod(xxhash64(lit("ts"), col("id")), lit(spanUs))).as("ts"),
+        pmod(xxhash64(lit("user"), col("id")), lit(users)).as("user_id"),
+        element_at(types, pmod(xxhash64(lit("type"), col("id")), lit(5L)).cast("int") + 1)
+          .as("event_type"),
+        round(least(lit(560.0), lit(-50.0) * log(u)), 2).as("value"),
+        concat(lit("{\"k\": "), pmod(xxhash64(lit("k"), col("id")), lit(100L)), lit("}"))
+          .as("props"))
+  }
+
+  def writeAll(spark: SparkSession, outDir: String, nDocs: Long, nVecs: Long, nEvents: Long): Unit = {
+    documents(spark, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddings(spark, nVecs).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    events(spark, nEvents).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** args: outDir nDocs nVecs nEvents */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local()
+    writeAll(spark, args(0), args(1).toLong, args(2).toLong, args(3).toLong)
+    spark.stop()
+  }
+}
