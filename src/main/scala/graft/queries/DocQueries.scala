@@ -313,6 +313,126 @@ object DocQueries {
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t12: Simpson repetition index — the ENTROPY-style quality filter
+    * with an exact-integer surrogate: Shannon entropy needs log2 doubles
+    * (the one place libm implementations may differ in ulp across
+    * engines), while the Simpson pair-collision index sum(tf*(tf-1)) /
+    * (n*(n-1)) carries the same "how repetitive is this doc" ordering as
+    * exact integers (numerator and denominator gate separately; no
+    * division crosses the boundary). A doc is flagged repetitive when its
+    * collision rate exceeds 2x the uniform-vocabulary expectation 1/31 —
+    * the Gopher-style cut re-expressed rationally. One explode + two
+    * hash aggregations, all row-or-key-local.
+    */
+  private val VocabSize = 31L
+
+  def simpsonRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * (col("tf") - 1L)).as("rep_num"))
+      .withColumn("rep_den", col("n_tokens") * (col("n_tokens") - 1L))
+      .withColumn(
+        "is_repetitive",
+        when(col("rep_num") * VocabSize > col("rep_den") * 2L, 1L).otherwise(0L))
+      .select("doc_id", "n_tokens", "n_distinct", "rep_num", "rep_den", "is_repetitive")
+      .transform(orderedOutput(_, col("doc_id")))
+
+  /** t13: corpus bigram statistics — adjacent-token pair counts WITH
+    * multiplicity (t7's unigram twin one order up; the n-gram LM /
+    * tokenizer-training precursor). The pair list is a row-local
+    * generator over the token array; the count is one hash aggregation;
+    * the cut is TakeOrderedAndProject like t7. df (distinct docs) rides
+    * along so hot collocations are distinguishable from one doc's chant.
+    */
+  private val BigramTopK = 20
+
+  def bigramTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      // guard: Spark's sequence(1, n) DESCENDS when n < 1, so a 1-token
+      // doc would fabricate indices — filter instead (explode of an empty
+      // list would drop the row anyway, matching generate_series's empty)
+      .filter(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+          .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(BigramTopK)
+
+  /** d13: TF-IDF-weighted cosine near-dup — d2's set-Jaccard re-scored
+    * as a WEIGHTED vector similarity: each doc is its integer
+    * tf * (N - df) vector over 3-gram shingles (t10's exact-integer
+    * rarity weighting, so no float idf crosses the gate), hot shingles
+    * (df > maxDf) dropped BEFORE norms and pairing exactly as d2c — the
+    * same O(shingles * maxDf^2) bound on candidate generation, the same
+    * declared-approximation contract. The cosine is the vector plane's
+    * discipline: exact-integer dot and norms, one double division at the
+    * end. Catches near-dups Jaccard undercounts (repeated rare shingles)
+    * and ranks pairs by how much RARE material they share.
+    */
+  private val TfidfMaxDf = 4L
+  private val TfidfThreshold = 0.5
+
+  def tfidfNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = docs
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= 3) // same descending-sequence guard as t13
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(
+              " ",
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2))))
+          .as("shingle"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("tf"))
+    // df from tf (one explode total — the t10 lesson), then the d2c cap
+    val df = tf
+      .groupBy(col("shingle"))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+      .filter(col("df") <= TfidfMaxDf)
+    val wgt = tf
+      .join(df, Seq("shingle"))
+      .crossJoin(nDocs)
+      .select(col("shingle"), col("doc_id"), (col("tf") * (col("n_docs") - col("df"))).as("wgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = wgt.groupBy(col("doc_id")).agg(sum(col("wgt") * col("wgt")).as("nrm"))
+    val dots = wgt
+      .as("a")
+      .join(wgt.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+    dots
+      .join(norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nrm", "na"), Seq("doc_a"))
+      .join(norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nrm", "nb"), Seq("doc_b"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= TfidfThreshold)
+      .select("doc_a", "doc_b", "dot", "cosine")
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -535,6 +655,9 @@ object DocQueries {
     "s6_epoch_shuffle" -> (epochShuffle(_, _)),
     "s7_weighted_sample" -> (weightedSample(_, _)),
     "t3_lang_id" -> (langId(_, _)),
+    "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
+    "t13_bigram_topk" -> (bigramTopK(_, _)),
+    "d13_tfidf_neardup" -> (tfidfNearDup(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -566,6 +689,53 @@ object DocQueries {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t12_simpson_repetition" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(tf * (tf - 1)) AS BIGINT) AS rep_num,
+         |  CAST(sum(tf) * (sum(tf) - 1) AS BIGINT) AS rep_den,
+         |  CAST(CASE WHEN sum(tf * (tf - 1)) * ${VocabSize} > sum(tf) * (sum(tf) - 1) * 2
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_bigram_topk" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))
+         |      AS bigram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+         |FROM bg GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT ${BigramTopK}""".stripMargin,
+    "d13_tfidf_neardup" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')))
+         |      AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |tfc AS (SELECT doc_id, shingle, count(*) AS tf FROM raw GROUP BY 1, 2),
+         |dfc AS (SELECT shingle, count(*) AS df FROM tfc GROUP BY 1 HAVING count(*) <= ${TfidfMaxDf}),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |wgt AS (
+         |  SELECT t.shingle, t.doc_id, CAST(t.tf * (n.n_docs - d.df) AS BIGINT) AS wgt
+         |  FROM tfc t JOIN dfc d USING (shingle) CROSS JOIN n),
+         |nrm AS (SELECT doc_id, CAST(sum(wgt * wgt) AS BIGINT) AS nrm FROM wgt GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.wgt * b.wgt) AS BIGINT) AS dot
+         |  FROM wgt a JOIN wgt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         |      AS cosine
+         |  FROM dots JOIN nrm na ON doc_a = na.doc_id JOIN nrm nb ON doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, dot, cosine FROM scored
+         |WHERE cosine >= ${TfidfThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d2_jaccard_neardup" ->
       s"""WITH $shinglePairs
          |SELECT doc_a, doc_b, n_common, n_union, jaccard

@@ -525,6 +525,115 @@ object FeatureQueries {
       .select("event_type", "rnk", "event_id", "user_id", "cents")
       .transform(orderedOutput(_, col("event_type"), col("rnk")))
 
+  /** q7: CUBE — every grouping-set combination of (event_type, user
+    * stratum) in ONE pass (the q6 pattern widened: 4 grouping sets, one
+    * shuffle, map-side set expansion). The feature-audit export shape:
+    * per-cell, per-row-margin, per-column-margin, and grand totals from
+    * one aggregation. Sentinels replace rolled-up nulls in both engines.
+    */
+  def cubeSpend(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .withColumn("stratum", pmod(col("user_id"), lit(4L)))
+      .cube(col("event_type"), col("stratum"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("stratum"), lit(-1L)).as("stratum"),
+        col("n_events"),
+        col("sum_cents"))
+      .transform(orderedOutput(_, col("event_type"), col("stratum")))
+
+  /** w11: lag/lead feature generation — the sequence-model feature shape
+    * (previous/next value, delta, 3-row rolling sum, per-entity step
+    * index) in ONE window pass: every layer shares the (user_id) x
+    * (ord_us, event_id) partition sort, so the whole feature block costs
+    * one exchange + one sort. Absent neighbors sentinel to -1; integer
+    * cents keep every column engine-exact. The event_id tie-break pins
+    * same-microsecond orderings in both engines.
+    */
+  def lagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ord_us"), col("cents"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("prev_cents", coalesce(lag(col("cents"), 1).over(w), lit(-1L)))
+      .withColumn("next_cents", coalesce(lead(col("cents"), 1).over(w), lit(-1L)))
+      .withColumn(
+        "delta_cents",
+        when(col("prev_cents") === -1L, lit(0L)).otherwise(col("cents") - col("prev_cents")))
+      .withColumn("roll3_cents", sum(col("cents")).over(w3))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
+  /** a4: equi-width histogram — the distribution-profiling operator
+    * (feature-drift dashboards, outlier triage): fixed 2800-cent buckets
+    * over the declared [0, 560.00] value domain, each with count, exact
+    * integer mass, and observed min/max. Row-local bucketing + one hash
+    * aggregation; a FIXED width (vs a max()-derived one) keeps the
+    * operator one-pass and the bucket ids stable across corpora.
+    */
+  private val HistWidthCents = 2800L
+  private val HistBuckets = 20L
+
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .withColumn(
+        "bucket",
+        least(lit(HistBuckets - 1L), expr(s"cents div $HistWidthCents")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .withColumn("lo_cents", col("bucket") * HistWidthCents)
+      .select("bucket", "lo_cents", "n", "sum_cents", "min_cents", "max_cents")
+      .transform(orderedOutput(_, col("bucket")))
+
+  /** w12: gap-fill resample — the time-series regularization step (a
+    * model wants one row per entity per day, zeros where nothing
+    * happened): per-user daily rollup, then each user's min..max day span
+    * exploded into a dense integer calendar and left-joined back,
+    * zero-filling the gaps. The explode is bounded by the span (30 days
+    * here) — never a cross join against a global calendar, so sparse
+    * entities stay cheap at any corpus size.
+    */
+  def gapFillDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = prepared(spark, sfDir)
+      .withColumn("day", expr("ord_us div 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+    val calendar = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    calendar
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"))
+      .transform(orderedOutput(_, col("user_id"), col("day")))
+  }
+
+  /** s9: leakage-safe entity split — train/test assignment hashed on the
+    * ENTITY (user), not the row, so every event of a user lands in one
+    * split (row-hashed splits leak a user's history across the boundary —
+    * the classic training-data bug). Same md5 draw family as s5, 75/25 at
+    * the declared hex threshold; row-local, reproducible everywhere.
+    */
+  def entitySplit(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("u8", Sampling.hashUniformHex("esplit", col("user_id")))
+      .withColumn(
+        "split",
+        when(col("u8") < "c0000000", lit("train")).otherwise(lit("test")))
+      .transform(orderedOutput(_, col("event_id")))
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -718,6 +827,60 @@ object FeatureQueries {
           |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
           |GROUP BY ROLLUP(event_type, day)
           |ORDER BY 1, 2""".stripMargin,
+      "q7_cube_spend" ->
+        """SELECT coalesce(event_type, 'ALL') AS event_type,
+          |  coalesce(stratum, -1) AS stratum,
+          |  count(*) AS n_events,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM (SELECT event_type, user_id % 4 AS stratum,
+          |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |GROUP BY CUBE(event_type, stratum)
+          |ORDER BY 1, 2""".stripMargin,
+      "w11_lag_features" ->
+        s"""WITH prep AS ($prep)
+           |SELECT event_id, user_id, ord_us, cents,
+           |  CAST(row_number() OVER w AS BIGINT) AS seq,
+           |  coalesce(lag(cents, 1) OVER w, -1) AS prev_cents,
+           |  coalesce(lead(cents, 1) OVER w, -1) AS next_cents,
+           |  CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0
+           |       ELSE cents - lag(cents, 1) OVER w END AS delta_cents,
+           |  CAST(sum(cents) OVER w3 AS BIGINT) AS roll3_cents
+           |FROM prep
+           |WINDOW
+           |  w AS (PARTITION BY user_id ORDER BY ord_us, event_id),
+           |  w3 AS (PARTITION BY user_id ORDER BY ord_us, event_id
+           |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin,
+      "a4_value_histogram" ->
+        s"""SELECT bucket, bucket * $HistWidthCents AS lo_cents,
+           |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents
+           |FROM (
+           |  SELECT least(${HistBuckets - 1L}, cents // $HistWidthCents) AS bucket, cents
+           |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "w12_gap_fill_daily" ->
+        """WITH daily AS (
+          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          |    count(*) AS n_events,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+          |  FROM events GROUP BY 1, 2),
+          |cal AS (
+          |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+          |  FROM daily GROUP BY user_id)
+          |SELECT c.user_id, c.day,
+          |  coalesce(d.n_events, 0) AS n_events,
+          |  coalesce(d.day_cents, 0) AS day_cents
+          |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+          |ORDER BY c.user_id, c.day""".stripMargin,
+      "s9_entity_split" ->
+        """SELECT event_id, user_id, u8,
+          |  CASE WHEN u8 < 'c0000000' THEN 'train' ELSE 'test' END AS split
+          |FROM (
+          |  SELECT event_id, user_id,
+          |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
+          |  FROM events)
+          |ORDER BY event_id""".stripMargin,
       "q5_unpivot_spend" -> {
         val wide = Seq("click", "error", "purchase", "signup", "view")
           .map(t =>
@@ -828,6 +991,11 @@ object FeatureQueries {
     "q4_pivot_spend" -> (pivotSpend(_, _)),
     "q5_unpivot_spend" -> (unpivotSpend(_, _)),
     "q6_rollup_spend" -> (rollupSpend(_, _)),
+    "q7_cube_spend" -> (cubeSpend(_, _)),
+    "w11_lag_features" -> (lagFeatures(_, _)),
+    "a4_value_histogram" -> (valueHistogram(_, _)),
+    "w12_gap_fill_daily" -> (gapFillDaily(_, _)),
+    "s9_entity_split" -> (entitySplit(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
