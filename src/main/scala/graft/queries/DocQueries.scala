@@ -245,27 +245,26 @@ object DocQueries {
   def termImportance(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // N the t8/s6 way (one parquet-metadata count, no in-plan barrier)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     // df IS tf's per-token row count (tf holds exactly one row per
-    // (doc, token)), so deriving it from tf instead of re-aggregating the
-    // exploded stream lets AQE serve both join branches from ONE
-    // scan+explode+partial-agg shuffle stage — the r6 version exploded the
-    // corpus twice (a full wasted pass at 100 TB). Same reason N rides
-    // in-plan as a broadcast scalar rather than a separate docs.count()
-    // driver job. The count argument must keep a REAL data dependency on
-    // tf (>= 1 always, so the when() never misses): under plain count(*)
-    // — or count(tf), which the optimizer rewrites back to count(*) since
-    // tf is non-null — column pruning drops tf's partial_count from this
-    // branch's aggregate, de-canonicalizing the shared exchange and
-    // defeating the stage reuse (observed: 2 Generates in the final
-    // adaptive plan; PlanPostureSpec pins the single-Generate posture).
-    val df = tf.groupBy(col("token")).agg(count(when(col("tf") >= 1, 1)).as("df"))
-    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    // (doc, token)), expressed as an unbounded window count over the tf
+    // frame — so the corpus is scanned and exploded exactly ONCE (the r6
+    // version re-aggregated the exploded stream, a full wasted pass at
+    // 100 TB), and the whole query is one linear pipeline: explode ->
+    // tf agg -> token-window df -> doc-window rank. No join, no broadcast
+    // barrier (an earlier attempt derived df via tf self-join under AQE
+    // stage reuse — correct, but the reused-stage barrier + broadcast
+    // serialized the plan and cost more latency than the explode saved).
+    // PlanPostureSpec pins the single-Generate posture.
+    val wTok = Window.partitionBy(col("token"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(df, Seq("token"))
-      .crossJoin(nDocs)
-      .withColumn("score", col("tf") * (col("n_docs") - col("df")))
+    tf.withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("score", col("tf") * (lit(n) - col("df")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TermTopK)
       .select("doc_id", "rnk", "token", "tf", "df", "score")
