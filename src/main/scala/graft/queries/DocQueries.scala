@@ -312,6 +312,55 @@ object DocQueries {
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** k3: Bloom-filter membership — the approximate-membership complement
+    * to d12's exact bucketed index: the corpus (every doc off the d12
+    * increment residue) is summarized as k=3 md5-derived bit positions
+    * in an m=4096 table; a probe is "present" iff ALL its positions are
+    * set. The filter is the ROW SET of distinct (j, bucket) — at most
+    * k*m rows regardless of corpus size — so it broadcasts, and the
+    * probe side never shuffles: the membership pre-screen a 100 TB
+    * incremental dedup runs before touching the exact index. md5 hashes
+    * make the filter a pure function of the data, so the gate pins
+    * exact bits INCLUDING the false positives (in_filter=1,
+    * in_corpus=0 rows are the measured FP set), alongside the exact
+    * ground truth derived independently by hash join.
+    */
+  private val BloomM = 4096L
+  private val BloomK = 3
+
+  def bloomMembership(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    val hashes = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpus = hashes.filter(pmod(col("doc_id"), lit(IncrMod)) =!= 0L)
+    val slots = array((0 until BloomK).map { j =>
+      struct(
+        lit(j).as("j"),
+        pmod(Sketches.hash32(s"bloom$j", col("h")), lit(BloomM)).as("bucket"))
+    }: _*)
+    val bits = corpus
+      .select(explode(slots).as("s"))
+      .select(col("s.j").as("j"), col("s.bucket").as("bucket"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val inFilter = hashes
+      .select(col("doc_id"), explode(slots).as("s"))
+      .select(col("doc_id"), col("s.j").as("j"), col("s.bucket").as("bucket"))
+      .join(broadcast(bits), Seq("j", "bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("in_filter"))
+    val inCorpus = hashes
+      .join(
+        broadcast(corpus.select(col("h")).distinct().withColumn("present", lit(1L))),
+        Seq("h"),
+        "left")
+      .select(col("doc_id"), coalesce(col("present"), lit(0L)).as("in_corpus"))
+    inFilter
+      .join(inCorpus, Seq("doc_id"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   /** t12: Simpson repetition index — the ENTROPY-style quality filter
     * with an exact-integer surrogate: Shannon entropy needs log2 doubles
     * (the one place libm implementations may differ in ulp across
@@ -657,6 +706,7 @@ object DocQueries {
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
     "d13_tfidf_neardup" -> (tfidfNearDup(_, _)),
+    "k3_bloom_membership" -> (bloomMembership(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -701,6 +751,31 @@ object DocQueries {
          |  CAST(CASE WHEN sum(tf * (tf - 1)) * ${VocabSize} > sum(tf) * (sum(tf) - 1) * 2
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "k3_bloom_membership" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |c AS (SELECT h FROM h WHERE doc_id % $IncrMod != 0),
+         |js AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j),
+         |bits AS (
+         |  SELECT DISTINCT j,
+         |    CAST(('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || h), 1, 8)) AS BIGINT)
+         |      % $BloomM AS bucket
+         |  FROM c CROSS JOIN js),
+         |pr AS (
+         |  SELECT doc_id, j,
+         |    CAST(('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || h), 1, 8)) AS BIGINT)
+         |      % $BloomM AS bucket
+         |  FROM h CROSS JOIN js),
+         |inf AS (
+         |  SELECT doc_id,
+         |    CAST(min(CASE WHEN b.bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_filter
+         |  FROM pr LEFT JOIN bits b USING (j, bucket) GROUP BY doc_id),
+         |ic AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN h IN (SELECT h FROM c) THEN 1 ELSE 0 END AS BIGINT) AS in_corpus
+         |  FROM h)
+         |SELECT i.doc_id, i.in_filter, ic.in_corpus
+         |FROM inf i JOIN ic ON i.doc_id = ic.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     "t13_bigram_topk" ->
       s"""WITH bg AS (
          |  SELECT doc_id,

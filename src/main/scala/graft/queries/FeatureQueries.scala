@@ -634,6 +634,86 @@ object FeatureQueries {
         when(col("u8") < "c0000000", lit("train")).otherwise(lit("test")))
       .transform(orderedOutput(_, col("event_id")))
 
+  /** j5: anti-join blocklist filtering — the "remove every event of a
+    * banned entity" operator as a real LEFT ANTI join against a DERIVED
+    * blocklist frame (every 13th user), not a rewritten predicate: the
+    * production blocklist arrives as a table, and the anti-join is the
+    * shape that scales (small side broadcasts; the corpus never
+    * shuffles). The oracle spells the same contract as NOT EXISTS.
+    */
+  private val BlockMod = 13L
+
+  def antiJoinBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val blocklist = ev
+      .filter(pmod(col("user_id"), lit(BlockMod)) === 0L)
+      .select(col("user_id"))
+      .distinct()
+    ev.select(col("event_id"), col("user_id"), col("cents"))
+      .join(broadcast(blocklist), Seq("user_id"), "left_anti")
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
+  /** q8: set operations — the cohort algebra (INTERSECT / EXCEPT) over
+    * two activity windows: users active in BOTH the first and last week
+    * of the month, only the first, or only the last. Spark's native
+    * intersect/except operators (distinct-based, one shuffle each over
+    * the already-aggregated user sets); the oracle is the literal
+    * INTERSECT/EXCEPT spelling.
+    */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  def userSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val bounds = ev.agg(min(col("ord_us")).as("lo"), max(col("ord_us")).as("hi"))
+    val withBounds = ev.crossJoin(broadcast(bounds))
+    val firstWeek = withBounds
+      .filter(col("ord_us") < col("lo") + WeekUs)
+      .select(col("user_id"))
+      .distinct()
+    val lastWeek = withBounds
+      .filter(col("ord_us") >= col("hi") - WeekUs)
+      .select(col("user_id"))
+      .distinct()
+    firstWeek.intersect(lastWeek).withColumn("cohort", lit("both"))
+      .union(firstWeek.except(lastWeek).withColumn("cohort", lit("first_only")))
+      .union(lastWeek.except(firstWeek).withColumn("cohort", lit("last_only")))
+      .transform(orderedOutput(_, col("user_id"), col("cohort")))
+  }
+
+  /** a5: correlation components — Pearson corr(cents, hour-of-day) per
+    * event_type from the five EXACT integer power sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²), the numerically-stable-across-engines route: the sums
+    * gate as exact decimals (decimal(38), matching DuckDB's HUGEINT
+    * widening — Long would overflow n·Σx² past sf0.1), and the one
+    * double division happens identically on both sides. An
+    * engine-native corr() would compute a streaming variance in
+    * engine-specific order — not gateable; this is.
+    */
+  def spendHourCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    prepared(spark, sfDir)
+      .select(
+        col("event_type"),
+        col("cents").as("x"),
+        expr("(ord_us div 3600000000) % 24").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn(
+        "corr",
+        (col("n").cast(d38) * col("sxy").cast(d38) - col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("double") /
+          (sqrt((col("n").cast(d38) * col("sxx").cast(d38) - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+            sqrt((col("n").cast(d38) * col("syy").cast(d38) - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -881,6 +961,37 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "j5_anti_blocklist" ->
+        s"""WITH prep AS ($prep),
+           |block AS (SELECT DISTINCT user_id FROM prep WHERE user_id % $BlockMod = 0)
+           |SELECT event_id, user_id, cents FROM prep e
+           |WHERE NOT EXISTS (SELECT 1 FROM block b WHERE b.user_id = e.user_id)
+           |ORDER BY event_id""".stripMargin,
+      "q8_user_set_ops" ->
+        s"""WITH prep AS ($prep),
+           |bounds AS (SELECT min(ord_us) AS lo, max(ord_us) AS hi FROM prep),
+           |fw AS (SELECT DISTINCT user_id FROM prep, bounds WHERE ord_us < lo + $WeekUs),
+           |lw AS (SELECT DISTINCT user_id FROM prep, bounds WHERE ord_us >= hi - $WeekUs)
+           |SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM fw INTERSECT SELECT user_id FROM lw)
+           |UNION ALL
+           |SELECT user_id, 'first_only' FROM (SELECT user_id FROM fw EXCEPT SELECT user_id FROM lw)
+           |UNION ALL
+           |SELECT user_id, 'last_only' FROM (SELECT user_id FROM lw EXCEPT SELECT user_id FROM fw)
+           |ORDER BY user_id, cohort""".stripMargin,
+      "a5_spend_hour_corr" ->
+        """SELECT event_type, n, sx, sy, sxy, sxx, syy,
+          |  CAST(n * sxy - sx * sy AS DOUBLE) /
+          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          |    AS corr
+          |FROM (
+          |  SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+          |          (epoch_us(ts) // 3600000000) % 24 AS y FROM events)
+          |  GROUP BY event_type)
+          |ORDER BY event_type""".stripMargin,
       "q5_unpivot_spend" -> {
         val wide = Seq("click", "error", "purchase", "signup", "view")
           .map(t =>
@@ -996,6 +1107,9 @@ object FeatureQueries {
     "a4_value_histogram" -> (valueHistogram(_, _)),
     "w12_gap_fill_daily" -> (gapFillDaily(_, _)),
     "s9_entity_split" -> (entitySplit(_, _)),
+    "j5_anti_blocklist" -> (antiJoinBlocklist(_, _)),
+    "q8_user_set_ops" -> (userSetOps(_, _)),
+    "a5_spend_hour_corr" -> (spendHourCorr(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

@@ -225,6 +225,22 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(generates == 1, s"corpus must be exploded exactly once, got $generates:\n$plan")
   }
 
+  test("anti-join blocklist: LeftAnti with a broadcast build side — the corpus never shuffles") {
+    val plan = SparkEntry.queries("j5_anti_blocklist")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist filter must be a broadcast anti-join:\n$plan")
+  }
+
+  test("bloom membership: both filter bits and exact corpus set reach probes as broadcasts") {
+    val plan = SparkEntry.queries("k3_bloom_membership")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"bits + corpus-hash joins must broadcast, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no probe-side shuffle join belongs in the membership check:\n$plan")
+  }
+
   test("doc chunking plans no exchange at all — chunking is row-local") {
     // build WITHOUT the gate-only output sort: the operator itself must
     // be embarrassingly parallel (explode + expressions over the scan)
