@@ -714,6 +714,56 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** w13: exponential-decay (EWMA-style) recency features — per-user
+    * spend where each day's contribution halves per day of age, the
+    * classic recency weighting — computed EXACTLY: the half-life weight
+    * 2^(29-age) is an integer shift (ages beyond 29 days truncate to 0,
+    * which the 30-day corpus never reaches), so the "float EWMA" is an
+    * integer dot product and the gate is bit-exact. Divide by 2^29
+    * downstream when a float feature is wanted. One daily rollup + one
+    * user rollup.
+    */
+  private val DecayShift = 29L
+
+  def decaySpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).withColumn("day", expr("ord_us div 86400000000"))
+    val maxDay = broadcast(ev.agg(max(col("day")).as("max_day")))
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+      .crossJoin(maxDay)
+      .withColumn("age", col("max_day") - col("day"))
+      .withColumn(
+        "w",
+        when(col("age") <= DecayShift, expr(s"shiftleft(cast(1 as bigint), cast($DecayShift - age as int))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day_cents") * col("w")).as("decayed_scaled"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** w14: rank feature block — per event_type, users ranked by total
+    * spend with rank, percent_rank, and ntile(4) quartile from ONE
+    * window pass over the pre-aggregated totals (never the raw events).
+    * percent_rank is the exact rational (rank-1)/(n-1) in both engines;
+    * ntile's uneven-bucket rule (first n mod 4 buckets one larger) is
+    * the SQL standard in both. (total desc, user_id) pins tie order.
+    */
+  def spendRankFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_cents").desc, col("user_id"))
+    prepared(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("total_cents"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .transform(orderedOutput(_, col("event_type"), col("rnk")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -961,6 +1011,31 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "w13_decay_spend" ->
+        s"""WITH prep AS ($prep),
+           |daily AS (
+           |  SELECT user_id, ord_us // 86400000000 AS day,
+           |    CAST(sum(cents) AS BIGINT) AS day_cents
+           |  FROM prep GROUP BY 1, 2),
+           |m AS (SELECT max(day) AS max_day FROM daily)
+           |SELECT user_id, count(*) AS n_days,
+           |  CAST(sum(day_cents * (CASE WHEN max_day - day <= $DecayShift
+           |    THEN CAST(1 AS BIGINT) << CAST($DecayShift - (max_day - day) AS INTEGER)
+           |    ELSE 0 END)) AS BIGINT) AS decayed_scaled
+           |FROM daily CROSS JOIN m
+           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "w14_spend_rank" ->
+        s"""WITH totals AS (
+           |  SELECT event_type, user_id,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, user_id, total_cents,
+           |  CAST(rank() OVER w AS BIGINT) AS rnk,
+           |  percent_rank() OVER w AS pct_rank,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+           |FROM totals
+           |WINDOW w AS (PARTITION BY event_type ORDER BY total_cents DESC, user_id)
+           |ORDER BY event_type, rnk""".stripMargin,
       "j5_anti_blocklist" ->
         s"""WITH prep AS ($prep),
            |block AS (SELECT DISTINCT user_id FROM prep WHERE user_id % $BlockMod = 0)
@@ -1110,6 +1185,8 @@ object FeatureQueries {
     "j5_anti_blocklist" -> (antiJoinBlocklist(_, _)),
     "q8_user_set_ops" -> (userSetOps(_, _)),
     "a5_spend_hour_corr" -> (spendHourCorr(_, _)),
+    "w13_decay_spend" -> (decaySpend(_, _)),
+    "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

@@ -227,6 +227,34 @@ object VectorQueries {
     ivfIndexProbeOnly(spark, sfDir)
   }
 
+  /** v6: ANN quality evaluation — recall@1 of the IVF path (v3) against
+    * the brute-force ground truth (v1) over the fixed query set, AS A
+    * GATED QUERY: the measurement operator a production ANN deployment
+    * runs continuously (index drift monitoring), not a one-off spec
+    * assertion. Both paths already share the persisted prepared frame;
+    * hits and totals gate as exact integers, the recall as their one
+    * double division. nProbe=1 recall is deliberately < 1.0 at the gate
+    * corpus — the gate pins the true measured value, not a vacuous 1.0.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < NQueries, 1)
+      .select(col("query_id"), col("vec_id").as("true_nn"))
+    val approx = Similarity
+      .ivfTopKAuto(
+        emb, "vec_id", "embedding",
+        IvfFloorCells, IvfCapCells, 1, LloydIters, MaxCell, IvfTrainPerCell)
+      .filter(col("query_id") < NQueries)
+      .select(col("query_id"), col("vec_id").as("ann_nn"))
+    exact
+      .join(approx, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_queries").cast("double"))
+  }
+
   /** d9: SemDeDup-style cluster-scoped dedup ([[Similarity.semDedup]]) at
     * the d5 threshold — v3's quantizer, in-cell pairs only, keep-lowest-id.
     */
@@ -254,7 +282,8 @@ object VectorQueries {
     "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)),
     "d9_semdedup" -> (semDedup(_, _)),
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
-    "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)))
+    "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
+    "v6_ann_recall" -> (annRecall(_, _)))
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -385,6 +414,32 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "v5_ivf_index_probe" -> ivfTop1Sql,
+    "v6_ann_recall" ->
+      s"""WITH $ivfAssignedCtes,
+         |exact AS (
+         |  SELECT query_id, vec_id AS true_nn FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosineExpr AS cosine
+         |      FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < $NQueries))
+         |  WHERE rnk = 1),
+         |approx AS (
+         |  SELECT query_id, vec_id AS ann_nn FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosineExpr AS cosine
+         |      FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id
+         |      WHERE a.vec_id < $NQueries))
+         |  WHERE rnk = 1)
+         |SELECT n_queries, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_queries AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT count(*) AS n_queries,
+         |    CAST(sum(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx USING (query_id))""".stripMargin,
     "v1_cosine_topk" ->
       s"""WITH $prep,
          |scored AS (
