@@ -764,6 +764,24 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type"), col("rnk")))
   }
 
+  /** q9: nested-type aggregation — per-user event-type profile via
+    * collect_set: the array-column operator class (collect -> normalize
+    * -> export). collect_set's arrival order is partition-dependent, so
+    * the gate normalizes with array_sort before joining to a string —
+    * the determinism discipline ANY exported array column needs; the
+    * oracle builds the same profile from a DISTINCT subquery with
+    * ordered string_agg.
+    */
+  def userTypeProfile(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("cents")).as("total_cents"),
+        array_join(array_sort(collect_set(col("event_type"))), "|").as("types_str"))
+      .transform(orderedOutput(_, col("user_id")))
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1011,6 +1029,19 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "q9_user_type_profile" ->
+        """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+          |s AS (
+          |  SELECT user_id, count(*) AS n_types,
+          |    string_agg(event_type, '|' ORDER BY event_type) AS types_str
+          |  FROM d GROUP BY 1),
+          |t AS (
+          |  SELECT user_id, count(*) AS n_events,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM events GROUP BY 1)
+          |SELECT t.user_id, t.n_events, s.n_types, t.total_cents, s.types_str
+          |FROM t JOIN s ON t.user_id = s.user_id
+          |ORDER BY t.user_id""".stripMargin,
       "w13_decay_spend" ->
         s"""WITH prep AS ($prep),
            |daily AS (
@@ -1187,6 +1218,7 @@ object FeatureQueries {
     "a5_spend_hour_corr" -> (spendHourCorr(_, _)),
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
+    "q9_user_type_profile" -> (userTypeProfile(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
