@@ -782,6 +782,32 @@ object FeatureQueries {
         array_join(array_sort(collect_set(col("event_type"))), "|").as("types_str"))
       .transform(orderedOutput(_, col("user_id")))
 
+  /** j6: stream-stream interval join, batch form
+    * ([[graft.streaming.StreamStreamJoin]]) — every purchase attributed
+    * to the same user's clicks in the preceding 10 minutes. The SAME
+    * function runs the streaming plane (watermarks no-op in batch;
+    * StreamingSpec holds the stream to this output bit-for-bit), so
+    * gating the batch output pins what the stream emits. The plan is a
+    * user-keyed equi-join with a residual time filter — per-key row
+    * counts bound the pair space, the watermark bounds streaming state.
+    */
+  private val AttributionWindowUs = 600L * 1000000L
+
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    graft.streaming.StreamStreamJoin
+      .intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id",
+        "ord_us",
+        "event_id",
+        AttributionWindowUs,
+        watermarkSecs = 600L)
+      .withColumnRenamed("key", "user_id")
+      .transform(orderedOutput(_, col("l_id"), col("r_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1029,6 +1055,17 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "j6_click_attribution" ->
+        s"""WITH typed AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ord_us, event_type FROM events)
+           |SELECT p.user_id, p.event_id AS l_id, c.event_id AS r_id,
+           |  p.ord_us - c.ord_us AS gap_us
+           |FROM typed p JOIN typed c
+           |  ON p.user_id = c.user_id
+           | AND p.event_type = 'purchase' AND c.event_type = 'click'
+           | AND c.ord_us >= p.ord_us - $AttributionWindowUs
+           | AND c.ord_us <= p.ord_us
+           |ORDER BY l_id, r_id""".stripMargin,
       "q9_user_type_profile" ->
         """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
           |s AS (
@@ -1219,6 +1256,7 @@ object FeatureQueries {
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "q9_user_type_profile" -> (userTypeProfile(_, _)),
+    "j6_click_attribution" -> (clickAttribution(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
