@@ -27,8 +27,11 @@ object ScaleBench {
     "d10_dedup_clusters",
     "d11_substring_dedup",
     "d12_incremental_dedup",
+    "d13_tfidf_neardup",
     "t10_term_importance",
+    "t13_bigram_topk",
     "j4_range_join",
+    "j6_click_attribution",
     "v3_ann_ivf",
     "v4_ann_ivf_multiprobe",
     "v5_ivf_index_probe")
