@@ -312,6 +312,30 @@ object DocQueries {
       .simhash16(Tables.documents(spark, sfDir), "doc_id", "text")
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t14: fuzzy vocabulary matching — all distinct-token pairs within
+    * Levenshtein distance 2, the typo/variant merge step of corpus
+    * cleaning (fold "colour" into "color" before counting). The pair
+    * space is the VOCABULARY squared, not the corpus squared: tokens
+    * distinct first (bounded by the language, not the data), then a
+    * bounded broadcast self-join scores edit distance — both engines
+    * implement the same textbook DP, so the integer distances gate
+    * exactly.
+    */
+  private val FuzzyMaxDist = 2
+
+  def fuzzyVocabPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    vocab
+      .select(col("token").as("tok_a"))
+      .join(broadcast(vocab.select(col("token").as("tok_b"))), col("tok_a") < col("tok_b"))
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .transform(orderedOutput(_, col("tok_a"), col("tok_b")))
+  }
+
   /** k3: Bloom-filter membership — the approximate-membership complement
     * to d12's exact bucketed index: the corpus (every doc off the d12
     * increment residue) is summarized as k=3 md5-derived bit positions
@@ -707,6 +731,7 @@ object DocQueries {
     "t13_bigram_topk" -> (bigramTopK(_, _)),
     "d13_tfidf_neardup" -> (tfidfNearDup(_, _)),
     "k3_bloom_membership" -> (bloomMembership(_, _)),
+    "t14_fuzzy_vocab" -> (fuzzyVocabPairs(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -751,6 +776,14 @@ object DocQueries {
          |  CAST(CASE WHEN sum(tf * (tf - 1)) * ${VocabSize} > sum(tf) * (sum(tf) - 1) * 2
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_fuzzy_vocab" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents)
+         |SELECT a.token AS tok_a, b.token AS tok_b,
+         |  CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+         |FROM v a JOIN v b ON a.token < b.token
+         |WHERE levenshtein(a.token, b.token) <= $FuzzyMaxDist
+         |ORDER BY tok_a, tok_b""".stripMargin,
     "k3_bloom_membership" ->
       s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
          |c AS (SELECT h FROM h WHERE doc_id % $IncrMod != 0),

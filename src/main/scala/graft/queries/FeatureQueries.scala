@@ -808,6 +808,50 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("l_id"), col("r_id")))
   }
 
+  /** j7: FULL OUTER join — the reconciliation shape (neither side owns
+    * the key space): purchase days vs click days per calendar day, with
+    * both-side zero-fill. The one outer-join flavor the other gates
+    * don't cover; sentinel-filled so no null crosses the gate.
+    */
+  def fullOuterDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).withColumn("day", expr("ord_us div 86400000000"))
+    def daily(tpe: String, n: String, s: String) = ev
+      .filter(col("event_type") === tpe)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as(n), sum(col("cents")).as(s))
+    daily("purchase", "n_purchases", "purchase_cents")
+      .join(daily("click", "n_clicks", "click_cents"), Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"))
+      .transform(orderedOutput(_, col("day")))
+  }
+
+  /** a6: median absolute deviation — the robust dispersion statistic
+    * (outlier-resistant where stddev is not): med = interpolated median
+    * of integer cents (exact halves in both engines), then the median of
+    * |cents - med|. Two aggregation passes over the same keyed frame;
+    * every intermediate is an exact double derived from integers, so the
+    * gate is bit-exact without any tolerance band.
+    */
+  def spendMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("event_type"), col("cents"))
+    val med = ev
+      .groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
+    ev.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("cents").cast("double") - col("med_cents")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med_cents")).as("med_cents"),
+        percentile(col("adev"), lit(0.5)).as("mad_cents"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1055,6 +1099,31 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "j7_full_outer_daily" ->
+        """WITH prep AS (
+          |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+          |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          |p AS (SELECT day, count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS purchase_cents
+          |      FROM prep WHERE event_type = 'purchase' GROUP BY 1),
+          |c AS (SELECT day, count(*) AS n_clicks, CAST(sum(cents) AS BIGINT) AS click_cents
+          |      FROM prep WHERE event_type = 'click' GROUP BY 1)
+          |SELECT coalesce(p.day, c.day) AS day,
+          |  coalesce(n_purchases, 0) AS n_purchases,
+          |  coalesce(purchase_cents, 0) AS purchase_cents,
+          |  coalesce(n_clicks, 0) AS n_clicks,
+          |  coalesce(click_cents, 0) AS click_cents
+          |FROM p FULL OUTER JOIN c ON p.day = c.day
+          |ORDER BY day""".stripMargin,
+      "a6_spend_mad" ->
+        """WITH prep AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+          |        FROM prep GROUP BY 1)
+          |SELECT p.event_type, count(*) AS n, min(m.med_cents) AS med_cents,
+          |  quantile_cont(abs(CAST(p.cents AS DOUBLE) - m.med_cents), 0.5) AS mad_cents
+          |FROM prep p JOIN med m ON p.event_type = m.event_type
+          |GROUP BY p.event_type
+          |ORDER BY p.event_type""".stripMargin,
       "j6_click_attribution" ->
         s"""WITH typed AS (
            |  SELECT event_id, user_id, epoch_us(ts) AS ord_us, event_type FROM events)
@@ -1257,6 +1326,8 @@ object FeatureQueries {
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "q9_user_type_profile" -> (userTypeProfile(_, _)),
     "j6_click_attribution" -> (clickAttribution(_, _)),
+    "j7_full_outer_daily" -> (fullOuterDaily(_, _)),
+    "a6_spend_mad" -> (spendMad(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
