@@ -461,7 +461,9 @@ object DocQueries {
 
   def tfidfNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    // N the t8/s6/t10 way — one parquet-metadata count; an in-plan
+    // broadcast scalar would put a BNLJ barrier in the pair pipeline
+    val nDocs = docs.count()
     val tf = docs
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .filter(size(col("w")) >= 3) // same descending-sequence guard as t13
@@ -485,8 +487,7 @@ object DocQueries {
       .filter(col("df") <= TfidfMaxDf)
     val wgt = tf
       .join(df, Seq("shingle"))
-      .crossJoin(nDocs)
-      .select(col("shingle"), col("doc_id"), (col("tf") * (col("n_docs") - col("df"))).as("wgt"))
+      .select(col("shingle"), col("doc_id"), (col("tf") * (lit(nDocs) - col("df"))).as("wgt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = wgt.groupBy(col("doc_id")).agg(sum(col("wgt") * col("wgt")).as("nrm"))
     val dots = wgt

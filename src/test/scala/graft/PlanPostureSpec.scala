@@ -241,6 +241,13 @@ class PlanPostureSpec extends AnyFunSuite {
       s"no probe-side shuffle join belongs in the membership check:\n$plan")
   }
 
+  test("TF-IDF near-dup pairs only through the shingle equi-join — no nested-loop/cartesian") {
+    val plan = SparkEntry.queries("d13_tfidf_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in d13 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in d13 plan:\n$plan")
+  }
+
   test("doc chunking plans no exchange at all — chunking is row-local") {
     // build WITHOUT the gate-only output sort: the operator itself must
     // be embarrassingly parallel (explode + expressions over the scan)
