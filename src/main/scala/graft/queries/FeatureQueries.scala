@@ -852,6 +852,61 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** q10: data-quality constraint suite — the expectations operator (the
+    * deequ/Great-Expectations shape): primary-key uniqueness, null
+    * checks, domain and range constraints, all counted in ONE pass over
+    * the table and melted to one row per check. A pipeline gates
+    * ingestion on `passed`; violations quantify how bad.
+    */
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val agg = ev.agg(
+      (count(lit(1)) - countDistinct(col("event_id"))).as("event_id_unique"),
+      count(when(col("event_id").isNull, 1)).as("event_id_nonnull"),
+      count(when(col("user_id").isNull, 1)).as("user_id_nonnull"),
+      count(when(col("cents") < 0L || col("cents") > 100000L, 1)).as("cents_in_range"),
+      count(when(
+        !col("event_type").isin("click", "error", "purchase", "signup", "view"), 1))
+        .as("event_type_in_domain"),
+      count(when(
+        col("ord_us") < 1704067200000000L || col("ord_us") >= 1735689600000000L, 1))
+        .as("ts_in_2024"))
+    agg
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        agg.columns.map(col),
+        "check_name",
+        "n_violations")
+      .withColumn("passed", (col("n_violations") === 0L).cast("long"))
+      .transform(orderedOutput(_, col("check_name")))
+  }
+
+  /** a7: table profile — per-column null/distinct/min/max summary (the
+    * describe()/profiling operator) in ONE scan: every statistic is a
+    * branch of a single aggregation, melted to one row per column;
+    * min/max travel as strings so heterogeneous column types share one
+    * output schema (numerics profile on exact integer cents, never
+    * format-sensitive doubles).
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    def prof(c: String) = Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    val cols = Seq("event_id", "user_id", "event_type", "cents", "ord_us")
+    val agg = ev.agg(prof(cols.head).head, (prof(cols.head).tail ++ cols.tail.flatMap(prof)): _*)
+    val rows = cols.map { c =>
+      s"('$c', ${c}__n, ${c}__distinct, ${c}__min, ${c}__max)"
+    }
+    agg
+      .select(expr(
+        s"stack(${cols.size}, ${rows.map(r => r.stripPrefix("(").stripSuffix(")")).mkString(", ")})")
+        .as(Seq("column_name", "n_nonnull", "n_distinct", "min_str", "max_str")))
+      .transform(orderedOutput(_, col("column_name")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1099,6 +1154,48 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "q10_data_quality" -> {
+        val checks = Seq(
+          "cents_in_range", "event_id_nonnull", "event_id_unique",
+          "event_type_in_domain", "ts_in_2024", "user_id_nonnull")
+        val arms = checks
+          .map(c => s"SELECT '$c' AS check_name, CAST($c AS BIGINT) AS n_violations FROM agg")
+          .mkString("\n  UNION ALL ")
+        s"""WITH prep AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us,
+           |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           |agg AS (SELECT
+           |  count(*) - count(DISTINCT event_id) AS event_id_unique,
+           |  count(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nonnull,
+           |  count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nonnull,
+           |  count(CASE WHEN cents < 0 OR cents > 100000 THEN 1 END) AS cents_in_range,
+           |  count(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+           |        THEN 1 END) AS event_type_in_domain,
+           |  count(CASE WHEN ord_us < 1704067200000000 OR ord_us >= 1735689600000000
+           |        THEN 1 END) AS ts_in_2024
+           | FROM prep)
+           |SELECT check_name, n_violations,
+           |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+           |FROM (
+           |  $arms)
+           |ORDER BY check_name""".stripMargin
+      },
+      "a7_table_profile" -> {
+        val cols = Seq("event_id", "user_id", "event_type", "cents", "ord_us")
+        val arms = cols
+          .map(c =>
+            s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+               |    count(DISTINCT $c) AS n_distinct,
+               |    CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+               |  FROM prep""".stripMargin)
+          .mkString("\n  UNION ALL ")
+        s"""WITH prep AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us,
+           |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+           |SELECT * FROM (
+           |  $arms)
+           |ORDER BY column_name""".stripMargin
+      },
       "j7_full_outer_daily" ->
         """WITH prep AS (
           |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
@@ -1328,6 +1425,8 @@ object FeatureQueries {
     "j6_click_attribution" -> (clickAttribution(_, _)),
     "j7_full_outer_daily" -> (fullOuterDaily(_, _)),
     "a6_spend_mad" -> (spendMad(_, _)),
+    "q10_data_quality" -> (dataQuality(_, _)),
+    "a7_table_profile" -> (tableProfile(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
