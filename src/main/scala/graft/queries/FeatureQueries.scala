@@ -907,6 +907,42 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("column_name")))
   }
 
+  /** w15: moving median — per-user interpolated median over the trailing
+    * 5 events (ROWS frame), the robust smoothing twin of w11's rolling
+    * sum: percentile as a WINDOW aggregate (not just a group aggregate),
+    * exact over integer cents in both engines. Shares w11's one
+    * exchange + one sort shape.
+    */
+  def movingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ord_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ord_us"), col("cents"))
+      .withColumn("med5_cents", percentile(col("cents"), lit(0.5)).over(w))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
+  /** s3: regex field extraction — pull the integer `k` out of the props
+    * JSON with a regular expression (the schema-on-read fallback when a
+    * field is NOT valid JSON everywhere — s2's json-path twin from the
+    * other direction) and roll up per extracted value. Both engines run
+    * the same pattern; the empty-match sentinel (-1) keeps nulls off the
+    * gate.
+    */
+  def regexProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(
+        when(regexp_extract(col("props"), "\"k\": (\\d+)", 1) === "", lit(-1L))
+          .otherwise(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+          .as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .transform(orderedOutput(_, col("k")))
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1154,6 +1190,21 @@ object FeatureQueries {
           |    substr(md5('esplit|' || CAST(user_id AS VARCHAR)), 1, 8) AS u8
           |  FROM events)
           |ORDER BY event_id""".stripMargin,
+      "w15_moving_median" ->
+        s"""WITH prep AS ($prep)
+           |SELECT event_id, user_id, ord_us, cents,
+           |  quantile_cont(cents, 0.5) OVER (
+           |    PARTITION BY user_id ORDER BY ord_us, event_id
+           |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_cents
+           |FROM prep
+           |ORDER BY event_id""".stripMargin,
+      "s3_regex_props" ->
+        """SELECT k, count(*) AS n FROM (
+          |  SELECT CASE WHEN regexp_extract(props, '"k": (\d+)', 1) = ''
+          |              THEN -1
+          |              ELSE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) END AS k
+          |  FROM events)
+          |GROUP BY k ORDER BY k""".stripMargin,
       "q10_data_quality" -> {
         val checks = Seq(
           "cents_in_range", "event_id_nonnull", "event_id_unique",
@@ -1427,6 +1478,8 @@ object FeatureQueries {
     "a6_spend_mad" -> (spendMad(_, _)),
     "q10_data_quality" -> (dataQuality(_, _)),
     "a7_table_profile" -> (tableProfile(_, _)),
+    "w15_moving_median" -> (movingMedian(_, _)),
+    "s3_regex_props" -> (regexProps(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
