@@ -506,6 +506,133 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** d14: sorted-neighborhood dedup — the third classic blocking family
+    * after hash-bucketing (d3's LSH) and all-pairs-by-shingle (d2): sort
+    * the corpus by a blocking key, slide a fixed window down the sorted
+    * order, and verify only docs within [[SnmWindow]] positions of each
+    * other. Here block = first token (the partition — no global sort at
+    * scale), order = (text, doc_id) within block, candidates = lead(1..w)
+    * neighbors, verification = exact shingle Jaccard computed ROW-LOCALLY
+    * on the paired arrays (array_intersect — no shuffle-by-shingle at
+    * all, the method's selling point; its known blind spot, pairs whose
+    * sort keys land far apart, is the declared approximation and the gate
+    * pins it). One exchange + one sort, then row-local verify.
+    */
+  private val SnmWindow = 3
+
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        element_at(TextAnalysis.tokens(col("text")), 1).as("block"),
+        array_distinct(graft.functions.WordShingles.wordShingles(col("text"), ShingleN))
+          .as("sh"))
+    val cand = docs
+      .withColumn(
+        "nbrs",
+        array((1 to SnmWindow).map { i =>
+          struct(
+            lead(col("doc_id"), i).over(win).as("nbr_id"),
+            lead(col("sh"), i).over(win).as("nbr_sh"))
+        }: _*))
+      .select(col("doc_id"), col("sh"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb.nbr_id").isNotNull)
+    cand
+      .select(
+        least(col("doc_id"), col("nb.nbr_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.nbr_id")).as("doc_b"),
+        size(array_intersect(col("sh"), col("nb.nbr_sh"))).cast("long").as("n_common"),
+        (size(col("sh")) + size(col("nb.nbr_sh"))
+          - size(array_intersect(col("sh"), col("nb.nbr_sh")))).cast("long").as("n_union"))
+      .filter(col("n_union") > 0L && col("n_common") * 2L >= col("n_union"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
+  /** t15: within-document co-occurrence statistics — which token pairs
+    * appear together in the same document more than their marginals
+    * predict (the PMI/lift collocation signal behind phrase mining and
+    * tokenizer-vocabulary induction). The pair space is generated ROW-
+    * LOCALLY from each doc's sorted distinct-token array (a triangular
+    * nested transform — never a corpus self-join; per-doc cost is bounded
+    * by per-doc vocabulary², the corpus cost is linear), counted in one
+    * hash agg, and joined to the tiny per-token marginal frame
+    * (broadcasts). Lift crosses the gate as an exact integer ratio
+    * (n_ab·N vs n_a·n_b) — no float log PMI.
+    */
+  private val CoocTopK = 25
+
+  def cooccurrenceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count() // parquet-metadata count, the d13/t8 way
+    val arr = array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+    val pairs = docs
+      .select(col("doc_id"), arr.as("toks"))
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("toks"),
+              (x, i) =>
+                transform(
+                  slice(col("toks"), i + lit(2), size(col("toks"))),
+                  y => struct(x.as("tok_a"), y.as("tok_b"))))))
+          .as("pr"))
+      .select(col("pr.tok_a"), col("pr.tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val marginals = docs
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    pairs
+      .join(marginals.select(col("token").as("tok_a"), col("df").as("n_a")), Seq("tok_a"))
+      .join(marginals.select(col("token").as("tok_b"), col("df").as("n_b")), Seq("tok_b"))
+      .select(
+        col("tok_a"),
+        col("tok_b"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        (col("n_ab") * lit(nDocs)).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"))
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(CoocTopK)
+  }
+
+  /** t16: inverted-index construction — the search/retrieval side of the
+    * corpus: per token, its document frequency and a deterministic capped
+    * posting list (numerically sorted doc_ids, first [[PostingsCap]],
+    * exported as a comma-joined string — the q9 array-determinism
+    * discipline applied to the retrieval shape). One distinct pass + one
+    * token-keyed hash agg; posting lists are capped so no single hot
+    * token materializes an unbounded array (the full list lives sharded
+    * at 100 TB — the cap is the gate's declared contract, not a silent
+    * truncation).
+    */
+  private val PostingsCap = 20
+
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        slice(array_sort(collect_set(col("doc_id"))), 1, PostingsCap).as("post"))
+      .select(
+        col("token"),
+        col("df"),
+        least(col("df"), lit(PostingsCap.toLong)).as("n_listed"),
+        array_join(transform(col("post"), _.cast("string")), ",").as("postings"))
+      .transform(orderedOutput(_, col("token")))
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -733,6 +860,9 @@ object DocQueries {
     "d13_tfidf_neardup" -> (tfidfNearDup(_, _)),
     "k3_bloom_membership" -> (bloomMembership(_, _)),
     "t14_fuzzy_vocab" -> (fuzzyVocabPairs(_, _)),
+    "d14_sorted_neighborhood" -> (sortedNeighborhood(_, _)),
+    "t15_cooccurrence" -> (cooccurrenceTopK(_, _)),
+    "t16_inverted_index" -> (invertedIndex(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -761,6 +891,51 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "d14_sorted_neighborhood" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, text, w[1] AS block,
+         |        list_distinct($shingles3) AS sh
+         |      FROM d),
+         |n AS (SELECT doc_id, sh,
+         |        lead(doc_id, 1) OVER win AS id1, lead(sh, 1) OVER win AS sh1,
+         |        lead(doc_id, 2) OVER win AS id2, lead(sh, 2) OVER win AS sh2,
+         |        lead(doc_id, 3) OVER win AS id3, lead(sh, 3) OVER win AS sh3
+         |      FROM s WINDOW win AS (PARTITION BY block ORDER BY text, doc_id)),
+         |p AS (
+         |  SELECT doc_id, sh, id1 AS nbr, sh1 AS nsh FROM n WHERE id1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, sh, id2, sh2 FROM n WHERE id2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, sh, id3, sh3 FROM n WHERE id3 IS NOT NULL),
+         |j AS (
+         |  SELECT least(doc_id, nbr) AS doc_a, greatest(doc_id, nbr) AS doc_b,
+         |    CAST(len(list_intersect(sh, nsh)) AS BIGINT) AS n_common,
+         |    CAST(len(sh) + len(nsh) - len(list_intersect(sh, nsh)) AS BIGINT) AS n_union
+         |  FROM p)
+         |SELECT doc_a, doc_b, n_common, n_union, n_common / n_union AS jaccard
+         |FROM j WHERE n_union > 0 AND n_common * 2 >= n_union
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t15_cooccurrence" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, token FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+         |pc AS (
+         |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2),
+         |m AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents)
+         |SELECT tok_a, tok_b, n_ab, ma.df AS n_a, mb.df AS n_b,
+         |  n_ab * nd.n AS lift_num, ma.df * mb.df AS lift_den
+         |FROM pc JOIN m ma ON tok_a = ma.token JOIN m mb ON tok_b = mb.token
+         |CROSS JOIN nd
+         |ORDER BY n_ab DESC, tok_a, tok_b LIMIT $CoocTopK""".stripMargin,
+    "t16_inverted_index" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, token FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+         |SELECT token, count(*) AS df,
+         |  CAST(least(count(*), $PostingsCap) AS BIGINT) AS n_listed,
+         |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
+         |FROM dt GROUP BY token ORDER BY token""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -943,6 +943,137 @@ object FeatureQueries {
       .agg(count(lit(1)).as("n"))
       .transform(orderedOutput(_, col("k")))
 
+  /** w16: three-step conversion funnel (view → click → purchase), the
+    * product-analytics staple — for each user, the earliest view, the
+    * earliest click AFTER that view, and the earliest purchase AFTER that
+    * click (strict event-time ordering, not mere presence). Expressed as
+    * three stacked whole-partition window minimums over ONE user-keyed
+    * exchange (no per-step self-joins, no sort — unordered partition
+    * aggregates); each step's conditional min references the previous
+    * step's column, so the null of a missing step propagates and later
+    * steps stay null, exactly the funnel drop-off semantics. The final
+    * per-user collapse is a hash agg of already-constant columns.
+    */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    prepared(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ord_us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ord_us"))).over(w))
+      .withColumn(
+        "t2",
+        min(when(col("event_type") === "click" && col("ord_us") > col("t1"), col("ord_us")))
+          .over(w))
+      .withColumn(
+        "t3",
+        min(when(col("event_type") === "purchase" && col("ord_us") > col("t2"), col("ord_us")))
+          .over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(min(col("t1")), lit(-1L)).as("t1_us"),
+        coalesce(min(col("t2")), lit(-1L)).as("t2_us"),
+        coalesce(min(col("t3")), lit(-1L)).as("t3_us"),
+        when(min(col("t3")).isNotNull, lit(3L))
+          .when(min(col("t2")).isNotNull, lit(2L))
+          .when(min(col("t1")).isNotNull, lit(1L))
+          .otherwise(lit(0L))
+          .as("stage"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** w17: cohort retention matrix — users bucketed by the week of their
+    * FIRST event, then counted per week-offset of their later activity
+    * (the classic triangle chart behind every retention dashboard).
+    * Weeks are exact integer epoch-week indices (`ord_us div week`), so
+    * no calendar/timezone library crosses the gate. Two user-keyed hash
+    * aggregations + one join that shares the events table's user_id
+    * keying (co-partitioned at scale; broadcast at bench SF).
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("user_id"), col("ord_us"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("ord_us")).as("first_us"))
+    ev.join(firsts, "user_id")
+      .select(
+        col("user_id"),
+        expr(s"first_us div $WeekUs").as("cohort_week"),
+        expr(s"ord_us div $WeekUs - first_us div $WeekUs").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .transform(orderedOutput(_, col("cohort_week"), col("week_offset")))
+  }
+
+  /** w18: SCD-2 interval build — collapse each user's event stream into
+    * maximal runs of consecutive equal event_type and emit them as
+    * valid_from/valid_to history rows (the slowly-changing-dimension
+    * type-2 shape every warehouse backfill needs: change detection via
+    * lag, run numbering via a running sum of change flags, then one
+    * aggregation per run and a lead() to close each interval at the next
+    * run's start; open intervals carry the -1 sentinel). The raw pass is
+    * ONE user-keyed exchange + ONE sort; the second window runs over the
+    * already-collapsed runs frame, which is strictly smaller.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    prepared(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ord_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .withColumn(
+        "chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ord_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn(
+        "valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wRun), lit(-1L)))
+      .select("user_id", "run_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+      .transform(orderedOutput(_, col("user_id"), col("run_id")))
+  }
+
+  /** a8: skewness/kurtosis numerators from exact integer power sums —
+    * a5's machinery extended to the 3rd and 4th moments. The central
+    * moment numerators n²Σx³−3nΣxΣx²+2(Σx)³ and
+    * n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ are combined in decimal(38,0)
+    * (DuckDB HUGEINT — per-row cents⁴ already overflows a long) and
+    * exported as DIGIT STRINGS, the one representation both engines
+    * print identically at 128-bit width; the consumer divides by the
+    * appropriate n·m2^k power downstream. One hash aggregation; every
+    * statistic is a branch of it, and partial (map-side) combine applies
+    * because integer sums are associative in any order.
+    */
+  def higherMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column) = c.cast(d38)
+    prepared(spark, sfDir)
+      .select(col("event_type"), col("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"),
+        sum(col("cents") * col("cents") * col("cents")).as("s3"),
+        sum(d(col("cents")) * col("cents") * col("cents") * col("cents")).as("s4"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("s1"),
+        col("s2"),
+        (d(col("n")) * col("s2") - d(col("s1")) * col("s1")).cast("string").as("m2_num"),
+        (d(col("n")) * col("n") * col("s3")
+          - d(lit(3L)) * col("n") * col("s1") * col("s2")
+          + d(lit(2L)) * col("s1") * col("s1") * col("s1")).cast("string").as("m3_num"),
+        (d(col("n")) * col("n") * col("n") * col("s4")
+          - d(lit(4L)) * col("n") * col("n") * col("s1") * col("s3")
+          + d(lit(6L)) * col("n") * col("s1") * col("s1") * col("s2")
+          - d(lit(3L)) * col("s1") * col("s1") * col("s1") * col("s1"))
+          .cast("string")
+          .as("m4_num"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1440,7 +1571,66 @@ object FeatureQueries {
           |WHERE (stratum = 0 AND u8 < '80000000')
           |   OR (stratum = 1 AND u8 < '40000000')
           |   OR (stratum = 2 AND u8 < '20000000')
-          |ORDER BY event_id""".stripMargin
+          |ORDER BY event_id""".stripMargin,
+      "w16_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ord_us FROM events),
+          |f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ord_us END)
+          |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+          |f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ord_us > t1 THEN ord_us END)
+          |                   OVER (PARTITION BY user_id) AS t2 FROM f1),
+          |f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ord_us > t2 THEN ord_us END)
+          |                   OVER (PARTITION BY user_id) AS t3 FROM f2)
+          |SELECT user_id,
+          |  coalesce(min(t1), -1) AS t1_us,
+          |  coalesce(min(t2), -1) AS t2_us,
+          |  coalesce(min(t3), -1) AS t3_us,
+          |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+          |            WHEN min(t2) IS NOT NULL THEN 2
+          |            WHEN min(t1) IS NOT NULL THEN 1
+          |            ELSE 0 END AS BIGINT) AS stage
+          |FROM f3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "w17_retention" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ord_us FROM events),
+           |f AS (SELECT user_id, min(ord_us) AS first_us FROM e GROUP BY 1)
+           |SELECT first_us // $WeekUs AS cohort_week,
+           |       ord_us // $WeekUs - first_us // $WeekUs AS week_offset,
+           |       count(DISTINCT e.user_id) AS n_users,
+           |       count(*) AS n_events
+           |FROM e JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "w18_scd2_intervals" ->
+        """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ord_us FROM events),
+          |m AS (SELECT *,
+          |        CASE WHEN lag(event_type) OVER w IS NULL
+          |                  OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ord_us, event_id)),
+          |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS run_id
+          |      FROM m),
+          |g AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+          |        min(ord_us) AS valid_from_us, count(*) AS n_events
+          |      FROM r GROUP BY 1, 2, 3)
+          |SELECT user_id, run_id, event_type, valid_from_us,
+          |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id), -1)
+          |    AS valid_to_us,
+          |  n_events
+          |FROM g ORDER BY user_id, run_id""".stripMargin,
+      "a8_higher_moments" ->
+        """WITH p AS (
+          |  SELECT event_type, CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS x
+          |  FROM events),
+          |s AS (
+          |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          |         sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+          |  FROM p GROUP BY 1)
+          |SELECT event_type,
+          |  CAST(n AS BIGINT) AS n,
+          |  CAST(s1 AS BIGINT) AS s1,
+          |  CAST(s2 AS BIGINT) AS s2,
+          |  CAST(n*s2 - s1*s1 AS VARCHAR) AS m2_num,
+          |  CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS VARCHAR) AS m3_num,
+          |  CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS VARCHAR)
+          |    AS m4_num
+          |FROM s ORDER BY event_type""".stripMargin
     )
   }
 
@@ -1480,6 +1670,10 @@ object FeatureQueries {
     "a7_table_profile" -> (tableProfile(_, _)),
     "w15_moving_median" -> (movingMedian(_, _)),
     "s3_regex_props" -> (regexProps(_, _)),
+    "w16_funnel" -> (funnelStages(_, _)),
+    "w17_retention" -> (retentionCohorts(_, _)),
+    "w18_scd2_intervals" -> (scd2Intervals(_, _)),
+    "a8_higher_moments" -> (higherMoments(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

@@ -170,6 +170,33 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** g3: fixed-iteration integer PageRank ([[graft.operators.PageRank]])
+    * over the part↔supplier co-supply graph — nodes are parts (2k) and
+    * suppliers (2k+1), mirrored edges are the distinct (l_partkey,
+    * l_suppkey) pairs, so node importance is "how central is this
+    * part/supplier in the supply network". Five rounds, each one
+    * edges⋈ranks join + dst aggregation (the Pregel shape); every rank
+    * is an exact integer multiple of 1/1e9, so the gate is bit-exact
+    * against five unrolled CTE rounds in DuckDB.
+    */
+  private[graft] val PrIters = 5
+
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    val edges = pairs
+      .select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+    graft.operators.PageRank
+      .run(edges, PrIters)
+      .select(col("node"), col("deg"), col("pr"))
+      .transform(orderedOutput(_, col("node")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_agg" -> (pricingAgg(_, _)),
     "q3_shipping_topk" -> (shippingTopK(_, _)),
@@ -177,9 +204,37 @@ object RelationalQueries {
     "s2_json_props" -> (jsonProps(_, _)),
     "f1_scalar_pack" -> (scalarPack(_, _)),
     "p4_date_split" -> (dateSplit(_, _)),
+    "g3_pagerank" -> (pagerank(_, _)),
     "w6_running_windows" -> (runningWindows(_, _)))
 
+  /** g3 oracle: the same five integer rounds, unrolled as chained CTEs
+    * (DuckDB `//` floor division == Spark `div` on the non-negative
+    * ranks; DuckDB's HUGEINT sums collapse back to BIGINT at the end).
+    */
+  private def pagerankSql: String = {
+    val scale = graft.operators.PageRank.Scale
+    val base = scale * 15L / 100L
+    val rounds = (1 to PrIters)
+      .map { k =>
+        s"""r$k AS (
+           |  SELECT d.node, d.deg, $base + (85 * coalesce(c.s, 0)) // 100 AS pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.pr // r.deg) AS s
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) c USING (node))""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+       |edges AS (SELECT p AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, deg, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node, deg, CAST(pr AS BIGINT) AS pr FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "g3_pagerank" -> pagerankSql,
     "q1_pricing_agg" ->
       """WITH l AS (
         |  SELECT *, CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
