@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The m1_pixel_stats oracle gate: deterministic in-code media fixtures
   * whose pixel content is DEFINED as integer tuples, encoded into real
   * container bytes (BMP bottom-up/top-down, PPM, PNG RGB/RGBA across all
-  * five row filters, plus undecodable streams), decoded back through the
-  * DISTRIBUTED [[PixelDecode]] path, and summarized as exact integer
-  * channel statistics.
+  * five row filters, GIF plain and interlaced through the LZW coder,
+  * plus undecodable streams), decoded back through the DISTRIBUTED
+  * [[PixelDecode]] path, and summarized as exact integer channel
+  * statistics.
   *
   * The two gate sides never share a derivation: the Spark result decodes
   * the encoded BYTES (container parsing, inflate, unfilter), while
@@ -121,6 +122,64 @@ object MediaFixtures {
       chunk("IEND", Array.empty[Byte])
   }
 
+  /** Palette-quantized GIF with its LZW forward coder (the encoder's
+    * code-width schedule mirrors the decoder's entry-count rule — the
+    * GIF "late change"); `interlaced` stores rows in the four-pass spec
+    * order so decode must de-weave them.
+    */
+  private def gifBytes(px: Seq[(Int, Int, Int)], interlaced: Boolean): Array[Byte] = {
+    val palette = px.distinct
+    require(palette.size <= 256, "GIF palette cap")
+    var minCode = 2
+    while ((1 << minCode) < palette.size) minCode += 1
+    val index = palette.zipWithIndex.toMap
+    val clear = 1 << minCode
+    var gctExp = 0
+    while ((2 << gctExp) < palette.size) gctExp += 1
+    val table = palette.padTo(2 << gctExp, (0, 0, 0)).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte)
+    }
+    val rowOrder =
+      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until H by st }
+      else 0 until H
+    val stored = rowOrder.flatMap(r => px.slice(r * W, (r + 1) * W)).map(index)
+    // LZW: codes LSB-first; width bump when the DECODER's entry count
+    // (clear + 1 + emitted) reaches 2^width
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0L; var nbits = 0; var width = minCode + 1; var emitted = 0
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) { out += (cur & 0xff).toByte; cur >>= 8; nbits -= 8 }
+    }
+    def putPixel(code: Int): Unit = {
+      put(code); emitted += 1
+      if (clear + 1 + emitted == (1 << width) && width < 12) width += 1
+    }
+    val dict = scala.collection.mutable.Map[(Int, Int), Int]()
+    var next = clear + 2
+    put(clear)
+    var prev = -1
+    for (b <- stored) {
+      if (prev < 0) prev = b
+      else dict.get((prev, b)) match {
+        case Some(c) => prev = c
+        case None =>
+          putPixel(prev)
+          if (next < 4096) { dict((prev, b)) = next; next += 1 }
+          prev = b
+      }
+    }
+    if (prev >= 0) putPixel(prev)
+    put(clear + 1)
+    if (nbits > 0) out += (cur & 0xff).toByte
+    val sub = out.toArray.grouped(255).flatMap(b => Array(b.length.toByte) ++ b).toArray
+    "GIF89a".getBytes ++ le2(W) ++ le2(H) ++
+      Array((0x80 | gctExp).toByte, 0.toByte, 0.toByte) ++ table ++
+      Array(0x2c.toByte) ++ le2(0) ++ le2(0) ++ le2(W) ++ le2(H) ++
+      Array((if (interlaced) 0x40 else 0).toByte, minCode.toByte) ++
+      sub ++ Array(0.toByte, 0x3b.toByte)
+  }
+
   /** The fixture set: every decodable container flavor plus the two
     * undecodable shapes (truncated PNG — header probes fine, pixels do
     * not decode — and a non-image byte stream).
@@ -134,7 +193,9 @@ object MediaFixtures {
       Fixture(4L, "png", pixels(4), pngBytes(pixels(4), Seq(0, 1, 2, 3, 4), alpha = -1)),
       Fixture(5L, "png", pixels(5), pngBytes(pixels(5), Seq(4, 3, 2, 1, 0), alpha = 200)),
       Fixture(6L, "png", Seq.empty, truncatedPng),
-      Fixture(7L, "unknown", Seq.empty, Array.tabulate[Byte](64)(i => (i * 17).toByte)))
+      Fixture(7L, "unknown", Seq.empty, Array.tabulate[Byte](64)(i => (i * 17).toByte)),
+      Fixture(8L, "gif", pixels(8), gifBytes(pixels(8), interlaced = false)),
+      Fixture(9L, "gif", pixels(9), gifBytes(pixels(9), interlaced = true)))
   }
 
   /** The m1 gate query: decode every fixture through the distributed

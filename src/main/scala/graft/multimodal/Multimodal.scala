@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   *
   * The decode step is a pluggable [[MediaCodec]]. [[PixelCodec]] decodes
   * the codec-free public formats (24-bit BMP, binary PPM, non-interlaced
-  * 8-bit PNG via the JDK Inflater) for REAL channel statistics
-  * ([[PixelDecode]] — pure bytes, same discipline as the header
-  * parsers); JPEG/GIF media falls back to the deterministic [[StubCodec]]
-  * stand-in, since DCT/LZW codec libraries are not available in this
-  * environment. The Spark-side plumbing
+  * 8-bit PNG via the JDK Inflater, GIF via the LZW decoder implemented
+  * from the public spec) for REAL channel statistics ([[PixelDecode]] —
+  * pure bytes, same discipline as the header parsers); JPEG media falls
+  * back to the deterministic [[StubCodec]] stand-in, since a DCT codec
+  * library is not available in this environment. The Spark-side plumbing
   * (schema, typed rows, partition-level batching, feature shapes) is real
   * and tested either way. Swap the fallback for a JNI/FFM-backed codec in
   * production.
@@ -58,11 +58,11 @@ object Multimodal {
     def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]]
   }
 
-  /** Real pixel features for the UNCOMPRESSED formats ([[PixelDecode]]:
-    * 24-bit BI_RGB BMP, binary PPM, non-interlaced 8-bit PNG) — channel
-    * means + stddevs computed from the actual pixel array, no codec
-    * library needed — with [[StubCodec]] as the declared fallback for the
-    * formats this environment cannot decode.
+  /** Real pixel features for the codec-free formats ([[PixelDecode]]:
+    * 24-bit BI_RGB BMP, binary PPM, non-interlaced 8-bit PNG, GIF) —
+    * channel means + stddevs computed from the actual pixel array, no
+    * codec library needed — with [[StubCodec]] as the declared fallback
+    * for JPEG, the one format this environment cannot decode.
     *
     * ONE declared output width either way (a fixed-dimension consumer —
     * a vector assembler, a feature-store column — must never see ragged

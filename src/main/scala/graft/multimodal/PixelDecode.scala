@@ -4,11 +4,12 @@ package graft.multimodal
   * step past [[ImageHeaders]]'s metadata probes: 24-bit BI_RGB BMP and
   * binary PPM (P6) store their pixel arrays as plain bytes, and
   * non-interlaced 8-bit PNG compresses them with DEFLATE, which the JDK's
-  * `java.util.zip.Inflater` decodes — so actual channel statistics are
-  * computable with the same pure-byte discipline as the header parsers,
-  * no external codec library involved. JPEG (DCT) and GIF (LZW) still
-  * require a real codec; [[Multimodal.StubCodec]] remains the declared
-  * stand-in for those.
+  * `java.util.zip.Inflater` decodes, and GIF's LZW is a self-contained
+  * dictionary coder implemented here from the public spec — so actual
+  * channel statistics are computable with the same pure-byte discipline
+  * as the header parsers, no external codec library involved. Only JPEG
+  * (DCT entropy coding) still requires a real codec;
+  * [[Multimodal.StubCodec]] remains the declared stand-in for it.
   *
   * Formats (public specifications):
   *   - BMP: 14-byte file header ('B''M', le32 file size, le32 reserved,
@@ -270,9 +271,193 @@ object PixelDecode {
     Some(RgbImage(w, h, out))
   }
 
+  /** Decode the FIRST image of a GIF87a/89a stream — GIF's LZW is a
+    * self-contained dictionary coder (no external codec library needed,
+    * same as PNG's Inflater): variable-width codes 3..12 bits packed
+    * LSB-first into 255-byte sub-blocks, a clear code that resets the
+    * dictionary, and the one subtle production — code == next (the
+    * "KwKwK" case) expands to string(prev) + firstByte(string(prev)).
+    * Interlaced images are de-woven through the four spec passes
+    * (rows 0%8, 4%8, 2%4, 1%2). Local color tables override the global
+    * one; a missing table, an out-of-range pixel index, or a stream that
+    * ends before width*height pixels all return None. Later frames of an
+    * animation are ignored by construction (first image wins).
+    */
+  def decodeGif(blob: Array[Byte]): Option[RgbImage] = {
+    if (blob.length < 14 || blob(0) != 'G' || blob(1) != 'I' || blob(2) != 'F' ||
+      blob(3) != '8' || (blob(4) != '7' && blob(4) != '9') || blob(5) != 'a') return None
+    val packed = blob(10) & 0xff
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val sz = 3 * (1 << ((packed & 7) + 1))
+      if (i + sz > blob.length) return None
+      gct = java.util.Arrays.copyOfRange(blob, i, i + sz)
+      i += sz
+    }
+    while (i < blob.length) {
+      (blob(i) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label byte, then length-prefixed sub-blocks
+          i += 2
+          while (i < blob.length && (blob(i) & 0xff) != 0) i += 1 + (blob(i) & 0xff)
+          if (i >= blob.length) return None
+          i += 1 // sub-block terminator
+        case 0x2c => // image descriptor — decode and return
+          if (i + 10 > blob.length) return None
+          val fw = leShort(blob, i + 5)
+          val fh = leShort(blob, i + 7)
+          val ip = blob(i + 9) & 0xff
+          i += 10
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            val sz = 3 * (1 << ((ip & 7) + 1))
+            if (i + sz > blob.length) return None
+            ct = java.util.Arrays.copyOfRange(blob, i, i + sz)
+            i += sz
+          }
+          if (ct == null || !dimsOk(fw, fh)) return None
+          val interlaced = (ip & 0x40) != 0
+          if (i >= blob.length) return None
+          val minCodeSize = blob(i) & 0xff
+          i += 1
+          if (minCodeSize < 2 || minCodeSize > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < blob.length && (blob(i) & 0xff) != 0) {
+            val n = blob(i) & 0xff
+            if (i + 1 + n > blob.length) return None
+            data.write(blob, i + 1, n)
+            i += 1 + n
+          }
+          if (i >= blob.length) return None // missing terminator
+          val idx = lzwDecode(data.toByteArray, minCodeSize, fw * fh) match {
+            case Some(v) => v
+            case None => return None
+          }
+          // interlace de-weave: source rows arrive in four-pass order
+          val rowOrder = new Array[Int](fh)
+          if (interlaced) {
+            var src = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+              var r = start
+              while (r < fh) { rowOrder(src) = r; src += 1; r += step }
+            }
+          } else {
+            var r = 0
+            while (r < fh) { rowOrder(r) = r; r += 1 }
+          }
+          val nColors = ct.length / 3
+          val out = new Array[Byte](fw * fh * 3)
+          var srcRow = 0
+          while (srcRow < fh) {
+            val dstRow = rowOrder(srcRow)
+            var x = 0
+            while (x < fw) {
+              val ci = idx(srcRow * fw + x) & 0xff
+              if (ci >= nColors) return None
+              val dst = (dstRow * fw + x) * 3
+              out(dst) = ct(ci * 3)
+              out(dst + 1) = ct(ci * 3 + 1)
+              out(dst + 2) = ct(ci * 3 + 2)
+              x += 1
+            }
+            srcRow += 1
+          }
+          return Some(RgbImage(fw, fh, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: decode exactly `expected` color indices from the
+    * concatenated image sub-blocks. None on any malformed stream (code
+    * past the dictionary frontier, stream exhausted early, overrun).
+    */
+  private def lzwDecode(
+      data: Array[Byte],
+      minCodeSize: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097) // longest expansion + the KwKwK push
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var k = 0
+    while (k < clear) { prefix(k) = -1; suffix(k) = k.toByte; k += 1 }
+    var next = clear + 2
+    var width = minCodeSize + 1
+    var prev = -1
+    var first: Byte = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var j = 0
+      while (j < width) {
+        val p = bitPos + j
+        v |= ((data(p >> 3) >> (p & 7)) & 1) << j
+        j += 1
+      }
+      bitPos += width
+      v
+    }
+    while (outN < expected) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        next = clear + 2
+        width = minCodeSize + 1
+        prev = -1
+      } else if (code == endCode) {
+        return None // end before expected pixels
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        out(outN) = suffix(code)
+        outN += 1
+        prev = code
+        first = suffix(code)
+      } else {
+        // code == next only valid below 4096 (12-bit codes cap at 4095,
+        // so a full dictionary admits every code < next and nothing else)
+        if (code > next) return None
+        var sp = 0
+        var c = code
+        if (code == next) { // KwKwK: string(prev) + firstByte(string(prev))
+          stack(sp) = first // LIFO: pushed first => emitted last
+          sp += 1
+          c = prev
+        }
+        while (c >= 0) {
+          stack(sp) = suffix(c)
+          sp += 1
+          c = prefix(c)
+        }
+        first = stack(sp - 1)
+        if (outN + sp > expected) return None // overrun: corrupt stream
+        while (sp > 0) {
+          sp -= 1
+          out(outN) = stack(sp)
+          outN += 1
+        }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   /** Try every decodable format. */
   def decode(blob: Array[Byte]): Option[RgbImage] =
-    decodeBmp(blob).orElse(decodePpm(blob)).orElse(decodePng(blob))
+    decodeBmp(blob).orElse(decodePpm(blob)).orElse(decodePng(blob)).orElse(decodeGif(blob))
 
   /** Exact-integer channel means/stddevs over a decoded raster. */
   def channelStats(img: RgbImage): ChannelStats = {

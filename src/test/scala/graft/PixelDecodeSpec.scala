@@ -226,4 +226,137 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(fb.drop(stats).toSeq == Multimodal.StubCodec.decodeFeatures(opaque).toSeq,
       "undecodable payloads carry the stub histogram in the tail slots")
   }
+
+  // ---- GIF ------------------------------------------------------------------
+
+  /** GIF-variant LZW encoder for test fixtures: standard dictionary
+    * build, codes packed LSB-first. The code WIDTH mirrors the decoder's
+    * entry-count rule exactly (the decoder lags the encoder's dictionary
+    * by one entry, so its width bump lands one code later than a naive
+    * next_e == 2^w encoder bump — the classic GIF "late change").
+    */
+  private def lzwEncode(indices: Seq[Int], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0L
+    var nbits = 0
+    var width = minCodeSize + 1
+    var emitted = 0 // pixel codes since clear, to mirror the decoder width
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { out += (cur & 0xff).toByte; cur >>= 8; nbits -= 8 }
+    }
+    def putPixelCode(code: Int): Unit = {
+      put(code)
+      emitted += 1
+      // decoder after its k-th pixel code has next = clear + 1 + k
+      if (clear + 1 + emitted == (1 << width) && width < 12) width += 1
+    }
+    val dict = scala.collection.mutable.Map[(Int, Int), Int]()
+    var next = clear + 2
+    put(clear)
+    var prev = -1
+    for (b <- indices) {
+      if (prev < 0) prev = b
+      else dict.get((prev, b)) match {
+        case Some(c) => prev = c
+        case None =>
+          putPixelCode(prev)
+          if (next < 4096) { dict((prev, b)) = next; next += 1 }
+          prev = b
+      }
+    }
+    if (prev >= 0) putPixelCode(prev)
+    put(clear + 1) // end code
+    if (nbits > 0) out += (cur & 0xff).toByte
+    out.toArray
+  }
+
+  /** Assemble a single-image GIF with a global color table; indices are
+    * LOGICAL top-down row-major — for `interlaced` the builder stores
+    * rows in the four-pass spec order so decode must de-weave them.
+    */
+  private def gif(
+      w: Int,
+      h: Int,
+      palette: Seq[(Int, Int, Int)],
+      indices: Seq[Int],
+      minCodeSize: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(indices.size == w * h && palette.size <= (1 << minCodeSize))
+    var gctExp = 0 // field n: table holds 2^(n+1) entries
+    while ((2 << gctExp) < palette.size) gctExp += 1
+    val table = palette.padTo(2 << gctExp, (0, 0, 0)).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte)
+    }
+    val rowOrder =
+      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+      else 0 until h
+    val stored = rowOrder.flatMap(r => indices.slice(r * w, (r + 1) * w))
+    val lzw = lzwEncode(stored, minCodeSize)
+    val sub = lzw.grouped(255).flatMap(b => Array(b.length.toByte) ++ b).toArray
+    "GIF89a".getBytes ++ le2(w) ++ le2(h) ++ Array((0x80 | gctExp).toByte, 0.toByte, 0.toByte) ++
+      table ++
+      Array(0x2c.toByte) ++ le2(0) ++ le2(0) ++ le2(w) ++ le2(h) ++
+      Array((if (interlaced) 0x40 else 0).toByte, minCodeSize.toByte) ++
+      sub ++ Array(0.toByte, 0x3b.toByte)
+  }
+
+  test("GIF: LZW round-trip recovers the ground-truth pixels; stats match the BMP twin") {
+    val img = PixelDecode.decodeGif(gif(3, 2, pix, 0 until 6, 3))
+      .getOrElse(fail("GIF decode failed"))
+    assert(img.width == 3 && img.height == 2)
+    val got = img.rgb.grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    assert(got == pix, s"decoded $got")
+    val viaGif = PixelDecode.channelStats(img)
+    val viaBmp = PixelDecode.channelStats(PixelDecode.decodeBmp(bmp(3, 2, pix, false)).get)
+    assert(viaGif == viaBmp, "identical pixels must give identical stats across containers")
+    assert(PixelDecode.decode(gif(3, 2, pix, 0 until 6, 3)).nonEmpty, "decode() dispatches GIF")
+  }
+
+  test("GIF: runs (KwKwK), dictionary growth across width bumps, and interlace de-weave") {
+    // long same-index runs force code == next immediately; 24x24 of
+    // patterned data grows the dictionary past the 3->4->5 bit bumps
+    val pal4 = Seq((10, 20, 30), (200, 100, 0), (0, 0, 0), (255, 255, 255))
+    val w = 24; val h = 24
+    val patterned = (0 until w * h).map(i => ((i * 7) / 11 + i / w) % 4)
+    val runs = Seq.fill(w * h)(1)
+    for (ix <- Seq(patterned, runs)) {
+      val img = PixelDecode.decodeGif(gif(w, h, pal4, ix, 2))
+        .getOrElse(fail("decode failed"))
+      val got = img.rgb.grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+      assert(got == ix.map(pal4), "pixel-exact round-trip")
+    }
+    // interlaced: stored pass order 0,8,16 / 4,12,20 / 2,6,... must de-weave
+    val img = PixelDecode.decodeGif(gif(w, h, pal4, patterned, 2, interlaced = true))
+      .getOrElse(fail("interlaced decode failed"))
+    val got = img.rgb.grouped(3).map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    assert(got == patterned.map(pal4), "interlaced rows land top-down")
+  }
+
+  test("GIF: extensions are skipped; corrupt flavors return None, never throw") {
+    val good = gif(3, 2, pix, 0 until 6, 3)
+    // splice a graphic-control extension (0x21 0xf9, 4-byte block) after the GCT
+    val gctEnd = 13 + 3 * 8
+    val ext = Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val withExt = good.take(gctEnd) ++ ext ++ good.drop(gctEnd)
+    assert(PixelDecode.decodeGif(withExt).map(_.rgb.toSeq) == PixelDecode.decodeGif(good).map(_.rgb.toSeq))
+    assert(PixelDecode.decodeGif("GIF89a".getBytes).isEmpty, "truncated header")
+    assert(PixelDecode.decodeGif(good.dropRight(8)).isEmpty, "truncated LZW stream")
+    val noTable = good.clone(); noTable(10) = 0 // GCT flag off but table bytes still inline
+    assert(PixelDecode.decodeGif(noTable).isEmpty, "no color table -> undecodable")
+    // an index past the palette: 1x1 image whose only code is out of range
+    val tiny = gif(1, 1, Seq((1, 2, 3)), Seq(0), 2)
+    assert(PixelDecode.decodeGif(tiny).nonEmpty)
+    // first pixel code references a non-root (> clear): hand-built stream
+    val bad = tiny.clone()
+    // LZW data sub-block starts after 13 hdr + 12 GCT(2^3... minCode 2 -> 2<<0? ) — locate: find 0x2c
+    val descAt = bad.indexOf(0x2c.toByte)
+    val lzwAt = descAt + 10 + 1 // descriptor + minCode byte = first sub-block length
+    // overwrite the packed stream with code 6 (= clear+2, past frontier) after clear
+    // clear=4 end=5 width=3: bits = 100 then 110 -> byte 0b00110100 = 0x34
+    bad(lzwAt + 1) = 0x34.toByte
+    assert(PixelDecode.decodeGif(bad).isEmpty, "code past the dictionary frontier")
+  }
 }
