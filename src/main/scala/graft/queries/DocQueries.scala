@@ -633,6 +633,47 @@ object DocQueries {
         array_join(transform(col("post"), _.cast("string")), ",").as("postings"))
       .transform(orderedOutput(_, col("token")))
 
+  /** t17: trigram language-model table — per bigram prefix, its total
+    * continuation mass, distinct continuation count, and top-3 next
+    * tokens by count (the count table behind n-gram LM probabilities,
+    * Kneser-Ney style smoothing inputs, and autocomplete). Trigrams are
+    * generated ROW-LOCALLY (t13's machinery one order up), counted in
+    * one hash agg; the rank and both prefix marginals are window layers
+    * over the SAME prefix partitioning — one exchange, one sort.
+    * Probabilities stay downstream divisions: only exact integer counts
+    * cross the gate.
+    */
+  private val LmTopK = 3
+
+  def trigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("prefix")).orderBy(col("n").desc, col("nxt"))
+    val wPrefix = Window.partitionBy(col("prefix"))
+    Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= 3) // sequence(1, 0) would count DOWN
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i =>
+              struct(
+                concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))
+                  .as("prefix"),
+                element_at(col("w"), i + 2).as("nxt"))))
+          .as("t"))
+      .select(col("t.prefix"), col("t.nxt"))
+      .groupBy(col("prefix"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prefix_total", sum(col("n")).over(wPrefix))
+      .withColumn("n_continuations", count(lit(1)).over(wPrefix))
+      .filter(col("rank") <= LmTopK)
+      .select("prefix", "rank", "nxt", "n", "prefix_total", "n_continuations")
+      .transform(orderedOutput(_, col("prefix"), col("rank")))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -863,6 +904,7 @@ object DocQueries {
     "d14_sorted_neighborhood" -> (sortedNeighborhood(_, _)),
     "t15_cooccurrence" -> (cooccurrenceTopK(_, _)),
     "t16_inverted_index" -> (invertedIndex(_, _)),
+    "t17_trigram_lm" -> (trigramLm(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -936,6 +978,23 @@ object DocQueries {
          |  CAST(least(count(*), $PostingsCap) AS BIGINT) AS n_listed,
          |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
          |FROM dt GROUP BY token ORDER BY token""".stripMargin,
+    "t17_trigram_lm" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |tl AS (SELECT unnest(CASE WHEN len(w) >= 3
+         |         THEN list_transform(generate_series(1, len(w) - 2),
+         |                             i -> array_to_string(w[i:i+2], ' '))
+         |         ELSE [] END) AS tri FROM d),
+         |tr AS (SELECT string_split(tri, ' ') AS p FROM tl),
+         |c AS (SELECT array_to_string(p[1:2], ' ') AS prefix, p[3] AS nxt, count(*) AS n
+         |      FROM tr GROUP BY 1, 2),
+         |r AS (SELECT *,
+         |        CAST(row_number() OVER (PARTITION BY prefix ORDER BY n DESC, nxt) AS BIGINT)
+         |          AS rank,
+         |        CAST(sum(n) OVER (PARTITION BY prefix) AS BIGINT) AS prefix_total,
+         |        count(*) OVER (PARTITION BY prefix) AS n_continuations
+         |      FROM c)
+         |SELECT prefix, rank, nxt, n, prefix_total, n_continuations
+         |FROM r WHERE rank <= $LmTopK ORDER BY prefix, rank""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

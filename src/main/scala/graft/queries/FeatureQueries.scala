@@ -1033,6 +1033,86 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id"), col("run_id")))
   }
 
+  /** w19: interval union (gaps-and-islands) — give every event a
+    * [[CoverUs]] coverage interval, merge each user's overlapping (or
+    * touching) intervals into maximal islands, and emit the merged spans
+    * — the de-overlap primitive behind "total active time", meeting-room
+    * style conflict collapse, and time-range dedup of crawler snapshots.
+    * Island detection is the running max of interval ends over all PRIOR
+    * rows (ROWS ... 1 PRECEDING): a row whose start exceeds that max
+    * opens a new island; the island id is a running sum of those flags.
+    * One user-keyed exchange + one sort, shared by both window layers,
+    * then one hash agg per island.
+    */
+  private val CoverUs = 1800L * 1000000L
+
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    prepared(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ord_us"))
+      .withColumn("end_us", col("ord_us") + CoverUs)
+      .withColumn("prev_max", max(col("end_us")).over(wPrev))
+      .withColumn(
+        "new_island",
+        when(col("prev_max").isNull || col("ord_us") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        min(col("ord_us")).as("start_us"),
+        max(col("end_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_us", col("end_us") - col("start_us"))
+      .transform(orderedOutput(_, col("user_id"), col("island")))
+  }
+
+  /** j8: nearest-event join — each click matched to the SAME user's
+    * temporally closest purchase within ±[[NearUs]] (ties: earlier, then
+    * lower id). The symmetric-window nearest-neighbor complement of j3's
+    * backward-only as-of: candidate pairs come from a (user, time-bin)
+    * equi-join — purchases explode into the three bins their ±window can
+    * touch, clicks carry one bin, the exact |Δt| predicate is a residual
+    * filter — so the plan is BNLJ-free and pair count is bounded by
+    * per-user-per-bin density, never |clicks|·|purchases|. One
+    * row_number window picks the winner per click.
+    */
+  private val NearUs = 600L * 1000000L
+
+  def nearestEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ord_us").as("click_us"))
+      .withColumn("_bin", expr(s"click_us div $NearUs"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ord_us").as("purchase_us"))
+      .withColumn(
+        "_bin",
+        explode(
+          sequence(
+            expr(s"(purchase_us - $NearUs) div $NearUs"),
+            expr(s"(purchase_us + $NearUs) div $NearUs"))))
+    val w = Window
+      .partitionBy(col("click_id"))
+      .orderBy(abs(col("purchase_us") - col("click_us")), col("purchase_us"), col("purchase_id"))
+    clicks
+      .join(purchases, Seq("user_id", "_bin"))
+      .filter(abs(col("purchase_us") - col("click_us")) <= NearUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("click_id"),
+        col("user_id"),
+        col("click_us"),
+        col("purchase_id"),
+        col("purchase_us"),
+        (col("purchase_us") - col("click_us")).as("delta_us"))
+      .transform(orderedOutput(_, col("click_id")))
+  }
+
   /** a8: skewness/kurtosis numerators from exact integer power sums —
     * a5's machinery extended to the 3rd and 4th moments. The central
     * moment numerators n²Σx³−3nΣxΣx²+2(Σx)³ and
@@ -1630,7 +1710,34 @@ object FeatureQueries {
           |  CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS VARCHAR) AS m3_num,
           |  CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS VARCHAR)
           |    AS m4_num
-          |FROM s ORDER BY event_type""".stripMargin
+          |FROM s ORDER BY event_type""".stripMargin,
+      "w19_interval_union" ->
+        s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ord_us FROM events),
+           |i AS (SELECT user_id, event_id, ord_us, ord_us + $CoverUs AS end_us FROM e),
+           |m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ord_us, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM i),
+           |f AS (SELECT *, CASE WHEN prev_max IS NULL OR ord_us > prev_max
+           |                     THEN 1 ELSE 0 END AS new_island FROM m),
+           |g AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY ord_us, event_id)
+           |        AS island FROM f)
+           |SELECT user_id, CAST(island AS BIGINT) AS island, min(ord_us) AS start_us,
+           |  max(end_us) AS end_us, count(*) AS n_events,
+           |  max(end_us) - min(ord_us) AS span_us
+           |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "j8_nearest_event" ->
+        s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us FROM events),
+           |c AS (SELECT event_id AS click_id, user_id, ord_us AS click_us FROM e
+           |      WHERE event_type = 'click'),
+           |p AS (SELECT event_id AS purchase_id, user_id, ord_us AS purchase_us FROM e
+           |      WHERE event_type = 'purchase'),
+           |j AS (SELECT c.click_id, c.user_id, c.click_us, p.purchase_id, p.purchase_us,
+           |        row_number() OVER (PARTITION BY c.click_id
+           |          ORDER BY abs(p.purchase_us - c.click_us), p.purchase_us, p.purchase_id) AS rn
+           |      FROM c JOIN p USING (user_id)
+           |      WHERE abs(p.purchase_us - c.click_us) <= $NearUs)
+           |SELECT click_id, user_id, click_us, purchase_id, purchase_us,
+           |  purchase_us - click_us AS delta_us
+           |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin
     )
   }
 
@@ -1674,6 +1781,8 @@ object FeatureQueries {
     "w17_retention" -> (retentionCohorts(_, _)),
     "w18_scd2_intervals" -> (scd2Intervals(_, _)),
     "a8_higher_moments" -> (higherMoments(_, _)),
+    "w19_interval_union" -> (intervalUnion(_, _)),
+    "j8_nearest_event" -> (nearestEvent(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
