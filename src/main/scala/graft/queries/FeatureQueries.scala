@@ -1154,6 +1154,201 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** w20: concurrent-activity sweep line — every event opens a
+    * [[ConcActiveUs]] activity interval; the query reports, per
+    * [[ConcBinUs]] time bin, how many intervals are simultaneously open
+    * (peak and end-of-bin), the load-curve primitive behind capacity
+    * planning and concurrency SLAs. A naive global running sum over ±1
+    * boundary deltas is a single-partition sort of 2n rows — a
+    * scale-killer — so this is the TWO-LEVEL prefix sum: within-bin
+    * running sums are computed under a bin-partitioned window (bounded
+    * partitions, full parallelism), per-bin net deltas aggregate to a
+    * tiny bins frame (corpus span / bin width rows), and only THAT frame
+    * sees a global window to produce each bin's starting offset. Global
+    * running state at any boundary = bin offset + within-bin running sum,
+    * exactly — the classic scan-then-propagate decomposition, with the
+    * serial step O(bins), not O(rows). Boundary tie order is (t, delta,
+    * event_id): an interval closing at t is gone before one opening at t
+    * is counted.
+    */
+  private val ConcActiveUs = 600L * 1000000L
+  private val ConcBinUs = 3600L * 1000000L
+
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir).select(col("event_id"), col("ord_us"))
+    val deltas = ev
+      .select(col("event_id"), col("ord_us").as("t"), lit(1L).as("d"))
+      .unionAll(
+        ev.select(col("event_id"), (col("ord_us") + ConcActiveUs).as("t"), lit(-1L).as("d")))
+      .withColumn("bin", expr(s"t div $ConcBinUs"))
+    val wIn = Window.partitionBy(col("bin")).orderBy(col("t"), col("d"), col("event_id"))
+    val perBin = deltas
+      .withColumn("run_in", sum(col("d")).over(wIn))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        sum(col("d")).as("net_delta"),
+        max(col("run_in")).as("max_run_in"))
+    val wBins = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    perBin
+      .withColumn("offset", coalesce(sum(col("net_delta")).over(wBins), lit(0L)))
+      .select(
+        col("bin"),
+        (col("bin") * ConcBinUs).as("bin_start_us"),
+        col("n_starts"),
+        col("n_ends"),
+        col("net_delta"),
+        (col("offset") + col("max_run_in")).as("max_conc"),
+        (col("offset") + col("net_delta")).as("end_conc"))
+      .transform(orderedOutput(_, col("bin")))
+  }
+
+  /** w21: time-weighted average spend (TWAP) — each event's cents value
+    * "holds" until the user's next event (lead), the last until the
+    * corpus high-water mark, and the average weights each value by its
+    * holding duration — the standard price/state averaging that a plain
+    * mean gets wrong under irregular sampling. Exported as the exact
+    * integer numerator Σ cents·dur_us and denominator Σ dur_us (which
+    * telescopes to the user's observed span) plus the one double
+    * division, computed identically in both engines. One user-keyed
+    * window + one hash agg. Overflow headroom: numerator ≤ max_cents ·
+    * user_span_us ≈ 1e5 · 3e12 ≈ 3e17 per user — inside a long for any
+    * horizon up to decades; a wider corpus combines in decimal(38).
+    */
+  def twapSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+    val bounds = ev.agg(max(col("ord_us")).as("hi"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("dur_us", coalesce(lead(col("ord_us"), 1).over(w), col("hi")) - col("ord_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("dur_us")).as("held_us"),
+        sum(col("cents") * col("dur_us")).as("twap_num"))
+      .withColumn(
+        "twap_cents",
+        when(
+          col("held_us") > 0,
+          col("twap_num").cast("double") / col("held_us").cast("double")))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** a9: per-user spend trend — the OLS slope of cents against
+    * hours-since-corpus-start from the exact integer power sums (n, Σx,
+    * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), numerator and denominator
+    * exported exactly and the one double division done identically in
+    * both engines. Anchoring x at the BROADCAST corpus minimum keeps
+    * x ≤ span-in-hours (≈ 750 here), so every product fits a long with
+    * ~1e6 headroom per user-row count; a denominator of 0 (all of a
+    * user's events inside one hour) yields NULL in both engines. One
+    * hash aggregation, map-side combinable.
+    */
+  def userTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val bounds = ev.agg(min(col("ord_us")).as("lo"))
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        col("user_id"),
+        expr("(ord_us - lo) div 3600000000").as("x"),
+        col("cents").as("y"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "slope_cph",
+        when(
+          col("slope_den") > 0,
+          col("slope_num").cast("double") / col("slope_den").cast("double")))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** k4: KMV sketch set operations — the property that makes KMV (k1) a
+    * SYSTEM, not a statistic: two groups' sketches merge WITHOUT
+    * re-touching the raw data (union sketch = k smallest of the combined
+    * hash sets), |A∪B| is estimated from the merged kth hash, and |A∩B|
+    * via the Jaccard ratio k_common/k of the merged sketch — the
+    * mergeability contract every distributed sketch store (per-shard
+    * sketches rolled up to tenant/global) relies on. All estimates are
+    * md5-deterministic integers gated bit-for-bit next to the exact
+    * union/intersection counts. Scale posture: the ONE heavy pass is the
+    * distinct over (group, user); the per-type rank keeps ≤ k rows per
+    * group, and everything pairwise happens on ≤ |groups|·k rows. The
+    * kept/distinct subtree is referenced twice (hash side, exact side) —
+    * Spark's ReuseExchange dedups the underlying shuffle, so the corpus
+    * is scanned once per exchange, not once per reference.
+    */
+  def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .withColumn("hv", Sketches.hash32("kmv", col("user_id")))
+    val types = du.select(col("event_type")).distinct()
+    val pairs = types
+      .select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("hv"))
+    val kept = du
+      .withColumn("r", row_number().over(wT))
+      .filter(col("r") <= KmvK)
+      .select(col("event_type"), col("hv"))
+    def sides(frame: DataFrame, valueCol: String): DataFrame = {
+      val a = pairs
+        .join(frame.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+        .select(col("type_a"), col("type_b"), col(valueCol), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      val b = pairs
+        .join(frame.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col(valueCol), lit(0L).as("in_a"), lit(1L).as("in_b"))
+      a.unionAll(b)
+        .groupBy(col("type_a"), col("type_b"), col(valueCol))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    }
+    val wP = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("hv"))
+    val scale = (KmvK - 1).toLong * 4294967296L
+    val sk = sides(kept, "hv")
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("m_union"),
+        max(col("hv")).as("hk_union"),
+        sum(col("in_a") * col("in_b")).as("k_common"))
+      .withColumn(
+        "est_union",
+        when(col("m_union") < KmvK, col("m_union")).otherwise(expr(s"$scale div hk_union")))
+      .withColumn("est_inter", expr("(k_common * est_union) div m_union"))
+    val exact = sides(du.select(col("event_type"), col("user_id")), "user_id")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("exact_union"),
+        sum(col("in_a") * col("in_b")).as("exact_inter"))
+    sk.join(exact, Seq("type_a", "type_b"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("m_union"),
+        col("hk_union"),
+        col("k_common"),
+        col("est_union"),
+        col("est_inter"),
+        col("exact_union"),
+        col("exact_inter"))
+      .transform(orderedOutput(_, col("type_a"), col("type_b")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -1737,7 +1932,98 @@ object FeatureQueries {
            |      WHERE abs(p.purchase_us - c.click_us) <= $NearUs)
            |SELECT click_id, user_id, click_us, purchase_id, purchase_us,
            |  purchase_us - click_us AS delta_us
-           |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin
+           |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+      "w20_concurrency" ->
+        s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ord_us FROM events),
+           |d AS (SELECT event_id, ord_us AS t, 1 AS d FROM e
+           |      UNION ALL SELECT event_id, ord_us + $ConcActiveUs, -1 FROM e),
+           |r AS (SELECT *, t // $ConcBinUs AS bin,
+           |        sum(d) OVER (ORDER BY t, d, event_id) AS run FROM d),
+           |g AS (SELECT bin,
+           |        CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |        CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+           |        CAST(sum(d) AS BIGINT) AS net_delta,
+           |        CAST(max(run) AS BIGINT) AS max_conc
+           |      FROM r GROUP BY 1)
+           |SELECT bin, bin * $ConcBinUs AS bin_start_us, n_starts, n_ends, net_delta,
+           |  max_conc,
+           |  CAST(sum(net_delta) OVER (ORDER BY bin) AS BIGINT) AS end_conc
+           |FROM g ORDER BY bin""".stripMargin,
+      "w21_twap" ->
+        s"""WITH prep AS ($prep),
+           |nw AS (SELECT max(ord_us) AS hi FROM prep),
+           |l AS (SELECT user_id, cents,
+           |        coalesce(lead(ord_us) OVER (PARTITION BY user_id ORDER BY ord_us, event_id), hi)
+           |          - ord_us AS dur_us
+           |      FROM prep CROSS JOIN nw)
+           |SELECT user_id, count(*) AS n_events,
+           |  CAST(sum(dur_us) AS BIGINT) AS held_us,
+           |  CAST(sum(cents * dur_us) AS BIGINT) AS twap_num,
+           |  CASE WHEN sum(dur_us) > 0
+           |       THEN CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+           |       END AS twap_cents
+           |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
+      "a9_user_trend" ->
+        s"""WITH prep AS ($prep),
+           |lo AS (SELECT min(ord_us) AS lo FROM prep),
+           |p AS (SELECT user_id, (ord_us - lo) // 3600000000 AS x, cents AS y
+           |      FROM prep CROSS JOIN lo),
+           |s AS (SELECT user_id, count(*) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+           |      FROM p GROUP BY 1)
+           |SELECT user_id, n, sx, sy, sxy, sxx,
+           |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           |  CASE WHEN n * sxx - sx * sx > 0
+           |       THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           |       END AS slope_cph
+           |FROM s ORDER BY user_id""".stripMargin,
+      "k4_kmv_setops" -> {
+        val scale = (KmvK - 1).toLong * 4294967296L
+        s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+           |dh AS (SELECT event_type, user_id,
+           |        CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+           |       FROM du),
+           |ty AS (SELECT DISTINCT event_type FROM du),
+           |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+           |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+           |kept AS (SELECT event_type, hv FROM (
+           |    SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+           |    FROM dh) WHERE r <= $KmvK),
+           |merged AS (
+           |  SELECT type_a, type_b, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+           |    SELECT p.type_a, p.type_b, k.hv, 1 AS in_a, 0 AS in_b
+           |    FROM pairs p JOIN kept k ON k.event_type = p.type_a
+           |    UNION ALL
+           |    SELECT p.type_a, p.type_b, k.hv, 0, 1
+           |    FROM pairs p JOIN kept k ON k.event_type = p.type_b)
+           |  GROUP BY 1, 2, 3),
+           |sk AS (
+           |  SELECT type_a, type_b, count(*) AS m_union, max(hv) AS hk_union,
+           |         CAST(sum(in_a * in_b) AS BIGINT) AS k_common
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS r
+           |        FROM merged)
+           |  WHERE r <= $KmvK GROUP BY 1, 2),
+           |est AS (
+           |  SELECT *, CASE WHEN m_union < $KmvK THEN m_union
+           |                 ELSE $scale // hk_union END AS est_union
+           |  FROM sk),
+           |ex AS (
+           |  SELECT type_a, type_b, count(*) AS exact_union,
+           |         CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter FROM (
+           |    SELECT type_a, type_b, u, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+           |      SELECT p.type_a, p.type_b, d.user_id AS u, 1 AS in_a, 0 AS in_b
+           |      FROM pairs p JOIN du d ON d.event_type = p.type_a
+           |      UNION ALL
+           |      SELECT p.type_a, p.type_b, d.user_id, 0, 1
+           |      FROM pairs p JOIN du d ON d.event_type = p.type_b)
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2)
+           |SELECT type_a, type_b, m_union, hk_union, k_common, est_union,
+           |  (k_common * est_union) // m_union AS est_inter, exact_union, exact_inter
+           |FROM est JOIN ex USING (type_a, type_b) ORDER BY type_a, type_b""".stripMargin
+      }
     )
   }
 
@@ -1783,6 +2069,10 @@ object FeatureQueries {
     "a8_higher_moments" -> (higherMoments(_, _)),
     "w19_interval_union" -> (intervalUnion(_, _)),
     "j8_nearest_event" -> (nearestEvent(_, _)),
+    "w20_concurrency" -> (concurrency(_, _)),
+    "w21_twap" -> (twapSpend(_, _)),
+    "a9_user_trend" -> (userTrend(_, _)),
+    "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
