@@ -1349,6 +1349,158 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("type_a"), col("type_b")))
   }
 
+  /** k5: HyperLogLog distinct count (Flajolet, Fusy, Gandouet, Meunier
+    * 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm") — per-day distinct users from m=64 fixed-size
+    * registers instead of KMV's k-row sketch (k1): the top [[HllB]] hash
+    * bits pick a register, the leading-zero rank of the remaining
+    * [[HllFieldBits]] bits updates it via MAX (the one aggregation — a
+    * 64-row-per-group hash agg no matter how many billions of rows feed
+    * it, and register MAX is commutative so map-side combine does almost
+    * all the work). The estimate is kept EXACT-integer: the harmonic-mean
+    * denominator Σ 2^-M[j] is scaled by 2^27 so it sums in longs
+    * (unseen registers contribute 2^27 each), and the α·m² numerator is
+    * the literal 709·m²·2^27 / 1000·S floor division — bit-identical in
+    * both engines, no libm. Rank from bit-length: ρ = 27 − len(bin(w))
+    * for w ≥ 1 (Spark `bin` and DuckDB `bin` both render minimal binary
+    * strings), w = 0 → 27. Production would add the small/large-range
+    * corrections; the raw estimator is gated next to the exact count, and
+    * v_zero (the linear-counting input) is exported so a consumer can
+    * apply them.
+    */
+  private val HllB = 6
+  private val HllM = 64L
+  private val HllFieldBits = 26
+
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val fieldMod = 1L << HllFieldBits // 67108864
+    val scale = 1L << (HllFieldBits + 1) // 134217728 = 2^27
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(expr("ord_us div 86400000000").as("day"), col("user_id"))
+    val regs = ev
+      .withColumn("hv", Sketches.hash32("hll", col("user_id")))
+      .withColumn("j", expr(s"hv div $fieldMod"))
+      .withColumn("w", expr(s"hv % $fieldMod"))
+      .withColumn(
+        "rho",
+        when(col("w") === 0L, lit(HllFieldBits + 1))
+          .otherwise(lit(HllFieldBits + 1) - length(bin(col("w")))))
+      .groupBy(col("day"), col("j"))
+      .agg(max(col("rho")).cast("long").as("m_j"))
+    val exact = ev.groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_nd"))
+    regs
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("m_seen"),
+        sum(expr(s"cast(shiftleft(1, ${HllFieldBits + 1} - m_j) as bigint)")).as("s_seen"))
+      .withColumn("v_zero", lit(HllM) - col("m_seen"))
+      .withColumn("s_scaled", col("s_seen") + col("v_zero") * scale)
+      .withColumn(
+        "est_hll",
+        expr(s"(cast(709 as bigint) * $HllM * $HllM * $scale) div (1000 * s_scaled)"))
+      .join(exact, Seq("day"))
+      .select("day", "m_seen", "v_zero", "s_scaled", "est_hll", "exact_nd")
+      .transform(orderedOutput(_, col("day")))
+  }
+
+  /** w22: first-order Markov transition matrix over per-user event-type
+    * sequences — the behavioral-sequence primitive behind next-action
+    * prediction and session modeling. One user-keyed window (lead) turns
+    * the event log into (from_type, to_type) bigrams; counts aggregate in
+    * one shuffle, and the per-from row total comes from a window over the
+    * TINY |types|² matrix, not a second pass over the corpus. The
+    * transition probability is the one double division, identical in both
+    * engines; counts and totals are exact longs.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val cells = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ord_us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy(col("from_type"))
+    cells
+      .withColumn("row_total", sum(col("n_trans")).over(wf))
+      .withColumn("p", col("n_trans").cast("double") / col("row_total").cast("double"))
+      .select("from_type", "to_type", "n_trans", "row_total", "p")
+      .transform(orderedOutput(_, col("from_type"), col("to_type")))
+  }
+
+  /** a10: chi-square independence cells for event_type × day-of-week —
+    * the categorical-drift / association test behind feature-vs-label
+    * dependence checks. The contingency table is ONE corpus hash-agg
+    * (map-side combinable); row totals, column totals, and the grand
+    * total come from windows over the ≤ |types|·7 cell frame, never a
+    * second corpus pass. Observed counts and marginals are exact longs;
+    * the expected value rt·ct/n and the cell's (o−e)²/e contribution are
+    * per-row double divisions, formula-identical in both engines — the
+    * chi² STATISTIC (a float sum over cells) is deliberately left to the
+    * caller, because summing doubles is order-dependent and the cell
+    * frame is tiny.
+    */
+  def chiSquareCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), expr("(ord_us div 86400000000) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("dow"))
+    val wn = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("o")).over(wr))
+      .withColumn("ct", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wn))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn(
+        "contrib",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .select("event_type", "dow", "o", "rt", "ct", "n", "e", "contrib")
+      .transform(orderedOutput(_, col("event_type"), col("dow")))
+  }
+
+  /** w23: rolling z-score anomaly flags with ZERO floats — per event, the
+    * trailing-20-row power sums (n, Σx, Σx²) over the user's prior
+    * events feed the EXACT integer inequality (n·x − S)² > 4·(n·Q − S²),
+    * which is (x − μ)² > (2σ)² cross-multiplied by n² — the classic
+    * outlier gate with no division and no libm, so the flag is bit-exact
+    * under any partitioning. Overflow headroom: n ≤ 20, cents ≤ ~5·10⁴ →
+    * n·Q ≤ 10¹², (n·x − S)² ≤ 4·10¹² — comfortably long. Events with
+    * fewer than [[AnomalyMinPrev]] predecessors emit NULL (cold start),
+    * mirrored in the oracle. One user-keyed window, no joins.
+    */
+  private val AnomalyWin = 20
+  private val AnomalyMinPrev = 5
+
+  def anomalyFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ord_us"), col("event_id"))
+      .rowsBetween(-AnomalyWin, -1)
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ord_us"), col("cents"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s_prev", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("q_prev", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .withColumn(
+        "is_anomaly",
+        when(
+          col("n_prev") >= AnomalyMinPrev,
+          ((col("n_prev") * col("cents") - col("s_prev")) *
+            (col("n_prev") * col("cents") - col("s_prev")) >
+            lit(4L) * (col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")))
+            .cast("int")))
+      .select("event_id", "user_id", "cents", "n_prev", "s_prev", "q_prev", "is_anomaly")
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -2023,7 +2175,70 @@ object FeatureQueries {
            |SELECT type_a, type_b, m_union, hk_union, k_common, est_union,
            |  (k_common * est_union) // m_union AS est_inter, exact_union, exact_inter
            |FROM est JOIN ex USING (type_a, type_b) ORDER BY type_a, type_b""".stripMargin
-      }
+      },
+      "k5_hll_distinct" -> {
+        val fieldMod = 1L << HllFieldBits
+        val scale = 1L << (HllFieldBits + 1)
+        s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+           |h AS (SELECT day, user_id,
+           |        CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+           |      FROM e),
+           |r AS (SELECT day, hv // $fieldMod AS j, hv % $fieldMod AS w FROM h),
+           |rho AS (SELECT day, j,
+           |          CASE WHEN w = 0 THEN ${HllFieldBits + 1}
+           |               ELSE ${HllFieldBits + 1} - length(bin(w)) END AS rho
+           |        FROM r),
+           |regs AS (SELECT day, j, CAST(max(rho) AS BIGINT) AS m_j FROM rho GROUP BY 1, 2),
+           |s AS (SELECT day, count(*) AS m_seen,
+           |        CAST(sum(1::BIGINT << (${HllFieldBits + 1} - m_j)) AS BIGINT) AS s_seen
+           |      FROM regs GROUP BY 1),
+           |x AS (SELECT day, m_seen, $HllM - m_seen AS v_zero,
+           |        s_seen + ($HllM - m_seen) * $scale AS s_scaled FROM s),
+           |ex AS (SELECT day, count(DISTINCT user_id) AS exact_nd FROM e GROUP BY 1)
+           |SELECT day, m_seen, v_zero, s_scaled,
+           |  (709::BIGINT * $HllM * $HllM * $scale) // (1000 * s_scaled) AS est_hll, exact_nd
+           |FROM x JOIN ex USING (day) ORDER BY day""".stripMargin
+      },
+      "w22_transition_matrix" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ord_us, event_type FROM events),
+          |b AS (SELECT event_type AS from_type,
+          |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS to_type
+          |      FROM e),
+          |c AS (SELECT from_type, to_type, count(*) AS n_trans FROM b
+          |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n_trans,
+          |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+          |  CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+      "a10_chi_square" ->
+        """WITH e AS (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow FROM events),
+          |c AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+          |m AS (SELECT event_type, dow, o,
+          |        CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+          |        CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+          |        CAST(sum(o) OVER () AS BIGINT) AS n
+          |      FROM c)
+          |SELECT event_type, dow, o, rt, ct, n,
+          |  CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+          |  (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+          |    / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+          |FROM m ORDER BY event_type, dow""".stripMargin,
+      "w23_anomaly_flags" ->
+        s"""WITH prep AS ($prep),
+           |w AS (SELECT event_id, user_id, cents,
+           |        CAST(count(*) OVER fr AS BIGINT) AS n_prev,
+           |        CAST(coalesce(sum(cents) OVER fr, 0) AS BIGINT) AS s_prev,
+           |        CAST(coalesce(sum(cents * cents) OVER fr, 0) AS BIGINT) AS q_prev
+           |      FROM prep
+           |      WINDOW fr AS (PARTITION BY user_id ORDER BY ord_us, event_id
+           |                    ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING))
+           |SELECT event_id, user_id, cents, n_prev, s_prev, q_prev,
+           |  CASE WHEN n_prev >= $AnomalyMinPrev THEN
+           |    CAST((n_prev * cents - s_prev) * (n_prev * cents - s_prev) >
+           |         4 * (n_prev * q_prev - s_prev * s_prev) AS INT)
+           |  END AS is_anomaly
+           |FROM w ORDER BY event_id""".stripMargin
     )
   }
 
@@ -2073,6 +2288,10 @@ object FeatureQueries {
     "w21_twap" -> (twapSpend(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
+    "k5_hll_distinct" -> (hllDistinct(_, _)),
+    "w22_transition_matrix" -> (transitionMatrix(_, _)),
+    "a10_chi_square" -> (chiSquareCells(_, _)),
+    "w23_anomaly_flags" -> (anomalyFlags(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),
