@@ -20,6 +20,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generator writes tz-naive parquet timestamps (isAdjustedToUTC =
+      // false); Spark 4 would infer TIMESTAMP_NTZ, which unix_micros and
+      // timestamp comparisons against LTZ literals reject. Read them as the
+      // session-UTC TimestampType instead — identical instants to DuckDB's
+      // naive reading because the session timezone is pinned to UTC above.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
