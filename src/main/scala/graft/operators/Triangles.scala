@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via degree orientation.
+  *
+  * The naive 3-way edge self-join enumerates every WEDGE (path of length
+  * 2), and wedge count is Σ deg² — a single celebrity node with degree 10⁶
+  * contributes 10¹² wedges. The standard fix (node-iterator with degree
+  * ordering): orient every undirected edge from its lower-(deg, id)
+  * endpoint to its higher one. The orientation is acyclic, each triangle
+  * survives exactly once (as u→v, u→w, v→w with u<v<w in the order), and
+  * every node's OUT-degree is bounded by O(√m) — so the wedge join is
+  * Σ outdeg² ≤ O(m^1.5), the best known bound for exact counting, skew or
+  * not.
+  *
+  * Everything is an equi-join on node ids: wedges co-key on the pivot u,
+  * closure co-keys on (v, w) — no broadcast needed on any side, so the
+  * operator scales to edge sets far beyond memory. Degrees ride along as
+  * a sortable scalar `ordkey = deg·2³² + node` (node ids < 2³², degrees
+  * < 2³¹ — documented headroom; beyond that widen to decimal), which both
+  * engines compare identically.
+  */
+object Triangles {
+
+  private val OrdBase = 4294967296L // 2^32
+
+  /** Per-node triangle participation counts over an undirected edge list
+    * (`a` < `b`, distinct). Returns (node, n_triangles), nodes in ≥1
+    * triangle only.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val ends = edges
+      .select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+    val deg = ends.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+    // attach ordkeys to both endpoints, then orient low→high
+    val withA = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
+    val withB = withA
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+      .select(
+        col("a"),
+        col("b"),
+        (col("deg_a") * OrdBase + col("a")).as("ka"),
+        (col("deg_b") * OrdBase + col("b")).as("kb"))
+    val oriented = withB
+      .select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ka"), col("kb")).as("kdst"))
+
+    // wedges from each pivot's out-neighborhood (outdeg ≤ O(√m)), closed
+    // by the oriented (v, w) edge — kdst ordering de-duplicates the pair
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("kdst").as("kv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("kdst").as("kw"))
+    val wedges = o1
+      .join(o2, Seq("src"))
+      .filter(col("kv") < col("kw"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w")).select(col("src").as("u"), col("v"), col("w"))
+
+    tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

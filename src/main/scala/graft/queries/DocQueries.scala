@@ -875,7 +875,28 @@ object DocQueries {
         md5(array_join(slice(col("w"), 1, 3), " ").cast("binary")).as("head_hash"))
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** k6: exact corpus heavy hitters through a Misra–Gries candidate pass —
+    * tokens with frequency > N/[[HhCapacity]], exact counts. The sketch
+    * only PRUNES (per-partition O(capacity) state, candidates broadcast
+    * back over the corpus for an exact recount), so the output is
+    * bit-identical under any partitioning and gates against the plain
+    * GROUP BY / HAVING oracle — unlike t7's top-k this never shuffles the
+    * full vocabulary.
+    */
+  private val HhCapacity = 50
+
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.HeavyHitters
+      .exactOverThreshold(
+        Tables
+          .documents(spark, sfDir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+        HhCapacity)
+      .withColumnRenamed("item", "token")
+      .transform(orderedOutput(_, col("token")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k6_heavy_hitters" -> (heavyHitters(_, _)),
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
     "d2c_jaccard_capped" -> (jaccardNearDupCapped(_, _)),
@@ -933,6 +954,14 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "k6_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |n AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT token, count(*) AS cnt, n_total
+         |FROM tok CROSS JOIN n
+         |GROUP BY token, n_total
+         |HAVING count(*) * $HhCapacity > n_total
+         |ORDER BY token""".stripMargin,
     "d14_sorted_neighborhood" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, text, w[1] AS block,

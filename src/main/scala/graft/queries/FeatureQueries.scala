@@ -1501,6 +1501,106 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** a11: lag-k autocorrelation of the daily total-spend series — the
+    * seasonality probe a feature pipeline runs before building calendar
+    * features. The series is the (tiny) daily rollup, so the global-order
+    * lag window touches #days rows, never raw events; all Pearson power
+    * sums are exact integers (a5/a9 discipline), with one double
+    * division+sqrt at the end under a formula shared verbatim with the
+    * oracle.
+    */
+  private val AutocorrLags = Seq(1, 7)
+
+  def spendAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = prepared(spark, sfDir)
+      .groupBy(expr("ord_us div 86400000000").as("day"))
+      .agg(sum(col("cents")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val perLag = AutocorrLags.map { l =>
+      daily
+        .withColumn("x", lag(col("y"), l).over(w))
+        .filter(col("x").isNotNull)
+        .agg(
+          lit(l).as("lag"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+    }
+    perLag
+      .reduce(_.unionAll(_))
+      .withColumn(
+        "autocorr",
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .transform(orderedOutput(_, col("lag")))
+  }
+
+  /** a12: per-user modal event type (most frequent; ties broken by the
+    * lexicographically smallest type — row_number, never an arbitrary
+    * max_by survivor). One hash agg + one window over the per-(user, type)
+    * count frame, which is bounded by users × |type| regardless of event
+    * volume.
+    */
+  def userMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = prepared(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_types", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("n_events", sum(col("cnt")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("mode_type"),
+        col("cnt").as("mode_cnt"),
+        col("n_types"),
+        col("n_events"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** z1: Z-order (Morton) layout audit — interleave (user, hour) into the
+    * curve key, bucket it as a file id, and report each bucket's row count
+    * and min/max extent in BOTH dimensions. The extent table IS the
+    * pruning story a lakehouse `ZORDER BY` rewrite buys: a predicate on
+    * either dimension skips every bucket whose range misses it. Curve and
+    * bucketing are row-local integer bit math ([[graft.operators.ZOrder]]
+    * emits the same unrolled expression to both engines); the one hash agg
+    * here stands in for write-time range partitioning.
+    */
+  /** Keeps z-bits ≥12 (x,y bits ≥6): the testdata's hour index varies in
+    * its low ~10 bits and users in their low ~11, so this shift yields
+    * tens-to-hundreds of buckets across SFs — enough extent rows to SHOW
+    * the dual-dimension pruning, not one degenerate file.
+    */
+  private val ZBucketShift = 12
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val zx = col("user_id").bitwiseAND(lit(65535L))
+    val zy = expr("ord_us div 3600000000").bitwiseAND(lit(65535L))
+    prepared(spark, sfDir)
+      .select(zx.as("x"), zy.as("y"))
+      .withColumn("z", graft.operators.ZOrder.interleaveCol(col("x"), col("y")))
+      .groupBy(shiftright(col("z"), ZBucketShift).as("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_user"),
+        max(col("x")).as("max_user"),
+        min(col("y")).as("min_hour"),
+        max(col("y")).as("max_hour"))
+      .transform(orderedOutput(_, col("zbucket")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -2238,7 +2338,53 @@ object FeatureQueries {
            |    CAST((n_prev * cents - s_prev) * (n_prev * cents - s_prev) >
            |         4 * (n_prev * q_prev - s_prev * s_prev) AS INT)
            |  END AS is_anomaly
-           |FROM w ORDER BY event_id""".stripMargin
+           |FROM w ORDER BY event_id""".stripMargin,
+      "a11_spend_autocorr" -> {
+        val lagSelects = AutocorrLags
+          .map { l =>
+            s"""SELECT $l AS lag, count(*) AS n_pairs,
+               |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               |  CAST(sum(x * y) AS BIGINT) AS sxy,
+               |  CAST(sum(x * x) AS BIGINT) AS sxx,
+               |  CAST(sum(y * y) AS BIGINT) AS syy
+               |FROM (SELECT y, lag(y, $l) OVER (ORDER BY day) AS x FROM daily)
+               |WHERE x IS NOT NULL""".stripMargin
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH prep AS ($prep),
+           |daily AS (SELECT ord_us // 86400000000 AS day,
+           |                 CAST(sum(cents) AS BIGINT) AS y
+           |          FROM prep GROUP BY 1),
+           |lags AS ($lagSelects)
+           |SELECT lag, n_pairs, sx, sy, sxy, sxx, syy,
+           |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+           |         * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS autocorr
+           |FROM lags ORDER BY lag""".stripMargin
+      },
+      "a12_user_mode" ->
+        """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+          |           FROM events GROUP BY 1, 2),
+          |r AS (SELECT *,
+          |        row_number() OVER (PARTITION BY user_id
+          |                           ORDER BY cnt DESC, event_type) AS rn,
+          |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+          |        CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+          |      FROM c)
+          |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt, n_types, n_events
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "z1_zorder_layout" -> {
+        val z = graft.operators.ZOrder.interleaveSql("x", "y")
+        s"""WITH prep AS ($prep),
+           |d AS (SELECT user_id & 65535 AS x,
+           |             (ord_us // 3600000000) & 65535 AS y
+           |      FROM prep),
+           |zz AS (SELECT x, y, $z AS z FROM d)
+           |SELECT z >> $ZBucketShift AS zbucket, count(*) AS n,
+           |  min(x) AS min_user, max(x) AS max_user,
+           |  min(y) AS min_hour, max(y) AS max_hour
+           |FROM zz GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }
     )
   }
 
@@ -2292,6 +2438,9 @@ object FeatureQueries {
     "w22_transition_matrix" -> (transitionMatrix(_, _)),
     "a10_chi_square" -> (chiSquareCells(_, _)),
     "w23_anomaly_flags" -> (anomalyFlags(_, _)),
+    "a11_spend_autocorr" -> (spendAutocorr(_, _)),
+    "a12_user_mode" -> (userMode(_, _)),
+    "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
     "g1_salted_rollup" -> (saltedRollup(_, _)),

@@ -197,7 +197,63 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g4: per-part triangle counts over the order-co-occurrence graph
+    * (parts are adjacent when some order contains both). Pair generation
+    * is a self-join co-keyed on the order — fan-out bounded by order size,
+    * never a corpus cross product; counting is [[graft.operators.Triangles]]'
+    * degree-oriented wedge join (Σ outdeg² ≤ O(m^1.5) regardless of skew).
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    graft.operators.Triangles
+      .perNode(edges)
+      .transform(orderedOutput(_, col("node")))
+  }
+
+  /** q11: star-schema revenue rollup (TPC-H Q5 shape) — the fact table
+    * flows through two co-keyed shuffle joins (orders on orderkey,
+    * customer on custkey) while the two dimension tables broadcast
+    * explicitly: at 100 TB nation/region are KB-sized and the worst plan
+    * (shuffling the fact table by nationkey) is exactly what `broadcast()`
+    * forbids. Revenue in integer cents·pct, one final division.
+    */
+  def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"),
+        (expr("cast(round(l_extendedprice*100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount*100) as bigint)"))).as("rev"))
+    val ord = Tables
+      .orders(spark, sfDir)
+      // long, matching DuckDB's BIGINT year() in the hash compare
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
+    li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(col("rev")) / 10000.0).as("revenue"))
+      .transform(orderedOutput(_, col("r_name"), col("o_year")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g4_triangles" -> (triangleCounts(_, _)),
+    "q11_star_revenue" -> (starRevenue(_, _)),
     "q1_pricing_agg" -> (pricingAgg(_, _)),
     "q3_shipping_topk" -> (shippingTopK(_, _)),
     "j2_region_rollup" -> (regionRollup(_, _)),
@@ -235,6 +291,41 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "g3_pagerank" -> pagerankSql,
+    "g4_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |k AS (SELECT e.a, e.b,
+        |        da.deg * 4294967296 + e.a AS ka,
+        |        db.deg * 4294967296 + e.b AS kb
+        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+        |             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+        |             greatest(ka, kb) AS kdst
+        |      FROM k),
+        |wg AS (SELECT o1.src, o1.dst AS v, o2.dst AS wd
+        |       FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kdst < o2.kdst),
+        |t AS (SELECT wg.src AS u, wg.v, wg.wd
+        |      FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.wd)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT u AS node FROM t
+        |  UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT wd FROM t)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+    "q11_star_revenue" ->
+      """SELECT r.r_name, year(o.o_orderdate) AS o_year,
+        |  count(*) AS n_lines,
+        |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, o_year""".stripMargin,
     "q1_pricing_agg" ->
       """WITH l AS (
         |  SELECT *, CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
