@@ -180,6 +180,141 @@ object MediaFixtures {
       sub ++ Array(0.toByte, 0x3b.toByte)
   }
 
+  /** Baseline JPEG encoder for FLAT-TILE images: every 8×8 block holds one
+    * constant sample per component, so the entropy stream is DC-only and
+    * ANY correct decoder reconstructs the declared pixels EXACTLY — with
+    * DC quant 8 and coefficient v−128, the dequantized DC is 8(v−128)
+    * whose IDCT is the flat value (8·dc+4)>>3 = dc, no rounding anywhere
+    * (that is what makes a LOSSY codec oracle-gateable bit-exactly).
+    * Custom canonical Huffman tables: DC categories 0–8 as the nine
+    * 5-bit codes 00000–01000, AC as a single 2-bit EOB — exercised
+    * against the standard Annex-K tables in JpegDecodeSpec via ImageIO.
+    *
+    * `chroma`: None → grayscale; Some((cb, cr, sub)) → YCbCr where each
+    * chroma block is constant (per MCU when `sub`, i.e. 4:2:0 — constant
+    * chroma also makes the upsampling filter irrelevant, so replication
+    * and "fancy" decoders agree). `restartEvery` > 0 emits DRI + RSTn.
+    */
+  private def jpegBytes(
+      w: Int,
+      h: Int,
+      luma: (Int, Int) => Int,
+      chroma: Option[((Int, Int) => Int, (Int, Int) => Int, Boolean)],
+      restartEvery: Int = 0): Array[Byte] = {
+    val sub = chroma.exists(_._3)
+    val mcuPx = if (sub) 16 else 8
+    val mcusX = (w + mcuPx - 1) / mcuPx
+    val mcusY = (h + mcuPx - 1) / mcuPx
+
+    val entropy = scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0; var nb = 0
+    def emitByte(): Unit = {
+      entropy += cur.toByte
+      if ((cur & 0xff) == 0xff) entropy += 0.toByte // byte stuffing
+      cur = 0; nb = 0
+    }
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1); nb += 1
+        if (nb == 8) emitByte()
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = if (nb > 0) { while (nb < 8) { cur = (cur << 1) | 1; nb += 1 }; emitByte() }
+    def category(v: Int): Int = { var t = 0; var a = math.abs(v); while (a > 0) { t += 1; a >>= 1 }; t }
+    def putBlock(dcq: Int, pred: Int): Int = {
+      val diff = dcq - pred
+      val t = category(diff)
+      put(t, 5) // DC huffman: symbol s == code s at length 5
+      if (t > 0) put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      put(0, 2) // AC huffman: EOB
+      dcq
+    }
+
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0
+    var rst = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+        flushOnes()
+        entropy += 0xff.toByte += (0xd0 | rst).toByte
+        rst = (rst + 1) % 8
+        predY = 0; predCb = 0; predCr = 0
+      }
+      if (sub) {
+        for (by <- 0 until 2; bx <- 0 until 2)
+          predY = putBlock(luma(mx * 2 + bx, my * 2 + by) - 128, predY)
+      } else predY = putBlock(luma(mx, my) - 128, predY)
+      chroma.foreach { case (cb, cr, _) =>
+        predCb = putBlock(cb(mx, my) - 128, predCb)
+        predCr = putBlock(cr(mx, my) - 128, predCr)
+      }
+      mcu += 1
+    }
+    flushOnes()
+
+    def be2(i: Int) = Array[Byte]((i >> 8).toByte, (i & 0xff).toByte)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be2(payload.length + 2) ++ payload
+    // quant table 0 in zigzag order: DC 8, AC 16 (unused — all AC zero)
+    val dqt = seg(0xdb, Array(0x00.toByte) ++ Array.tabulate[Byte](64)(i => if (i == 0) 8 else 16))
+    val ncomp = if (chroma.isDefined) 3 else 1
+    val sofComps = (1 to ncomp).flatMap { cid =>
+      val hv = if (cid == 1 && sub) 0x22 else 0x11
+      Seq(cid.toByte, hv.toByte, 0.toByte)
+    }.toArray
+    val sof = seg(0xc0, Array(8.toByte) ++ be2(h) ++ be2(w) ++ Array(ncomp.toByte) ++ sofComps)
+    val dcBits = new Array[Byte](16); dcBits(4) = 9 // nine 5-bit codes
+    val acBits = new Array[Byte](16); acBits(1) = 1 // one 2-bit code
+    val dht = seg(0xc4,
+      Array(0x00.toByte) ++ dcBits ++ Array.tabulate[Byte](9)(_.toByte) ++
+        Array(0x10.toByte) ++ acBits ++ Array[Byte](0x00))
+    val dri = if (restartEvery > 0) seg(0xdd, be2(restartEvery)) else Array.empty[Byte]
+    val sosComps = (1 to ncomp).flatMap(cid => Seq(cid.toByte, 0x00.toByte)).toArray
+    val sos = seg(0xda, Array(ncomp.toByte) ++ sosComps ++ Array[Byte](0, 63, 0))
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ dri ++ sos ++
+      entropy.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** The SCALEBITS=16 fixed-point YCbCr→RGB shared contract (like the GIF
+    * LZW width schedule, mirrored encoder↔decoder by design — and
+    * independently confirmed bit-exact against ImageIO in JpegDecodeSpec).
+    */
+  private def ycc(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val pb = cb - 128; val pr = cr - 128
+    (cl(y + ((91881 * pr + 32768) >> 16)),
+      cl(y + ((-22554 * pb - 46802 * pr + 32768) >> 16)),
+      cl(y + ((116130 * pb + 32768) >> 16)))
+  }
+
+  // JPEG fixture tile value functions (flat per 8×8 block / per MCU)
+  private def grayTile(bx: Int, by: Int): Int = 40 + bx * 77 + by * 53
+  private def lumaTile(bx: Int, by: Int): Int = 32 + ((bx * 64 + by * 96) % 224)
+  private def luma420(bx: Int, by: Int): Int = 50 + ((bx * 85 + by * 60) % 200)
+
+  private def jpegGray: Array[Byte] =
+    jpegBytes(14, 11, grayTile, None)
+  private def jpegGrayTruth: Seq[(Int, Int, Int)] =
+    for (y <- 0 until 11; x <- 0 until 14) yield {
+      val v = grayTile(x / 8, y / 8); (v, v, v)
+    }
+
+  private def jpeg444: Array[Byte] =
+    jpegBytes(16, 16, lumaTile, Some(((_, _) => 128, (_, _) => 128, false)), restartEvery = 2)
+  private def jpeg444Truth: Seq[(Int, Int, Int)] =
+    for (y <- 0 until 16; x <- 0 until 16) yield {
+      val v = lumaTile(x / 8, y / 8); (v, v, v) // neutral chroma: exact gray
+    }
+
+  private val Cb420 = 90
+  private val Cr420 = 170
+  private def jpeg420: Array[Byte] =
+    jpegBytes(16, 16, luma420, Some(((_, _) => Cb420, (_, _) => Cr420, true)))
+  private def jpeg420Truth: Seq[(Int, Int, Int)] =
+    for (y <- 0 until 16; x <- 0 until 16) yield ycc(luma420(x / 8, y / 8), Cb420, Cr420)
+
   /** The fixture set: every decodable container flavor plus the two
     * undecodable shapes (truncated PNG — header probes fine, pixels do
     * not decode — and a non-image byte stream).
@@ -195,7 +330,12 @@ object MediaFixtures {
       Fixture(6L, "png", Seq.empty, truncatedPng),
       Fixture(7L, "unknown", Seq.empty, Array.tabulate[Byte](64)(i => (i * 17).toByte)),
       Fixture(8L, "gif", pixels(8), gifBytes(pixels(8), interlaced = false)),
-      Fixture(9L, "gif", pixels(9), gifBytes(pixels(9), interlaced = true)))
+      Fixture(9L, "gif", pixels(9), gifBytes(pixels(9), interlaced = true)),
+      // JPEG: DC-only flat tiles decode bit-exactly (see jpegBytes doc)
+      Fixture(10L, "jpeg", jpegGrayTruth, jpegGray), // grayscale, non-multiple-of-8 crop
+      Fixture(11L, "jpeg", jpeg444Truth, jpeg444), // 4:4:4 + restart markers
+      Fixture(12L, "jpeg", jpeg420Truth, jpeg420), // 4:2:0, colored chroma
+      Fixture(13L, "jpeg", Seq.empty, jpegGray.dropRight(20))) // truncated scan
   }
 
   /** The m1 gate query: decode every fixture through the distributed

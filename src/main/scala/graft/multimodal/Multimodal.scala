@@ -9,15 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample operators.
   *
   * The decode step is a pluggable [[MediaCodec]]. [[PixelCodec]] decodes
-  * the codec-free public formats (24-bit BMP, binary PPM, non-interlaced
-  * 8-bit PNG via the JDK Inflater, GIF via the LZW decoder implemented
-  * from the public spec) for REAL channel statistics ([[PixelDecode]] —
-  * pure bytes, same discipline as the header parsers); JPEG media falls
-  * back to the deterministic [[StubCodec]] stand-in, since a DCT codec
-  * library is not available in this environment. The Spark-side plumbing
-  * (schema, typed rows, partition-level batching, feature shapes) is real
-  * and tested either way. Swap the fallback for a JNI/FFM-backed codec in
-  * production.
+  * every image format this repo ships a real decoder for (24-bit BMP,
+  * binary PPM, 8-bit PNG via the JDK Inflater, GIF via the spec-complete
+  * LZW decoder, and baseline JPEG via [[JpegDecode]]'s integer-islow
+  * huffman+IDCT pipeline) for REAL channel statistics ([[PixelDecode]] —
+  * pure bytes, same discipline as the header parsers). The deterministic
+  * [[StubCodec]] stand-in now covers only non-image payloads (audio/video
+  * frame features) and undecodable byte streams; swap it for a JNI/FFM
+  * codec in production.
   *
   * Scale posture: decode runs via `mapPartitions` so codec state is
   * initialized once per partition (not per row), records stream through in
@@ -58,11 +57,11 @@ object Multimodal {
     def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]]
   }
 
-  /** Real pixel features for the codec-free formats ([[PixelDecode]]:
-    * 24-bit BI_RGB BMP, binary PPM, non-interlaced 8-bit PNG, GIF) —
-    * channel means + stddevs computed from the actual pixel array, no
-    * codec library needed — with [[StubCodec]] as the declared fallback
-    * for JPEG, the one format this environment cannot decode.
+  /** Real pixel features for every decodable image format
+    * ([[PixelDecode]]: 24-bit BI_RGB BMP, binary PPM, 8-bit PNG, GIF,
+    * baseline JPEG) — channel means + stddevs computed from the actual
+    * pixel array, no codec library needed — with [[StubCodec]] as the
+    * declared fallback for undecodable or non-image byte streams.
     *
     * ONE declared output width either way (a fixed-dimension consumer —
     * a vector assembler, a feature-store column — must never see ragged

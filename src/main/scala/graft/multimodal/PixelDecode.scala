@@ -457,7 +457,11 @@ object PixelDecode {
 
   /** Try every decodable format. */
   def decode(blob: Array[Byte]): Option[RgbImage] =
-    decodeBmp(blob).orElse(decodePpm(blob)).orElse(decodePng(blob)).orElse(decodeGif(blob))
+    decodeBmp(blob)
+      .orElse(decodePpm(blob))
+      .orElse(decodePng(blob))
+      .orElse(decodeGif(blob))
+      .orElse(JpegDecode.decode(blob))
 
   /** Exact-integer channel means/stddevs over a decoded raster. */
   def channelStats(img: RgbImage): ChannelStats = {
