@@ -5,14 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Optional 3rd+ args: restrict to the named queries (dev loop only —
+    // the driver passes exactly two args and always runs the full surface).
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     // One scope around the whole gate run: queries share their persisted
     // frames (shingles, pairs, prepared vectors, IVF assignments) WITHIN
     // the batch, and every block they materialized is freed after it.
     CacheScope.scoped(spark) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

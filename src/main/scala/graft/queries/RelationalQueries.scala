@@ -251,10 +251,101 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("r_name"), col("o_year")))
   }
 
+  /** q12: product-line profit rollup (TPC-H Q9 shape, adapted — the
+    * testdata has no partsupp, so cost is retailprice·quantity): lineitem
+    * flows through a shuffle join on partkey against the name-filtered
+    * part table, then on suppkey against supplier, while the KB-sized
+    * nation dim broadcasts. Profit is exact integer cents·pct
+    * (amount = price_cents·(100−disc); cost = retail_cents·100·qty), one
+    * final division. At 100 TB the two fact-side joins are the unavoidable
+    * shuffles and both are on the fact table's own keys; nothing else
+    * moves.
+    */
+  def supplierProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = li(spark, sfDir).select(
+      col("l_partkey"),
+      col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("l_year"),
+      (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"),
+      (round(col("l_quantity")).cast("long")).as("qty"))
+    val parts = Tables
+      .part(spark, sfDir)
+      .filter(col("p_name").contains("red"))
+      .select(
+        col("p_partkey"),
+        (round(col("p_retailprice") * 100).cast("long") * 100L).as("retail_x100"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    lines
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        ((sum(col("amount_x100") - col("retail_x100") * col("qty"))) / 10000.0).as("profit"))
+      .transform(orderedOutput(_, col("n_name"), col("l_year")))
+  }
+
+  /** q13: order-priority check (TPC-H Q4 shape) — EXISTS as a LEFT SEMI
+    * join: a quarter of orders, kept when at least one of their lines
+    * shipped more than [[Q13LagDays]] days after the order date. The semi
+    * join shuffles both sides on orderkey and short-circuits on first
+    * match (no fan-out, no dedup step); the lag predicate is exact
+    * integer micros on both engines.
+    */
+  private val Q13LagDays = 80L
+
+  def priorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val lagUs = Q13LagDays * 86400L * 1000000L
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"), unix_micros(col("o_orderdate")).as("o_us"))
+    val lines = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("ship_us"))
+    ord
+      .join(
+        lines,
+        col("o_orderkey") === col("l_orderkey") && col("ship_us") > col("o_us") + lagUs,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .transform(orderedOutput(_, col("o_orderpriority")))
+  }
+
+  /** q14: promo revenue share (TPC-H Q14 shape) — one month of lineitem
+    * joined to part, conditional aggregation splitting PROMO revenue from
+    * the total. Both sums are exact integer cents·pct; the share is the
+    * single final division. The month filter reaches the parquet scan as
+    * a pushed range predicate, so at 100 TB the join input is one month,
+    * not the table.
+    */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("l_partkey"), (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("amount_x100")).otherwise(0L)).as("promo_x100"),
+        sum(col("amount_x100")).as("total_x100"))
+      .select(
+        col("promo_x100"),
+        col("total_x100"),
+        (col("promo_x100") * 100.0 / col("total_x100")).as("promo_share_pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g4_triangles" -> (triangleCounts(_, _)),
     "q11_star_revenue" -> (starRevenue(_, _)),
     "q1_pricing_agg" -> (pricingAgg(_, _)),
+    "q12_supplier_profit" -> (supplierProfit(_, _)),
+    "q13_priority_exists" -> (priorityExists(_, _)),
+    "q14_promo_share" -> (promoShare(_, _)),
     "q3_shipping_topk" -> (shippingTopK(_, _)),
     "j2_region_rollup" -> (regionRollup(_, _)),
     "s2_json_props" -> (jsonProps(_, _)),
@@ -291,6 +382,42 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "g3_pagerank" -> pagerankSql,
+    "q12_supplier_profit" ->
+      """SELECT n.n_name, year(l.l_shipdate) AS l_year,
+        |  count(*) AS n_lines,
+        |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+        |      - CAST(round(p.p_retailprice*100) AS BIGINT) * 100
+        |        * CAST(round(l.l_quantity) AS BIGINT)) / 10000.0 AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, l_year""".stripMargin,
+    "q13_priority_exists" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders o
+         |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + ${Q13LagDays * 86400L * 1000000L})
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT p.p_type,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS amount_x100
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-07-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN amount_x100 ELSE 0 END) AS BIGINT) AS promo_x100,
+        |  CAST(sum(amount_x100) AS BIGINT) AS total_x100,
+        |  sum(CASE WHEN p_type = 'PROMO' THEN amount_x100 ELSE 0 END) * 100.0
+        |    / sum(amount_x100) AS promo_share_pct
+        |FROM m""".stripMargin,
     "g4_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b

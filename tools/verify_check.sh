@@ -5,7 +5,7 @@
 set -u
 SF="$1"; OUT="$2"; shift 2
 rm -rf "$OUT"
-tmux send-keys -t sbt "runMain graft.Verify $SF $OUT" Enter
+tmux send-keys -t sbt "runMain graft.Verify $SF $OUT $*" Enter
 for i in $(seq 1 600); do
   [ -f "$OUT/oracle_sql.json" ] && break
   sleep 2
