@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round frontier BFS: shortest hop counts from a seed set over a
+  * directed edge list (`src`, `dst`; feed both directions for an
+  * undirected graph).
+  *
+  * The frontier discipline is what makes this the 100 TB shape: each round
+  * joins the edge list against ONLY the nodes discovered last round, and
+  * an anti-join against the settled set keeps every node's expansion from
+  * happening twice — total work is O(Σ out-deg(reached)) across all
+  * rounds, the same bound as single-machine BFS, instead of the
+  * O(rounds·|dist|·avg-deg) a naive "re-join the whole distance table
+  * every round" plan pays. Each round is two equi-joins (edges⋈frontier
+  * co-keyed on src, anti on node) and a min-agg for nodes reached twice
+  * in the same round; `localCheckpoint` cuts the growing lineage so round
+  * k's plan does not replay rounds 1..k-1.
+  *
+  * A fixed round count (not a convergence loop) keeps the gate
+  * deterministic and the oracle expressible as unrolled CTEs; callers
+  * that need full closure run rounds = graph diameter bound or switch to
+  * [[Components]]' star contraction, which is diameter-free.
+  */
+object Bfs {
+
+  /** (node, hop) for every node within `rounds` hops of a seed; hop is
+    * the BFS shortest-path hop count (seeds at 0).
+    */
+  def hops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("node")).distinct().withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var k = 0
+    while (k < rounds && !frontier.isEmpty) {
+      k += 1
+      val discovered = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(k.toLong))
+        .localCheckpoint()
+      dist = dist.unionAll(discovered).localCheckpoint()
+      frontier = discovered
+    }
+    dist
+  }
+}

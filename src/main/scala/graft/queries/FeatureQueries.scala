@@ -1237,6 +1237,55 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** w24: OHLC bars — the classic market-data resample: per (event_type,
+    * hour) open/high/low/close/volume over the exact integer cents
+    * stream. Open and close are picked by row_number over the bar
+    * partition ordered by (ord_us, event_id) — event_id breaks timestamp
+    * ties identically in both engines, so first/last are total-order
+    * deterministic, never "whichever partition answered first". One
+    * exchange on (event_type, bin); the two rank passes share it (two
+    * sorts, zero extra shuffles), then a hash agg collapses to one row
+    * per bar. At 100 TB bars are tiny relative to events, and every step
+    * is map-side combinable after the single keyed exchange.
+    */
+  private val OhlcBarUs = 3600000000L // 1 hour
+
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+      .withColumn("bin", expr(s"ord_us div $OhlcBarUs"))
+    val asc = Window
+      .partitionBy(col("event_type"), col("bin"))
+      .orderBy(col("ord_us"), col("event_id"))
+    val desc = Window
+      .partitionBy(col("event_type"), col("bin"))
+      .orderBy(col("ord_us").desc, col("event_id").desc)
+    ev.select(
+        col("event_type"),
+        col("bin"),
+        col("cents"),
+        row_number().over(asc).as("rn_o"),
+        row_number().over(desc).as("rn_c"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        max(when(col("rn_o") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(when(col("rn_c") === 1, col("cents"))).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        col("event_type"),
+        (col("bin") * OhlcBarUs).as("bar_start_us"),
+        col("open_cents"),
+        col("high_cents"),
+        col("low_cents"),
+        col("close_cents"),
+        col("n_events"),
+        col("sum_cents"))
+      .transform(orderedOutput(_, col("event_type"), col("bar_start_us")))
+  }
+
   /** a9: per-user spend trend — the OLS slope of cents against
     * hours-since-corpus-start from the exact integer power sums (n, Σx,
     * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
@@ -2215,6 +2264,25 @@ object FeatureQueries {
            |       THEN CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
            |       END AS twap_cents
            |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
+      "w24_ohlc_bars" ->
+        s"""WITH prep AS (
+           |  SELECT event_id, event_type, epoch_us(ts) AS ord_us,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |r AS (SELECT event_type, ord_us // $OhlcBarUs AS bin, cents,
+           |        row_number() OVER (PARTITION BY event_type, ord_us // $OhlcBarUs
+           |                           ORDER BY ord_us, event_id) AS rn_o,
+           |        row_number() OVER (PARTITION BY event_type, ord_us // $OhlcBarUs
+           |                           ORDER BY ord_us DESC, event_id DESC) AS rn_c
+           |      FROM prep)
+           |SELECT event_type, bin * $OhlcBarUs AS bar_start_us,
+           |  CAST(max(CASE WHEN rn_o = 1 THEN cents END) AS BIGINT) AS open_cents,
+           |  CAST(max(cents) AS BIGINT) AS high_cents,
+           |  CAST(min(cents) AS BIGINT) AS low_cents,
+           |  CAST(max(CASE WHEN rn_c = 1 THEN cents END) AS BIGINT) AS close_cents,
+           |  count(*) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1, 2 ORDER BY event_type, bar_start_us""".stripMargin,
       "a9_user_trend" ->
         s"""WITH prep AS ($prep),
            |lo AS (SELECT min(ord_us) AS lo FROM prep),
@@ -2432,6 +2500,7 @@ object FeatureQueries {
     "j8_nearest_event" -> (nearestEvent(_, _)),
     "w20_concurrency" -> (concurrency(_, _)),
     "w21_twap" -> (twapSpend(_, _)),
+    "w24_ohlc_bars" -> (ohlcBars(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "k5_hll_distinct" -> (hllDistinct(_, _)),

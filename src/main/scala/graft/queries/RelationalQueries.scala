@@ -251,6 +251,71 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("r_name"), col("o_year")))
   }
 
+  /** g5: k-hop reachability — frontier BFS ([[graft.operators.Bfs]])
+    * from the lowest-id part node over the same part↔supplier co-supply
+    * graph as g3, four rounds. Each round expands ONLY the newly
+    * discovered frontier (anti-joined against the settled set), so total
+    * work is one pass over the reached subgraph regardless of round
+    * count. The oracle unrolls the same four rounds as min-agg CTEs —
+    * frontier BFS and min-over-all-paths agree exactly on shortest hops.
+    */
+  private val BfsRounds = 4
+
+  def khopReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    val edges = pairs
+      .select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+    val seed = pairs.agg(min(col("p")).as("node"))
+    graft.operators.Bfs
+      .hops(edges, seed, BfsRounds)
+      .transform(orderedOutput(_, col("node")))
+  }
+
+  /** g6: per-edge neighborhood-overlap similarity (link-prediction
+    * Jaccard) over the order-co-occurrence part graph (g4's edges):
+    * common = triangles through the edge via the degree-oriented wedge
+    * join ([[graft.operators.Triangles.commonNeighbors]], O(m^1.5)
+    * skew-proof), union = deg(a)+deg(b)−common, one final division.
+    * Zero-triangle edges are restored by a left join — the expensive
+    * path never touches them.
+    */
+  def edgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val deg = edges
+      .select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val common = graft.operators.Triangles.commonNeighbors(edges)
+    edges
+      .join(common, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        col("deg_a"),
+        col("deg_b"),
+        col("common"),
+        (col("common") / (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
+      .transform(orderedOutput(_, col("a"), col("b")))
+  }
+
   /** q12: product-line profit rollup (TPC-H Q9 shape, adapted — the
     * testdata has no partsupp, so cost is retailprice·quantity): lineitem
     * flows through a shuffle join on partkey against the name-filtered
@@ -341,6 +406,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g4_triangles" -> (triangleCounts(_, _)),
+    "g5_khop_reach" -> (khopReach(_, _)),
+    "g6_edge_jaccard" -> (edgeJaccard(_, _)),
     "q11_star_revenue" -> (starRevenue(_, _)),
     "q1_pricing_agg" -> (pricingAgg(_, _)),
     "q12_supplier_profit" -> (supplierProfit(_, _)),
@@ -380,8 +447,50 @@ object RelationalQueries {
        |SELECT node, deg, CAST(pr AS BIGINT) AS pr FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  /** g5 oracle: the same [[BfsRounds]] rounds unrolled as min-agg CTEs
+    * (min over all ≤k-hop paths == frontier BFS shortest hop).
+    */
+  private def khopSql: String = {
+    val rounds = (1 to BfsRounds)
+      .map { k =>
+        s"""d$k AS (SELECT node, min(hop) AS hop FROM (
+           |  SELECT node, hop FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, d.hop + 1 AS hop
+           |  FROM edges e JOIN d${k - 1} d ON e.src = d.node) GROUP BY 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+       |edges AS (SELECT p AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |d0 AS (SELECT min(p) AS node, 0 AS hop FROM pairs),
+       |$rounds
+       |SELECT node, CAST(hop AS BIGINT) AS hop FROM d$BfsRounds ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "g3_pagerank" -> pagerankSql,
+    "g5_khop_reach" -> khopSql,
+    "g6_edge_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |cm AS (SELECT x.node AS a, y.node AS b, count(*) AS common
+        |       FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |       JOIN e ON e.a = x.node AND e.b = y.node
+        |       GROUP BY 1, 2)
+        |SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+        |  CAST(coalesce(cm.common, 0) AS DOUBLE)
+        |    / (da.deg + db.deg - coalesce(cm.common, 0)) AS jaccard
+        |FROM e
+        |LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+        |JOIN deg da ON da.node = e.a
+        |JOIN deg db ON db.node = e.b
+        |ORDER BY e.a, e.b""".stripMargin,
     "q12_supplier_profit" ->
       """SELECT n.n_name, year(l.l_shipdate) AS l_year,
         |  count(*) AS n_lines,

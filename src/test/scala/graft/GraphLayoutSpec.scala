@@ -82,6 +82,47 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(got == pairs.map { case (x, y) => ref(x, y) })
   }
 
+  test("bfs: hop counts on a path-plus-shortcut graph, frontier never revisits") {
+    // 1-2-3-4-5 path plus shortcut 1-4: shortest hops from 1 are
+    // {1:0, 2:1, 4:1, 3:2, 5:2} — the shortcut must win over the path
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.operators.Bfs
+      .hops(edges, seeds, 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfs: rounds bound truncates, disconnected nodes never appear") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.operators.Bfs
+      .hops(edges, Seq(1L).toDF("node"), 2)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("common neighbors per edge: K4 minus an edge") {
+    // K4 on {1,2,3,4} without (3,4): edge (1,2) sits in both triangles
+    // (common 3 and 4); the four outer edges each close one triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val got = Triangles
+      .commonNeighbors(edges)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (a, b, c) => (a, b) -> c }
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 3L) -> 1L, (2L, 4L) -> 1L))
+  }
+
   test("heavy hitters plan: corpus recount side joins via broadcast") {
     val df = (1 to 500).map(i => s"w${i % 7}").toDF("token")
     val plan = HeavyHitters
