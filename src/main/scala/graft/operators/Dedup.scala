@@ -116,6 +116,31 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
   }
 
+  /** Asymmetric containment over the same shared-shingle join as
+    * [[jaccardPairs]]: C(A,B) = |S(A)∩S(B)| / |S(A)|. Containment is the
+    * subset-duplication detector Jaccard structurally misses — a short
+    * doc pasted inside a long one has tiny Jaccard (union is the long
+    * doc) but containment ≈ 1 from the short side. Canonical doc_a <
+    * doc_b rows carry both directions (cont_a, cont_b); callers filter
+    * on greatest(cont_a, cont_b). Same O(shingles·df²) shuffle bound as
+    * Jaccard — the expensive intersect join is shared work, not a new
+    * pass, when fed the same persisted shingle frame.
+    */
+  def containmentPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("cont_a", col("n_common") / col("sz_a"))
+      .withColumn("cont_b", col("n_common") / col("sz_b"))
+      .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "cont_a", "cont_b")
+  }
+
   /** Exact Jaccard restricted to a given candidate pair set — the verify
     * stage of LSH dedup. The candidate set is small (banding already
     * filtered), so it broadcasts against the shingle table and only the

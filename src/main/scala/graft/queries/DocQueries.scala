@@ -895,8 +895,109 @@ object DocQueries {
       .withColumnRenamed("item", "token")
       .transform(orderedOutput(_, col("token")))
 
+  /** t18: positional phrase search — exact multi-token phrase matching
+    * via the positional-postings join every search engine runs: each
+    * phrase term's postings are filtered FIRST (the join inputs are the
+    * phrase terms' occurrences only, never the corpus), shifted by the
+    * term's offset in the phrase, and equi-joined on (doc_id, start
+    * position). k-term phrases are k−1 co-keyed equi-joins over
+    * already-tiny posting frames; at 100 TB the postings come out of
+    * t16's index instead of a scan, and the join shape is unchanged.
+    * Positions are 0-based token offsets.
+    */
+  private val PhraseTerms = Seq("slow", "hash")
+
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .withColumnRenamed("col", "token")
+    val parts = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      pos
+        .filter(col("token") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start_pos"))
+    }
+    parts
+      .reduce((a, b) => a.join(b, Seq("doc_id", "start_pos")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("start_pos")).cast("long").as("first_pos"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
+  /** t19: containment near-dup ([[Dedup.containmentPairs]] ≥ 0.8 from
+    * either side) — catches subset duplication (a doc pasted inside a
+    * longer one) that d2's Jaccard structurally misses. Fed the same
+    * persisted shingle frame as d2/d3, so the intersect join cost is
+    * shared with the Jaccard plane, not a second corpus pass.
+    */
+  private val ContainmentThreshold = 0.8
+
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup
+      .containmentPairs(materializedShingles(Tables.documents(spark, sfDir)))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+
+  /** t20: BM25-shape ranked retrieval for a fixed query — per-term
+    * saturation tf·(k1+1)/(tf+K), K = k1·(1−b+b·dl/avgdl) with k1=1.2,
+    * b=0.75, and t10's integer surrogate idf (N−df). EVERY intermediate
+    * is exact integer arithmetic (ratios pre-scaled ×1000, floor
+    * division — Spark `div` ≡ DuckDB `//` on non-negatives), so the
+    * per-doc score is an integer sum — order-independent, bit-exact —
+    * where float BM25 would make the gate partitioning-dependent. One
+    * explode filtered to the query terms (postings-sized, not
+    * corpus-sized), df as a window count over the tf frame (t10's
+    * one-explode discipline), corpus totals via one broadcast row, then
+    * a global top-k.
+    */
+  private val Bm25QueryTerms = Seq("join", "scan", "window")
+  private val Bm25TopK = 10
+
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // parquet-metadata count, the t8/s6 pattern
+    val totals = broadcast(
+      docs.agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("t_total")))
+    val tf = docs
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isInCollection(Bm25QueryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val wTok = Window.partitionBy(col("token"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(totals)
+      .withColumn("ratio_x1000", expr(s"(dl * ${n}L * 1000L) div t_total"))
+      .withColumn(
+        "k_x1000",
+        expr("(1200L * (250L + (750L * ratio_x1000) div 1000L)) div 1000L"))
+      .withColumn("sat_x1000", expr("(tf * 2200L * 1000L) div (tf * 1000L + k_x1000)"))
+      .withColumn("score_t", (lit(n) - col("df")) * col("sat_x1000"))
+    // global sort under limit → TakeOrderedAndProject (distributed
+    // top-k, the t7 pattern); the rank is minted on the 10 surviving rows
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_t")).as("score"), count(lit(1)).as("n_hit_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .repartition(1)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"), col("n_hit_terms"))
+      .transform(orderedOutput(_, col("rnk")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k6_heavy_hitters" -> (heavyHitters(_, _)),
+    "t18_phrase_search" -> (phraseSearch(_, _)),
+    "t19_containment_dedup" -> (containmentDedup(_, _)),
+    "t20_bm25_rank" -> (bm25Rank(_, _)),
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
     "d2c_jaccard_capped" -> (jaccardNearDupCapped(_, _)),
@@ -1111,6 +1212,63 @@ object DocQueries {
       s"""WITH $shinglePairs
          |SELECT doc_a, doc_b, n_common, n_union, jaccard
          |FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "t18_phrase_search" -> {
+      val conds = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"w[i + $i] = '$t'" }
+        .mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t),
+         |m AS (SELECT doc_id, i - 1 AS start_pos FROM p WHERE $conds)
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(min(start_pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    "t19_containment_dedup" ->
+      s"""WITH $shinglePairs
+         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  n_common / sa.sz AS cont_a, n_common / sb.sz AS cont_b
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE greatest(n_common / sa.sz, n_common / sb.sz) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t20_bm25_rank" -> {
+      val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT count(*) AS n FROM documents),
+         |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_total
+         |        FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf
+         |  FROM d WHERE token IN ($termList)
+         |  GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT doc_id, token, tf,
+         |    count(*) OVER (PARTITION BY token) AS df,
+         |    (dl * n * 1000) // t_total AS ratio_x1000,
+         |    n
+         |  FROM tf CROSS JOIN c CROSS JOIN tot),
+         |s2 AS (
+         |  SELECT doc_id, tf, df, n,
+         |    (1200 * (250 + (750 * ratio_x1000) // 1000)) // 1000 AS k_x1000
+         |  FROM s),
+         |s3 AS (
+         |  SELECT doc_id,
+         |    (n - df) * ((tf * 2200 * 1000) // (tf * 1000 + k_x1000)) AS score_t
+         |  FROM s2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score,
+         |         count(*) AS n_hit_terms
+         |  FROM s3 GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |       doc_id, score, n_hit_terms
+         |FROM agg
+         |QUALIFY rnk <= $Bm25TopK
+         |ORDER BY rnk""".stripMargin
+    },
     // d2 with the hot-shingle df cap applied before pairing AND sizes —
     // the QUALIFY mirrors Dedup.dropHotShingles exactly
     "d2c_jaccard_capped" ->

@@ -272,8 +272,41 @@ object VectorQueries {
         IvfTrainPerCell)
       .transform(orderedOutput(_, col("vec_id")))
 
+  /** v7: kNN classification — majority label vote over the exact
+    * cosine top-[[KnnK]] neighborhood of each probe (ties broken by the
+    * smaller label, a total order both engines share). The probe set is
+    * the same O(1) broadcast as v1, so the scoring join stays
+    * one-pass-over-corpus at any scale; votes collapse to |probes|·|labels|
+    * rows before the rank pick. Swapping the exact top-k for
+    * [[Similarity.ivfTopKAuto]] gives the ANN-backed variant with the
+    * same vote logic.
+    */
+  private val KnnK = 10
+
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val topk = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < NQueries, KnnK)
+      .select(col("query_id"), col("vec_id"))
+    val votes = topk
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("pred_label")), Seq("vec_id"))
+      .groupBy(col("query_id"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("pred_label"))
+    votes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(
+        emb.select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"))
+      .transform(orderedOutput(_, col("query_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
+    "v7_knn_classify" -> (knnClassify(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
@@ -451,6 +484,30 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "v7_knn_classify" ->
+      s"""WITH $prep,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS cosine
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |topk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= $KnnK),
+         |votes AS (
+         |  SELECT t.query_id, CAST(e.label AS BIGINT) AS pred_label, count(*) AS votes
+         |  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT v.query_id, v.pred_label, v.votes, CAST(q.label AS BIGINT) AS true_label
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label) AS rk
+         |    FROM votes)
+         |  WHERE rk = 1) v
+         |JOIN embeddings q ON q.vec_id = v.query_id
+         |ORDER BY v.query_id""".stripMargin,
     "v2_ann_signlsh" ->
       s"""WITH $prep,
          |params AS (
