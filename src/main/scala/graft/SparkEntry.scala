@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.MediaFixtures
+import graft.multimodal.{AudioFixtures, MediaFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,7 +22,10 @@ object SparkEntry {
       // is a VALUES literal derived from the ground-truth pixel tuples,
       // so the decode path gets the same rows/schema/hash contract as
       // the SQL-expressible operators
-      (MediaFixtures.queries, MediaFixtures.oracle)
+      (MediaFixtures.queries, MediaFixtures.oracle),
+      // m2: the audio twin — WAV PCM sample decode against ground-truth
+      // sample tuples, same fixture-hash contract
+      (AudioFixtures.queries, AudioFixtures.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
