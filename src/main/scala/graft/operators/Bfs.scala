@@ -30,7 +30,10 @@ object Bfs {
     */
   def hops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
+    // every round joins the edge list — persist it once (callers run
+    // inside CacheScope, the PageRank contract) instead of recomputing
+    // its upstream per round
+    val e = edges.select(col("src"), col("dst")).persist()
     var dist = seeds.select(col("node")).distinct().withColumn("hop", lit(0L)).localCheckpoint()
     var frontier = dist
     var k = 0

@@ -26,18 +26,27 @@ object Triangles {
 
   private val OrdBase = 4294967296L // 2^32
 
-  /** Per-node triangle participation counts over an undirected edge list
-    * (`a` < `b`, distinct). Returns (node, n_triangles), nodes in ≥1
-    * triangle only.
+  /** The triangle list (u, v, w) over an undirected edge list (`a` < `b`,
+    * distinct), enumerated once via the degree orientation and PERSISTED:
+    * both consumers ([[perNode]], [[commonNeighbors]]) aggregate the same
+    * frame, and when both run in one batch over the same edge plan the
+    * CacheManager dedups the enumeration — the expensive O(m^1.5) wedge
+    * join runs once, not once per consumer. Callers run inside
+    * [[graft.CacheScope]], which reclaims the block (the PageRank
+    * contract).
     */
-  def perNode(edges: DataFrame): DataFrame = {
-    val ends = edges
+  def triangles(edges: DataFrame): DataFrame = {
+    // callers hand in a persisted/cheap edge frame (it is scanned ~3
+    // times building the orientation); the expensive intermediates below
+    // persist here
+    val e = edges.select(col("a"), col("b"))
+    val ends = e
       .select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
+      .unionAll(e.select(col("b").as("node")))
     val deg = ends.groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
     // attach ordkeys to both endpoints, then orient low→high
-    val withA = edges
+    val withA = e
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
     val withB = withA
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
@@ -46,11 +55,13 @@ object Triangles {
         col("b"),
         (col("deg_a") * OrdBase + col("a")).as("ka"),
         (col("deg_b") * OrdBase + col("b")).as("kb"))
+    // persisted: the wedge and closure joins below scan it three times
     val oriented = withB
       .select(
         when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ka"), col("kb")).as("kdst"))
+      .persist()
 
     // wedges from each pivot's out-neighborhood (outdeg ≤ O(√m)), closed
     // by the oriented (v, w) edge — kdst ordering de-duplicates the pair
@@ -60,47 +71,32 @@ object Triangles {
       .join(o2, Seq("src"))
       .filter(col("kv") < col("kw"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w")).select(col("src").as("u"), col("v"), col("w"))
+    wedges
+      .join(closing, Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+      .persist()
+  }
 
-    tris
+  /** Per-node triangle participation counts over an undirected edge list
+    * (`a` < `b`, distinct). Returns (node, n_triangles), nodes in ≥1
+    * triangle only.
+    */
+  def perNode(edges: DataFrame): DataFrame =
+    triangles(edges)
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
-  }
 
   /** Common-neighbor counts per edge (canonical `a` < `b`), i.e. the
     * number of triangles through each edge — the numerator of every
     * neighborhood-overlap similarity (Jaccard, Adamic-Adar's support
-    * set, …). Same O(m^1.5) oriented wedge join as [[perNode]]; each
-    * triangle (u,v,w) credits its three edges once. Edges in no triangle
-    * are the caller's to restore (left join + coalesce 0) so the
-    * expensive path stays triangles-only.
+    * set, …). Each triangle (u,v,w) credits its three edges once; the
+    * enumeration itself is [[triangles]]' shared persisted frame. Edges
+    * in no triangle are the caller's to restore (left join + coalesce 0)
+    * so the expensive path stays triangles-only.
     */
-  def commonNeighbors(edges: DataFrame): DataFrame = {
-    val ends = edges
-      .select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-    val deg = ends.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val withA = edges
-      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
-    val withB = withA
-      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
-      .select(
-        col("a"),
-        col("b"),
-        (col("deg_a") * OrdBase + col("a")).as("ka"),
-        (col("deg_b") * OrdBase + col("b")).as("kb"))
-    val oriented = withB
-      .select(
-        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
-        greatest(col("ka"), col("kb")).as("kdst"))
-    val o1 = oriented.select(col("src"), col("dst").as("v"), col("kdst").as("kv"))
-    val o2 = oriented.select(col("src"), col("dst").as("w"), col("kdst").as("kw"))
-    val wedges = o1.join(o2, Seq("src")).filter(col("kv") < col("kw"))
-    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w")).select(col("src").as("u"), col("v"), col("w"))
-    tris
+  def commonNeighbors(edges: DataFrame): DataFrame =
+    triangles(edges)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
@@ -108,5 +104,4 @@ object Triangles {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-  }
 }
