@@ -179,20 +179,26 @@ object Dedup {
   /** As [[minhashBandCandidates]] but over a pre-built (doc_id, shingle)
     * frame, so callers computing Jaccard too share one shingle explode.
     */
-  def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    require(k % 2 == 0, "band width 2 needs an even k")
-    // Signatures from the EXPLODED shingle set in one aggregation pass,
-    // with all k components sliced from ONE md5 per shingle (5 hex chars =
-    // 20 bits each): k independent min-hashes at 1/k of the hashing cost.
-    // (The array-HOF form re-derived the shingle array per component once
-    // CollapseProject inlined the alias — measured ~3x slower at sf0.1.)
+  /** Per-doc k-component minhash signatures from the EXPLODED shingle
+    * set in one aggregation pass, with all k components sliced from ONE
+    * md5 per shingle (5 hex chars = 20 bits each): k independent
+    * min-hashes at 1/k of the hashing cost. (The array-HOF form
+    * re-derived the shingle array per component once CollapseProject
+    * inlined the alias — measured ~3x slower at sf0.1.) Returns
+    * (doc_id, m0..m{k-1}).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     require(k * 5 <= 32, "k*5 hex chars must fit one md5")
     val md5h = md5(concat(lit("0|"), col("shingle")).cast("binary"))
-    val sig = sh
-      .groupBy(col("doc_id"))
+    sh.groupBy(col("doc_id"))
       .agg(
         min(substring(md5h, 1, 5)).as("m0"),
         (1 until k).map(i => min(substring(md5h, i * 5 + 1, 5)).as(s"m$i")): _*)
+  }
+
+  def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    require(k % 2 == 0, "band width 2 needs an even k")
+    val sig = minhashSignatures(sh, k)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until k / 2).map(b =>

@@ -993,8 +993,63 @@ object DocQueries {
       .transform(orderedOutput(_, col("rnk")))
   }
 
+  /** t21: per-doc novelty score — the fraction of a doc's shingles whose
+    * FIRST corpus occurrence (minimum doc_id) is this doc: the
+    * memorization/novelty signal dedup pipelines rank training docs by
+    * (a doc of all-first-seen shingles is fresh content; all-seen-before
+    * is a rehash). One shingle-keyed min-agg over the shared persisted
+    * shingle frame + a co-keyed join back; the ratio is the single final
+    * division.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = materializedShingles(Tables.documents(spark, sfDir))
+    val firstSeen = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel") / col("n_shingles"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
+  /** d15: minhash Jaccard ESTIMATION — the banded candidates' similarity
+    * estimated purely from signature component agreement (n_agree/k, the
+    * Broder estimator) next to the exact shingle-join Jaccard, gated
+    * together so the estimator's bias is pinned, not assumed. At 100 TB
+    * this is the operator that answers "how similar" from k·5 bytes per
+    * doc without touching shingle sets: signatures join co-keyed on the
+    * candidate pair, exact verification stays candidates-only.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = materializedShingles(Tables.documents(spark, sfDir))
+    val sig = Dedup.minhashSignatures(sh, MinhashK)
+    val cands = Dedup
+      .minhashBandCandidatesFromShingles(sh, MinhashK)
+      .select(col("doc_a"), col("doc_b"))
+    val sigA = sig.toDF("doc_a" +: (0 until MinhashK).map(i => s"a$i"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until MinhashK).map(i => s"b$i"): _*)
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(sigA, "doc_a")
+      .join(sigB, "doc_b")
+      .withColumn("n_agree", agree)
+      .join(Dedup.jaccardForCandidates(cands, sh).select(col("doc_a"), col("doc_b"), col("jaccard")), Seq("doc_a", "doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_agree"),
+        (col("n_agree") / lit(MinhashK)).as("est_jaccard"),
+        col("jaccard"))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k6_heavy_hitters" -> (heavyHitters(_, _)),
+    "t21_novelty_score" -> (noveltyScore(_, _)),
+    "d15_minhash_estimate" -> (minhashEstimate(_, _)),
     "t18_phrase_search" -> (phraseSearch(_, _)),
     "t19_containment_dedup" -> (containmentDedup(_, _)),
     "t20_bm25_rank" -> (bm25Rank(_, _)),
@@ -1222,6 +1277,49 @@ object DocQueries {
          |SELECT doc_id, count(*) AS n_matches,
          |  CAST(min(start_pos) AS BIGINT) AS first_pos
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    "t21_novelty_score" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) / count(*) AS novelty
+         |FROM sh JOIN fs USING (shingle)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "d15_minhash_estimate" -> {
+      val sigCols = (0 until MinhashK)
+        .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashK / 2)
+        .map(b => s"SELECT doc_id, $b AS band_idx, md5(m${2 * b} || '|' || m${2 * b + 1}) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      val agreeExpr = (0 until MinhashK)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shinglePairs,
+         |t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM t),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |              AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST($agreeExpr AS BIGINT) AS n_agree,
+         |  ($agreeExpr) / $MinhashK AS est_jaccard,
+         |  j.jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b
+         |JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin
     },
     "t19_containment_dedup" ->
       s"""WITH $shinglePairs

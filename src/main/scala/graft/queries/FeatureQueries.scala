@@ -1286,6 +1286,103 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type"), col("bar_start_us")))
   }
 
+  /** j9: interval-overlap join — signup attention windows (3 h) against
+    * error windows (1 h) per user, the classic two-interval-set overlap
+    * join (campaign×session, outage×job, promo×purchase-window). Each
+    * interval explodes into the fixed-width bins it spans (bin width =
+    * the longer interval class, so ≤ 2 bins per interval), the join is a
+    * plain (user, bin) equi-join — BNLJ-free at any scale — and a
+    * distinct collapses the two-bin double-finds. Overlap length in
+    * exact integer micros.
+    */
+  private val J9BinUs = 10800000000L // 3 h — the longer interval class
+  private val J9ADurUs = 10800000000L // signup window
+  private val J9BDurUs = 3600000000L // error window
+
+  def overlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    def windows(tpe: String, durUs: Long, idCol: String, sCol: String, eCol: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(
+          col("user_id"),
+          col("event_id").as(idCol),
+          col("ord_us").as(sCol),
+          (col("ord_us") + durUs).as(eCol))
+    val a = windows("signup", J9ADurUs, "a_id", "a_s", "a_e")
+      .withColumn("bin", explode(sequence(expr(s"a_s div $J9BinUs"), expr(s"(a_e - 1) div $J9BinUs"))))
+    val b = windows("error", J9BDurUs, "b_id", "b_s", "b_e")
+      .withColumn("bin", explode(sequence(expr(s"b_s div $J9BinUs"), expr(s"(b_e - 1) div $J9BinUs"))))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(
+        col("user_id"),
+        col("a_id"),
+        col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .distinct()
+      .transform(orderedOutput(_, col("a_id"), col("b_id")))
+  }
+
+  /** w25: trailing-7-day distinct actives per day — the sliding
+    * COUNT(DISTINCT) every activity dashboard needs, in the shape that
+    * scales: each (user, day) fact fans out to the ≤7 report days it
+    * contributes to (bounded 7x row growth — never a self-join of days
+    * against raw events), then one hash count-distinct per report day.
+    * The report-day set is exactly the days with any trailing activity.
+    */
+  private val DayUs = 86400000000L
+
+  def activeUsers7d(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = prepared(spark, sfDir)
+      .select(col("user_id"), expr(s"ord_us div $DayUs").as("day"))
+      .distinct()
+    val bounds = broadcast(ud.agg(max(col("day")).as("max_day")))
+    ud.crossJoin(bounds)
+      .select(
+        col("user_id"),
+        explode(sequence(col("day"), least(col("day") + 6, col("max_day")))).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("report_day"), (col("report_day") * DayUs).as("day_start_us"), col("n_active"))
+      .transform(orderedOutput(_, col("report_day")))
+  }
+
+  /** a13: quantile binning — per-type quartile boundaries picked by exact
+    * integer rank selection (rank ceil(p·n/100) in the (cents, event_id)
+    * total order — no float percentile crosses the gate), broadcast back
+    * over the stream, every event assigned bucket 1–4 by boundary
+    * comparison, rolled up per (type, bucket). The boundary table is
+    * O(|types|) — the 100 TB side is one window pass + one broadcast
+    * join.
+    */
+  def quantileBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir).select(col("event_type"), col("event_id"), col("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val qs = ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(25 * n + 99) div 100"), col("cents"))).as("q25"),
+        max(when(col("rn") === expr("(50 * n + 99) div 100"), col("cents"))).as("q50"),
+        max(when(col("rn") === expr("(75 * n + 99) div 100"), col("cents"))).as("q75"))
+    ev.join(broadcast(qs), "event_type")
+      .withColumn(
+        "bucket",
+        lit(1L) + when(col("cents") > col("q25"), 1L).otherwise(0L)
+          + when(col("cents") > col("q50"), 1L).otherwise(0L)
+          + when(col("cents") > col("q75"), 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .transform(orderedOutput(_, col("event_type"), col("bucket")))
+  }
+
   /** a9: per-user spend trend — the OLS slope of cents against
     * hours-since-corpus-start from the exact integer power sums (n, Σx,
     * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
@@ -2283,6 +2380,53 @@ object FeatureQueries {
            |  count(*) AS n_events,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY event_type, bar_start_us""".stripMargin,
+      "j9_overlap_join" ->
+        s"""WITH p AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us FROM events),
+           |a AS (SELECT user_id, event_id AS a_id, ord_us AS a_s,
+           |        ord_us + $J9ADurUs AS a_e
+           |      FROM p WHERE event_type = 'signup'),
+           |b AS (SELECT user_id, event_id AS b_id, ord_us AS b_s,
+           |        ord_us + $J9BDurUs AS b_e
+           |      FROM p WHERE event_type = 'error')
+           |SELECT a.user_id, a_id, b_id,
+           |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+           |FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
+           |ORDER BY a_id, b_id""".stripMargin,
+      "w25_active_users_7d" ->
+        s"""WITH p AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+           |days AS (
+           |  SELECT unnest(generate_series((SELECT min(day) FROM p),
+           |                                (SELECT max(day) FROM p))) AS report_day)
+           |SELECT report_day, report_day * $DayUs AS day_start_us,
+           |  count(DISTINCT user_id) AS n_active
+           |FROM days d JOIN p ON p.day BETWEEN d.report_day - 6 AND d.report_day
+           |GROUP BY 1, 2 ORDER BY report_day""".stripMargin,
+      "a13_quantile_binning" ->
+        s"""WITH e AS (
+           |  SELECT event_id, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |r AS (SELECT event_type, event_id, cents,
+           |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n
+           |      FROM e),
+           |qs AS (SELECT event_type,
+           |        max(CASE WHEN rn = (25 * n + 99) // 100 THEN cents END) AS q25,
+           |        max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS q50,
+           |        max(CASE WHEN rn = (75 * n + 99) // 100 THEN cents END) AS q75
+           |      FROM r GROUP BY 1)
+           |SELECT e.event_type,
+           |  CAST(1 + (CASE WHEN cents > q25 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN cents > q50 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN cents > q75 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+           |  count(*) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents,
+           |  CAST(max(cents) AS BIGINT) AS max_cents
+           |FROM e JOIN qs ON e.event_type = qs.event_type
+           |GROUP BY 1, 2 ORDER BY e.event_type, bucket""".stripMargin,
       "a9_user_trend" ->
         s"""WITH prep AS ($prep),
            |lo AS (SELECT min(ord_us) AS lo FROM prep),
@@ -2501,6 +2645,9 @@ object FeatureQueries {
     "w20_concurrency" -> (concurrency(_, _)),
     "w21_twap" -> (twapSpend(_, _)),
     "w24_ohlc_bars" -> (ohlcBars(_, _)),
+    "j9_overlap_join" -> (overlapJoin(_, _)),
+    "w25_active_users_7d" -> (activeUsers7d(_, _)),
+    "a13_quantile_binning" -> (quantileBinning(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "k5_hll_distinct" -> (hllDistinct(_, _)),
