@@ -1383,6 +1383,96 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type"), col("bucket")))
   }
 
+  /** q15: explicit GROUPING SETS — the two one-dimension marginals plus
+    * the grand total in ONE pass (the q6/q7 rollup/cube surface with a
+    * hand-picked set list: no wasted (type, day) cells a cube would also
+    * emit). grouping_id() disambiguates the all-NULL total row from a
+    * genuine NULL key; the expansion happens map-side, one shuffle.
+    */
+  def groupingSetsSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+      .select(col("event_type"), expr(s"ord_us div $DayUs").as("day"), col("cents"))
+    ev.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day")), Seq.empty[org.apache.spark.sql.Column]),
+        col("event_type"),
+        col("day"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .transform(orderedOutput(_, col("gid"), col("event_type"), col("day")))
+  }
+
+  /** a14: Benford first-digit profile — the leading-digit distribution of
+    * cents per event type against which auditors flag fabricated numbers
+    * (the reference domain is fraud detection; this is the data-quality
+    * twin). First digit by string head — identical in both engines for
+    * positive integers; share is the single final division against the
+    * type total (window count, same pass).
+    */
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+      .filter(col("cents") > 0)
+      .select(
+        col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    ev.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("share", col("n") / col("n_type"))
+      .transform(orderedOutput(_, col("event_type"), col("digit")))
+  }
+
+  /** f13: leave-one-out target encoding — each event's category (type)
+    * encoded as the mean spend of all OTHER events in the category, the
+    * standard leakage-free categorical encoder for training data. Exact
+    * integer numerator (Σcents − own) and denominator (n − 1) exported,
+    * one double division, NULL for singleton categories in both engines.
+    * One window pass over the category partition — no self-join.
+    */
+  def targetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .withColumn("loo_num", sum(col("cents")).over(w) - col("cents"))
+      .withColumn("loo_den", count(lit(1)).over(w) - 1L)
+      .withColumn(
+        "loo_mean",
+        when(col("loo_den") > 0, col("loo_num") / col("loo_den")))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
+  /** q16: user journey paths — each user's first 10 event types joined
+    * into an ordered path string (the funnel-exploration shape product
+    * analytics runs). Order is the (ord_us, event_id) total order; the
+    * path assembles from an array_sort over (rank, type) structs so the
+    * aggregation is partitioning-independent — collect_list alone is
+    * not. The journey prefix is capped (10) so no whale user builds an
+    * unbounded string.
+    */
+  private val JourneyCap = 10
+
+  def userJourney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    prepared(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ord_us"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") <= JourneyCap)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            _.getField("event_type")),
+          ">").as("journey"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
   /** a9: per-user spend trend — the OLS slope of cents against
     * hours-since-corpus-start from the exact integer power sums (n, Σx,
     * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
@@ -2380,6 +2470,52 @@ object FeatureQueries {
            |  count(*) AS n_events,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY event_type, bar_start_us""".stripMargin,
+      "q15_grouping_sets" ->
+        s"""WITH e AS (
+           |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events)
+           |SELECT event_type, day,
+           |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+           |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM e
+           |GROUP BY GROUPING SETS ((event_type), (day), ())
+           |ORDER BY gid, event_type, day""".stripMargin,
+      "a14_benford" ->
+        s"""WITH e AS (
+           |  SELECT event_type,
+           |         CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM events
+           |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+           |g AS (SELECT event_type, digit, count(*) AS n FROM e GROUP BY 1, 2)
+           |SELECT event_type, digit, n,
+           |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
+           |  n / sum(n) OVER (PARTITION BY event_type) AS share
+           |FROM g ORDER BY event_type, digit""".stripMargin,
+      "f13_target_encoding" ->
+        s"""WITH e AS (
+           |  SELECT event_id, event_type AS et,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events)
+           |SELECT event_id, et AS event_type, cents,
+           |  CAST(sum(cents) OVER w - cents AS BIGINT) AS loo_num,
+           |  CAST(count(*) OVER w - 1 AS BIGINT) AS loo_den,
+           |  CASE WHEN count(*) OVER w > 1
+           |       THEN (sum(cents) OVER w - cents) / (count(*) OVER w - 1) END AS loo_mean
+           |FROM e
+           |WINDOW w AS (PARTITION BY et)
+           |ORDER BY event_id""".stripMargin,
+      "q16_user_journey" ->
+        s"""WITH p AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS ord_us, event_id FROM events),
+           |r AS (SELECT user_id, event_type,
+           |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS BIGINT) AS rn,
+           |        count(*) OVER (PARTITION BY user_id) AS n_events
+           |      FROM p)
+           |SELECT user_id, max(n_events) AS n_events,
+           |  string_agg(event_type, '>' ORDER BY rn) AS journey
+           |FROM r WHERE rn <= $JourneyCap
+           |GROUP BY 1 ORDER BY user_id""".stripMargin,
       "j9_overlap_join" ->
         s"""WITH p AS (
            |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us FROM events),
@@ -2648,6 +2784,10 @@ object FeatureQueries {
     "j9_overlap_join" -> (overlapJoin(_, _)),
     "w25_active_users_7d" -> (activeUsers7d(_, _)),
     "a13_quantile_binning" -> (quantileBinning(_, _)),
+    "q15_grouping_sets" -> (groupingSetsSpend(_, _)),
+    "a14_benford" -> (benfordDigits(_, _)),
+    "f13_target_encoding" -> (targetEncoding(_, _)),
+    "q16_user_journey" -> (userJourney(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "k5_hll_distinct" -> (hllDistinct(_, _)),
