@@ -34,7 +34,14 @@ object ScaleBench {
     "j6_click_attribution",
     "v3_ann_ivf",
     "v4_ann_ivf_multiprobe",
-    "v5_ivf_index_probe")
+    "v5_ivf_index_probe",
+    // r7 additions: the graph plane (edge gen + oriented wedge join +
+    // frontier BFS) and the new shingle-set consumers
+    "g4_triangles",
+    "g5_khop_reach",
+    "g6_edge_jaccard",
+    "t19_containment_dedup",
+    "d15_minhash_estimate")
 
   /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate
     * medians at both scales and large/small ratios.

@@ -112,10 +112,29 @@ object ScaleGen {
           .as("props"))
   }
 
+  /** Minimal lineitem for the graph gates (orderkey/partkey/suppkey —
+    * the only columns g4/g5/g6 touch): ~4 lines per order, part and
+    * supplier universes scaled like the driver testdata (20k parts /
+    * 1k suppliers per 600k lines), keys hash-drawn so part popularity is
+    * uniform — the co-occurrence graph shape (≈C(4,2) edges per order,
+    * growing density with scale) matches the TPC-H-ish corpus.
+    */
+  def lineitem(spark: SparkSession, n: Long): DataFrame = {
+    val parts = math.max(200L, n / 30L)
+    val supps = math.max(100L, n / 600L)
+    spark
+      .range(0L, n, 1L, 32)
+      .select(
+        (col("id") / 4L).cast("long").as("l_orderkey"),
+        (pmod(xxhash64(lit("part"), col("id")), lit(parts)) + 1L).as("l_partkey"),
+        (pmod(xxhash64(lit("supp"), col("id")), lit(supps)) + 1L).as("l_suppkey"))
+  }
+
   def writeAll(spark: SparkSession, outDir: String, nDocs: Long, nVecs: Long, nEvents: Long): Unit = {
     documents(spark, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embeddings(spark, nVecs).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     events(spark, nEvents).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    lineitem(spark, nEvents * 6L).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   /** args: outDir nDocs nVecs nEvents */
