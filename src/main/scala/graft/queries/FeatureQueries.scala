@@ -1473,6 +1473,74 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** j10: SCD2 dimension lookup — the warehouse's most common join:
+    * facts (purchases) resolved against a slowly-changing dimension (the
+    * user's state = last non-purchase event type, run-collapsed to
+    * change points) at the fact's OWN event time. Composition of w18's
+    * run collapse and j3's as-of machinery ([[graft.operators.AsOfJoin]]
+    * — one union + one window pass, zero joins); simultaneous state
+    * changes dedupe to the highest event_id so the match is a total
+    * order, not a race. Gated against DuckDB's native ASOF LEFT JOIN.
+    */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ord_us"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val wDup = Window
+      .partitionBy(col("user_id"), col("state_from_us"))
+      .orderBy(col("event_id").desc)
+    val runStarts = ev
+      .filter(col("event_type") =!= "purchase")
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(
+        col("user_id"),
+        col("ord_us").as("state_from_us"),
+        col("event_type").as("state"),
+        col("event_id"))
+      .withColumn("dup_rk", row_number().over(wDup))
+      .filter(col("dup_rk") === 1)
+      .select("user_id", "state_from_us", "state")
+    val facts = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ord_us"))
+    graft.operators.AsOfJoin
+      .asof(facts, runStarts, "user_id", "ord_us", "state_from_us", Seq("state"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ord_us"),
+        col("asof_ts").as("state_from_us"),
+        col("state"),
+        (col("ord_us") - col("asof_ts")).as("state_age_us"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
+  /** w26: consecutive-day activity streaks — the day-granularity
+    * gaps-and-islands (login streaks, retention heuristics): per user,
+    * distinct active days, islands where day − row_number is constant,
+    * rolled up to streak count / longest / total active days. One
+    * user-keyed exchange; the window and the rollup share it.
+    */
+  def dayStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    prepared(spark, sfDir)
+      .select(col("user_id"), expr(s"ord_us div $DayUs").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start_day"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(col("streak_start_day")).as("first_day"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
   /** a9: per-user spend trend — the OLS slope of cents against
     * hours-since-corpus-start from the exact integer power sums (n, Σx,
     * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
@@ -2470,6 +2538,43 @@ object FeatureQueries {
            |  count(*) AS n_events,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY event_type, bar_start_us""".stripMargin,
+      "j10_scd2_lookup" ->
+        s"""WITH p AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us FROM events),
+           |s AS (
+           |  SELECT user_id, ord_us, event_type, event_id,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS prev
+           |  FROM p WHERE event_type != 'purchase'),
+           |rs AS (
+           |  SELECT user_id, ord_us AS state_from_us, event_type AS state
+           |  FROM (
+           |    SELECT user_id, ord_us, event_type, event_id,
+           |      row_number() OVER (PARTITION BY user_id, ord_us ORDER BY event_id DESC) AS dup_rk
+           |    FROM s WHERE prev IS NULL OR prev != event_type)
+           |  WHERE dup_rk = 1),
+           |f AS (SELECT event_id, user_id, ord_us FROM p WHERE event_type = 'purchase')
+           |SELECT f.event_id, f.user_id, f.ord_us,
+           |  rs.state_from_us, rs.state,
+           |  f.ord_us - rs.state_from_us AS state_age_us
+           |FROM f ASOF LEFT JOIN rs
+           |  ON f.user_id = rs.user_id AND f.ord_us >= rs.state_from_us
+           |ORDER BY f.event_id""".stripMargin,
+      "w26_day_streaks" ->
+        s"""WITH d AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+           |g AS (
+           |  SELECT user_id, day,
+           |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           |  FROM d),
+           |st AS (
+           |  SELECT user_id, grp, count(*) AS len, min(day) AS streak_start_day
+           |  FROM g GROUP BY 1, 2)
+           |SELECT user_id,
+           |  CAST(sum(len) AS BIGINT) AS n_active_days,
+           |  count(*) AS n_streaks,
+           |  CAST(max(len) AS BIGINT) AS longest_streak,
+           |  CAST(min(streak_start_day) AS BIGINT) AS first_day
+           |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
       "q15_grouping_sets" ->
         s"""WITH e AS (
            |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
@@ -2788,6 +2893,8 @@ object FeatureQueries {
     "a14_benford" -> (benfordDigits(_, _)),
     "f13_target_encoding" -> (targetEncoding(_, _)),
     "q16_user_journey" -> (userJourney(_, _)),
+    "j10_scd2_lookup" -> (scd2Lookup(_, _)),
+    "w26_day_streaks" -> (dayStreaks(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "k5_hll_distinct" -> (hllDistinct(_, _)),
