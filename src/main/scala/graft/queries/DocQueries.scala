@@ -1046,8 +1046,37 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** t22: dedup survivorship — after d10's cluster formation, pick WHICH
+    * copy to keep: the longest doc (n_chars, ties to the lowest doc_id)
+    * per near-dup cluster, every member mapped to its keeper. This is
+    * the step that turns cluster labels into a drop list; keep-longest
+    * is the usual corpus policy (the longest variant subsumes its
+    * truncations). One window rank over the |docs|-row label frame — the
+    * expensive work is d10's, shared through the persisted pair frame.
+    */
+  def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = thresholdedPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.operators.Components
+      .connectedComponentsAuto(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+    labels
+      .withColumn("keep_doc", first(col("doc_id")).over(w))
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("keep_doc"),
+        when(col("doc_id") === col("keep_doc"), 1L).otherwise(0L).as("is_kept"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k6_heavy_hitters" -> (heavyHitters(_, _)),
+    "t22_canonical_docs" -> (canonicalDocs(_, _)),
     "t21_novelty_score" -> (noveltyScore(_, _)),
     "d15_minhash_estimate" -> (minhashEstimate(_, _)),
     "t18_phrase_search" -> (phraseSearch(_, _)),
@@ -1278,6 +1307,24 @@ object DocQueries {
          |  CAST(min(start_pos) AS BIGINT) AS first_pos
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+    "t22_canonical_docs" ->
+      s"""WITH RECURSIVE $shinglePairs,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |lab AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+         |j AS (SELECT lab.doc_id, lab.cluster, d.n_chars
+         |      FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
+         |SELECT doc_id, cluster,
+         |  first_value(doc_id) OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS keep_doc,
+         |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM j ORDER BY doc_id""".stripMargin,
     "t21_novelty_score" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle

@@ -1541,6 +1541,76 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** q17: incremental rollup merge — materialized-view maintenance: the
+    * standing per-user rollup (events before the cutoff) merged with the
+    * new batch's rollup by RE-AGGREGATING THE PARTIALS (sums add, counts
+    * add, mins/maxes fold), never re-reading the standing side's raw
+    * events. The oracle is the full recompute over raw data, so the gate
+    * proves merge(partial_old, partial_new) ≡ recompute — the algebraic
+    * property incremental pipelines stand on. At 100 TB the merge input
+    * is two rollup tables (|users| rows each), not the corpus.
+    */
+  private val Q17CutoffUs = 1705795200000000L // 2024-01-21T00:00:00Z
+
+  def rollupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+    val standing = rollup(
+      Tables.eventsInRange(spark, sfDir, 0L, Q17CutoffUs)
+        .withColumn("cents", round(col("value") * 100).cast("long")))
+    val increment = rollup(
+      Tables.eventsInRange(spark, sfDir, Q17CutoffUs, Long.MaxValue)
+        .withColumn("cents", round(col("value") * 100).cast("long")))
+    standing
+      .unionByName(increment)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
+  /** a15: two-sample A/B comparison (purchase vs click spend) — Welch's
+    * t from EXACT integer power sums (n, Σx, Σx² per arm, one hash agg);
+    * the means/variances/t-statistic are derived doubles computed by the
+    * identical formula in both engines, so even the float tail of the
+    * statistic is bit-pinned. The experiment-analysis shape: one pass,
+    * map-side combinable, O(1) output.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = prepared(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+    val a = arms.filter(col("event_type") === "purchase").select(
+      col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = arms.filter(col("event_type") === "click").select(
+      col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    a.crossJoin(b)
+      .withColumn("mean_a", col("sx_a") / col("n_a"))
+      .withColumn("mean_b", col("sx_b") / col("n_b"))
+      .withColumn(
+        "var_a",
+        (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1))
+      .withColumn(
+        "var_b",
+        (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1))
+      .withColumn(
+        "t_stat",
+        (col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+  }
+
   /** a9: per-user spend trend — the OLS slope of cents against
     * hours-since-corpus-start from the exact integer power sums (n, Σx,
     * Σy, Σxy, Σx²), a5's machinery applied per entity: slope =
@@ -2538,6 +2608,33 @@ object FeatureQueries {
            |  count(*) AS n_events,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY event_type, bar_start_us""".stripMargin,
+      "q17_rollup_merge" ->
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+           |SELECT user_id, count(*) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents,
+           |  CAST(max(cents) AS BIGINT) AS max_cents
+           |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
+      "a15_ab_test" ->
+        s"""WITH g AS (
+           |  SELECT event_type, count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS sx,
+           |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+           |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |        FROM events WHERE event_type IN ('purchase', 'click'))
+           |  GROUP BY 1),
+           |a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM g WHERE event_type = 'purchase'),
+           |b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM g WHERE event_type = 'click'),
+           |m AS (
+           |  SELECT *,
+           |    sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+           |    (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS var_a,
+           |    (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS var_b
+           |  FROM a CROSS JOIN b)
+           |SELECT n_a, sx_a, sxx_a, n_b, sx_b, sxx_b, mean_a, mean_b, var_a, var_b,
+           |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat
+           |FROM m""".stripMargin,
       "j10_scd2_lookup" ->
         s"""WITH p AS (
            |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us FROM events),
@@ -2895,6 +2992,8 @@ object FeatureQueries {
     "q16_user_journey" -> (userJourney(_, _)),
     "j10_scd2_lookup" -> (scd2Lookup(_, _)),
     "w26_day_streaks" -> (dayStreaks(_, _)),
+    "q17_rollup_merge" -> (rollupMerge(_, _)),
+    "a15_ab_test" -> (abTest(_, _)),
     "a9_user_trend" -> (userTrend(_, _)),
     "k4_kmv_setops" -> (kmvSetOps(_, _)),
     "k5_hll_distinct" -> (hllDistinct(_, _)),

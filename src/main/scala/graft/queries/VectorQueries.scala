@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Similarity, VectorIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over the `embeddings` table: brute-force
@@ -304,9 +305,61 @@ object VectorQueries {
       .transform(orderedOutput(_, col("query_id")))
   }
 
+  /** v8: int8 scalar quantization — the memory-compression serving path
+    * (8x smaller vectors than the integer micros, 32x smaller than
+    * doubles): one global symmetric scale (max |component|, an O(1)
+    * broadcast), sign-magnitude integer quantization
+    * sign(c)·((|c|·127) div s) — magnitude-only floor division, because
+    * Spark `div` truncates toward zero while DuckDB `//` floors, and
+    * they only agree on non-negatives — then brute-force top-k by
+    * quantized dot. Each quantized hit carries an `in_exact` flag
+    * against the exact-cosine top-k, so the gate pins the recall loss
+    * (not assumes it) the way v6 does for IVF.
+    */
+  def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Similarity.prepared(Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val scale = broadcast(
+      base.agg(max(expr("array_max(transform(qv, x -> abs(x)))")).as("s")))
+    val q = base
+      .crossJoin(scale)
+      .select(
+        col("vec_id"),
+        col("qv"),
+        col("nrm"),
+        expr(
+          "transform(qv, c -> CASE WHEN c >= 0 THEN (abs(c) * 127L) div s" +
+            " ELSE -((abs(c) * 127L) div s) END)").as("q8"))
+    val probes = broadcast(
+      q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q8").as("p8"), col("qv").as("p_qv"), col("nrm").as("p_nrm")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    val quantTop = q
+      .join(probes, col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", Similarity.dot(col("p8"), col("q8")))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "vec_id", "qdot")
+    val wx = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exactTop = base
+      .join(
+        broadcast(base
+          .filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("qv").as("e_qv"), col("nrm").as("e_nrm"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(Similarity.dot(col("e_qv"), col("qv")), col("e_nrm"), col("nrm")))
+      .withColumn("xrnk", row_number().over(wx))
+      .filter(col("xrnk") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
+    quantTop
+      .join(exactTop, Seq("query_id", "vec_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0L)))
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
+    "v8_sq8_topk" -> (sq8TopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
@@ -484,6 +537,38 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "v8_sq8_topk" ->
+      s"""WITH $prep,
+         |smax AS (SELECT max(list_max(list_transform(qv, x -> abs(x)))) AS s FROM base),
+         |q AS (
+         |  SELECT vec_id, qv, nrm,
+         |    list_transform(qv, c -> CASE WHEN c >= 0 THEN (abs(c) * 127) // s
+         |                                 ELSE -((abs(c) * 127) // s) END) AS q8
+         |  FROM base CROSS JOIN smax),
+         |qd AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    CAST(list_sum(list_transform(list_zip(a.q8, b.q8), p -> p[1] * p[2])) AS BIGINT) AS qdot
+         |  FROM q a JOIN q b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |qt AS (
+         |  SELECT query_id, rnk, vec_id, qdot FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+         |    FROM qd)
+         |  WHERE rnk <= $TopK),
+         |sc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS cosine
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS xrnk
+         |    FROM sc)
+         |  WHERE xrnk <= $TopK)
+         |SELECT qt.query_id, qt.rnk, qt.vec_id, qt.qdot,
+         |  CAST(CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+         |FROM qt LEFT JOIN ex ON ex.query_id = qt.query_id AND ex.vec_id = qt.vec_id
+         |ORDER BY qt.query_id, qt.rnk""".stripMargin,
     "v7_knn_classify" ->
       s"""WITH $prep,
          |scored AS (
