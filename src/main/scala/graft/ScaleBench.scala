@@ -41,6 +41,10 @@ object ScaleBench {
     "g5_khop_reach",
     "g6_edge_jaccard",
     "t19_containment_dedup",
+    // t19's capped twin — the linear-scale containment path (t19 itself
+    // measured 11.2x for 10x data in SCALE_r07: expected pair blow-up of
+    // the exact form; the cap is the 100 TB answer, keep both measured)
+    "t19c_containment_capped",
     "d15_minhash_estimate")
 
   /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate

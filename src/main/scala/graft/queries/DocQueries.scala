@@ -553,6 +553,47 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** d16: blocked edit-distance linkage — d14's sorted-neighborhood
+    * blocking (block = first token, slide [[SnmWindow]] positions down
+    * the (text, doc_id) order) but verified with full-text Levenshtein
+    * instead of shingle Jaccard: the classic record-linkage verifier for
+    * small in-place edits (typos, token swaps) that set-based similarity
+    * under-counts. A pair survives when lev·5 ≤ max(len_a, len_b), i.e.
+    * edit distance within 20% of the longer text. Levenshtein is
+    * integer-exact and identically defined in Spark and DuckDB, so the
+    * gate crosses no floats. The O(len²) dynamic program runs only on
+    * the ≤ w·n blocked candidates — never all pairs — and the window
+    * partitions by block, so the sort scales with executors.
+    */
+  def editDistanceLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        element_at(TextAnalysis.tokens(col("text")), 1).as("block"))
+    val cand = docs
+      .withColumn(
+        "nbrs",
+        array((1 to SnmWindow).map { i =>
+          struct(
+            lead(col("doc_id"), i).over(win).as("nbr_id"),
+            lead(col("text"), i).over(win).as("nbr_text"))
+        }: _*))
+      .select(col("doc_id"), col("text"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb.nbr_id").isNotNull)
+    cand
+      .select(
+        least(col("doc_id"), col("nb.nbr_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.nbr_id")).as("doc_b"),
+        levenshtein(col("text"), col("nb.nbr_text")).cast("long").as("lev"),
+        greatest(length(col("text")), length(col("nb.nbr_text"))).cast("long").as("max_len"))
+      .filter(col("lev") * 5L <= col("max_len"))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
   /** t15: within-document co-occurrence statistics — which token pairs
     * appear together in the same document more than their marginals
     * predict (the PMI/lift collocation signal behind phrase mining and
@@ -940,6 +981,27 @@ object DocQueries {
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
 
+  /** t19c: the capped-containment 100 TB path — t19 with d2c's hot-shingle
+    * df cap ([[Dedup.dropHotShingles]], maxDf=[[JaccardMaxDf]]) applied
+    * before pairing AND sizes. t19's uncapped shared-shingle join is
+    * O(shingles·df²), and the r7 sf0.1→sf1 scale run measured it at 11.2×
+    * for 10× data (pair blow-up, the expected superlinearity of the exact
+    * form); the cap bounds the join at O(shingles·maxDf²) — linear in the
+    * corpus — at the declared cost that pairs whose every common shingle
+    * is hot are lost and containment is computed over the filtered sets.
+    * The gate pins that approximate contract bit-for-bit, exactly like
+    * d2c pins capped Jaccard.
+    */
+  def containmentDedupCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.dropHotShingles(
+      materializedShingles(Tables.documents(spark, sfDir)),
+      JaccardMaxDf)
+    Dedup
+      .containmentPairs(sh)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+  }
+
   /** t20: BM25-shape ranked retrieval for a fixed query — per-term
     * saturation tf·(k1+1)/(tf+K), K = k1·(1−b+b·dl/avgdl) with k1=1.2,
     * b=0.75, and t10's integer surrogate idf (N−df). EVERY intermediate
@@ -1081,6 +1143,7 @@ object DocQueries {
     "d15_minhash_estimate" -> (minhashEstimate(_, _)),
     "t18_phrase_search" -> (phraseSearch(_, _)),
     "t19_containment_dedup" -> (containmentDedup(_, _)),
+    "t19c_containment_capped" -> (containmentDedupCapped(_, _)),
     "t20_bm25_rank" -> (bm25Rank(_, _)),
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
@@ -1108,6 +1171,7 @@ object DocQueries {
     "k3_bloom_membership" -> (bloomMembership(_, _)),
     "t14_fuzzy_vocab" -> (fuzzyVocabPairs(_, _)),
     "d14_sorted_neighborhood" -> (sortedNeighborhood(_, _)),
+    "d16_edit_distance" -> (editDistanceLinkage(_, _)),
     "t15_cooccurrence" -> (cooccurrenceTopK(_, _)),
     "t16_inverted_index" -> (invertedIndex(_, _)),
     "t17_trigram_lm" -> (trigramLm(_, _)),
@@ -1170,6 +1234,29 @@ object DocQueries {
          |  FROM p)
          |SELECT doc_a, doc_b, n_common, n_union, n_common / n_union AS jaccard
          |FROM j WHERE n_union > 0 AND n_common * 2 >= n_union
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d14's blocking, Levenshtein verification (integer-exact both engines)
+    "d16_edit_distance" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, text, w[1] AS block FROM d),
+         |n AS (SELECT doc_id, text,
+         |        lead(doc_id, 1) OVER win AS id1, lead(text, 1) OVER win AS tx1,
+         |        lead(doc_id, 2) OVER win AS id2, lead(text, 2) OVER win AS tx2,
+         |        lead(doc_id, 3) OVER win AS id3, lead(text, 3) OVER win AS tx3
+         |      FROM s WINDOW win AS (PARTITION BY block ORDER BY text, doc_id)),
+         |p AS (
+         |  SELECT doc_id, text, id1 AS nbr, tx1 AS ntext FROM n WHERE id1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, text, id2, tx2 FROM n WHERE id2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, text, id3, tx3 FROM n WHERE id3 IS NOT NULL),
+         |j AS (
+         |  SELECT least(doc_id, nbr) AS doc_a, greatest(doc_id, nbr) AS doc_b,
+         |    CAST(levenshtein(text, ntext) AS BIGINT) AS lev,
+         |    CAST(greatest(length(text), length(ntext)) AS BIGINT) AS max_len
+         |  FROM p)
+         |SELECT doc_a, doc_b, lev, max_len
+         |FROM j WHERE lev * 5 <= max_len
          |ORDER BY doc_a, doc_b""".stripMargin,
     "t15_cooccurrence" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, token FROM
@@ -1370,6 +1457,26 @@ object DocQueries {
     },
     "t19_containment_dedup" ->
       s"""WITH $shinglePairs
+         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  n_common / sa.sz AS cont_a, n_common / sb.sz AS cont_b
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE greatest(n_common / sa.sz, n_common / sb.sz) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // t19 with the d2c hot-shingle df cap applied before pairing AND sizes
+    "t19c_containment_capped" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sh AS (
+         |  SELECT * FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardMaxDf),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
          |  n_common / sa.sz AS cont_a, n_common / sb.sz AS cont_b
          |FROM inter

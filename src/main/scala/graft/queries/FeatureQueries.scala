@@ -1444,6 +1444,111 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** w27: distribution-position features — percent_rank, cume_dist and
+    * ntile(10) of each user's spend total within their event type, the
+    * standard "where does this entity sit in its cohort" feature trio.
+    * The order (total_cents, user_id) is total, so every rank function is
+    * deterministic; percent_rank/cume_dist are single divisions of exact
+    * integer rank counts (identical IEEE results in both engines) and
+    * ntile follows the standard first-buckets-get-the-remainder rule.
+    * One partitioned window pass — partitions are event types, so the
+    * sort never goes global and the plan scales with executors.
+    */
+  def rankPositionFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = prepared(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("total_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("total_cents"), col("user_id"))
+    totals
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .transform(orderedOutput(_, col("event_type"), col("user_id")))
+  }
+
+  /** a16: Gini concentration of spend across users per event type — the
+    * inequality profile (is revenue whale-dominated?) every marketplace
+    * health dashboard carries. G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ascending (x, user) total order; the numerator and both factors stay
+    * exact integers, and the result exports ×1e6 via two staged floor
+    * divisions (num div n, then ·1e6 div Σx) so no intermediate exceeds
+    * int64 even at 100 TB sums — both engines floor-divide identically,
+    * so the gate is bit-exact with zero float crossings. One window pass
+    * + one hash agg, partitioned by type throughout.
+    */
+  def giniSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = prepared(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+    totals
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_cents"),
+        sum(col("x") * col("i")).as("weighted"))
+      .withColumn(
+        "gini_x1e6",
+        expr(
+          "(((2L * weighted - (n_users + 1L) * sum_cents) div n_users) * 1000000L) div sum_cents"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
+  /** s10: class-balanced downsampling — every event type (the class
+    * label) capped to the minority class's count, the standard rebalance
+    * before training on skewed labels. Per-class order is the
+    * deterministic md5 draw (partition-independent, reproducible — the
+    * s4-s8 discipline), the cap is the global min class count broadcast
+    * back, and the gate pins the per-class aggregate of the surviving
+    * sample (count + spend sum) so the exact membership is hashed without
+    * exporting every sampled row. One window pass + one 5-row broadcast.
+    */
+  def balancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("cents"),
+        md5(concat(lit("bal|"), col("event_id").cast("string"))).as("draw"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("draw"), col("event_id"))
+    val minCnt = broadcast(
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_class"))
+        .agg(min(col("n_class")).as("cap")))
+    ev.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(minCnt)
+      .filter(col("rk") <= col("cap"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("cents")).as("sum_cents_sampled"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
+  /** a17: behavioral diversity — per-user Gini impurity of the event-type
+    * mix, 1 − Σpᵢ², the rational-arithmetic stand-in for entropy (no log
+    * crosses the gate): impurity ×1e6 = (n² − Σcᵢ²)·1e6 div n², all
+    * integers. Flags single-note bot accounts (impurity 0) vs diverse
+    * organic users in one grouped pass + one per-user combine.
+    */
+  def typeDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn(
+        "impurity_x1e6",
+        expr("((n_events * n_events - sum_sq) * 1000000L) div (n_events * n_events)"))
+      .transform(orderedOutput(_, col("user_id")))
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -2694,6 +2799,63 @@ object FeatureQueries {
            |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
            |  n / sum(n) OVER (PARTITION BY event_type) AS share
            |FROM g ORDER BY event_type, digit""".stripMargin,
+      "w27_rank_position" ->
+        s"""WITH t AS (
+           |  SELECT event_type, user_id,
+           |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, user_id, total_cents,
+           |  percent_rank() OVER w AS pct_rank,
+           |  cume_dist() OVER w AS cdist,
+           |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+           |FROM t
+           |WINDOW w AS (PARTITION BY event_type ORDER BY total_cents, user_id)
+           |ORDER BY event_type, user_id""".stripMargin,
+      "a16_gini_spend" ->
+        s"""WITH t AS (
+           |  SELECT event_type, user_id,
+           |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, x,
+           |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
+           |  FROM t),
+           |g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           |         CAST(sum(x) AS BIGINT) AS sum_cents,
+           |         CAST(sum(x * i) AS BIGINT) AS weighted
+           |  FROM r GROUP BY 1)
+           |SELECT event_type, n_users, sum_cents, weighted,
+           |  (((2 * weighted - (n_users + 1) * sum_cents) // n_users) * 1000000) // sum_cents AS gini_x1e6
+           |FROM g ORDER BY event_type""".stripMargin,
+      "s10_balanced_sample" ->
+        s"""WITH e AS (
+           |  SELECT event_id, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents,
+           |         md5('bal|' || CAST(event_id AS VARCHAR)) AS draw
+           |  FROM events),
+           |r AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY draw, event_id) AS BIGINT) AS rk
+           |  FROM e),
+           |cap AS (
+           |  SELECT CAST(min(n_class) AS BIGINT) AS cap
+           |  FROM (SELECT event_type, count(*) AS n_class FROM e GROUP BY 1))
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+           |       CAST(sum(cents) AS BIGINT) AS sum_cents_sampled
+           |FROM r CROSS JOIN cap WHERE rk <= cap
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "a17_type_diversity" ->
+        s"""WITH c AS (
+           |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |u AS (
+           |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+           |         CAST(count(*) AS BIGINT) AS n_types,
+           |         CAST(sum(c * c) AS BIGINT) AS sum_sq
+           |  FROM c GROUP BY 1)
+           |SELECT user_id, n_events, n_types, sum_sq,
+           |  ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events) AS impurity_x1e6
+           |FROM u ORDER BY user_id""".stripMargin,
       "f13_target_encoding" ->
         s"""WITH e AS (
            |  SELECT event_id, event_type AS et,
@@ -3002,6 +3164,10 @@ object FeatureQueries {
     "w23_anomaly_flags" -> (anomalyFlags(_, _)),
     "a11_spend_autocorr" -> (spendAutocorr(_, _)),
     "a12_user_mode" -> (userMode(_, _)),
+    "w27_rank_position" -> (rankPositionFeatures(_, _)),
+    "a16_gini_spend" -> (giniSpend(_, _)),
+    "s10_balanced_sample" -> (balancedSample(_, _)),
+    "a17_type_diversity" -> (typeDiversity(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -405,7 +405,48 @@ object RelationalQueries {
         col("total_x100"),
         (col("promo_x100") * 100.0 / col("total_x100")).as("promo_share_pct"))
 
+  /** q18: market-basket pair affinity — the co-purchase mining shape
+    * (Apriori's candidate-pair step): distinct (order, part) items,
+    * within-order part pairs (a < b), pair support counted across
+    * orders, lift = support(a,b)·N / (support(a)·support(b)) exported
+    * ×1000 by floor division so the gate stays integer-exact. The
+    * per-order pair expansion is bounded by the max basket size (≤7
+    * lines in TPC-H), so the self-join is linear in lineitem — never
+    * n² in parts — and the pair aggregation is one shuffle keyed by
+    * the pair. Global top-k by support under a total tie-break order.
+    */
+  private val BasketMinSupport = 2L
+  private val BasketTopK = 50
+
+  def marketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = Tables.orders(spark, sfDir).count() // parquet-metadata count
+    val counts = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val pairs = items
+      .as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= BasketMinSupport)
+    pairs
+      .join(
+        counts.withColumnRenamed("part", "part_a").withColumnRenamed("cnt", "n_a"),
+        "part_a")
+      .join(
+        counts.withColumnRenamed("part", "part_b").withColumnRenamed("cnt", "n_b"),
+        "part_b")
+      .withColumn("lift_x1000", expr(s"(n_pair * ${nOrders}L * 1000L) div (n_a * n_b)"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+      .select("part_a", "part_b", "n_pair", "n_a", "n_b", "lift_x1000")
+      .transform(orderedOutput(_, col("part_a"), col("part_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_market_basket" -> (marketBasket(_, _)),
     "g4_triangles" -> (triangleCounts(_, _)),
     "g5_khop_reach" -> (khopReach(_, _)),
     "g6_edge_jaccard" -> (edgeJaccard(_, _)),
@@ -552,6 +593,21 @@ object RelationalQueries {
         |  UNION ALL SELECT v FROM t
         |  UNION ALL SELECT wd FROM t)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+    "q18_market_basket" ->
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+         |c AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM i GROUP BY 1),
+         |p AS (
+         |  SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM i a JOIN i b ON a.okey = b.okey AND a.part < b.part
+         |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+         |s AS (
+         |  SELECT part_a, part_b, n_pair, ca.cnt AS n_a, cb.cnt AS n_b,
+         |    (n_pair * n_orders * 1000) // (ca.cnt * cb.cnt) AS lift_x1000
+         |  FROM p JOIN c ca ON part_a = ca.part JOIN c cb ON part_b = cb.part CROSS JOIN n)
+         |SELECT part_a, part_b, n_pair, n_a, n_b, lift_x1000 FROM s
+         |QUALIFY row_number() OVER (ORDER BY n_pair DESC, part_a, part_b) <= $BasketTopK
+         |ORDER BY part_a, part_b""".stripMargin,
     "q11_star_revenue" ->
       """SELECT r.r_name, year(o.o_orderdate) AS o_year,
         |  count(*) AS n_lines,
