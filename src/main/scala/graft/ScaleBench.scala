@@ -45,6 +45,8 @@ object ScaleBench {
     // measured 11.2x for 10x data in SCALE_r07: expected pair blow-up of
     // the exact form; the cap is the 100 TB answer, keep both measured)
     "t19c_containment_capped",
+    // content-defined chunking: linear chunker + df-capped share join
+    "d17_cdc_chunks",
     "d15_minhash_estimate")
 
   /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate

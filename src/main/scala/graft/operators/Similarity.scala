@@ -142,6 +142,102 @@ object Similarity {
       .select("query_id", "vec_id", "rnk", "cosine")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily select `selectK` results per query maximizing
+    * relevance MINUS the max similarity to anything already selected —
+    * the diversity-aware retrieval/sampling shape (λ=0.5, where argmax of
+    * λ·rel − (1−λ)·maxSim reduces to argmax of rel − maxSim).
+    *
+    * Scale shape: the EXPENSIVE stage is the distributed candidate cut
+    * (brute-force top-`candK` per query against the full corpus — the v1
+    * plan); the greedy re-rank then runs over the bounded candidate frame
+    * (|queries|·candK rows) and its pairwise-sim frame (·candK²), both
+    * persisted and broadcast-joined, with selectK−1 deterministic
+    * argmax-window rounds composed lazily — no driver-side loop over
+    * data, no action per round. Every comparison is on doubles derived
+    * from the same integer dot/norm formula both engines share, with
+    * vec_id tiebreaks, so selection is total-order deterministic.
+    *
+    * Output: (query_id, rnk 1..selectK, vec_id, rel, maxsim) where maxsim
+    * is the max similarity to the previously selected set at selection
+    * time (NULL for rnk 1).
+    */
+  def mmrTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      candK: Int,
+      selectK: Int): DataFrame = {
+    val base = prepared(emb, idCol, embCol)
+    val queries = broadcast(
+      base
+        .filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm")))
+    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = base
+      .join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosine(dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= candK)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("qv"), col("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand
+      .as("a")
+      .join(
+        cand.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.query_id").as("query_id"),
+        col("a.vec_id").as("pa"),
+        col("b.vec_id").as("pb"),
+        cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candSlim = cand.select("query_id", "vec_id", "rel")
+    val sel1 = candSlim
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(
+        col("query_id"),
+        lit(1L).as("rnk"),
+        col("vec_id"),
+        col("rel"),
+        lit(null).cast("double").as("maxsim"))
+    var state = candSlim
+      .join(sel1.select(col("query_id"), col("vec_id").as("sel_id")), "query_id")
+      .filter(col("vec_id") =!= col("sel_id"))
+      .join(
+        broadcast(pairs.withColumnRenamed("pa", "vec_id").withColumnRenamed("pb", "sel_id")),
+        Seq("query_id", "vec_id", "sel_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("sim").as("maxsim"))
+    var out = sel1
+    val wMmr = Window
+      .partitionBy(col("query_id"))
+      .orderBy((col("rel") - col("maxsim")).desc, col("vec_id"))
+    for (r <- 2 to selectK) {
+      val pick = state
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("rnk"), col("vec_id"), col("rel"), col("maxsim"))
+      out = out.unionByName(pick)
+      if (r < selectK) {
+        state = state
+          .join(pick.select(col("query_id"), col("vec_id").as("sel_id")), "query_id")
+          .filter(col("vec_id") =!= col("sel_id"))
+          .join(
+            broadcast(
+              pairs.withColumnRenamed("pa", "vec_id").withColumnRenamed("pb", "sel_id")),
+            Seq("query_id", "vec_id", "sel_id"))
+          .select(
+            col("query_id"),
+            col("vec_id"),
+            col("rel"),
+            greatest(col("maxsim"), col("sim")).as("maxsim"))
+      }
+    }
+    out
+  }
+
   /** Sign-LSH bucket key: the sign bits of the first b QUANTIZED
     * components (quantization preserves sign, and deriving buckets from
     * `qv` lets every consumer share the one prepared frame instead of

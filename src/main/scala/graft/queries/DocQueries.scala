@@ -565,6 +565,12 @@ object DocQueries {
     * the ≤ w·n blocked candidates — never all pairs — and the window
     * partitions by block, so the sort scales with executors.
     */
+  /** Levenshtein band: must satisfy band·5 ≥ max text length so no pair
+    * the 20% filter could keep is ever cut by the band (generator texts
+    * are ≤ ~553 chars; 120·5 = 600).
+    */
+  private val EditLevBand = 120
+
   def editDistanceLinkage(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
@@ -584,13 +590,29 @@ object DocQueries {
         }: _*))
       .select(col("doc_id"), col("text"), explode(col("nbrs")).as("nb"))
       .filter(col("nb.nbr_id").isNotNull)
+    // Two result-preserving cuts before/inside the O(len²) DP: (1) a pair
+    // whose length gap alone exceeds max_len/5 can never pass (lev ≥
+    // |len_a − len_b|), so it skips the DP entirely; (2) the DP runs
+    // BANDED (threshold variant, O(k·len) instead of O(len²)) — any
+    // distance beyond the threshold returns −1, and those rows are
+    // exactly the ones the lev·5 ≤ max_len filter discards, since
+    // corpus texts are bounded (≤ ~550 chars) below threshold·5. The
+    // unbanded r7 form measured 11.2 s at sf0.1; this is the same gate
+    // rows at a fraction of the DP cost.
     cand
       .select(
         least(col("doc_id"), col("nb.nbr_id")).as("doc_a"),
         greatest(col("doc_id"), col("nb.nbr_id")).as("doc_b"),
-        levenshtein(col("text"), col("nb.nbr_text")).cast("long").as("lev"),
+        col("text"),
+        col("nb.nbr_text").as("nbr_text"),
         greatest(length(col("text")), length(col("nb.nbr_text"))).cast("long").as("max_len"))
-      .filter(col("lev") * 5L <= col("max_len"))
+      .filter(
+        abs(length(col("text")) - length(col("nbr_text"))).cast("long") * 5L <= col("max_len"))
+      .withColumn(
+        "lev",
+        levenshtein(col("text"), col("nbr_text"), EditLevBand).cast("long"))
+      .filter(col("lev") >= 0L && col("lev") * 5L <= col("max_len"))
+      .select("doc_a", "doc_b", "lev", "max_len")
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
@@ -1002,6 +1024,61 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** d17: content-defined chunking dedup — the storage-dedup family
+    * (LBFS/rsync lineage) applied to text: chunk boundaries are declared
+    * at words whose md5 lands in the low quarter of hash space (p=1/4 →
+    * expected 4-word chunks), so boundaries are CONTENT-defined and
+    * survive insertions/deletions that shift absolute positions — the
+    * failure mode of fixed-width chunking. Docs sharing ≥2 distinct
+    * chunk hashes are partial-duplicate candidates. The chunker is one
+    * explode + one per-doc running sum + one per-chunk hash agg (all
+    * linear); the share join is df-capped (hot boilerplate chunks
+    * dropped) so pair cost is O(chunks·maxDf²), never n².
+    */
+  private val CdcMaxDf = 8L
+  private val CdcMinShared = 2L
+
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkDedupOn(Tables.documents(spark, sfDir))
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+
+  /** The d17 chunk-and-share plan over any (doc_id, text) frame — split
+    * out so specs can drive it on hand-built corpora (shift-robustness).
+    */
+  def cdcChunkDedupOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "word")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val seg = toks
+      .withColumn(
+        "bnd",
+        when(substring(md5(concat(lit("cdc|"), col("word"))), 1, 1) < "4", 1L).otherwise(0L))
+      .withColumn("seg", sum(col("bnd")).over(wDoc))
+    val chunks = seg
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' '))")
+          .as("chunk_hash"))
+      .select("doc_id", "chunk_hash")
+      .distinct()
+    val capped = chunks
+      .withColumn(
+        "__df",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+      .filter(col("__df") <= CdcMaxDf)
+      .drop("__df")
+    capped
+      .as("a")
+      .join(
+        capped.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= CdcMinShared)
+  }
+
   /** t20: BM25-shape ranked retrieval for a fixed query — per-term
     * saturation tf·(k1+1)/(tf+K), K = k1·(1−b+b·dl/avgdl) with k1=1.2,
     * b=0.75, and t10's integer surrogate idf (N−df). EVERY intermediate
@@ -1172,6 +1249,7 @@ object DocQueries {
     "t14_fuzzy_vocab" -> (fuzzyVocabPairs(_, _)),
     "d14_sorted_neighborhood" -> (sortedNeighborhood(_, _)),
     "d16_edit_distance" -> (editDistanceLinkage(_, _)),
+    "d17_cdc_chunks" -> (cdcChunkDedup(_, _)),
     "t15_cooccurrence" -> (cooccurrenceTopK(_, _)),
     "t16_inverted_index" -> (invertedIndex(_, _)),
     "t17_trigram_lm" -> (trigramLm(_, _)),
@@ -1234,6 +1312,32 @@ object DocQueries {
          |  FROM p)
          |SELECT doc_a, doc_b, n_common, n_union, n_common / n_union AS jaccard
          |FROM j WHERE n_union > 0 AND n_common * 2 >= n_union
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // content-defined chunking: md5-low-quarter word boundaries, running
+    // segment sum, per-chunk hash, df-capped share join
+    "d17_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(w)), i -> {'pos': i, 'word': w[i]})) AS t
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |s AS (
+         |  SELECT doc_id, t.pos AS pos, t.word AS word,
+         |    CASE WHEN substr(md5('cdc|' || t.word), 1, 1) < '4' THEN 1 ELSE 0 END AS bnd
+         |  FROM toks),
+         |seg AS (
+         |  SELECT doc_id, pos, word,
+         |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+         |  FROM s),
+         |ch AS (
+         |  SELECT doc_id, seg, md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+         |  FROM seg GROUP BY 1, 2),
+         |dch AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+         |capped AS (
+         |  SELECT * FROM dch
+         |  QUALIFY count(*) OVER (PARTITION BY chunk_hash) <= $CdcMaxDf)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $CdcMinShared
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d14's blocking, Levenshtein verification (integer-exact both engines)
     "d16_edit_distance" ->

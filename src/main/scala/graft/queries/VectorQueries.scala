@@ -36,6 +36,28 @@ object VectorQueries {
   /** Embedding dimensionality (TESTDATA.md; bounds disjoint table slices). */
   private val EmbedDim = 64
 
+  /** v9: MMR diversified top-k ([[Similarity.mmrTopK]]) — relevance minus
+    * max-similarity-to-selected greedy re-rank over a bounded candidate
+    * cut, the diversity-aware flavor of v1 used for training-data
+    * sampling and retrieval. Candidate generation is the distributed
+    * stage; the 4 greedy rounds run over the persisted candidate/pair
+    * frames with broadcast joins and deterministic vec_id tiebreaks.
+    */
+  private val MmrNQueries = 16
+  private val MmrCandK = 20
+  private val MmrSelectK = 5
+
+  def mmrDiverse(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .mmrTopK(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") < MmrNQueries,
+        MmrCandK,
+        MmrSelectK)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .bruteForceTopK(
@@ -357,6 +379,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_mmr_diverse" -> (mmrDiverse(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -537,6 +560,58 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    // v9: the greedy MMR rounds unrolled as chained CTEs (the g3 pagerank
+    // pattern); λ=0.5 argmax reduces to argmax(rel − maxsim), identical
+    // double arithmetic both engines
+    "v9_mmr_diverse" -> {
+      val rounds = (2 to MmrSelectK)
+        .map { r =>
+          val prev = s"st${r - 1}"
+          val sel =
+            s"""s$r AS (
+               |  SELECT query_id, vec_id, rel, maxsim FROM $prev
+               |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel - maxsim DESC, vec_id) = 1)"""
+          val st =
+            if (r < MmrSelectK)
+              s""",
+                 |st$r AS (
+                 |  SELECT t.query_id, t.vec_id, t.rel, greatest(t.maxsim, p.sim) AS maxsim
+                 |  FROM $prev t JOIN s$r ss ON t.query_id = ss.query_id AND t.vec_id != ss.vec_id
+                 |  JOIN pairs p ON p.query_id = t.query_id AND p.pa = t.vec_id AND p.pb = ss.vec_id)"""
+            else ""
+          sel + st
+        }
+        .mkString(",\n")
+      val unions = (2 to MmrSelectK)
+        .map(r =>
+          s"UNION ALL SELECT query_id, CAST($r AS BIGINT) AS rnk, vec_id, rel, maxsim FROM s$r")
+        .mkString("\n")
+      s"""WITH $prep,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS rel, b.qv, b.nrm
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $MmrNQueries),
+         |cand AS (
+         |  SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) <= $MmrCandK),
+         |pairs AS (
+         |  SELECT a.query_id, a.vec_id AS pa, b.vec_id AS pb,
+         |    $cosineExpr AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+         |s1 AS (
+         |  SELECT query_id, vec_id, rel, CAST(NULL AS DOUBLE) AS maxsim FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) = 1),
+         |st1 AS (
+         |  SELECT c.query_id, c.vec_id, c.rel, p.sim AS maxsim
+         |  FROM cand c JOIN s1 ss ON c.query_id = ss.query_id AND c.vec_id != ss.vec_id
+         |  JOIN pairs p ON p.query_id = c.query_id AND p.pa = c.vec_id AND p.pb = ss.vec_id),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS rnk, vec_id, rel, maxsim FROM s1
+         |  $unions)
+         |ORDER BY query_id, rnk""".stripMargin
+    },
     "v8_sq8_topk" ->
       s"""WITH $prep,
          |smax AS (SELECT max(list_max(list_transform(qv, x -> abs(x)))) AS s FROM base),

@@ -264,4 +264,24 @@ class PlanPostureSpec extends AnyFunSuite {
     val plan = docs.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("market basket pairs only through the order-key equi-join — no nested-loop/cartesian") {
+    // the one allowed cross join is the broadcast of the 1-row order count
+    val plan = queries.RelationalQueries.marketBasket(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q18 plan:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"q18 allows only the 1-row count broadcast, got $bnlj BNLJ:\n$plan")
+  }
+
+  test("MMR greedy rounds join the bounded pair frame as broadcasts") {
+    val plan = queries.VectorQueries.mmrDiverse(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in v9 plan:\n$plan")
+    // every pairs-frame join in the greedy rounds must be a broadcast
+    // hash join (the frame is |queries|*candK^2, O(1) in corpus size)
+    assert(
+      "BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"greedy rounds should broadcast the pair frame:\n$plan")
+  }
 }
