@@ -35,6 +35,7 @@ object ScaleBench {
     "v3_ann_ivf",
     "v4_ann_ivf_multiprobe",
     "v5_ivf_index_probe",
+    "v10_pq_topk",
     // r7 additions: the graph plane (edge gen + oriented wedge join +
     // frontier BFS) and the new shingle-set consumers
     "g4_triangles",

@@ -227,6 +227,23 @@ object RelationalQueries {
       .perNode(coOccurrenceEdges(spark, sfDir))
       .transform(orderedOutput(_, col("node")))
 
+  /** g7: degree distribution of the co-occurrence graph — the first graph
+    * profile anyone draws (is this power-law? where's the hub cutoff for
+    * the g2/g4-style caps?). Two hash aggs over the shared persisted edge
+    * frame: per-node degree, then nodes-per-degree; output is O(max
+    * degree), so the result never grows with the corpus.
+    */
+  def degreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .transform(orderedOutput(_, col("degree")))
+  }
+
   /** q11: star-schema revenue rollup (TPC-H Q5 shape) — the fact table
     * flows through two co-keyed shuffle joins (orders on orderkey,
     * customer on custkey) while the two dimension tables broadcast
@@ -448,6 +465,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_market_basket" -> (marketBasket(_, _)),
     "g4_triangles" -> (triangleCounts(_, _)),
+    "g7_degree_hist" -> (degreeHistogram(_, _)),
     "g5_khop_reach" -> (khopReach(_, _)),
     "g6_edge_jaccard" -> (edgeJaccard(_, _)),
     "q11_star_revenue" -> (starRevenue(_, _)),
@@ -593,6 +611,15 @@ object RelationalQueries {
         |  UNION ALL SELECT v FROM t
         |  UNION ALL SELECT wd FROM t)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+    "g7_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
     "q18_market_basket" ->
       s"""WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),

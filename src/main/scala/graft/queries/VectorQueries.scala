@@ -58,6 +58,41 @@ object VectorQueries {
         MmrSelectK)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** v10: product-quantization top-k ([[graft.operators.ProductQuant]]) —
+    * m=8 subspaces × 8 dims, k=16 codewords each, 2 Lloyd rounds on a
+    * hash-sampled training set, asymmetric table-lookup scoring. The
+    * corpus is represented by 8 code bytes per vector at query time; the
+    * oracle reproduces the whole lifecycle (sample, seeds, per-subspace
+    * Lloyd, encoding, ADC scan) in SQL, so codebooks AND ranks are
+    * engine-exact integers.
+    */
+  private val PqM = 8
+  private val PqD = EmbedDim / PqM
+  private val PqK = 16
+  private val PqIters = 2
+  private val PqTopK = 5
+  private val PqNQueries = 16
+  private val PqTrainPerCode = 32L
+
+  def pqTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val stride = math.max(1L, n / (PqK * PqTrainPerCode))
+    graft.operators.ProductQuant
+      .pqTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        col("vec_id") < PqNQueries,
+        PqM,
+        PqD,
+        PqK,
+        PqIters,
+        PqTopK,
+        stride)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .bruteForceTopK(
@@ -380,6 +415,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v9_mmr_diverse" -> (mmrDiverse(_, _)),
+    "v10_pq_topk" -> (pqTopKQuery(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -560,6 +596,77 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    // v10: the full PQ lifecycle in SQL — hash-sampled training set,
+    // md5-rank seeds sliced into every subspace, two per-subspace Lloyd
+    // rounds (integer-rounded means, the v3 discipline keyed by (sub,
+    // code)), corpus encoding, asymmetric table-lookup scan
+    "v10_pq_topk" -> {
+      val svDot =
+        "CAST(list_sum(list_transform(list_zip(t.sv, c.c_sv), p -> p[1] * p[2])) AS BIGINT)"
+      def pqLloyd(cbIn: String, r: Int): String =
+        s"""pa$r AS (
+           |  SELECT sub, code, sv FROM (
+           |    SELECT t.vec_id, t.sub, c.code, t.sv,
+           |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+           |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
+           |    FROM tsub t JOIN $cbIn c ON t.sub = c.sub)
+           |  WHERE arnk = 1),
+           |pm$r AS (
+           |  SELECT sub, code, pos,
+           |    CAST(round(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+           |  FROM (SELECT sub, code, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS v FROM pa$r)
+           |  GROUP BY 1, 2, 3),
+           |cb$r AS (
+           |  SELECT sub, code, c_sv,
+           |    CAST(list_sum(list_transform(c_sv, x -> x * x)) AS BIGINT) AS c_nrm
+           |  FROM (SELECT sub, code, list(comp ORDER BY pos) AS c_sv FROM pm$r GROUP BY 1, 2))""".stripMargin
+      s"""WITH $prep,
+         |params AS (
+         |  SELECT cnt, greatest(1, cnt // ${PqK * PqTrainPerCode}) AS s
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |trainv AS (
+         |  SELECT b.* FROM base b CROSS JOIN params p
+         |  WHERE CAST(('0x' || substr(md5('pqtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
+         |seedids AS (
+         |  SELECT vec_id FROM (
+         |    SELECT t.vec_id, row_number() OVER (ORDER BY
+         |        substr(md5('pqseed|' || CAST(t.vec_id AS VARCHAR)), 1, 8), t.vec_id) AS srnk
+         |    FROM trainv t)
+         |  WHERE srnk <= $PqK),
+         |tsub AS (
+         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
+         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
+         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM trainv)),
+         |cb0 AS (
+         |  SELECT t.sub, t.vec_id AS code, t.sv AS c_sv, t.sv_nrm AS c_nrm
+         |  FROM tsub t JOIN seedids s ON t.vec_id = s.vec_id),
+         |${pqLloyd("cb0", 1)},
+         |${pqLloyd("cb1", 2)},
+         |allsub AS (
+         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
+         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
+         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM base)),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT t.vec_id, t.sub, c.code,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
+         |    FROM allsub t JOIN cb2 c ON t.sub = c.sub)
+         |  WHERE arnk = 1),
+         |tab AS (
+         |  SELECT t.vec_id AS query_id, t.sub, c.code, $svDot AS tdot
+         |  FROM allsub t JOIN cb2 c ON t.sub = c.sub
+         |  WHERE t.vec_id < $PqNQueries),
+         |scored AS (
+         |  SELECT t.query_id, c.vec_id, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
+         |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
+         |  WHERE c.vec_id != t.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, rnk, approx_dot FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin
+    },
     // v9: the greedy MMR rounds unrolled as chained CTEs (the g3 pagerank
     // pattern); λ=0.5 argmax reduces to argmax(rel − maxsim), identical
     // double arithmetic both engines
