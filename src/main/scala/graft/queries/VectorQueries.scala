@@ -93,6 +93,40 @@ object VectorQueries {
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
+  /** v11: PQ quality evaluation — recall@k of the v10 table-lookup scan
+    * against the exact integer-cosine top-k over the same query set (the
+    * v6 continuous-monitoring pattern, for the PQ plane). Hits and totals
+    * gate as exact integers; recall is their one double division.
+    */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val stride = math.max(1L, n / (PqK * PqTrainPerCode))
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < PqNQueries, PqTopK)
+      .select(col("query_id"), col("vec_id"))
+    val approx = graft.operators.ProductQuant
+      .pqTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        col("vec_id") < PqNQueries,
+        PqM,
+        PqD,
+        PqK,
+        PqIters,
+        PqTopK,
+        stride)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_expected").cast("double"))
+  }
+
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .bruteForceTopK(
@@ -416,6 +450,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v9_mmr_diverse" -> (mmrDiverse(_, _)),
     "v10_pq_topk" -> (pqTopKQuery(_, _)),
+    "v11_pq_recall" -> (pqRecall(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -429,6 +464,73 @@ object VectorQueries {
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
+
+  /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
+    * v10 gate and the v11 recall gate.
+    */
+  private lazy val pqScoredCtes: String = {
+      val svDot =
+        "CAST(list_sum(list_transform(list_zip(t.sv, c.c_sv), p -> p[1] * p[2])) AS BIGINT)"
+      def pqLloyd(cbIn: String, r: Int): String =
+        s"""pa$r AS (
+           |  SELECT sub, code, sv FROM (
+           |    SELECT t.vec_id, t.sub, c.code, t.sv,
+           |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+           |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
+           |    FROM tsub t JOIN $cbIn c ON t.sub = c.sub)
+           |  WHERE arnk = 1),
+           |pm$r AS (
+           |  SELECT sub, code, pos,
+           |    CAST(round(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+           |  FROM (SELECT sub, code, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS v FROM pa$r)
+           |  GROUP BY 1, 2, 3),
+           |cb$r AS (
+           |  SELECT sub, code, c_sv,
+           |    CAST(list_sum(list_transform(c_sv, x -> x * x)) AS BIGINT) AS c_nrm
+           |  FROM (SELECT sub, code, list(comp ORDER BY pos) AS c_sv FROM pm$r GROUP BY 1, 2))""".stripMargin
+      s"""$prep,
+         |params AS (
+         |  SELECT cnt, greatest(1, cnt // ${PqK * PqTrainPerCode}) AS s
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |trainv AS (
+         |  SELECT b.* FROM base b CROSS JOIN params p
+         |  WHERE CAST(('0x' || substr(md5('pqtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
+         |seedids AS (
+         |  SELECT vec_id FROM (
+         |    SELECT t.vec_id, row_number() OVER (ORDER BY
+         |        substr(md5('pqseed|' || CAST(t.vec_id AS VARCHAR)), 1, 8), t.vec_id) AS srnk
+         |    FROM trainv t)
+         |  WHERE srnk <= $PqK),
+         |tsub AS (
+         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
+         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
+         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM trainv)),
+         |cb0 AS (
+         |  SELECT t.sub, t.vec_id AS code, t.sv AS c_sv, t.sv_nrm AS c_nrm
+         |  FROM tsub t JOIN seedids s ON t.vec_id = s.vec_id),
+         |${pqLloyd("cb0", 1)},
+         |${pqLloyd("cb1", 2)},
+         |allsub AS (
+         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
+         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
+         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM base)),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT t.vec_id, t.sub, c.code,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
+         |    FROM allsub t JOIN cb2 c ON t.sub = c.sub)
+         |  WHERE arnk = 1),
+         |tab AS (
+         |  SELECT t.vec_id AS query_id, t.sub, c.code, $svDot AS tdot
+         |  FROM allsub t JOIN cb2 c ON t.sub = c.sub
+         |  WHERE t.vec_id < $PqNQueries),
+         |scored AS (
+         |  SELECT t.query_id, c.vec_id, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
+         |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
+         |  WHERE c.vec_id != t.query_id
+         |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -600,73 +702,39 @@ object VectorQueries {
     // md5-rank seeds sliced into every subspace, two per-subspace Lloyd
     // rounds (integer-rounded means, the v3 discipline keyed by (sub,
     // code)), corpus encoding, asymmetric table-lookup scan
-    "v10_pq_topk" -> {
-      val svDot =
-        "CAST(list_sum(list_transform(list_zip(t.sv, c.c_sv), p -> p[1] * p[2])) AS BIGINT)"
-      def pqLloyd(cbIn: String, r: Int): String =
-        s"""pa$r AS (
-           |  SELECT sub, code, sv FROM (
-           |    SELECT t.vec_id, t.sub, c.code, t.sv,
-           |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
-           |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
-           |    FROM tsub t JOIN $cbIn c ON t.sub = c.sub)
-           |  WHERE arnk = 1),
-           |pm$r AS (
-           |  SELECT sub, code, pos,
-           |    CAST(round(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS comp
-           |  FROM (SELECT sub, code, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS v FROM pa$r)
-           |  GROUP BY 1, 2, 3),
-           |cb$r AS (
-           |  SELECT sub, code, c_sv,
-           |    CAST(list_sum(list_transform(c_sv, x -> x * x)) AS BIGINT) AS c_nrm
-           |  FROM (SELECT sub, code, list(comp ORDER BY pos) AS c_sv FROM pm$r GROUP BY 1, 2))""".stripMargin
-      s"""WITH $prep,
-         |params AS (
-         |  SELECT cnt, greatest(1, cnt // ${PqK * PqTrainPerCode}) AS s
-         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
-         |trainv AS (
-         |  SELECT b.* FROM base b CROSS JOIN params p
-         |  WHERE CAST(('0x' || substr(md5('pqtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
-         |seedids AS (
-         |  SELECT vec_id FROM (
-         |    SELECT t.vec_id, row_number() OVER (ORDER BY
-         |        substr(md5('pqseed|' || CAST(t.vec_id AS VARCHAR)), 1, 8), t.vec_id) AS srnk
-         |    FROM trainv t)
-         |  WHERE srnk <= $PqK),
-         |tsub AS (
-         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
-         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
-         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM trainv)),
-         |cb0 AS (
-         |  SELECT t.sub, t.vec_id AS code, t.sv AS c_sv, t.sv_nrm AS c_nrm
-         |  FROM tsub t JOIN seedids s ON t.vec_id = s.vec_id),
-         |${pqLloyd("cb0", 1)},
-         |${pqLloyd("cb1", 2)},
-         |allsub AS (
-         |  SELECT vec_id, sub, qv[sub * $PqD + 1 : sub * $PqD + $PqD] AS sv,
-         |    CAST(list_sum(list_transform(qv[sub * $PqD + 1 : sub * $PqD + $PqD], x -> x * x)) AS BIGINT) AS sv_nrm
-         |  FROM (SELECT vec_id, qv, unnest(generate_series(0, ${PqM - 1})) AS sub FROM base)),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT t.vec_id, t.sub, c.code,
-         |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
-         |        t.sv_nrm + c.c_nrm - 2 * $svDot, c.code) AS arnk
-         |    FROM allsub t JOIN cb2 c ON t.sub = c.sub)
-         |  WHERE arnk = 1),
-         |tab AS (
-         |  SELECT t.vec_id AS query_id, t.sub, c.code, $svDot AS tdot
-         |  FROM allsub t JOIN cb2 c ON t.sub = c.sub
-         |  WHERE t.vec_id < $PqNQueries),
-         |scored AS (
-         |  SELECT t.query_id, c.vec_id, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
-         |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
-         |  WHERE c.vec_id != t.query_id
-         |  GROUP BY 1, 2)
+    "v10_pq_topk" ->
+      s"""WITH $pqScoredCtes
          |SELECT query_id, vec_id, rnk, approx_dot FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
-         |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin
-    },
+         |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin,
+    // v11: PQ quality evaluation — recall@k of the v10 table-lookup scan
+    // against the exact integer-cosine top-k over the same query set (the
+    // v6 pattern for the PQ plane)
+    "v11_pq_recall" ->
+      s"""WITH $pqScoredCtes,
+         |pqtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= $PqTopK),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosineExpr AS cosine
+         |      FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < $PqNQueries))
+         |  WHERE rnk <= $PqTopK)
+         |SELECT n_queries, n_expected, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |    CAST(count(*) AS BIGINT) AS n_expected,
+         |    CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact e LEFT JOIN pqtop p ON e.query_id = p.query_id AND e.vec_id = p.vec_id)""".stripMargin,
     // v9: the greedy MMR rounds unrolled as chained CTEs (the g3 pagerank
     // pattern); λ=0.5 argmax reduces to argmax(rel − maxsim), identical
     // double arithmetic both engines
