@@ -1549,6 +1549,65 @@ object FeatureQueries {
         expr("((n_events * n_events - sum_sq) * 1000000L) div (n_events * n_events)"))
       .transform(orderedOutput(_, col("user_id")))
 
+  /** a18: k-anonymity risk profile — equivalence-class sizes over the
+    * quasi-identifier tuple (event_type, hour-of-day, spend band), banded
+    * into the re-identification risk tiers a data-governance review reads
+    * (singletons are directly re-identifiable; k < 5 is the classic
+    * disclosure threshold). Two hash aggs; the class table is bounded by
+    * the QI domain, so the profile is O(1) in corpus size.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .select(
+        col("event_type"),
+        expr("(ord_us div 3600000000) % 24").as("hour"),
+        expr("cents div 1000").as("spend_band"))
+      .groupBy(col("event_type"), col("hour"), col("spend_band"))
+      .agg(count(lit(1)).as("s"))
+      .withColumn(
+        "k_band",
+        when(col("s") === 1L, "1")
+          .when(col("s") < 5L, "2-4")
+          .when(col("s") < 10L, "5-9")
+          .otherwise("10+"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("s")).as("n_rows"))
+      .transform(orderedOutput(_, col("k_band")))
+
+  /** q19: snapshot diff — the change-data view between two materialized
+    * per-user aggregate states (cutoffs at Jan 15 / Jan 25, the p4
+    * boundaries): which users appeared, which users' aggregates changed,
+    * which are unchanged, with exact integer deltas. This is the
+    * incremental-load audit every warehouse runs after a merge; one
+    * grouped pass builds BOTH snapshots with conditional sums (no second
+    * scan, no self-join — the newer snapshot strictly contains the
+    * older window, so state1 is a filtered sub-aggregate of the same
+    * rows).
+    */
+  private val SnapT1Us = 1705276800000000L // 2024-01-15T00:00:00Z
+  private val SnapT2Us = 1706140800000000L // 2024-01-25T00:00:00Z
+
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .filter(col("ord_us") < SnapT2Us)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ord_us") < SnapT1Us, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ord_us") < SnapT1Us, col("cents")).otherwise(0L)).as("c1"),
+        count(lit(1)).as("n2"),
+        sum(col("cents")).as("c2"))
+      .withColumn(
+        "status",
+        when(col("n1") === 0L, "added")
+          .when(col("n2") === col("n1") && col("c2") === col("c1"), "unchanged")
+          .otherwise("changed"))
+      .select(
+        col("user_id"),
+        col("status"),
+        (col("n2") - col("n1")).as("delta_n"),
+        (col("c2") - col("c1")).as("delta_cents"))
+      .transform(orderedOutput(_, col("user_id")))
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -2856,6 +2915,41 @@ object FeatureQueries {
            |SELECT user_id, n_events, n_types, sum_sq,
            |  ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events) AS impurity_x1e6
            |FROM u ORDER BY user_id""".stripMargin,
+      "a18_k_anonymity" ->
+        s"""WITH qi AS (
+           |  SELECT event_type,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+           |    CAST(round(value * 100) AS BIGINT) // 1000 AS spend_band
+           |  FROM events),
+           |cls AS (
+           |  SELECT event_type, hour, spend_band, CAST(count(*) AS BIGINT) AS s
+           |  FROM qi GROUP BY 1, 2, 3),
+           |banded AS (
+           |  SELECT s,
+           |    CASE WHEN s = 1 THEN '1' WHEN s < 5 THEN '2-4'
+           |         WHEN s < 10 THEN '5-9' ELSE '10+' END AS k_band
+           |  FROM cls)
+           |SELECT k_band, CAST(count(*) AS BIGINT) AS n_classes,
+           |       CAST(sum(s) AS BIGINT) AS n_rows
+           |FROM banded GROUP BY 1 ORDER BY k_band""".stripMargin,
+      "q19_snapshot_diff" ->
+        s"""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE epoch_us(ts) < ${SnapT2Us}),
+           |g AS (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN us < ${SnapT1Us} THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN us < ${SnapT1Us} THEN cents ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(count(*) AS BIGINT) AS n2,
+           |    CAST(sum(cents) AS BIGINT) AS c2
+           |  FROM e GROUP BY 1)
+           |SELECT user_id,
+           |  CASE WHEN n1 = 0 THEN 'added'
+           |       WHEN n2 = n1 AND c2 = c1 THEN 'unchanged'
+           |       ELSE 'changed' END AS status,
+           |  n2 - n1 AS delta_n, c2 - c1 AS delta_cents
+           |FROM g ORDER BY user_id""".stripMargin,
       "f13_target_encoding" ->
         s"""WITH e AS (
            |  SELECT event_id, event_type AS et,
@@ -3168,6 +3262,8 @@ object FeatureQueries {
     "a16_gini_spend" -> (giniSpend(_, _)),
     "s10_balanced_sample" -> (balancedSample(_, _)),
     "a17_type_diversity" -> (typeDiversity(_, _)),
+    "a18_k_anonymity" -> (kAnonymity(_, _)),
+    "q19_snapshot_diff" -> (snapshotDiff(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
