@@ -1608,6 +1608,70 @@ object FeatureQueries {
         (col("c2") - col("c1")).as("delta_cents"))
       .transform(orderedOutput(_, col("user_id")))
 
+  /** a19: feature drift — per-band chi-square contributions between the
+    * spend-band distributions of two time windows (Jan 1-15 training vs
+    * Jan 15-30 serving, the q19 cutover), per event type: the
+    * train/serve skew monitor every deployed model needs, at the grain
+    * a drift dashboard actually plots (WHICH band moved). Exact integer
+    * band counts and window totals cross the gate; each term is
+    * (n·c1 − m·c2)² / (m·n·(c1+c2)) with decimal(38) cross products and
+    * ONE double division per row — deliberately NOT summed to a single
+    * chi² here, because a float sum's value depends on partition order;
+    * the per-band terms are each deterministic, and a caller summing
+    * them accepts the usual float-reduction caveat.
+    */
+  def driftChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val banded = prepared(spark, sfDir)
+      .select(
+        col("event_type"),
+        expr("cents div 1000").as("spend_band"),
+        when(col("ord_us") < SnapT1Us, 1L).otherwise(0L).as("w1"))
+      .groupBy(col("event_type"), col("spend_band"))
+      .agg(
+        sum(col("w1")).as("c1"),
+        sum(lit(1L) - col("w1")).as("c2"))
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type"))
+    banded
+      .withColumn("m", sum(col("c1")).over(wT))
+      .withColumn("n", sum(col("c2")).over(wT))
+      .withColumn(
+        "diff_d",
+        (col("n").cast(d38) * col("c1").cast(d38) - col("m").cast(d38) * col("c2").cast(d38))
+          .cast("double"))
+      .withColumn(
+        "den_d",
+        (col("m").cast(d38) * col("n").cast(d38) * (col("c1") + col("c2")).cast(d38))
+          .cast("double"))
+      .withColumn("chi2_term", col("diff_d") * col("diff_d") / col("den_d"))
+      .select("event_type", "spend_band", "c1", "c2", "m", "n", "chi2_term")
+      .transform(orderedOutput(_, col("event_type"), col("spend_band")))
+  }
+
+  /** w28: inter-event gap histogram — per event type, the distribution of
+    * user-level inter-arrival times bucketed by bit length (floor(log2)
+    * without any float log: the integer bit-length of the gap in
+    * seconds), the latency/cadence profile operations dashboards draw.
+    * One partitioned lag window + one hash agg.
+    */
+  def gapHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    prepared(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ord_us"), col("event_id"))
+      .withColumn("prev_us", lag(col("ord_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(ord_us - prev_us) div 1000000L"))
+      .withColumn(
+        "bucket",
+        when(col("gap_s") <= 0L, 0L)
+          .otherwise(expr("length(bin(gap_s))").cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
+      .transform(orderedOutput(_, col("event_type"), col("bucket")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -2915,6 +2979,45 @@ object FeatureQueries {
            |SELECT user_id, n_events, n_types, sum_sq,
            |  ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events) AS impurity_x1e6
            |FROM u ORDER BY user_id""".stripMargin,
+      "a19_drift_chi2" ->
+        s"""WITH b AS (
+           |  SELECT event_type,
+           |    CAST(round(value * 100) AS BIGINT) // 1000 AS spend_band,
+           |    CASE WHEN epoch_us(ts) < ${SnapT1Us} THEN 1 ELSE 0 END AS w1
+           |  FROM events),
+           |g AS (
+           |  SELECT event_type, spend_band,
+           |    CAST(sum(w1) AS BIGINT) AS c1,
+           |    CAST(sum(1 - w1) AS BIGINT) AS c2
+           |  FROM b GROUP BY 1, 2),
+           |t AS (
+           |  SELECT event_type, spend_band, c1, c2,
+           |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+           |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM g),
+           |d AS (
+           |  SELECT *, CAST(CAST(n AS HUGEINT) * c1 - CAST(m AS HUGEINT) * c2 AS DOUBLE) AS diff_d,
+           |    CAST(CAST(m AS HUGEINT) * n * (c1 + c2) AS DOUBLE) AS den_d
+           |  FROM t)
+           |SELECT event_type, spend_band, c1, c2, m, n,
+           |  diff_d * diff_d / den_d AS chi2_term
+           |FROM d ORDER BY event_type, spend_band""".stripMargin,
+      "w28_gap_histogram" ->
+        s"""WITH e AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+           |l AS (
+           |  SELECT event_type, us,
+           |    lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+           |  FROM e),
+           |g AS (
+           |  SELECT event_type, (us - prev_us) // 1000000 AS gap_s
+           |  FROM l WHERE prev_us IS NOT NULL)
+           |SELECT event_type,
+           |  CASE WHEN gap_s <= 0 THEN 0
+           |       ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_gaps,
+           |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+           |FROM g GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
       "a18_k_anonymity" ->
         s"""WITH qi AS (
            |  SELECT event_type,
@@ -3264,6 +3367,8 @@ object FeatureQueries {
     "a17_type_diversity" -> (typeDiversity(_, _)),
     "a18_k_anonymity" -> (kAnonymity(_, _)),
     "q19_snapshot_diff" -> (snapshotDiff(_, _)),
+    "a19_drift_chi2" -> (driftChiSquare(_, _)),
+    "w28_gap_histogram" -> (gapHistogram(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -274,6 +274,20 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"q18 allows only the 1-row count broadcast, got $bnlj BNLJ:\n$plan")
   }
 
+  test("PQ encoding aggregates map-side (partial min_by), codebook joins broadcast") {
+    val plan = queries.VectorQueries.pqTopKQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in v10 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in v10 plan:\n$plan")
+    // the argmin encodes as partial+final min_by hash aggregation, so the
+    // exchange carries n*m code rows, not the n*m*k joined candidates
+    assert(
+      "partial_min_by|partial.*min_by".r.findFirstIn(plan).isDefined ||
+        plan.contains("min_by"),
+      s"PQ encoding should be a min_by aggregation:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"codebook should broadcast:\n$plan")
+  }
+
   test("MMR greedy rounds join the bounded pair frame as broadcasts") {
     val plan = queries.VectorQueries.mmrDiverse(spark, sf)
       .queryExecution.executedPlan.toString
