@@ -737,6 +737,54 @@ object DocQueries {
       .transform(orderedOutput(_, col("prefix"), col("rank")))
   }
 
+  /** t23: language-model familiarity scoring — t17 builds the trigram
+    * model TABLE; this gate APPLIES it back to every document, the
+    * CCNet-style "perplexity filter" shape (score each doc by how probable
+    * its n-grams are under a corpus LM, drop the tail). Log-probabilities
+    * are doubles, so the score is re-expressed with exact integers that
+    * carry the same ordering: familiarity = Σ corpus-count of each of the
+    * doc's trigram occurrences, min_tri_count = the rarest trigram's
+    * corpus count (1 ⇒ the doc holds a corpus-unique trigram), and the
+    * unfamiliar flag cuts docs whose MEAN trigram corpus count is < 2 —
+    * rationally, familiarity < 2·n_trigrams. Plan: ONE explode persisted
+    * and shared between model build and scoring (the model is an
+    * aggregation of the same frame that probes it); the model — bounded by
+    * distinct trigrams, i.e. the language, not the corpus — broadcasts
+    * into the scoring join, so the corpus side never shuffles on the
+    * trigram key. Reclaimed by the consuming harness's
+    * [[graft.CacheScope]] batch.
+    */
+  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = Tables
+      .documents(spark, sfDir)
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("w"), i),
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2)))).as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = tri.groupBy(col("tri")).agg(count(lit(1)).as("n"))
+    tri
+      .join(broadcast(model), Seq("tri"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("n")).as("familiarity"),
+        min(col("n")).as("min_tri_count"))
+      .withColumn(
+        "is_unfamiliar",
+        when(col("familiarity") < lit(2L) * col("n_trigrams"), 1L).otherwise(0L))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -1253,6 +1301,7 @@ object DocQueries {
     "t15_cooccurrence" -> (cooccurrenceTopK(_, _)),
     "t16_inverted_index" -> (invertedIndex(_, _)),
     "t17_trigram_lm" -> (trigramLm(_, _)),
+    "t23_lm_familiarity" -> (lmFamiliarity(_, _)),
     "t4_fingerprint" -> (docFingerprint(_, _)))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1400,6 +1449,21 @@ object DocQueries {
          |      FROM c)
          |SELECT prefix, rank, nxt, n, prefix_total, n_continuations
          |FROM r WHERE rank <= $LmTopK ORDER BY prefix, rank""".stripMargin,
+    "t23_lm_familiarity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tl AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(w) - 2),
+        |                               i -> array_to_string(w[i:i+2], ' '))) AS tri
+        |       FROM d WHERE len(w) >= 3),
+        |m AS (SELECT tri, count(*) AS n FROM tl GROUP BY 1)
+        |SELECT tl.doc_id,
+        |  count(*) AS n_trigrams,
+        |  CAST(sum(m.n) AS BIGINT) AS familiarity,
+        |  CAST(min(m.n) AS BIGINT) AS min_tri_count,
+        |  CAST(CASE WHEN sum(m.n) < 2 * count(*) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_unfamiliar
+        |FROM tl JOIN m USING (tri)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
