@@ -1672,6 +1672,43 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type"), col("bucket")))
   }
 
+  /** x1: partitioned-layout scan — the storage-layout half
+    * [[graft.sources.Bucketed]] did for JOIN keys, applied to PREDICATE
+    * columns: events re-written Hive-partitioned by `event_type`
+    * (`event_type=v/` directories), then a two-type rollup read back
+    * through the catalog. The filter resolves against partition METADATA
+    * at planning time — the scan lists only the two matching directories
+    * and carries no row-level event_type predicate at all
+    * (PlanPostureSpec asserts both), which at 100 TB is the difference
+    * between reading 2/5 of a table and all of it. The gate measures the
+    * full lifecycle (write + pruned read), mirroring v5's index
+    * build-then-probe shape; the rollup itself is exact integers.
+    */
+  def partitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Bucketed.writePartitioned(
+      prepared(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ord_us"), col("cents")),
+      "graft_events_by_type",
+      "event_type")
+    partitionedScanProbe(spark)
+  }
+
+  /** The pruned-read half of x1 against the standing partitioned table —
+    * split out so PlanPostureSpec can assert the probe plan alone.
+    */
+  def partitionedScanProbe(spark: SparkSession): DataFrame =
+    spark
+      .table("graft_events_by_type")
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("ord_us")).as("first_us"),
+        max(col("ord_us")).as("last_us"))
+      .transform(orderedOutput(_, col("event_type")))
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -2979,6 +3016,15 @@ object FeatureQueries {
            |SELECT user_id, n_events, n_types, sum_sq,
            |  ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events) AS impurity_x1e6
            |FROM u ORDER BY user_id""".stripMargin,
+      "x1_partitioned_scan" ->
+        """SELECT event_type,
+          |  count(*) AS n_events,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |  min(epoch_us(ts)) AS first_us,
+          |  max(epoch_us(ts)) AS last_us
+          |FROM events WHERE event_type IN ('purchase', 'error')
+          |GROUP BY 1 ORDER BY event_type""".stripMargin,
       "a19_drift_chi2" ->
         s"""WITH b AS (
            |  SELECT event_type,
@@ -3369,6 +3415,7 @@ object FeatureQueries {
     "q19_snapshot_diff" -> (snapshotDiff(_, _)),
     "a19_drift_chi2" -> (driftChiSquare(_, _)),
     "w28_gap_histogram" -> (gapHistogram(_, _)),
+    "x1_partitioned_scan" -> (partitionedScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -53,6 +53,26 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** Write `df` Hive-style PARTITIONED by `key` — one directory per
+    * distinct key value (`key=v/part-*.parquet`), the layout for
+    * low-cardinality predicate columns (event type, date, language,
+    * source). Where [[write]]'s bucketing removes the JOIN/groupBy
+    * exchange, partitioning removes the SCAN: a query filtering on the
+    * partition column prunes whole directories at PLANNING time — the
+    * difference between listing 3 directories and reading a 100 TB
+    * table. The two compose (partition by date, bucket by key within)
+    * for the fact-table layout a warehouse actually ships.
+    * PlanPostureSpec asserts the pruned scan.
+    */
+  def writePartitioned(df: DataFrame, table: String, key: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .partitionBy(key)
+      .saveAsTable(table)
+  }
+
   /** Write `df` as a plain (unbucketed) catalog table with the same
     * replace-including-location semantics as [[write]] — for the small
     * side of an index (e.g. centroid tables) where bucketing buys nothing.

@@ -298,4 +298,31 @@ class PlanPostureSpec extends AnyFunSuite {
       "BroadcastHashJoin".r.findAllIn(plan).length >= 4,
       s"greedy rounds should broadcast the pair frame:\n$plan")
   }
+
+  test("x1: partitioned-table probe prunes to 2 of 5 directories at planning time") {
+    // build the partitioned table (the x1 lifecycle), then inspect the
+    // probe-only plan: the event_type predicate must resolve against
+    // partition METADATA (2 of 5 directories listed), with no row-level
+    // event_type filter left in the scan.
+    FeatureQueries.partitionedScan(spark, sf).collect()
+    val probe = FeatureQueries.partitionedScanProbe(spark)
+    // the scan sits under the AQE wrapper — unwrap before collecting
+    val root = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined, "probe should read through a file scan")
+    assert(
+      scan.get.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, got ${scan.get.selectedPartitions.partitionCount}")
+    assert(
+      scan.get.dataFilters.isEmpty,
+      s"event_type must be a partition filter, not a data filter: ${scan.get.dataFilters}")
+    assert(
+      scan.get.partitionFilters.exists(_.toString.contains("event_type")),
+      s"partition filters should carry event_type: ${scan.get.partitionFilters}")
+  }
 }
