@@ -106,6 +106,85 @@ object ProductQuant {
     }
   }
 
+  /** IVF+PQ composed — the two halves of the production ANN stack in one
+    * serving plan (the IVFADC scheme of Jégou, Douze & Schmid 2011 §IV,
+    * the architecture FAISS ships as IndexIVFPQ): the IVF coarse
+    * quantizer restricts each query's candidate set to its `nProbe`
+    * nearest cells, and PQ asymmetric table lookups score ONLY those
+    * candidates — neither the full corpus is scanned (IVF's win) nor any
+    * full vector touched at scoring time (PQ's win). Per query the cost
+    * is nProbe · cellSize · m narrow integer rows, against n·m for flat
+    * PQ (v10) and nProbe · cellSize · d full-width dots for plain IVF
+    * (v4). Both trainers keep their own deterministic disciplines, so the
+    * composed ranks stay engine-exact; candidates come from the capped
+    * single-cell corpus assignment, so a vector appears at most once per
+    * query and no post-join dedup is needed.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      floorCells: Int,
+      capCells: Int,
+      lloydIters: Int,
+      maxCell: Long,
+      perCell: Long,
+      nProbe: Int,
+      m: Int,
+      d: Int,
+      k: Int,
+      iters: Int,
+      topK: Int,
+      pqStrideN: Long): DataFrame = {
+    val base = Similarity
+      .prepared(emb, idCol, embCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // IVF half: sqrt-n cells, sample-trained, capped — v3's discipline
+    val n = base.count()
+    val nCells = Similarity.autoCells(n, floorCells, capCells)
+    val centroids = Similarity.kmeansCentroids(
+      Similarity.trainSample(base, Similarity.trainStride(n, nCells, perCell)),
+      nCells,
+      lloydIters)
+    val assigned = Similarity.capBySize(Similarity.assignCells(base, centroids), "cell", maxCell)
+    val queries = base.filter(queryPred)
+    val qcells = Similarity
+      .assignCells(queries, centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = qcells
+      .join(assigned.select(col("vec_id"), col("cell")), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "cell")
+    // PQ half: sample-trained codebooks, corpus codes — v10's discipline
+    val train =
+      if (pqStrideN > 1L) base.filter(Sketches.hash32("pqtrain", col("vec_id")) % pqStrideN === 0)
+      else base
+    val codebook = trainCodebooks(train, m, d, k, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val codes = assignCodes(subRows(base, m, d), codebook)
+    val tab = subRows(queries, m, d)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("q_sv"))
+      .join(codebook, "sub")
+      .select(
+        col("query_id"),
+        col("sub"),
+        col("code"),
+        Similarity.dot(col("q_sv"), col("c_sv")).as("tdot"))
+    // ADC scan: candidates × m code rows, each resolved against the
+    // broadcast |queries|·m·k lookup table
+    val scored = cand
+      .join(codes, "vec_id")
+      .join(broadcast(tab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("tdot")).as("approx_dot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "vec_id", "cell", "rnk", "approx_dot")
+  }
+
   /** End-to-end PQ top-k: train codebooks on a hash sample, encode the
     * corpus, score `queryPred` queries by asymmetric table lookups,
     * return (query_id, vec_id, rnk, approx_dot). `strideN` > 1 samples

@@ -127,6 +127,40 @@ object VectorQueries {
       .withColumn("recall", col("n_hits").cast("double") / col("n_expected").cast("double"))
   }
 
+  /** v12: IVF+PQ — [[graft.operators.ProductQuant.ivfPqTopK]], the
+    * composed production ANN stack: v3/v4's coarse quantizer narrows each
+    * query to its NProbe nearest cells, v10's asymmetric PQ tables score
+    * only those candidates. IVF parameters are v3/v4's, PQ parameters
+    * v10's, so the oracle composes the two existing SQL lifecycles
+    * unchanged — the gate proves the COMPOSITION (candidate restriction +
+    * table-lookup scoring) is engine-exact, with both trainers' outputs
+    * pinned through it.
+    */
+  def ivfPqTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val stride = math.max(1L, n / (PqK * PqTrainPerCode))
+    graft.operators.ProductQuant
+      .ivfPqTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        col("vec_id") < PqNQueries,
+        IvfFloorCells,
+        IvfCapCells,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell,
+        NProbe,
+        PqM,
+        PqD,
+        PqK,
+        PqIters,
+        PqTopK,
+        stride)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .bruteForceTopK(
@@ -451,6 +485,7 @@ object VectorQueries {
     "v9_mmr_diverse" -> (mmrDiverse(_, _)),
     "v10_pq_topk" -> (pqTopKQuery(_, _)),
     "v11_pq_recall" -> (pqRecall(_, _)),
+    "v12_ivfpq_topk" -> (ivfPqTopKQuery(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -468,7 +503,13 @@ object VectorQueries {
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
     * v10 gate and the v11 recall gate.
     */
-  private lazy val pqScoredCtes: String = {
+  /** The PQ lifecycle through corpus codes and per-query lookup tables —
+    * everything except the final candidate scan, shared by v10/v11 (scan
+    * = all pairs) and v12 (scan = IVF-restricted candidates). Assumes
+    * `base` (from [[prep]]) is already in scope; its own params CTE is
+    * named `pqparams` so it composes with [[ivfAssignedCtes]]'s `params`.
+    */
+  private lazy val pqCodeCtes: String = {
       val svDot =
         "CAST(list_sum(list_transform(list_zip(t.sv, c.c_sv), p -> p[1] * p[2])) AS BIGINT)"
       def pqLloyd(cbIn: String, r: Int): String =
@@ -488,12 +529,11 @@ object VectorQueries {
            |  SELECT sub, code, c_sv,
            |    CAST(list_sum(list_transform(c_sv, x -> x * x)) AS BIGINT) AS c_nrm
            |  FROM (SELECT sub, code, list(comp ORDER BY pos) AS c_sv FROM pm$r GROUP BY 1, 2))""".stripMargin
-      s"""$prep,
-         |params AS (
+      s"""pqparams AS (
          |  SELECT cnt, greatest(1, cnt // ${PqK * PqTrainPerCode}) AS s
          |  FROM (SELECT count(*) AS cnt FROM embeddings)),
          |trainv AS (
-         |  SELECT b.* FROM base b CROSS JOIN params p
+         |  SELECT b.* FROM base b CROSS JOIN pqparams p
          |  WHERE CAST(('0x' || substr(md5('pqtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
          |seedids AS (
          |  SELECT vec_id FROM (
@@ -524,13 +564,17 @@ object VectorQueries {
          |tab AS (
          |  SELECT t.vec_id AS query_id, t.sub, c.code, $svDot AS tdot
          |  FROM allsub t JOIN cb2 c ON t.sub = c.sub
-         |  WHERE t.vec_id < $PqNQueries),
-         |scored AS (
-         |  SELECT t.query_id, c.vec_id, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
-         |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
-         |  WHERE c.vec_id != t.query_id
-         |  GROUP BY 1, 2)""".stripMargin
+         |  WHERE t.vec_id < $PqNQueries)""".stripMargin
   }
+
+  private lazy val pqScoredCtes: String =
+    s"""$prep,
+       |$pqCodeCtes,
+       |scored AS (
+       |  SELECT t.query_id, c.vec_id, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
+       |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
+       |  WHERE c.vec_id != t.query_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -707,6 +751,37 @@ object VectorQueries {
          |SELECT query_id, vec_id, rnk, approx_dot FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
+         |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin,
+    // v12: IVF+PQ composed — the coarse quantizer's nProbe-cell candidate
+    // restriction (v4's qcells machinery over cent2/assigned) feeding the
+    // PQ asymmetric table scan (v10's codes/tab), each lifecycle CTE block
+    // reused verbatim
+    "v12_ivfpq_topk" ->
+      s"""WITH $ivfAssignedCtes,
+         |$pqCodeCtes,
+         |qcells AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT b.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        b.nrm + c.c_nrm
+         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cell) AS arnk
+         |    FROM base b CROSS JOIN cent2 c
+         |    WHERE b.vec_id < $PqNQueries)
+         |  WHERE arnk <= $NProbe),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id, a.cell
+         |  FROM qcells q JOIN assigned a ON a.cell = q.cell
+         |  WHERE a.vec_id != q.query_id),
+         |ivfpq AS (
+         |  SELECT cd.query_id, cd.vec_id, cd.cell, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN tab t ON t.query_id = cd.query_id AND t.sub = c.sub AND t.code = c.code
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id, vec_id, cell, rnk, approx_dot FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM ivfpq)
          |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin,
     // v11: PQ quality evaluation — recall@k of the v10 table-lookup scan
     // against the exact integer-cosine top-k over the same query set (the

@@ -299,6 +299,20 @@ class PlanPostureSpec extends AnyFunSuite {
       s"greedy rounds should broadcast the pair frame:\n$plan")
   }
 
+  test("IVF+PQ: only bounded centroid broadcasts go non-equi; ADC scan is equi + broadcast") {
+    val plan = queries.VectorQueries.ivfPqTopKQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in v12 plan:\n$plan")
+    // the only BNLJs are the capped centroid-table assignment broadcasts
+    // (corpus + query sides, 2 Lloyd rounds, subtrees duplicated at most
+    // twice — the v3 bound); the candidate and code joins must be equi
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 8, s"unbounded join shape ($bnlj BNLJ) in v12 plan:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin"),
+      s"the per-query PQ lookup table should broadcast into the ADC scan:\n$plan")
+  }
+
   test("x1: partitioned-table probe prunes to 2 of 5 directories at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
