@@ -73,6 +73,31 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** [[writePartitioned]] and [[write]] composed — the production fact
+    * layout: directories pruned by the predicate column, bucket files
+    * inside each directory pre-hashed by the join/aggregation key. A
+    * query filtering on `partKey` and aggregating or joining on
+    * `bucketKey` then touches only the matching directories AND runs
+    * exchange-free (same-id bucket files across the surviving
+    * directories coalesce into one task). BucketedJoinSpec asserts both
+    * properties on one plan.
+    */
+  def writePartitionedBucketed(
+      df: DataFrame,
+      table: String,
+      partKey: String,
+      bucketKey: String,
+      buckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .partitionBy(partKey)
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .saveAsTable(table)
+  }
+
   /** Write `df` as a plain (unbucketed) catalog table with the same
     * replace-including-location semantics as [[write]] — for the small
     * side of an index (e.g. centroid tables) where bucketing buys nothing.

@@ -48,6 +48,46 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned+bucketed fact layout: directory pruning AND exchange-free aggregation in one plan") {
+    val ev = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "ord_us", "cents")
+    Bucketed.writePartitionedBucketed(ev, "ev_part_bucket", "event_type", "user_id", 8)
+
+    withNoBroadcast {
+      val probe = Bucketed
+        .read(spark, "ev_part_bucket")
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      val root = probe.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // half 1: the event_type predicate prunes to 2 of 5 directories at
+      // planning time, with no residual row-level filter
+      val scan = root.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scan.isDefined, "probe should read through a file scan")
+      assert(
+        scan.get.selectedPartitions.partitionCount == 2,
+        s"expected 2 pruned directories, got ${scan.get.selectedPartitions.partitionCount}")
+      assert(scan.get.dataFilters.isEmpty, s"no residual data filter: ${scan.get.dataFilters}")
+      // half 2: the user_id aggregation rides the bucket layout — zero
+      // exchanges anywhere in the plan (bucket files with the same id
+      // across the two surviving directories coalesce into one task)
+      assert(!root.toString.contains("Exchange"), s"composed layout must not shuffle:\n$root")
+      // and the pruned, exchange-free result is still the right answer
+      val expect = ev
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      assert(probe.exceptAll(expect).isEmpty && expect.exceptAll(probe).isEmpty)
+    }
+  }
+
   test("incremental dedup: bucketed corpus index matches exchange-free and resolves canonicals") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
