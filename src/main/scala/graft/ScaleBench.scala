@@ -34,6 +34,8 @@ object ScaleBench {
     "j6_click_attribution",
     "v3_ann_ivf",
     "v4_ann_ivf_multiprobe",
+    "v12_ivfpq_topk",
+    "t23_lm_familiarity",
     "v5_ivf_index_probe",
     "v10_pq_topk",
     // r7 additions: the graph plane (edge gen + oriented wedge join +

@@ -161,6 +161,49 @@ object VectorQueries {
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
+  /** v13: quality monitor for the composed v12 index — recall@k of the
+    * IVF+PQ scan against the exact cosine top-k over the same queries
+    * (the v6/v11 continuous-monitoring pattern). The composed path loses
+    * recall two ways — a true neighbor's cell outside the probe set, and
+    * PQ code quantization reordering the survivors — and this gate pins
+    * the compound loss as a measured value, exact hit counts crossing
+    * the gate and recall their one double division.
+    */
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val stride = math.max(1L, n / (PqK * PqTrainPerCode))
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < PqNQueries, PqTopK)
+      .select(col("query_id"), col("vec_id"))
+    val approx = graft.operators.ProductQuant
+      .ivfPqTopK(
+        emb,
+        "vec_id",
+        "embedding",
+        col("vec_id") < PqNQueries,
+        IvfFloorCells,
+        IvfCapCells,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell,
+        NProbe,
+        PqM,
+        PqD,
+        PqK,
+        PqIters,
+        PqTopK,
+        stride)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_expected").cast("double"))
+  }
+
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .bruteForceTopK(
@@ -486,6 +529,7 @@ object VectorQueries {
     "v10_pq_topk" -> (pqTopKQuery(_, _)),
     "v11_pq_recall" -> (pqRecall(_, _)),
     "v12_ivfpq_topk" -> (ivfPqTopKQuery(_, _)),
+    "v13_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -575,6 +619,36 @@ object VectorQueries {
        |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
        |  WHERE c.vec_id != t.query_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The composed IVF+PQ scan through `ivfpq` (query_id, vec_id, cell,
+    * approx_dot) — [[ivfAssignedCtes]]'s coarse quantizer restricting
+    * candidates to each query's NProbe nearest cells, scored by
+    * [[pqCodeCtes]]'s asymmetric lookup tables. Shared by v12 (top-k
+    * output) and v13 (recall monitor).
+    */
+  private lazy val ivfPqScoredCtes: String =
+    s"""$ivfAssignedCtes,
+       |$pqCodeCtes,
+       |qcells AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT b.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        b.nrm + c.c_nrm
+       |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+       |        c.cell) AS arnk
+       |    FROM base b CROSS JOIN cent2 c
+       |    WHERE b.vec_id < $PqNQueries)
+       |  WHERE arnk <= $NProbe),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id, a.cell
+       |  FROM qcells q JOIN assigned a ON a.cell = q.cell
+       |  WHERE a.vec_id != q.query_id),
+       |ivfpq AS (
+       |  SELECT cd.query_id, cd.vec_id, cd.cell, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN tab t ON t.query_id = cd.query_id AND t.sub = c.sub AND t.code = c.code
+       |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Quantized-vector CTE shared by the oracles (DuckDB dialect). Buckets
     * derive from qv signs (not the raw floats) — identical to the Scala
@@ -757,32 +831,39 @@ object VectorQueries {
     // PQ asymmetric table scan (v10's codes/tab), each lifecycle CTE block
     // reused verbatim
     "v12_ivfpq_topk" ->
-      s"""WITH $ivfAssignedCtes,
-         |$pqCodeCtes,
-         |qcells AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT b.vec_id AS query_id, c.cell,
-         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-         |        b.nrm + c.c_nrm
-         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
-         |        c.cell) AS arnk
-         |    FROM base b CROSS JOIN cent2 c
-         |    WHERE b.vec_id < $PqNQueries)
-         |  WHERE arnk <= $NProbe),
-         |cand AS (
-         |  SELECT q.query_id, a.vec_id, a.cell
-         |  FROM qcells q JOIN assigned a ON a.cell = q.cell
-         |  WHERE a.vec_id != q.query_id),
-         |ivfpq AS (
-         |  SELECT cd.query_id, cd.vec_id, cd.cell, CAST(sum(t.tdot) AS BIGINT) AS approx_dot
-         |  FROM cand cd
-         |  JOIN codes c ON c.vec_id = cd.vec_id
-         |  JOIN tab t ON t.query_id = cd.query_id AND t.sub = c.sub AND t.code = c.code
-         |  GROUP BY 1, 2, 3)
+      s"""WITH $ivfPqScoredCtes
          |SELECT query_id, vec_id, cell, rnk, approx_dot FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
          |  FROM ivfpq)
          |WHERE rnk <= $PqTopK ORDER BY query_id, rnk""".stripMargin,
+    // v13: the composed index's quality monitor — recall@k of the v12
+    // IVF+PQ scan against the exact cosine top-k (the v6/v11 pattern for
+    // the composed plane; compounding loss from BOTH approximations —
+    // cell misses and code quantization — is pinned as a measured value)
+    "v13_ivfpq_recall" ->
+      s"""WITH $ivfPqScoredCtes,
+         |pqtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS rnk
+         |    FROM ivfpq)
+         |  WHERE rnk <= $PqTopK),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosineExpr AS cosine
+         |      FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < $PqNQueries))
+         |  WHERE rnk <= $PqTopK)
+         |SELECT n_queries, n_expected, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |    CAST(count(*) AS BIGINT) AS n_expected,
+         |    CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact e LEFT JOIN pqtop p ON e.query_id = p.query_id AND e.vec_id = p.vec_id)""".stripMargin,
     // v11: PQ quality evaluation — recall@k of the v10 table-lookup scan
     // against the exact integer-cosine top-k over the same query set (the
     // v6 pattern for the PQ plane)
