@@ -196,14 +196,24 @@ object Dedup {
         (1 until k).map(i => min(substring(md5h, i * 5 + 1, 5)).as(s"m$i")): _*)
   }
 
-  def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, band_idx, band_hash) rows of the width-2 banding over a
+    * k-component signature — the unit the LSH index stores. Exposed so
+    * the incremental path (d18) can persist the corpus half and probe it
+    * with increment bands, sharing one construction with the batch
+    * candidate join below.
+    */
+  def minhashBands(sh: DataFrame, k: Int): DataFrame = {
     require(k % 2 == 0, "band width 2 needs an even k")
     val sig = minhashSignatures(sh, k)
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(array((0 until k / 2).map(b =>
         md5(concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).cast("binary"))): _*))
         .as(Seq("band_idx", "band_hash")))
+  }
+
+  def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    val bands = minhashBands(sh, k)
     bands
       .as("a")
       .join(

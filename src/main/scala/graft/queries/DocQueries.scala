@@ -231,6 +231,67 @@ object DocQueries {
       .transform(orderedOutput(_, col("new_id")))
   }
 
+  /** d18: incremental NEAR-dup against a persisted MinHash band index —
+    * d12's maintenance shape lifted from exact hashes to near-duplicates,
+    * which is how a 100 TB crawl corpus is ACTUALLY maintained: the
+    * standing corpus is summarized once as its LSH band table (k·|corpus|
+    * narrow rows, bucketed ON DISK by the band key), and each new crawl
+    * batch computes only ITS OWN bands, probes the index with an
+    * exchange-free join on the corpus side, then exact-verifies Jaccard
+    * for just the banded candidates. The band key folds the band index
+    * into the hash (md5(idx|band_hash)) so the probe is a single-column
+    * equi-join riding the bucket layout. Neither the corpus text nor its
+    * shingles are rescanned at probe time beyond the candidates'
+    * verification rows. Output: every banded candidate with its verified
+    * exact Jaccard and the d2/d3-threshold decision flag — exact-duplicate
+    * replays surface at jaccard 1.0, near-dups above the threshold flag 1,
+    * band-collision false candidates are kept (flag 0) so the measured
+    * LSH precision is part of the gated surface.
+    */
+  private val BandIndexTable = "graft_doc_bands"
+
+  private def bandKey(idx: org.apache.spark.sql.Column, hash: org.apache.spark.sql.Column) =
+    md5(concat(idx.cast("string"), lit("|"), hash).cast("binary"))
+
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = materializedShingles(docs)
+    val corpusBands = Dedup
+      .minhashBands(sh.filter(pmod(col("doc_id"), lit(IncrMod)) =!= 0), MinhashK)
+      .select(
+        col("doc_id").as("corpus_id"),
+        bandKey(col("band_idx"), col("band_hash")).as("band_key"))
+    graft.sources.Bucketed.write(corpusBands, BandIndexTable, "band_key", 32)
+    val incrBands = Dedup
+      .minhashBands(sh.filter(pmod(col("doc_id"), lit(IncrMod)) === 0), MinhashK)
+      .select(
+        (col("doc_id") + IncrIdShift).as("new_id"),
+        col("doc_id").as("orig_id"),
+        bandKey(col("band_idx"), col("band_hash")).as("band_key"))
+    val cands = incrBands
+      .join(spark.table(BandIndexTable), "band_key")
+      .groupBy(col("new_id"), col("orig_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    // exact verify over the shared shingle frame, candidates-only: pair
+    // the increment doc's ORIGINAL shingle rows against the corpus doc's
+    val jac = Dedup.jaccardForCandidates(
+      cands.select(col("orig_id").as("doc_a"), col("corpus_id").as("doc_b")),
+      sh)
+    cands
+      .join(
+        jac,
+        cands("orig_id") === jac("doc_a") && cands("corpus_id") === jac("doc_b"))
+      .select(
+        col("new_id"),
+        col("corpus_id"),
+        col("n_shared_bands"),
+        col("n_common"),
+        col("n_union"),
+        col("jaccard"),
+        when(col("jaccard") >= JaccardThreshold, 1L).otherwise(0L).as("is_neardup"))
+      .transform(orderedOutput(_, col("new_id"), col("corpus_id")))
+  }
+
   /** t10: TF-IDF-shaped term importance — each doc's top 3 terms by
     * tf * (N - df), the exact-INTEGER rarity weighting (a float idf log
     * is the one place engines may differ in ulp, so the gate's weight is
@@ -1278,6 +1339,7 @@ object DocQueries {
     "d10_dedup_clusters" -> (dedupClusters(_, _)),
     "d11_substring_dedup" -> (substringDedup(_, _)),
     "d12_incremental_dedup" -> (incrementalDedup(_, _)),
+    "d18_incremental_neardup" -> (incrementalNearDup(_, _)),
     "t10_term_importance" -> (termImportance(_, _)),
     "t11_doc_chunks" -> (docChunks(_, _)),
     "t9_repetition" -> (repetitionStats(_, _)),
@@ -1733,6 +1795,39 @@ object DocQueries {
          |SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+    "d18_incremental_neardup" -> {
+      val sigCols = (0 until MinhashK)
+        .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashK / 2)
+        .map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || md5(m${2 * b} || '|' || m${2 * b + 1})) AS band_key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM t),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT i.doc_id + $IncrIdShift AS new_id, i.doc_id AS orig_id, c.doc_id AS corpus_id,
+         |    count(*) AS n_shared_bands
+         |  FROM bands i JOIN bands c ON i.band_key = c.band_key
+         |  WHERE i.doc_id % $IncrMod = 0 AND c.doc_id % $IncrMod != 0
+         |  GROUP BY 1, 2, 3),
+         |jac AS (
+         |  SELECT cd.new_id, cd.corpus_id, cd.n_shared_bands,
+         |    CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT) AS n_common,
+         |    CAST(len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
+         |      AS n_union
+         |  FROM cand cd JOIN t a ON a.doc_id = cd.orig_id JOIN t b ON b.doc_id = cd.corpus_id)
+         |SELECT new_id, corpus_id, n_shared_bands, n_common, n_union,
+         |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+         |  CAST(CASE WHEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= $JaccardThreshold
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+         |FROM jac ORDER BY new_id, corpus_id""".stripMargin
     },
     "d4_simhash" -> {
       val sums = (0 until 16).map { j =>

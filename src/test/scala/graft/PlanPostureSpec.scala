@@ -299,6 +299,20 @@ class PlanPostureSpec extends AnyFunSuite {
       s"greedy rounds should broadcast the pair frame:\n$plan")
   }
 
+  test("d18: probing the standing band index never re-shuffles the corpus side") {
+    // building the query writes the bucketed index eagerly; the returned
+    // frame is the probe plan against the standing table — at most one
+    // band_key exchange may appear (the increment side), the corpus side
+    // rides the bucket layout
+    val probe = queries.DocQueries.incrementalNearDup(spark, sf)
+    val plan = probe.queryExecution.executedPlan.toString
+    val bandKeyExchanges = "Exchange hashpartitioning\\(band_key".r.findAllIn(plan).length
+    assert(
+      bandKeyExchanges <= 1,
+      s"corpus band index must not re-shuffle ($bandKeyExchanges band_key exchanges):\n$plan")
+    assert(probe.count() > 0, "the incremental probe should surface candidates")
+  }
+
   test("IVF+PQ: only bounded centroid broadcasts go non-equi; ADC scan is equi + broadcast") {
     val plan = queries.VectorQueries.ivfPqTopKQuery(spark, sf)
       .queryExecution.executedPlan.toString
