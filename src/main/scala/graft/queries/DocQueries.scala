@@ -846,6 +846,32 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** f14: the hashing trick (HashingVectorizer / Vowpal-Wabbit feature
+    * hashing) — tokens projected into a FIXED 64-dimension index space by
+    * md5, with the collision profile that decides whether the dimension
+    * budget is adequate: per hashed bucket, its total occurrence mass,
+    * how many distinct tokens collided into it, and a deterministic
+    * example member. The projection needs NO vocabulary pass — row-local
+    * hashing then one hash agg bounded by the dimension count, which is
+    * why the trick is the standard featurizer when the true vocabulary
+    * is unbounded (URLs, user agents, n-grams) at 100 TB.
+    */
+  private val HashDim = 64L
+
+  def featureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sketches
+    Tables
+      .documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("bucket", pmod(Sketches.hash32("fh", col("token")), lit(HashDim)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("token")).as("n_distinct_tokens"),
+        min(col("token")).as("example_token"))
+      .transform(orderedOutput(_, col("bucket")))
+  }
+
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
@@ -1340,6 +1366,7 @@ object DocQueries {
     "d11_substring_dedup" -> (substringDedup(_, _)),
     "d12_incremental_dedup" -> (incrementalDedup(_, _)),
     "d18_incremental_neardup" -> (incrementalNearDup(_, _)),
+    "f14_feature_hashing" -> (featureHashing(_, _)),
     "t10_term_importance" -> (termImportance(_, _)),
     "t11_doc_chunks" -> (docChunks(_, _)),
     "t9_repetition" -> (repetitionStats(_, _)),
@@ -1526,6 +1553,15 @@ object DocQueries {
         |    AS is_unfamiliar
         |FROM tl JOIN m USING (tri)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "f14_feature_hashing" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |b AS (SELECT token,
+         |        CAST(('0x' || substr(md5('fh|' || token), 1, 8)) AS BIGINT) % $HashDim AS bucket
+         |      FROM toks)
+         |SELECT bucket, count(*) AS n_occurrences,
+         |  count(DISTINCT token) AS n_distinct_tokens,
+         |  min(token) AS example_token
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
