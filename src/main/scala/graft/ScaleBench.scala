@@ -36,6 +36,7 @@ object ScaleBench {
     "v4_ann_ivf_multiprobe",
     "v12_ivfpq_topk",
     "t23_lm_familiarity",
+    "d18_incremental_neardup",
     "v5_ivf_index_probe",
     "v10_pq_topk",
     // r7 additions: the graph plane (edge gen + oriented wedge join +
