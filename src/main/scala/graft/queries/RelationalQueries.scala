@@ -370,6 +370,55 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("n_name"), col("l_year")))
   }
 
+  /** q20: local-supplier volume (TPC-H Q5 shape) — the classic 6-table
+    * join: lineitem x orders x customer x supplier x nation x region,
+    * revenue kept only where the CUSTOMER's nation equals the SUPPLIER's
+    * (the "local" condition that makes Q5 a join-ordering benchmark),
+    * region- and date-filtered. Shape under Catalyst: the date filter
+    * pushes into the orders scan, region pre-filters nation into a
+    * broadcast of at most |nations| rows, supplier/customer broadcast at
+    * gate scale, and only the fact chain shuffles — on its own keys. The
+    * locality predicate rides the supplier join as a second equi-key, so
+    * no post-join filter re-scans the joined rows. Exact integer
+    * cents x (100 - disc) crosses the aggregation; the one division is
+    * the final export.
+    */
+  private val Q20Region = "ASIA"
+
+  def localVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = li(spark, sfDir).select(
+      col("l_orderkey"),
+      col("l_suppkey"),
+      (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val localNations = Tables
+      .nation(spark, sfDir)
+      .join(
+        broadcast(
+          Tables.region(spark, sfDir).filter(col("r_name") === Q20Region).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    lines
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(
+        supp,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(localNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(col("amount_x100")) / 10000.0).as("revenue"))
+      .transform(orderedOutput(_, col("n_name")))
+  }
+
   /** q13: order-priority check (TPC-H Q4 shape) — EXISTS as a LEFT SEMI
     * join: a quarter of orders, kept when at least one of their lines
     * shipped more than [[Q13LagDays]] days after the order date. The semi
@@ -471,6 +520,7 @@ object RelationalQueries {
     "q11_star_revenue" -> (starRevenue(_, _)),
     "q1_pricing_agg" -> (pricingAgg(_, _)),
     "q12_supplier_profit" -> (supplierProfit(_, _)),
+    "q20_local_volume" -> (localVolume(_, _)),
     "q13_priority_exists" -> (priorityExists(_, _)),
     "q14_promo_share" -> (promoShare(_, _)),
     "q3_shipping_topk" -> (shippingTopK(_, _)),
@@ -551,6 +601,20 @@ object RelationalQueries {
         |JOIN deg da ON da.node = e.a
         |JOIN deg db ON db.node = e.b
         |ORDER BY e.a, e.b""".stripMargin,
+    "q20_local_volume" ->
+      s"""SELECT n.n_name, count(*) AS n_lines,
+         |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = '$Q20Region'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "q12_supplier_profit" ->
       """SELECT n.n_name, year(l.l_shipdate) AS l_year,
         |  count(*) AS n_lines,
