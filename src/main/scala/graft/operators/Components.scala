@@ -54,7 +54,7 @@ object Components {
     // n ids is O(n^2), past Long at corpus scale.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
-        .head
+        .head()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
@@ -112,7 +112,7 @@ object Components {
         .agg(
           count(lit(1)).as("n"),
           coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L)).as("h"))
-        .head
+        .head()
       (r.getLong(0), r.getLong(1))
     }
 
