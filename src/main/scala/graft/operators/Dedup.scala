@@ -164,6 +164,36 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
   }
 
+  /** As [[jaccardForCandidates]] but EVERY candidate pair survives, even
+    * ones whose shingle sets are disjoint (n_common 0, jaccard 0.0) — the
+    * verify stage for an LSH probe whose false-candidate rate is itself
+    * part of the contract (d18): a minhash component collision between
+    * unrelated docs must surface as a measured flag-0 row, not silently
+    * vanish because the intersection join found nothing to join. The
+    * intersection stays candidates-only; zero-overlap pairs get their
+    * n_union from the per-doc sizes alone.
+    */
+  def jaccardForAllCandidates(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = cands.select(col("doc_a"), col("doc_b"))
+    val aSide = broadcast(pairs).join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    val bSide = sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "b_shingle")
+    val inter = aSide
+      .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      // inter is candidates-bounded: broadcast the RIGHT side (the only
+      // legal build side of a left outer join)
+      .join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_common"))
+      .withColumn("jaccard", col("n_common") / col("n_union"))
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+  }
+
   /** Banded-LSH candidate pairs from a k-component MinHash signature with
     * band width 2: docs agreeing on any (m_{2i}, m_{2i+1}) band.
     * Output: doc_a < doc_b, n_shared_bands.
@@ -210,6 +240,20 @@ object Dedup {
       posexplode(array((0 until k / 2).map(b =>
         md5(concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).cast("binary"))): _*))
         .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Width-ONE banding: each of the k signature components is its own
+    * band (band_hash = the component). The loosest banding — candidate
+    * recall is highest and the false-candidate rate is deliberately
+    * non-trivial, which is what the incremental near-dup gate (d18) wants
+    * to measure: sub-threshold band collisions are the operator's
+    * precision surface, so the banding must actually produce some.
+    */
+  def minhashBands1(sh: DataFrame, k: Int): DataFrame = {
+    val sig = minhashSignatures(sh, k)
+    sig.select(
+      col("doc_id"),
+      posexplode(array((0 until k).map(i => col(s"m$i")): _*)).as(Seq("band_idx", "band_hash")))
   }
 
   def minhashBandCandidatesFromShingles(sh: DataFrame, k: Int): DataFrame = {

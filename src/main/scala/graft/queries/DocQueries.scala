@@ -246,9 +246,17 @@ object DocQueries {
     * exact Jaccard and the d2/d3-threshold decision flag — exact-duplicate
     * replays surface at jaccard 1.0, near-dups above the threshold flag 1,
     * band-collision false candidates are kept (flag 0) so the measured
-    * LSH precision is part of the gated surface.
+    * LSH precision is part of the gated surface. The index uses the
+    * WIDTH-1 banding ([[Dedup.minhashBands1]]) and its own increment mod
+    * so that surface is actually populated at gate scale: ~170 candidates
+    * at sf0.01 including zero-overlap component collisions (verified by
+    * [[Dedup.jaccardForAllCandidates]], which keeps them — an
+    * intersection-join verify would silently drop a pair whose shingle
+    * sets are disjoint, and the oracle's list_intersect keeps it) and
+    * multi-band (n_shared_bands > 1) agreements.
     */
   private val BandIndexTable = "graft_doc_bands"
+  private val NearIncrMod = 7L
 
   private def bandKey(idx: org.apache.spark.sql.Column, hash: org.apache.spark.sql.Column) =
     md5(concat(idx.cast("string"), lit("|"), hash).cast("binary"))
@@ -257,13 +265,13 @@ object DocQueries {
     val docs = Tables.documents(spark, sfDir)
     val sh = materializedShingles(docs)
     val corpusBands = Dedup
-      .minhashBands(sh.filter(pmod(col("doc_id"), lit(IncrMod)) =!= 0), MinhashK)
+      .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) =!= 0), MinhashK)
       .select(
         col("doc_id").as("corpus_id"),
         bandKey(col("band_idx"), col("band_hash")).as("band_key"))
     graft.sources.Bucketed.write(corpusBands, BandIndexTable, "band_key", 32)
     val incrBands = Dedup
-      .minhashBands(sh.filter(pmod(col("doc_id"), lit(IncrMod)) === 0), MinhashK)
+      .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) === 0), MinhashK)
       .select(
         (col("doc_id") + IncrIdShift).as("new_id"),
         col("doc_id").as("orig_id"),
@@ -272,9 +280,9 @@ object DocQueries {
       .join(spark.table(BandIndexTable), "band_key")
       .groupBy(col("new_id"), col("orig_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    // exact verify over the shared shingle frame, candidates-only: pair
-    // the increment doc's ORIGINAL shingle rows against the corpus doc's
-    val jac = Dedup.jaccardForCandidates(
+    // exact verify over the shared shingle frame, candidates-only — the
+    // keep-all form, so a zero-overlap band collision stays a row
+    val jac = Dedup.jaccardForAllCandidates(
       cands.select(col("orig_id").as("doc_a"), col("corpus_id").as("doc_b")),
       sh)
     cands
@@ -1836,9 +1844,8 @@ object DocQueries {
       val sigCols = (0 until MinhashK)
         .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
         .mkString(",\n    ")
-      val bandSelects = (0 until MinhashK / 2)
-        .map(b =>
-          s"SELECT doc_id, md5('$b' || '|' || md5(m${2 * b} || '|' || m${2 * b + 1})) AS band_key FROM sig")
+      val bandSelects = (0 until MinhashK)
+        .map(b => s"SELECT doc_id, md5('$b' || '|' || m$b) AS band_key FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
          |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
@@ -1851,7 +1858,7 @@ object DocQueries {
          |  SELECT i.doc_id + $IncrIdShift AS new_id, i.doc_id AS orig_id, c.doc_id AS corpus_id,
          |    count(*) AS n_shared_bands
          |  FROM bands i JOIN bands c ON i.band_key = c.band_key
-         |  WHERE i.doc_id % $IncrMod = 0 AND c.doc_id % $IncrMod != 0
+         |  WHERE i.doc_id % $NearIncrMod = 0 AND c.doc_id % $NearIncrMod != 0
          |  GROUP BY 1, 2, 3),
          |jac AS (
          |  SELECT cd.new_id, cd.corpus_id, cd.n_shared_bands,

@@ -71,9 +71,18 @@ class BucketedJoinSpec extends AnyFunSuite {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
       assert(scan.isDefined, "probe should read through a file scan")
+      // derive expected directory counts from the fixture's event types
+      // rather than a literal, so a datagen cardinality change reads as
+      // a fixture shift, not a phantom pruning regression
+      val allTypes = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+      val keptTypes = allTypes.intersect(Set("purchase", "error"))
       assert(
-        scan.get.selectedPartitions.partitionCount == 2,
-        s"expected 2 pruned directories, got ${scan.get.selectedPartitions.partitionCount}")
+        keptTypes.nonEmpty && keptTypes.size < allTypes.size,
+        s"fixture must make pruning observable (types: $allTypes)")
+      assert(
+        scan.get.selectedPartitions.partitionCount == keptTypes.size,
+        s"expected ${keptTypes.size} pruned directories (of ${allTypes.size}), " +
+          s"got ${scan.get.selectedPartitions.partitionCount}")
       assert(scan.get.dataFilters.isEmpty, s"no residual data filter: ${scan.get.dataFilters}")
       // half 2: the user_id aggregation rides the bucket layout — zero
       // exchanges anywhere in the plan (bucket files with the same id

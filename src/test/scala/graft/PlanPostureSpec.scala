@@ -73,7 +73,7 @@ class PlanPostureSpec extends AnyFunSuite {
     val maxUsed = operators.Similarity
       .dropHotBuckets(bucketed, cap)
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head.getLong(0)
+      .agg(max(col("c"))).head().getLong(0)
     assert(maxUsed <= cap, s"cooled bucket of size $maxUsed exceeds cap $cap")
   }
 
@@ -327,11 +327,11 @@ class PlanPostureSpec extends AnyFunSuite {
       s"the per-query PQ lookup table should broadcast into the ADC scan:\n$plan")
   }
 
-  test("x1: partitioned-table probe prunes to 2 of 5 directories at planning time") {
+  test("x1: partitioned-table probe prunes to the named event types at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
-    // partition METADATA (2 of 5 directories listed), with no row-level
-    // event_type filter left in the scan.
+    // partition METADATA (only the named types' directories listed),
+    // with no row-level event_type filter left in the scan.
     FeatureQueries.partitionedScan(spark, sf).collect()
     val probe = FeatureQueries.partitionedScanProbe(spark)
     // the scan sits under the AQE wrapper — unwrap before collecting
@@ -343,9 +343,20 @@ class PlanPostureSpec extends AnyFunSuite {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scan.isDefined, "probe should read through a file scan")
+    // expected directory counts derive from the fixture, not a literal:
+    // the table has one directory per distinct event_type, and the probe
+    // must keep exactly the ones its isin() predicate names
+    val allTypes = Tables
+      .events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val keptTypes = allTypes.intersect(Set("purchase", "error"))
     assert(
-      scan.get.selectedPartitions.partitionCount == 2,
-      s"expected 2 pruned partitions, got ${scan.get.selectedPartitions.partitionCount}")
+      keptTypes.nonEmpty && keptTypes.size < allTypes.size,
+      s"fixture must make pruning observable (types: $allTypes)")
+    assert(
+      scan.get.selectedPartitions.partitionCount == keptTypes.size,
+      s"expected ${keptTypes.size} pruned partitions (of ${allTypes.size}), " +
+        s"got ${scan.get.selectedPartitions.partitionCount}")
     assert(
       scan.get.dataFilters.isEmpty,
       s"event_type must be a partition filter, not a data filter: ${scan.get.dataFilters}")

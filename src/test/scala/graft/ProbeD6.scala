@@ -11,7 +11,7 @@ object ProbeD6 {
     r
   }
   private def consume(df: org.apache.spark.sql.DataFrame): Unit = {
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h")).agg(bit_xor(col("h"))).collect(); ()
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h")).agg(bit_xor(col("h"))).collect(); ()
   }
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object ProbeT10 {
 
   private def consume(df: DataFrame): Unit = {
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
       .agg(bit_xor(col("h")))
       .collect()
     ()
