@@ -511,7 +511,316 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("part_a"), col("part_b")))
   }
 
+  /** q21: volume shipping (TPC-H Q7 shape) — bilateral trade between two
+    * nations: revenue per (supplier nation, customer nation, ship year)
+    * where one side is [[Q7NationA]] and the other [[Q7NationB]], either
+    * direction. Both nation dims broadcast post-filter (each a handful of
+    * keys), so the only shuffles are the fact chain's own joins
+    * (lineitem⋈orders on orderkey, ⋈customer on custkey, ⋈supplier on
+    * suppkey). The direction disjunction lives in the broadcast-joined
+    * nation pair filter — the fact table is scanned once, not unioned.
+    * Exact integer cents·(100−disc) crosses the aggregation.
+    */
+  private val Q7NationA = "NATION_18"
+  private val Q7NationB = "NATION_19"
+
+  def volumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val pairNat = broadcast(nat.filter(col("n_name").isin(Q7NationA, Q7NationB)))
+    val lines = li(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    lines
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(
+        pairNat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .join(
+        pairNat.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(col("amount_x100")) / 10000.0).as("revenue"))
+      .transform(orderedOutput(_, col("supp_nation"), col("cust_nation"), col("l_year")))
+  }
+
+  /** q22: national market share (TPC-H Q8 shape) — within one region's
+    * customers and one part type, the share of revenue supplied by one
+    * nation, per order year. The share is two exact integer sums and ONE
+    * final division, conditional aggregation splitting the focal nation
+    * from the market total — the fact chain is scanned and joined once
+    * for both numerator and denominator. Region pre-filters nation into
+    * an O(1) broadcast on the customer side; the supplier side carries
+    * its nation name through a broadcast join for the conditional split.
+    */
+  private val Q8Region = "EUROPE"
+  private val Q8Nation = "NATION_5"
+  private val Q8PartType = "ECONOMY"
+
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables
+      .part(spark, sfDir)
+      .filter(col("p_type") === Q8PartType)
+      .select(col("p_partkey"))
+    val regionNations = Tables
+      .nation(spark, sfDir)
+      .join(
+        broadcast(
+          Tables.region(spark, sfDir).filter(col("r_name") === Q8Region).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = Tables
+      .supplier(spark, sfDir)
+      .join(
+        broadcast(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    li(spark, sfDir)
+      .select(
+        col("l_orderkey"),
+        col("l_partkey"),
+        col("l_suppkey"),
+        (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("cn_key"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, col("amount_x100")).otherwise(0L))
+          .as("nation_x100"),
+        sum(col("amount_x100")).as("total_x100"))
+      .withColumn("mkt_share_pct", col("nation_x100") * 100.0 / col("total_x100"))
+      .transform(orderedOutput(_, col("o_year")))
+  }
+
+  /** q23: returned-item reporting (TPC-H Q10 shape) — the quarter's
+    * customers ranked by revenue lost to returned lines (returnflag R).
+    * One fact chain: date-filtered orders ⋈ lineitem on orderkey (the
+    * return-flag filter pushes into the lineitem scan), customer and the
+    * KB nation dim broadcast at gate scale. Ordering rides the EXACT
+    * integer revenue (amount_x100) with a custkey tiebreak, so the
+    * top-20 cut is total-order deterministic; the double export divides
+    * once after the cut.
+    */
+  private val Q10TopK = 20
+
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lines = li(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+    val cust = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    lines
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("amount_x100")).as("revenue_x100"))
+      .orderBy(col("revenue_x100").desc, col("c_custkey"))
+      .limit(Q10TopK)
+      .withColumn("revenue", col("revenue_x100") / 10000.0)
+      .select("c_custkey", "c_name", "n_name", "n_lines", "revenue_x100", "revenue")
+      .transform(orderedOutput(_, col("c_custkey")))
+  }
+
+  /** q24: small-quantity-order revenue (TPC-H Q17 shape) — lines whose
+    * quantity is below 20% of their part's average, for one part type:
+    * the correlated-scalar-subquery benchmark. Spark form: the per-part
+    * average is a WINDOW aggregate over the already part-filtered lines
+    * (one partkey-keyed exchange, no second scan, no self-join), and the
+    * 20%-of-average predicate is the INTEGER cross-multiplication
+    * 5·qty·n_part < sum_qty_part — no float division crosses the gate.
+    * At 100 TB the partkey shuffle is the one unavoidable move and it is
+    * bounded by the type filter that pushed into the scan.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    li(spark, sfDir)
+      .join(
+        Tables.part(spark, sfDir).filter(col("p_type") === "SMALL").select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("price_cents"))
+      .withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("n_part", count(lit(1)).over(w))
+      .filter(col("qty") * 5L * col("n_part") < col("sum_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("price_cents")).as("total_cents"),
+        (sum(col("price_cents")) / 100.0).as("total_revenue"))
+  }
+
+  /** q25: large-volume customers (TPC-H Q18 shape) — orders whose total
+    * line quantity exceeds a threshold, with their customer. The HAVING
+    * rollup is one orderkey-keyed aggregation of two integer columns;
+    * only the qualifying handful of orders joins back to orders/customer
+    * (both joins on the qualifier's own keys, customer broadcast at gate
+    * scale). Ordering is exact integer (total_cents desc, orderkey).
+    */
+  private val Q18MinQty = 200L
+
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qualifying = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("sum_qty") > Q18MinQty)
+    val ord = Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("order_us"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    qualifying
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        col("order_us"),
+        col("total_cents"),
+        col("sum_qty"),
+        col("n_lines"))
+      .transform(orderedOutput(_, col("total_cents").desc, col("o_orderkey")))
+  }
+
+  /** q26: suppliers who kept orders waiting (TPC-H Q21 shape) — the
+    * EXISTS + NOT-EXISTS double-correlation: a focal nation's suppliers
+    * with late lines (shipped > [[Q21LateDays]] after the order date) in
+    * multi-supplier orders where EVERY other supplier shipped on time.
+    * Spark form: both correlated subqueries become orderkey-keyed
+    * left-semi / left-anti joins against (order, supplier)-level frames
+    * derived from ONE distinct pass over lineitem — no per-row re-scans.
+    * All three joins shuffle on the same orderkey, so the exchange reuses
+    * one partitioning.
+    */
+  private val Q21LateDays = 60L
+  private val Q21Nation = "NATION_3"
+
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val lateUs = Q21LateDays * 86400L * 1000000L
+    val ordDate = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("o_us"))
+    // (orderkey, suppkey, was_late) per distinct pair — the one pass
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .join(ordDate, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(unix_micros(col("l_shipdate")) > col("o_us") + lateUs, 1L).otherwise(0L))
+        .as("was_late"))
+    val focalSupp = Tables
+      .supplier(spark, sfDir)
+      .join(
+        broadcast(Tables.nation(spark, sfDir).filter(col("n_name") === Q21Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val lateFocal = pairs.filter(col("was_late") === 1L)
+    val others = pairs.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"), col("was_late"))
+    lateFocal
+      .join(focalSupp, col("l_suppkey") === col("s_suppkey"))
+      // EXISTS: another supplier contributed to the same order
+      .join(
+        others.select(col("ok"), col("sk")),
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_semi")
+      // NOT EXISTS: no OTHER supplier was late on that order
+      .join(
+        others.filter(col("was_late") === 1L).select(col("ok"), col("sk")),
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_anti")
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_waiting"))
+      .transform(orderedOutput(_, col("n_waiting").desc, col("s_suppkey")))
+  }
+
+  /** q27: dormant high-balance customers (TPC-H Q22 shape) — customers
+    * whose account balance beats the positive-balance average but who
+    * never ordered, rolled up by nation. The global scalar subquery is a
+    * two-value broadcast; the above-average predicate is the integer
+    * cross-multiplication acct_cents·n_pos > sum_pos_cents (no float
+    * average crosses the gate); the "dormant" correlation (no orders
+    * since [[Q22Cutoff]] — the date filter pushes into the orders scan)
+    * is a LEFT ANTI join on custkey — at 100 TB the only shuffle, and it
+    * is on the customer table's own key.
+    */
+  private val Q22Cutoff = "1999-01-01"
+
+  def dormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+    val posStats = cust
+      .filter(col("acct_cents") > 0L)
+      .agg(sum(col("acct_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    cust
+      .crossJoin(broadcast(posStats))
+      .filter(col("acct_cents") * col("n_pos") > col("sum_pos"))
+      .join(
+        Tables
+          .orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("acct_cents")).as("sum_acct_cents"))
+      .transform(orderedOutput(_, col("n_name")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_volume_shipping" -> (volumeShipping(_, _)),
+    "q22_market_share" -> (marketShare(_, _)),
+    "q23_returned_items" -> (returnedItems(_, _)),
+    "q24_small_qty_revenue" -> (smallQtyRevenue(_, _)),
+    "q25_big_orders" -> (bigOrders(_, _)),
+    "q26_waiting_suppliers" -> (waitingSuppliers(_, _)),
+    "q27_dormant_customers" -> (dormantCustomers(_, _)),
     "q18_market_basket" -> (marketBasket(_, _)),
     "g4_triangles" -> (triangleCounts(_, _)),
     "g7_degree_hist" -> (degreeHistogram(_, _)),
@@ -580,6 +889,119 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q21_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year, count(*) AS n_lines,
+         |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('$Q7NationA', '$Q7NationB')
+         |  AND cn.n_name IN ('$Q7NationA', '$Q7NationB')
+         |  AND sn.n_name <> cn.n_name
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q22_market_share" ->
+      s"""SELECT year(o.o_orderdate) AS o_year,
+         |  CAST(sum(CASE WHEN sn.n_name = '$Q8Nation'
+         |    THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT)
+         |    AS nation_x100,
+         |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS total_x100,
+         |  sum(CASE WHEN sn.n_name = '$Q8Nation'
+         |    THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) ELSE 0 END) * 100.0
+         |    / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS mkt_share_pct
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '$Q8PartType'
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '$Q8Region'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_returned_items" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, count(*) AS n_lines,
+         |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_x100,
+         |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+         |    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 3
+         |QUALIFY row_number() OVER (ORDER BY revenue_x100 DESC, c.c_custkey) <= $Q10TopK
+         |ORDER BY c_custkey""".stripMargin,
+    "q24_small_qty_revenue" ->
+      """WITH s AS (
+        |  SELECT l.l_partkey, CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    sum(CAST(round(l.l_quantity) AS BIGINT)) OVER (PARTITION BY l.l_partkey) AS sum_qty,
+        |    count(*) OVER (PARTITION BY l.l_partkey) AS n_part
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'SMALL')
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  sum(price_cents) / 100.0 AS total_revenue
+        |FROM s WHERE qty * 5 * n_part < sum_qty""".stripMargin,
+    "q25_big_orders" ->
+      s"""WITH q AS (
+         |  SELECT l_orderkey, CAST(sum(round(l_quantity)) AS BIGINT) AS sum_qty,
+         |    CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM lineitem GROUP BY 1 HAVING sum(round(l_quantity)) > $Q18MinQty)
+         |SELECT c.c_custkey, c.c_name, q.l_orderkey AS o_orderkey,
+         |  epoch_us(o.o_orderdate) AS order_us,
+         |  CAST(round(o.o_totalprice*100) AS BIGINT) AS total_cents,
+         |  q.sum_qty, q.n_lines
+         |FROM q
+         |JOIN orders o ON q.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY total_cents DESC, o_orderkey""".stripMargin,
+    "q26_waiting_suppliers" ->
+      s"""WITH pairs AS (
+         |  SELECT l.l_orderkey, l.l_suppkey,
+         |    max(CASE WHEN epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+         |      + ${Q21LateDays * 86400L * 1000000L} THEN 1 ELSE 0 END) AS was_late
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2)
+         |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_waiting
+         |FROM pairs p
+         |JOIN supplier s ON p.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '$Q21Nation'
+         |WHERE p.was_late = 1
+         |  AND EXISTS (SELECT 1 FROM pairs x
+         |              WHERE x.l_orderkey = p.l_orderkey AND x.l_suppkey <> p.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM pairs x
+         |                  WHERE x.l_orderkey = p.l_orderkey AND x.l_suppkey <> p.l_suppkey
+         |                    AND x.was_late = 1)
+         |GROUP BY 1, 2 ORDER BY n_waiting DESC, s_suppkey""".stripMargin,
+    "q27_dormant_customers" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |    CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents FROM customer),
+         |p AS (SELECT CAST(sum(acct_cents) AS BIGINT) AS sum_pos,
+         |    CAST(count(*) AS BIGINT) AS n_pos FROM c WHERE acct_cents > 0)
+         |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+         |  CAST(sum(c.acct_cents) AS BIGINT) AS sum_acct_cents
+         |FROM c CROSS JOIN p
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE c.acct_cents * p.n_pos > p.sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         |                  AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
+         |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "g3_pagerank" -> pagerankSql,
     "g5_khop_reach" -> khopSql,
     "g6_edge_jaccard" ->
