@@ -1356,7 +1356,64 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** t24: RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents") — candidate phrases are the
+    * maximal stopword-free token runs; each word scores degree/freq
+    * (degree = Σ length of phrases containing it, freq = occurrences)
+    * and a phrase scores the sum of its words' scores. Kept exact as
+    * scaled integers: wscore = (1000·degree) div freq floors identically
+    * in both engines, and phrase scores sum order-independently. Plan
+    * shape: ONE posexplode of the corpus feeds phrase segmentation (a
+    * doc-keyed window running-sum — one exchange + one sort), the word
+    * table (token-keyed hash agg), and the phrase re-score join; nothing
+    * is ever corpus × corpus. Top-[[RakeTopK]] distinct phrases under a
+    * total (score, phrase) order.
+    */
+  private val RakeTopK = 20
+
+  def rakeKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.operators.TextAnalysis.qualityStopwords
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = toks
+      .withColumn("is_stop", col("tok").isin(stop: _*))
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+    val phraseToks = marked.filter(!col("is_stop")).select("doc_id", "grp", "pos", "tok")
+    val phrases = phraseToks
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")),
+          " ").as("phrase"),
+        count(lit(1)).as("phrase_len"))
+    val wordScores = phraseToks
+      .join(phrases.select(col("doc_id"), col("grp"), col("phrase_len")), Seq("doc_id", "grp"))
+      .groupBy(col("tok"))
+      .agg(sum(col("phrase_len")).as("degree"), count(lit(1)).as("freq"))
+      .withColumn("wscore", expr("(1000L * degree) div freq"))
+    val phraseScores = phraseToks
+      .join(wordScores.select(col("tok"), col("wscore")), "tok")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("score_x1000"))
+    phrases
+      .join(phraseScores, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(
+        count(lit(1)).as("n_occur"),
+        max(col("phrase_len")).as("phrase_len"),
+        max(col("score_x1000")).as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col("phrase"))
+      .limit(RakeTopK)
+      .transform(orderedOutput(_, col("score_x1000").desc, col("phrase")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_rake_keywords" -> (rakeKeywords(_, _)),
     "k6_heavy_hitters" -> (heavyHitters(_, _)),
     "t22_canonical_docs" -> (canonicalDocs(_, _)),
     "t21_novelty_score" -> (noveltyScore(_, _)),
@@ -1427,6 +1484,33 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "t24_rake_keywords" -> {
+      val stopList = graft.operators.TextAnalysis.qualityStopwords
+        .map(s => s"'$s'")
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, pos, w[pos] AS tok FROM (
+         |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         |m AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END AS is_stop FROM toks),
+         |g AS (SELECT *, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+         |pt AS (SELECT doc_id, grp, pos, tok FROM g WHERE is_stop = 0),
+         |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |         CAST(count(*) AS BIGINT) AS phrase_len
+         |       FROM pt GROUP BY 1, 2),
+         |ws AS (SELECT tok,
+         |         (1000 * CAST(sum(ph.phrase_len) AS BIGINT)) // CAST(count(*) AS BIGINT) AS wscore
+         |       FROM pt JOIN ph USING (doc_id, grp) GROUP BY 1),
+         |ps AS (SELECT doc_id, grp, CAST(sum(ws.wscore) AS BIGINT) AS score_x1000
+         |       FROM pt JOIN ws USING (tok) GROUP BY 1, 2)
+         |SELECT ph.phrase, CAST(count(*) AS BIGINT) AS n_occur,
+         |  max(ph.phrase_len) AS phrase_len, max(ps.score_x1000) AS score_x1000
+         |FROM ph JOIN ps USING (doc_id, grp)
+         |GROUP BY 1
+         |QUALIFY row_number() OVER (ORDER BY max(ps.score_x1000) DESC, phrase) <= $RakeTopK
+         |ORDER BY score_x1000 DESC, phrase""".stripMargin
+    },
     "k6_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |n AS (SELECT count(*) AS n_total FROM tok)

@@ -2240,6 +2240,127 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("zbucket")))
   }
 
+  /** a20: Spearman rank correlation between per-user total spend and
+    * event count — the robust (monotone, outlier-insensitive) twin of
+    * a5's Pearson, and the standard feature-redundancy screen before
+    * model training. Tie handling is the textbook AVERAGE rank, kept
+    * exact as DOUBLED ranks: r2 = 2·rank_min + (ties−1)·1 is an integer,
+    * so the whole estimator is a5's exact-integer power-sum Pearson over
+    * (r2x, r2y) with decimal(38) combine and ONE double division. The
+    * ranks are windows over the |users|-row AGGREGATED frame (never raw
+    * events), which range-partitions at scale.
+    */
+  def spearmanSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perUser = prepared(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+    val ranked = perUser
+      .withColumn("rx2", rank().over(Window.orderBy(col("x"))) * 2L +
+        count(lit(1)).over(Window.partitionBy(col("x"))) - 1L)
+      .withColumn("ry2", rank().over(Window.orderBy(col("y"))) * 2L +
+        count(lit(1)).over(Window.partitionBy(col("y"))) - 1L)
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"),
+        sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("ry2")).as("sxy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"))
+      .withColumn(
+        "rho",
+        (col("n").cast(d38) * col("sxy").cast(d38) - col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("double") /
+          (sqrt((col("n").cast(d38) * col("sxx").cast(d38) - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+            sqrt((col("n").cast(d38) * col("syy").cast(d38) - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
+  }
+
+  /** a21: Mann-Whitney U — the nonparametric two-sample location test
+    * (does `purchase` spend stochastically dominate `view` spend?),
+    * with the AUC interpretation U/(n1·n2) that makes it the exact
+    * ROC-AUC of "amount predicts type". Average-rank ties as doubled
+    * integer ranks (a20's trick) over the combined sample, so
+    * U₁·2 = ΣR₁·2 − n₁(n₁+1) is exact; the one division is the final
+    * AUC export. The rank pass is one global sort over the two types'
+    * rows — range-partitioned at scale, never a per-row correlated scan.
+    */
+  private val MwTypeA = "purchase"
+  private val MwTypeB = "view"
+
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = prepared(spark, sfDir)
+      .filter(col("event_type").isin(MwTypeA, MwTypeB))
+      .select(col("event_type"), col("cents"))
+    val ranked = both
+      .withColumn("r2", rank().over(Window.orderBy(col("cents"))) * 2L +
+        count(lit(1)).over(Window.partitionBy(col("cents"))) - 1L)
+    ranked
+      .agg(
+        sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("event_type") === MwTypeA, col("r2")).otherwise(0L)).as("r1_x2"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
+      .withColumn("u2_x2", col("n1") * col("n2") * 2L - col("u1_x2"))
+      .withColumn("auc", col("u1_x2").cast("double") / (col("n1") * col("n2") * 2L))
+  }
+
+  /** k7: AMS/Tug-of-War F2 sketch (Alon, Matias & Szegedy 1996) — the
+    * second frequency moment (self-join size / skew measure) of the
+    * user_id stream estimated from [[AmsR]] ±1 counters: each estimator
+    * keeps ONE running integer Σ sign_r(user) and squares it. All
+    * [[AmsR]] counters accumulate in a single map-side-combined pass
+    * (conditional sums in one aggregation — no fan-out), then unpivot to
+    * one gated row per estimator next to the exact F2 = Σ f_u² so the
+    * estimator spread is pinned. Signs derive from md5, identical in
+    * both engines.
+    */
+  private val AmsR = 8
+
+  def amsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+    val signs = (0 until AmsR).map { r =>
+      val bit = Sketches.hash32(s"ams$r", col("user_id")) % 2L
+      sum(bit * 2L - 1L).as(s"z$r")
+    }
+    val zRow = ev.agg(signs.head, signs.tail: _*)
+    val exact = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    val est = zRow
+      .select(posexplode(array((0 until AmsR).map(r => col(s"z$r")): _*)).as(Seq("r", "z")))
+      .withColumn("est_f2", col("z") * col("z"))
+    est
+      .crossJoin(broadcast(exact))
+      .select(col("r").cast("long").as("r"), col("z"), col("est_f2"), col("exact_f2"))
+      .transform(orderedOutput(_, col("r")))
+  }
+
+  /** s11: weighted sampling without replacement — the Efraimidis-Spirakis
+    * priority family with an exact-INTEGER priority: each event draws
+    * u = hash32 and competes with priority u·10⁶ div (cents+1), so
+    * higher-spend rows systematically win smaller priorities and the
+    * "sample k" is the k smallest priorities under a total (priority,
+    * event_id) order. One TakeOrderedAndProject — no global sort, no
+    * float pow(u, 1/w) (whose libm rounding differs across engines).
+    * The standard shape for importance-weighted corpus subsampling.
+    */
+  private val WsK = 100
+
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+      .withColumn("weight", col("cents") + 1L)
+      .withColumn("u", Sketches.hash32("ws", col("event_id")))
+      .withColumn("priority", expr("(u * 1000000) div weight"))
+    ev.select(col("event_id"), col("user_id"), col("cents"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("event_id"))
+      .limit(WsK)
+      .transform(orderedOutput(_, col("priority"), col("event_id")))
+  }
+
   /** DuckDB-dialect oracle SQL, formula-identical to the Spark plans. */
   val oracle: Map[String, String] = {
     val prep =
@@ -2268,6 +2389,66 @@ object FeatureQueries {
          |  FROM agg0)""".stripMargin
 
     Map(
+      "a20_spearman" ->
+        s"""WITH prep AS ($prep),
+           |u AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS x,
+           |        CAST(count(*) AS BIGINT) AS y FROM prep GROUP BY 1),
+           |r AS (SELECT
+           |    rank() OVER (ORDER BY x) * 2 + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+           |    rank() OVER (ORDER BY y) * 2 + count(*) OVER (PARTITION BY y) - 1 AS ry2
+           |  FROM u),
+           |s AS (SELECT count(*) AS n,
+           |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+           |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+           |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+           |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy FROM r)
+           |SELECT n, sx, sy, sxy, sxx, syy,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           |    AS rho
+           |FROM s""".stripMargin,
+      "a21_mann_whitney" ->
+        s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events
+           |      WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
+           |r AS (SELECT event_type,
+           |    rank() OVER (ORDER BY cents) * 2 + count(*) OVER (PARTITION BY cents) - 1 AS r2
+           |  FROM b),
+           |s AS (SELECT
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeA' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeB' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeA' THEN r2 ELSE 0 END) AS BIGINT) AS r1_x2
+           |  FROM r)
+           |SELECT n1, n2, r1_x2,
+           |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           |  n1 * n2 * 2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+           |  CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / (n1 * n2 * 2) AS auc
+           |FROM s""".stripMargin,
+      "k7_ams_f2" -> {
+        val zCols = (0 until AmsR)
+          .map(r =>
+            s"CAST(sum((CAST(('0x' || substr(md5('ams$r|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) * 2 - 1) AS BIGINT) AS z$r")
+          .mkString(",\n    ")
+        val arms = (0 until AmsR)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS r, z$r AS z FROM zr")
+          .mkString("\n  UNION ALL ")
+        s"""WITH zr AS (SELECT
+           |    $zCols
+           |  FROM events),
+           |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+           |    SELECT CAST(count(*) AS BIGINT) AS f FROM events GROUP BY user_id)),
+           |est AS ($arms)
+           |SELECT r, z, z * z AS est_f2, exact_f2
+           |FROM est CROSS JOIN ex ORDER BY r""".stripMargin
+      },
+      "s11_weighted_sample" ->
+        s"""WITH prep AS ($prep),
+           |w AS (SELECT event_id, user_id, cents, cents + 1 AS weight,
+           |    (CAST(('0x' || substr(md5('ws|' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      * 1000000) // (cents + 1) AS priority
+           |  FROM prep)
+           |SELECT event_id, user_id, cents, weight, priority
+           |FROM w ORDER BY priority, event_id LIMIT $WsK""".stripMargin,
       "w1_trailing_agg" ->
         s"""$withRatios
            |SELECT event_id, user_id, amount, num_trans_last_10m, avg_amt_last_10m,
@@ -3344,6 +3525,10 @@ object FeatureQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_spearman" -> (spearmanSpend(_, _)),
+    "a21_mann_whitney" -> (mannWhitney(_, _)),
+    "k7_ams_f2" -> (amsF2(_, _)),
+    "s11_weighted_sample" -> (weightedSample(_, _)),
     "w1_trailing_agg" -> (trailingAgg(_, _)),
     "w5_latest_per_key" -> (latestPerKey(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),

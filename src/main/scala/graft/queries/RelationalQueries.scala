@@ -813,7 +813,86 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("n_name")))
   }
 
+  /** g8: local clustering coefficient — per node, how close its
+    * neighborhood is to a clique: 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    * community-structure profile (dense-neighborhood nodes vs bridge
+    * nodes). Triangle counts ride [[graft.operators.Triangles]]'
+    * degree-oriented O(m^1.5) wedge join (g4's machinery, same bound);
+    * degrees are one hash agg on the shared persisted edge frame; nodes
+    * in no triangle are restored by a left join so the expensive path
+    * stays triangles-only. Numerator and denominator are exact integers;
+    * the coefficient is the single final division.
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
+    val deg = e
+      .select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 2L)
+    deg
+      .join(graft.operators.Triangles.perNode(e), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn(
+        "coeff",
+        col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1L)))
+      .select("node", "degree", "n_triangles", "coeff")
+      .transform(orderedOutput(_, col("node")))
+  }
+
+  /** g9: link prediction by Resource Allocation index (Zhou, Lü &
+    * Zhang 2009) — for two-hop pairs NOT already connected, score
+    * RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the common-neighbor measure
+    * that out-predicts Jaccard/Adamic-Adar on co-occurrence graphs. The
+    * graph is the SUPPORT-≥[[RaMinSupport]] co-purchase graph (the
+    * real-pipeline edge-denoising step, and the declared density
+    * control: the wedge join through middles costs Σ deg(z)², so the
+    * support threshold is what keeps hub middles bounded at 100 TB —
+    * same knob family as d2c's df cap). The per-middle contribution is
+    * the exact integer floor(10⁹/deg(z)), summed order-independently;
+    * existing edges leave by an anti-join; top-[[RaTopK]] under a total
+    * (score, a, b) order.
+    */
+  private val RaMinSupport = 2L
+  private val RaTopK = 50
+
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= RaMinSupport)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e
+      .select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("nbr").as("z")).agg(count(lit(1)).as("deg_z"))
+    val wedges = adj
+      .select(col("nbr").as("z"), col("node").as("u"))
+      .join(adj.select(col("nbr").as("z"), col("node").as("v")), "z")
+      .filter(col("u") < col("v"))
+    wedges
+      .join(deg, "z")
+      .groupBy(col("u").as("a"), col("v").as("b"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(expr("1000000000L div deg_z")).as("ra_x1e9"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_x1e9").desc, col("a"), col("b"))
+      .limit(RaTopK)
+      .transform(orderedOutput(_, col("ra_x1e9").desc, col("a"), col("b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
+    "g9_link_prediction" -> (linkPrediction(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -889,6 +968,52 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "g8_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1 HAVING count(*) >= 2),
+        |k AS (SELECT e.a, e.b,
+        |        da.degree * 4294967296 + e.a AS ka,
+        |        db.degree * 4294967296 + e.b AS kb
+        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+        |             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+        |             greatest(ka, kb) AS kdst
+        |      FROM k),
+        |wg AS (SELECT o1.src, o1.dst AS v, o2.dst AS wd
+        |       FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kdst < o2.kdst),
+        |t AS (SELECT wg.src AS u, wg.v, wg.wd
+        |      FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.wd),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT u AS node FROM t
+        |  UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT wd FROM t)
+        |GROUP BY 1)
+        |SELECT d.node, d.degree, CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  coalesce(tc.n_triangles, 0) * 2.0 / (d.degree * (d.degree - 1)) AS coeff
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node
+        |ORDER BY d.node""".stripMargin,
+    "g9_link_prediction" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT x.p AS a, y.p AS b
+         |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+         |      GROUP BY 1, 2 HAVING count(*) >= $RaMinSupport),
+         |adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT nbr AS z, CAST(count(*) AS BIGINT) AS deg_z FROM adj GROUP BY 1),
+         |w AS (SELECT x.nbr AS z, x.node AS u, y.node AS v
+         |      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node),
+         |s AS (SELECT w.u AS a, w.v AS b, CAST(count(*) AS BIGINT) AS n_common,
+         |        CAST(sum(1000000000 // d.deg_z) AS BIGINT) AS ra_x1e9
+         |      FROM w JOIN deg d ON d.z = w.z
+         |      GROUP BY 1, 2),
+         |nl AS (SELECT s.* FROM s
+         |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = s.a AND e.b = s.b))
+         |SELECT a, b, n_common, ra_x1e9 FROM nl
+         |QUALIFY row_number() OVER (ORDER BY ra_x1e9 DESC, a, b) <= $RaTopK
+         |ORDER BY ra_x1e9 DESC, a, b""".stripMargin,
     "q21_volume_shipping" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  year(l.l_shipdate) AS l_year, count(*) AS n_lines,
