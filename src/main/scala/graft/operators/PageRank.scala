@@ -65,4 +65,47 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: the restart mass lands only on `seeds`
+    * (a one-column `node` frame) instead of uniformly — the
+    * relevance-to-a-query-set ranking (Jeh & Widom 2003, "Scaling
+    * personalized web search"). Same exact-integer Pregel loop as
+    * [[run]] — the seed set broadcasts once into the degree frame, so
+    * per-iteration cost is identical: one co-partitioned edges⋈ranks
+    * join plus the dst-keyed contribution aggregation. Initial rank is
+    * Scale on seeds, 0 elsewhere. Returns (node, deg, is_seed, pr).
+    */
+  def personalized(edges: DataFrame, iterations: Int, seeds: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    val deg = e
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .join(
+        broadcast(seeds.select(col("node").as("src"), lit(1L).as("is_seed"))),
+        Seq("src"),
+        "left")
+      .select(col("src"), col("deg"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist()
+    val base = Scale * 15L / 100L
+    var ranks = deg.select(
+      col("src").as("node"),
+      col("deg"),
+      col("is_seed"),
+      (col("is_seed") * Scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = deg
+        .join(contrib, deg("src") === contrib("dst"), "left")
+        .select(
+          deg("src").as("node"),
+          deg("deg"),
+          deg("is_seed"),
+          (col("is_seed") * base + expr("85 * coalesce(in_sum, 0L) div 100")).as("pr"))
+    }
+    ranks
+  }
 }

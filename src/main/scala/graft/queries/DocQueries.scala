@@ -1412,8 +1412,46 @@ object DocQueries {
       .transform(orderedOutput(_, col("score_x1000").desc, col("phrase")))
   }
 
+  /** t25: vocabulary growth curve (Heaps' law profile) — distinct token
+    * types vs cumulative token occurrences across [[VocabBuckets]]
+    * corpus deciles, the curve that sizes tokenizer vocabularies and
+    * detects corpus drift (a flattening curve means the crawl stopped
+    * finding new language). "New types per decile" is a min-bucket
+    * aggregation per token — two hash aggs over ONE corpus explode, no
+    * per-decile rescans; the cumulative layer is a window over the
+    * 10-row rollup. Exact integers throughout.
+    */
+  private val VocabBuckets = 10L
+
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val maxDoc = docs.agg(max(col("doc_id")).as("max_id"))
+    val tb = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .crossJoin(broadcast(maxDoc))
+      .withColumn(
+        "bucket",
+        least(lit(VocabBuckets - 1L), expr(s"(doc_id * $VocabBuckets) div (max_id + 1)")))
+    val occ = tb.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = tb
+      .groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ
+      .join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select("bucket", "n_tokens", "new_types", "cum_tokens", "cum_types")
+      .transform(orderedOutput(_, col("bucket")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_rake_keywords" -> (rakeKeywords(_, _)),
+    "t25_vocab_growth" -> (vocabGrowth(_, _)),
     "k6_heavy_hitters" -> (heavyHitters(_, _)),
     "t22_canonical_docs" -> (canonicalDocs(_, _)),
     "t21_novelty_score" -> (noveltyScore(_, _)),
@@ -1484,6 +1522,20 @@ object DocQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "t25_vocab_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tb AS (SELECT least(${VocabBuckets - 1L}, (doc_id * $VocabBuckets) // (max_id + 1)) AS bucket, tok
+         |       FROM toks CROSS JOIN mx),
+         |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tb GROUP BY 1),
+         |fs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+         |         SELECT tok, min(bucket) AS bucket FROM tb GROUP BY 1) GROUP BY 1)
+         |SELECT o.bucket, o.n_tokens,
+         |  CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+         |  CAST(sum(o.n_tokens) OVER (ORDER BY o.bucket) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(coalesce(f.new_types, 0)) OVER (ORDER BY o.bucket) AS BIGINT) AS cum_types
+         |FROM occ o LEFT JOIN fs f USING (bucket)
+         |ORDER BY o.bucket""".stripMargin,
     "t24_rake_keywords" -> {
       val stopList = graft.operators.TextAnalysis.qualityStopwords
         .map(s => s"'$s'")

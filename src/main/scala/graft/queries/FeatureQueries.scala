@@ -2277,6 +2277,53 @@ object FeatureQueries {
             sqrt((col("n").cast(d38) * col("syy").cast(d38) - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
   }
 
+  /** a22: Cramér's V — the [0,1]-normalized effect size of a10's
+    * event_type × day-of-week chi-square, the number a data-quality
+    * dashboard actually thresholds ("is spend pattern associated with
+    * weekday AT ALL?"). a10 gates per-cell contributions because a chi²
+    * TOTAL sums doubles order-dependently; here the total IS the gate,
+    * so each cell contributes the exact integer
+    * ((o·n − rt·ct)² · 10⁴) div (rt·ct) with decimal(38) headroom
+    * (DuckDB's HUGEINT twin), floor-divided identically in both engines
+    * and summed order-independently. chi² = that sum / (10⁴·n);
+    * V = sqrt(chi² / (n·min(r−1, c−1))) — two divisions and one sqrt at
+    * export, nothing accumulated in floats. One hash agg over the cell
+    * table; output is a single row.
+    */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cells = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), expr("(ord_us div 86400000000) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("dow"))
+    val wn = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("o")).over(wr))
+      .withColumn("ct", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wn))
+      .withColumn("r", size(collect_set(col("event_type")).over(wn)).cast("long"))
+      .withColumn("c", size(collect_set(col("dow")).over(wn)).cast("long"))
+      .withColumn(
+        "diffd",
+        col("o").cast(d38) * col("n").cast(d38) - col("rt").cast(d38) * col("ct").cast(d38))
+      .withColumn("numd", col("diffd") * col("diffd") * lit(10000L).cast(d38))
+      .withColumn("dend", col("rt").cast(d38) * col("ct").cast(d38))
+      // IntegralDivide on decimals is BigDecimal.divideToIntegralValue —
+      // EXACT truncation, unlike a scale-bound decimal divide + cast
+      .withColumn("cell_x1e4", expr("numd div dend"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("cell_x1e4")).as("chi2_x1e4n"))
+      .withColumn("chi2", col("chi2_x1e4n").cast("double") / 10000.0 / col("n"))
+      .withColumn(
+        "cramers_v",
+        sqrt(col("chi2") / (col("n") * least(col("r") - 1L, col("c") - 1L)).cast("double")))
+      .select("n", "r", "c", "chi2_x1e4n", "chi2", "cramers_v")
+  }
+
   /** a21: Mann-Whitney U — the nonparametric two-sample location test
     * (does `purchase` spend stochastically dominate `view` spend?),
     * with the AUC interpretation U/(n1·n2) that makes it the exact
@@ -2407,6 +2454,29 @@ object FeatureQueries {
            |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
            |    AS rho
            |FROM s""".stripMargin,
+      "a22_cramers_v" ->
+        """WITH cells AS (
+          |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+          |    CAST(count(*) AS BIGINT) AS o
+          |  FROM events GROUP BY 1, 2),
+          |dims AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+          |    CAST(count(DISTINCT dow) AS BIGINT) AS c,
+          |    CAST(sum(o) AS BIGINT) AS n FROM cells),
+          |m AS (SELECT event_type, dow, o,
+          |    sum(o) OVER (PARTITION BY event_type) AS rt,
+          |    sum(o) OVER (PARTITION BY dow) AS ct
+          |  FROM cells),
+          |x AS (SELECT n, r, c,
+          |    ((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+          |      * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+          |      * 10000) // (CAST(rt AS HUGEINT) * ct) AS cell_x1e4
+          |  FROM m CROSS JOIN dims)
+          |SELECT CAST(n AS BIGINT) AS n, r, c,
+          |  CAST(sum(cell_x1e4) AS BIGINT) AS chi2_x1e4n,
+          |  CAST(sum(cell_x1e4) AS DOUBLE) / 10000.0 / n AS chi2,
+          |  sqrt((CAST(sum(cell_x1e4) AS DOUBLE) / 10000.0 / n)
+          |    / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+          |FROM x GROUP BY n, r, c""".stripMargin,
       "a21_mann_whitney" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events
@@ -3527,6 +3597,7 @@ object FeatureQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a20_spearman" -> (spearmanSpend(_, _)),
     "a21_mann_whitney" -> (mannWhitney(_, _)),
+    "a22_cramers_v" -> (cramersV(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
     "s11_weighted_sample" -> (weightedSample(_, _)),
     "w1_trailing_agg" -> (trailingAgg(_, _)),

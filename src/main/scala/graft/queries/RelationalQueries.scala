@@ -197,6 +197,38 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g10: PERSONALIZED PageRank over the same part↔supplier co-supply
+    * graph — restart mass pinned to one nation's supplier nodes
+    * ([[PprNation]]), ranking every node by relevance to that seed set
+    * (the recommendation / related-entity shape, vs g3's global
+    * importance). Same exact-integer Pregel loop and per-iteration cost
+    * as g3 ([[graft.operators.PageRank.personalized]]); the seed set
+    * broadcasts once into the degree frame.
+    */
+  private val PprNation = "NATION_0"
+
+  def personalizedPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    val edges = pairs
+      .select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+    val seeds = Tables
+      .supplier(spark, sfDir)
+      .join(
+        broadcast(Tables.nation(spark, sfDir).filter(col("n_name") === PprNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select((col("s_suppkey") * 2L + 1L).as("node"))
+    graft.operators.PageRank
+      .personalized(edges, PrIters, seeds)
+      .select(col("node"), col("deg"), col("is_seed"), col("pr"))
+      .transform(orderedOutput(_, col("node")))
+  }
+
   /** g4: per-part triangle counts over the order-co-occurrence graph
     * (parts are adjacent when some order contains both). Pair generation
     * is a self-join co-keyed on the order — fan-out bounded by order size,
@@ -893,6 +925,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
     "g9_link_prediction" -> (linkPrediction(_, _)),
+    "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -945,6 +978,38 @@ object RelationalQueries {
        |SELECT node, deg, CAST(pr AS BIGINT) AS pr FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  /** g10 oracle: g3's unrolled integer rounds with the restart mass
+    * confined to the seed column (is_seed · base instead of base).
+    */
+  private def pprSql: String = {
+    val scale = graft.operators.PageRank.Scale
+    val base = scale * 15L / 100L
+    val rounds = (1 to PrIters)
+      .map { k =>
+        s"""r$k AS (
+           |  SELECT d.node, d.deg, d.is_seed,
+           |    d.is_seed * $base + (85 * coalesce(c.s, 0)) // 100 AS pr
+           |  FROM d LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.pr // r.deg) AS s
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) c USING (node))""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+       |edges AS (SELECT p AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |degs AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier s
+       |          JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = '$PprNation'),
+       |d AS (SELECT degs.node, degs.deg,
+       |        CASE WHEN seeds.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+       |      FROM degs LEFT JOIN seeds USING (node)),
+       |r0 AS (SELECT node, deg, is_seed, CAST(is_seed * $scale AS BIGINT) AS pr FROM d),
+       |$rounds
+       |SELECT node, deg, CAST(is_seed AS BIGINT) AS is_seed, CAST(pr AS BIGINT) AS pr
+       |FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   /** g5 oracle: the same [[BfsRounds]] rounds unrolled as min-agg CTEs
     * (min over all ≤k-hop paths == frontier BFS shortest hop).
     */
@@ -968,6 +1033,7 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "g10_personalized_pagerank" -> pprSql,
     "g8_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
