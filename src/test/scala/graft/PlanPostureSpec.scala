@@ -327,6 +327,49 @@ class PlanPostureSpec extends AnyFunSuite {
       s"the per-query PQ lookup table should broadcast into the ADC scan:\n$plan")
   }
 
+  test("g9: link prediction wedges through equi-joins only; edges leave via LeftAnti") {
+    val plan = queries.RelationalQueries.linkPrediction(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in g9 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in g9 plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"existing edges must leave via an anti-join:\n$plan")
+  }
+
+  test("q26: both correlations plan as LeftSemi/LeftAnti — no fan-out joins or dedup") {
+    val plan = queries.RelationalQueries.waitingSuppliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q26 plan:\n$plan")
+  }
+
+  test("q24: the correlated per-part average is ONE partkey window, not a self-join") {
+    val plan = queries.RelationalQueries.smallQtyRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 20%-of-average predicate must ride a window over the filtered
+    // join output — a second lineitem scan would double the fact I/O
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected exactly lineitem+part scans, got $scans:\n$plan")
+    assert("Sort \\[l_partkey".r.findAllIn(plan).nonEmpty,
+      s"per-part window sort missing:\n$plan")
+  }
+
+  test("t24: RAKE pairs only through token/group equi-joins — never corpus x corpus") {
+    val plan = queries.DocQueries.rakeKeywords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in t24 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in t24 plan:\n$plan")
+  }
+
+  test("q22: market share numerator and denominator share ONE fact-chain pass") {
+    // the focal-nation split is a conditional aggregation, so the plan
+    // must contain exactly one lineitem scan (plus one per dimension)
+    val plan = queries.RelationalQueries.marketShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    val liScans = "FileScan parquet \\[l_".r.findAllIn(plan).length
+    assert(liScans == 1, s"fact table must be scanned once, got $liScans:\n$plan")
+  }
+
   test("x1: partitioned-table probe prunes to the named event types at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
