@@ -51,7 +51,14 @@ object ScaleBench {
     "t19c_containment_capped",
     // content-defined chunking: linear chunker + df-capped share join
     "d17_cdc_chunks",
-    "d15_minhash_estimate")
+    "d15_minhash_estimate",
+    // r8 additions: the support-thresholded wedge join (g9), RAKE's
+    // explode + segmentation + re-score join chain (t24), and the
+    // two-agg vocabulary curve (t25) — all lineitem/documents-only so
+    // they run on the ScaleGen corpora
+    "g9_link_prediction",
+    "t24_rake_keywords",
+    "t25_vocab_growth")
 
   /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate
     * medians at both scales and large/small ratios.

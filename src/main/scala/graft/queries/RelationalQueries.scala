@@ -922,7 +922,45 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("ra_x1e9").desc, col("a"), col("b")))
   }
 
+  /** q28: cheapest supplier per part (TPC-H Q2 shape) — the correlated
+    * aggregate subquery (WHERE cost = (SELECT min(cost) ... same part))
+    * re-expressed as ONE part-keyed window minimum with a deterministic
+    * row_number tie-break, so the fact frame is scanned once and
+    * shuffled once on its own key — never a per-part rescan. Unit price
+    * is the exact integer floor division price_cents div qty (both
+    * engines agree on non-negative operands); the type filter pushes to
+    * the part scan and bounds everything downstream.
+    */
+  def cheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val offers = li(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(
+        Tables.part(spark, sfDir).filter(col("p_type") === "LARGE").select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_partkey"),
+        col("l_suppkey"),
+        expr("price_cents div cast(round(l_quantity) as bigint)").as("unit_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val pick = Window
+      .partitionBy(col("l_partkey"))
+      .orderBy(col("unit_cents"), col("l_suppkey"))
+    offers
+      .withColumn("min_unit_cents", min(col("unit_cents")).over(w))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .join(
+        Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_suppkey"), col("s_name"), col("min_unit_cents"))
+      .transform(orderedOutput(_, col("l_partkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cheapest_supplier" -> (cheapestSupplier(_, _)),
     "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
     "g9_link_prediction" -> (linkPrediction(_, _)),
     "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
@@ -1033,6 +1071,23 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q28_cheapest_supplier" ->
+      """WITH offers AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      // CAST(round(l.l_quantity) AS BIGINT) AS unit_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-07-01'),
+        |m AS (SELECT l_partkey, l_suppkey, unit_cents,
+        |    min(unit_cents) OVER (PARTITION BY l_partkey) AS min_unit_cents,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn
+        |  FROM offers)
+        |SELECT m.l_partkey, s.s_suppkey, s.s_name, m.min_unit_cents
+        |FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+        |WHERE m.rn = 1
+        |ORDER BY m.l_partkey""".stripMargin,
     "g10_personalized_pagerank" -> pprSql,
     "g8_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

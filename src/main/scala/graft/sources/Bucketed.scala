@@ -108,4 +108,30 @@ object Bucketed {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Compact a fragmented plain table to ~`targetFileBytes`-sized data
+    * files — the small-files maintenance pass every micro-batch sink
+    * eventually needs (a streaming foreachBatch upsert leaves one file
+    * per batch per partition; parquet scan throughput collapses when
+    * files shrink below the row-group size). The output file count
+    * derives from the table's actual on-disk bytes, the rows are
+    * preserved exactly (one repartition — no ordering contract), and
+    * the swap is write-to-temp + rename so a reader never sees a
+    * half-compacted table. Returns the new file count.
+    */
+  def compact(spark: SparkSession, table: String, targetFileBytes: Long): Int = {
+    val df = spark.table(table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = table + "__compact"
+    dropWithLocation(spark, tmp)
+    df.repartition(n).write.format("parquet").saveAsTable(tmp)
+    dropWithLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    n
+  }
 }

@@ -97,6 +97,29 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: fragmented table rewrites to size-derived file count, rows exact") {
+    val ev = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value")
+    // simulate a micro-batch sink's fragmentation: 64 tiny files
+    Bucketed.writePlain(ev.repartition(64), "ev_fragmented")
+    val before = spark.table("ev_fragmented")
+    val beforeFiles = before.inputFiles.length
+    val beforeRows = before.collect().toSet
+    assert(beforeFiles >= 32, s"fixture should be fragmented, got $beforeFiles files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = before.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val target = totalBytes / 4 + 1 // expect ~4 output files
+    val n = Bucketed.compact(spark, "ev_fragmented", target)
+    val after = spark.table("ev_fragmented")
+    assert(after.inputFiles.length == n, "reported file count must match the table")
+    assert(n < beforeFiles / 4, s"compaction should collapse $beforeFiles files, got $n")
+    assert(after.collect().toSet == beforeRows, "compaction must preserve rows exactly")
+  }
+
   test("incremental dedup: bucketed corpus index matches exchange-free and resolves canonicals") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
