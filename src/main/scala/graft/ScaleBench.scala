@@ -99,7 +99,7 @@ object ScaleBench {
         s""""reps":$reps,"load_avg_end":${Bench.loadAvg()},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE_r07.json"), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE_r08.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -258,18 +258,36 @@ object DocQueries {
   private val BandIndexTable = "graft_doc_bands"
   private val NearIncrMod = 7L
 
+  /** Width-1 bands collide every document whose min-shingle is a POPULAR
+    * shingle into one band key, so a corpus posting list can grow with
+    * corpus density — the measured 7.5× at 10× data before this cap.
+    * The standing index therefore stores no band key with more than
+    * [[BandCap]] corpus documents (the d2c df-cap convention lifted to
+    * the LSH index itself — a hot band is all false candidates of the
+    * corpus's most common phrase opening, exactly what an index should
+    * not serve). At gate scale the largest posting is 5, so the cap is
+    * invisible to the oracle rows; at sf1 it drops the 2% hot bands and
+    * bounds probe work at |increment_band| · BandCap.
+    */
+  private val BandCap = 64L
+
   private def bandKey(idx: org.apache.spark.sql.Column, hash: org.apache.spark.sql.Column) =
     md5(concat(idx.cast("string"), lit("|"), hash).cast("binary"))
 
   def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sh = materializedShingles(docs)
-    val corpusBands = Dedup
+    val corpusBandsAll = Dedup
       .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) =!= 0), MinhashK)
       .select(
         col("doc_id").as("corpus_id"),
         bandKey(col("band_idx"), col("band_hash")).as("band_key"))
-    graft.sources.Bucketed.write(corpusBands, BandIndexTable, "band_key", 32)
+    val keepKeys = corpusBandsAll
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= BandCap)
+      .select("band_key")
+    graft.sources.Bucketed.write(corpusBandsAll.join(keepKeys, "band_key"), BandIndexTable, "band_key", 32)
     val incrBands = Dedup
       .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) === 0), MinhashK)
       .select(
@@ -1990,11 +2008,14 @@ object DocQueries {
          |  FROM t),
          |bands AS (
          |  $bandSelects),
+         |cb AS (SELECT doc_id, band_key FROM bands WHERE doc_id % $NearIncrMod != 0),
+         |keep AS (SELECT band_key FROM cb GROUP BY 1 HAVING count(*) <= $BandCap),
          |cand AS (
          |  SELECT i.doc_id + $IncrIdShift AS new_id, i.doc_id AS orig_id, c.doc_id AS corpus_id,
          |    count(*) AS n_shared_bands
-         |  FROM bands i JOIN bands c ON i.band_key = c.band_key
-         |  WHERE i.doc_id % $NearIncrMod = 0 AND c.doc_id % $NearIncrMod != 0
+         |  FROM bands i JOIN cb c ON i.band_key = c.band_key
+         |                JOIN keep k ON k.band_key = i.band_key
+         |  WHERE i.doc_id % $NearIncrMod = 0
          |  GROUP BY 1, 2, 3),
          |jac AS (
          |  SELECT cd.new_id, cd.corpus_id, cd.n_shared_bands,

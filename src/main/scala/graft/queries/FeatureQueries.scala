@@ -2354,6 +2354,77 @@ object FeatureQueries {
       .withColumn("auc", col("u1_x2").cast("double") / (col("n1") * col("n2") * 2L))
   }
 
+  /** a23: two-sample Kolmogorov-Smirnov statistic — the distribution-
+    * equality test completing the a19/a21 drift family (chi² sees bin
+    * mass, MWU sees location; KS sees ANY CDF divergence). D = max_x
+    * |F₁(x) − F₂(x)| stays exact: with c₁/c₂ the cumulative counts at
+    * each distinct value, the numerator |c₁·n₂ − c₂·n₁| is an integer,
+    * the max is order-independent, and D divides once at export. One
+    * sort-free plan: cumulative counts are a window over the DISTINCT
+    * value frame (|values| rows, range-partitioned at scale), never the
+    * raw stream.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = prepared(spark, sfDir)
+      .filter(col("event_type").isin(MwTypeA, MwTypeB))
+      .groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("d2"))
+    val wc = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy()
+    both
+      .withColumn("c1", sum(col("d1")).over(wc))
+      .withColumn("c2", sum(col("d2")).over(wc))
+      .withColumn("n1", sum(col("d1")).over(wn))
+      .withColumn("n2", sum(col("d2")).over(wn))
+      .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("ks_num"))
+      .withColumn("ks_d", col("ks_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+      .select("n1", "n2", "ks_num", "ks_d")
+  }
+
+  /** s12: Poisson bootstrap — [[BootstrapB]] resampled means of purchase
+    * spend in ONE corpus pass (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the production-scale
+    * bootstrap: each row draws an independent pseudo-Poisson(1) weight
+    * per replicate instead of materializing B resamples). Weights come
+    * from the inverse CDF on a 32-bit md5 draw with integer thresholds
+    * (exact in both engines, capped at 4); all B weighted sums
+    * map-combine in one aggregation, then unpivot to a row per
+    * replicate. The replicate spread IS the sampling-error estimate a
+    * 100 TB A/B pipeline ships.
+    */
+  private val BootstrapB = 16
+
+  def poissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    // P(Poisson(1) <= k) * 2^32 thresholds for k = 0..3
+    val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413782L)
+    val ev = prepared(spark, sfDir).filter(col("event_type") === MwTypeA)
+    val aggs = (0 until BootstrapB).flatMap { b =>
+      val u = Sketches.hash32(s"boot$b", col("event_id"))
+      val w = when(u < t(0), 0L)
+        .when(u < t(1), 1L)
+        .when(u < t(2), 2L)
+        .when(u < t(3), 3L)
+        .otherwise(4L)
+      Seq(sum(w).as(s"n$b"), sum(w * col("cents")).as(s"s$b"))
+    }
+    val row = ev.agg(aggs.head, aggs.tail: _*)
+    row
+      .select(posexplode(array((0 until BootstrapB).map(b =>
+        struct(col(s"n$b").as("n_eff"), col(s"s$b").as("sum_cents"))): _*))
+        .as(Seq("replicate", "stats")))
+      .select(
+        col("replicate").cast("long").as("replicate"),
+        col("stats.n_eff").as("n_eff"),
+        col("stats.sum_cents").as("sum_cents"),
+        (col("stats.sum_cents").cast("double") / col("stats.n_eff") / 100.0).as("boot_mean"))
+      .transform(orderedOutput(_, col("replicate")))
+  }
+
   /** k7: AMS/Tug-of-War F2 sketch (Alon, Matias & Szegedy 1996) — the
     * second frequency moment (self-join size / skew measure) of the
     * user_id stream estimated from [[AmsR]] ±1 counters: each estimator
@@ -2477,6 +2548,44 @@ object FeatureQueries {
           |  sqrt((CAST(sum(cell_x1e4) AS DOUBLE) / 10000.0 / n)
           |    / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
           |FROM x GROUP BY n, r, c""".stripMargin,
+      "a23_ks_test" ->
+        s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
+           |g AS (SELECT cents,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeA' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeB' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+           |  FROM b GROUP BY 1),
+           |c AS (SELECT cents,
+           |    CAST(sum(d1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+           |    CAST(sum(d2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+           |    CAST(sum(d1) OVER () AS BIGINT) AS n1,
+           |    CAST(sum(d2) OVER () AS BIGINT) AS n2
+           |  FROM g)
+           |SELECT n1, n2, CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           |  CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d
+           |FROM c GROUP BY n1, n2""".stripMargin,
+      "s12_poisson_bootstrap" -> {
+        val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413782L)
+        val cols = (0 until BootstrapB)
+          .map { b =>
+            val u = s"CAST(('0x' || substr(md5('boot$b|' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            val w = s"CASE WHEN $u < ${t(0)} THEN 0 WHEN $u < ${t(1)} THEN 1 WHEN $u < ${t(2)} THEN 2 WHEN $u < ${t(3)} THEN 3 ELSE 4 END"
+            s"CAST(sum($w) AS BIGINT) AS n$b,\n    CAST(sum($w * cents) AS BIGINT) AS s$b"
+          }
+          .mkString(",\n    ")
+        val arms = (0 until BootstrapB)
+          .map(b => s"SELECT CAST($b AS BIGINT) AS replicate, n$b AS n_eff, s$b AS sum_cents FROM z")
+          .mkString("\n  UNION ALL ")
+        s"""WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events WHERE event_type = '$MwTypeA'),
+           |z AS (SELECT
+           |    $cols
+           |  FROM p),
+           |u AS ($arms)
+           |SELECT replicate, n_eff, sum_cents,
+           |  CAST(sum_cents AS DOUBLE) / n_eff / 100.0 AS boot_mean
+           |FROM u ORDER BY replicate""".stripMargin
+      },
       "a21_mann_whitney" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events
@@ -3598,6 +3707,8 @@ object FeatureQueries {
     "a20_spearman" -> (spearmanSpend(_, _)),
     "a21_mann_whitney" -> (mannWhitney(_, _)),
     "a22_cramers_v" -> (cramersV(_, _)),
+    "a23_ks_test" -> (ksTest(_, _)),
+    "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
     "s11_weighted_sample" -> (weightedSample(_, _)),
     "w1_trailing_agg" -> (trailingAgg(_, _)),
