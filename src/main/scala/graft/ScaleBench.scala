@@ -58,7 +58,12 @@ object ScaleBench {
     // they run on the ScaleGen corpora
     "g9_link_prediction",
     "t24_rake_keywords",
-    "t25_vocab_growth")
+    "t25_vocab_growth",
+    // d18's wide-recall twin — width-1 banding, the t19-style disclosed
+    // anchor: even band-capped, its candidate set grows with corpus
+    // density (measured ~5x at 10x data), which is exactly why d18's
+    // declared scale path is the width-2 banding measured next to it
+    "d18w_wide_recall")
 
   /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate
     * medians at both scales and large/small ratios.

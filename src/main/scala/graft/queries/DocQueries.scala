@@ -246,39 +246,45 @@ object DocQueries {
     * exact Jaccard and the d2/d3-threshold decision flag — exact-duplicate
     * replays surface at jaccard 1.0, near-dups above the threshold flag 1,
     * band-collision false candidates are kept (flag 0) so the measured
-    * LSH precision is part of the gated surface. The index uses the
-    * WIDTH-1 banding ([[Dedup.minhashBands1]]) and its own increment mod
-    * so that surface is actually populated at gate scale: ~170 candidates
-    * at sf0.01 including zero-overlap component collisions (verified by
-    * [[Dedup.jaccardForAllCandidates]], which keeps them — an
-    * intersection-join verify would silently drop a pair whose shingle
-    * sets are disjoint, and the oracle's list_intersect keeps it) and
-    * multi-band (n_shared_bands > 1) agreements.
+    * LSH precision is part of the gated surface (verified by
+    * [[Dedup.jaccardForAllCandidates]], which keeps zero-overlap pairs —
+    * an intersection-join verify would silently drop a pair whose shingle
+    * sets are disjoint, while the oracle's list_intersect keeps it).
+    *
+    * Two gated operating points, the t19/t19c convention:
+    *   - d18 (THE declared scale path): width-2 banding — a candidate
+    *     needs a 40-bit agreement, so the false-candidate rate stays
+    *     near zero as the corpus densifies (measured ~2-3× at 10× data);
+    *   - d18w (wide-recall twin): width-1 banding, the loosest operating
+    *     point — maximal recall and a deliberately non-trivial
+    *     false-candidate rate, which is what populates the gated
+    *     precision surface (~170 candidates at sf0.01 incl. zero-overlap
+    *     component collisions, sub-threshold flag-0 pairs, and
+    *     multi-band agreements). Width-1 postings grow with corpus
+    *     density (a popular min-shingle collides its documents into one
+    *     band), so the wide index stores no band key with more than
+    *     [[BandCap]] corpus documents (the d2c df-cap convention lifted
+    *     to the LSH index; invisible at gate scale where the largest
+    *     posting is 5) — and even capped, its measured 10×-data ratio
+    *     (~5×, SCALE_r08) is the disclosed cost of the wide operating
+    *     point, next to d18's linear path on the same corpus.
     */
   private val BandIndexTable = "graft_doc_bands"
+  private val WideBandIndexTable = "graft_doc_bands_wide"
   private val NearIncrMod = 7L
-
-  /** Width-1 bands collide every document whose min-shingle is a POPULAR
-    * shingle into one band key, so a corpus posting list can grow with
-    * corpus density — the measured 7.5× at 10× data before this cap.
-    * The standing index therefore stores no band key with more than
-    * [[BandCap]] corpus documents (the d2c df-cap convention lifted to
-    * the LSH index itself — a hot band is all false candidates of the
-    * corpus's most common phrase opening, exactly what an index should
-    * not serve). At gate scale the largest posting is 5, so the cap is
-    * invisible to the oracle rows; at sf1 it drops the 2% hot bands and
-    * bounds probe work at |increment_band| · BandCap.
-    */
   private val BandCap = 64L
 
   private def bandKey(idx: org.apache.spark.sql.Column, hash: org.apache.spark.sql.Column) =
     md5(concat(idx.cast("string"), lit("|"), hash).cast("binary"))
 
-  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  private def incrementalNearDupWith(
+      spark: SparkSession,
+      sfDir: String,
+      bander: (DataFrame, Int) => DataFrame,
+      table: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sh = materializedShingles(docs)
-    val corpusBandsAll = Dedup
-      .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) =!= 0), MinhashK)
+    val corpusBandsAll = bander(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) =!= 0), MinhashK)
       .select(
         col("doc_id").as("corpus_id"),
         bandKey(col("band_idx"), col("band_hash")).as("band_key"))
@@ -287,15 +293,14 @@ object DocQueries {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") <= BandCap)
       .select("band_key")
-    graft.sources.Bucketed.write(corpusBandsAll.join(keepKeys, "band_key"), BandIndexTable, "band_key", 32)
-    val incrBands = Dedup
-      .minhashBands1(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) === 0), MinhashK)
+    graft.sources.Bucketed.write(corpusBandsAll.join(keepKeys, "band_key"), table, "band_key", 32)
+    val incrBands = bander(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) === 0), MinhashK)
       .select(
         (col("doc_id") + IncrIdShift).as("new_id"),
         col("doc_id").as("orig_id"),
         bandKey(col("band_idx"), col("band_hash")).as("band_key"))
     val cands = incrBands
-      .join(spark.table(BandIndexTable), "band_key")
+      .join(spark.table(table), "band_key")
       .groupBy(col("new_id"), col("orig_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
     // exact verify over the shared shingle frame, candidates-only — the
@@ -316,6 +321,48 @@ object DocQueries {
         col("jaccard"),
         when(col("jaccard") >= JaccardThreshold, 1L).otherwise(0L).as("is_neardup"))
       .transform(orderedOutput(_, col("new_id"), col("corpus_id")))
+  }
+
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalNearDupWith(spark, sfDir, Dedup.minhashBands, BandIndexTable)
+
+  def incrementalNearDupWide(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalNearDupWith(spark, sfDir, Dedup.minhashBands1, WideBandIndexTable)
+
+  /** Shared oracle body for d18/d18w — identical pipeline, only the
+    * banding arm differs.
+    */
+  private def incrNearDupSql(bandSelects: String): String = {
+    val sigCols = (0 until MinhashK)
+      .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
+      .mkString(",\n    ")
+    s"""WITH t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM t),
+       |bands AS (
+       |  $bandSelects),
+       |cb AS (SELECT doc_id, band_key FROM bands WHERE doc_id % $NearIncrMod != 0),
+       |keep AS (SELECT band_key FROM cb GROUP BY 1 HAVING count(*) <= $BandCap),
+       |cand AS (
+       |  SELECT i.doc_id + $IncrIdShift AS new_id, i.doc_id AS orig_id, c.doc_id AS corpus_id,
+       |    count(*) AS n_shared_bands
+       |  FROM bands i JOIN cb c ON i.band_key = c.band_key
+       |                JOIN keep k ON k.band_key = i.band_key
+       |  WHERE i.doc_id % $NearIncrMod = 0
+       |  GROUP BY 1, 2, 3),
+       |jac AS (
+       |  SELECT cd.new_id, cd.corpus_id, cd.n_shared_bands,
+       |    CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT) AS n_common,
+       |    CAST(len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
+       |      AS n_union
+       |  FROM cand cd JOIN t a ON a.doc_id = cd.orig_id JOIN t b ON b.doc_id = cd.corpus_id)
+       |SELECT new_id, corpus_id, n_shared_bands, n_common, n_union,
+       |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+       |  CAST(CASE WHEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= $JaccardThreshold
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+       |FROM jac ORDER BY new_id, corpus_id""".stripMargin
   }
 
   /** t10: TF-IDF-shaped term importance — each doc's top 3 terms by
@@ -1487,6 +1534,7 @@ object DocQueries {
     "d11_substring_dedup" -> (substringDedup(_, _)),
     "d12_incremental_dedup" -> (incrementalDedup(_, _)),
     "d18_incremental_neardup" -> (incrementalNearDup(_, _)),
+    "d18w_wide_recall" -> (incrementalNearDupWide(_, _)),
     "f14_feature_hashing" -> (featureHashing(_, _)),
     "t10_term_importance" -> (termImportance(_, _)),
     "t11_doc_chunks" -> (docChunks(_, _)),
@@ -1994,41 +2042,15 @@ object DocQueries {
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin
     },
-    "d18_incremental_neardup" -> {
-      val sigCols = (0 until MinhashK)
-        .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
-        .mkString(",\n    ")
-      val bandSelects = (0 until MinhashK)
+    "d18_incremental_neardup" -> incrNearDupSql(
+      (0 until MinhashK / 2)
+        .map(b =>
+          s"SELECT doc_id, md5('$b' || '|' || md5(m${2 * b} || '|' || m${2 * b + 1})) AS band_key FROM sig")
+        .mkString("\n  UNION ALL ")),
+    "d18w_wide_recall" -> incrNearDupSql(
+      (0 until MinhashK)
         .map(b => s"SELECT doc_id, md5('$b' || '|' || m$b) AS band_key FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
-         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM t),
-         |bands AS (
-         |  $bandSelects),
-         |cb AS (SELECT doc_id, band_key FROM bands WHERE doc_id % $NearIncrMod != 0),
-         |keep AS (SELECT band_key FROM cb GROUP BY 1 HAVING count(*) <= $BandCap),
-         |cand AS (
-         |  SELECT i.doc_id + $IncrIdShift AS new_id, i.doc_id AS orig_id, c.doc_id AS corpus_id,
-         |    count(*) AS n_shared_bands
-         |  FROM bands i JOIN cb c ON i.band_key = c.band_key
-         |                JOIN keep k ON k.band_key = i.band_key
-         |  WHERE i.doc_id % $NearIncrMod = 0
-         |  GROUP BY 1, 2, 3),
-         |jac AS (
-         |  SELECT cd.new_id, cd.corpus_id, cd.n_shared_bands,
-         |    CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT) AS n_common,
-         |    CAST(len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
-         |      AS n_union
-         |  FROM cand cd JOIN t a ON a.doc_id = cd.orig_id JOIN t b ON b.doc_id = cd.corpus_id)
-         |SELECT new_id, corpus_id, n_shared_bands, n_common, n_union,
-         |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
-         |  CAST(CASE WHEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= $JaccardThreshold
-         |       THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
-         |FROM jac ORDER BY new_id, corpus_id""".stripMargin
-    },
+        .mkString("\n  UNION ALL ")),
     "d4_simhash" -> {
       val sums = (0 until 16).map { j =>
         val m = 1 << (16 - j)
