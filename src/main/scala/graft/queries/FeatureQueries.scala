@@ -2386,6 +2386,42 @@ object FeatureQueries {
       .select("n1", "n2", "ks_num", "ks_d")
   }
 
+  /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
+    * and view spend distributions — a23's INTEGRAL twin (KS is the max
+    * CDF gap; W₁ = ∫|F₁−F₂|dx is the total transport cost, the drift
+    * metric that sees HOW FAR mass moved, not just that it did). Exact:
+    * over the sorted distinct-value frame, each segment contributes the
+    * integer |c₁·n₂ − c₂·n₁| · (next_value − value); the sum is
+    * order-independent and the single division by n₁·n₂ happens at
+    * export. Same one-explode-free plan shape as a23.
+    */
+  def wassersteinDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = prepared(spark, sfDir)
+      .filter(col("event_type").isin(MwTypeA, MwTypeB))
+      .groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("d2"))
+    val wo = Window.orderBy(col("cents"))
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy()
+    both
+      .withColumn("c1", sum(col("d1")).over(wc))
+      .withColumn("c2", sum(col("d2")).over(wc))
+      .withColumn("gap", lead(col("cents"), 1).over(wo) - col("cents"))
+      .withColumn("n1", sum(col("d1")).over(wn))
+      .withColumn("n2", sum(col("d2")).over(wn))
+      .filter(col("gap").isNotNull)
+      .withColumn("seg", abs(col("c1") * col("n2") - col("c2") * col("n1")) * col("gap"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("seg")).as("w1_num"))
+      .withColumn(
+        "w1_cents",
+        col("w1_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+      .select("n1", "n2", "w1_num", "w1_cents")
+  }
+
   /** s12: Poisson bootstrap — [[BootstrapB]] resampled means of purchase
     * spend in ONE corpus pass (Chamandy et al. 2012, "Estimating
     * uncertainty for massive data streams" — the production-scale
@@ -2548,6 +2584,25 @@ object FeatureQueries {
           |  sqrt((CAST(sum(cell_x1e4) AS DOUBLE) / 10000.0 / n)
           |    / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
           |FROM x GROUP BY n, r, c""".stripMargin,
+      "a24_wasserstein" ->
+        s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
+           |g AS (SELECT cents,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeA' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           |    CAST(sum(CASE WHEN event_type = '$MwTypeB' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+           |  FROM b GROUP BY 1),
+           |c AS (SELECT cents,
+           |    CAST(sum(d1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+           |    CAST(sum(d2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+           |    lead(cents) OVER (ORDER BY cents) - cents AS gap,
+           |    CAST(sum(d1) OVER () AS BIGINT) AS n1,
+           |    CAST(sum(d2) OVER () AS BIGINT) AS n2
+           |  FROM g)
+           |SELECT n1, n2,
+           |  CAST(sum(abs(c1 * n2 - c2 * n1) * gap) AS BIGINT) AS w1_num,
+           |  CAST(sum(abs(c1 * n2 - c2 * n1) * gap) AS DOUBLE)
+           |    / CAST(n1 * n2 AS DOUBLE) AS w1_cents
+           |FROM c WHERE gap IS NOT NULL GROUP BY n1, n2""".stripMargin,
       "a23_ks_test" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
@@ -3708,6 +3763,7 @@ object FeatureQueries {
     "a21_mann_whitney" -> (mannWhitney(_, _)),
     "a22_cramers_v" -> (cramersV(_, _)),
     "a23_ks_test" -> (ksTest(_, _)),
+    "a24_wasserstein" -> (wassersteinDistance(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
     "s11_weighted_sample" -> (weightedSample(_, _)),

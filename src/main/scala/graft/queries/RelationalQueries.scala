@@ -229,6 +229,40 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g11: degree assortativity — the Pearson correlation of endpoint
+    * degrees over every directed edge (both orientations of the
+    * undirected co-occurrence graph, the Newman 2002 convention):
+    * POSITIVE means hubs attach to hubs, NEGATIVE means a hub-and-spoke
+    * topology — the one number that says whether the g2/g4-style hub
+    * caps will bite. Degrees are one hash agg over the shared persisted
+    * edge frame; the correlation is a5's exact-integer power-sum route
+    * (decimal(38) combine, one double division + two sqrt at export).
+    */
+  def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = coOccurrenceEdges(spark, sfDir)
+    val adj = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn(
+        "assortativity",
+        (col("n").cast(d38) * col("sxy").cast(d38) - col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("double") /
+          (sqrt((col("n").cast(d38) * col("sxx").cast(d38) - col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+            sqrt((col("n").cast(d38) * col("syy").cast(d38) - col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
+  }
+
   /** g4: per-part triangle counts over the order-co-occurrence graph
     * (parts are adjacent when some order contains both). Pair generation
     * is a self-join co-keyed on the order — fan-out bounded by order size,
@@ -964,6 +998,7 @@ object RelationalQueries {
     "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
     "g9_link_prediction" -> (linkPrediction(_, _)),
     "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
+    "g11_assortativity" -> (degreeAssortativity(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -1089,6 +1124,24 @@ object RelationalQueries {
         |WHERE m.rn = 1
         |ORDER BY m.l_partkey""".stripMargin,
     "g10_personalized_pagerank" -> pprSql,
+    "g11_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |m AS (SELECT dx.deg AS x, dy.deg AS y
+        |      FROM adj JOIN deg dx ON dx.node = adj.src JOIN deg dy ON dy.node = adj.dst),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM m)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    AS assortativity
+        |FROM s""".stripMargin,
     "g8_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b

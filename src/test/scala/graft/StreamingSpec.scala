@@ -234,4 +234,48 @@ class StreamingSpec extends AnyFunSuite {
     // missing streaming record: event skipped entirely (reference :76-77)
     assert(EnrichAndScore.score(streamStore, batchStore, 42L, 0L, 1.0, 0L).isEmpty)
   }
+
+  test("streaming count-min sketch: maintained counters bit-equal the batch build") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id").as("userId"), col("ord_us").as("ordUs"), col("cents"))
+      .as[StreamEvent]
+      .collect()
+      .toSeq
+    val source = MemoryStream[StreamEvent]
+    val sinkName = s"cm_out_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch
+      .countMinStream(source.toDS().toDF(), col("userId"), col("cents"), 3, 64, "cmstream")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try {
+      // chunked replay: counter merges are commutative, so micro-batch
+      // boundaries must not be observable in the final sketch
+      events.grouped((events.size / 3) + 1).foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table(sinkName)
+      val batch = graft.operators.Sketches.countMinSketch(
+        events.toDF(), col("userId"), col("cents"), 3, 64, "cmstream")
+      assert(streamed.count() > 0 && streamed.count() <= 3L * 64L,
+        "sketch state must stay depth*width bounded")
+      assert(
+        streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "maintained sketch must bit-equal the batch build")
+      // and the point estimates read identically off either sketch
+      val probes = events.toDF().select(col("userId")).distinct()
+      val estS = graft.operators.Sketches
+        .countMinEstimate(streamed, probes, col("userId"), "userId", 3, 64, "cmstream")
+      val estB = graft.operators.Sketches
+        .countMinEstimate(batch, probes, col("userId"), "userId", 3, 64, "cmstream")
+      assert(estS.exceptAll(estB).isEmpty && estB.exceptAll(estS).isEmpty)
+    } finally q.stop()
+  }
 }
