@@ -993,7 +993,38 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("l_partkey")))
   }
 
+  /** q29: disjunctive predicate revenue (TPC-H Q19 shape) — revenue from
+    * three OR'd brand/size/quantity branches, the optimizer's
+    * disjunction-handling benchmark: Catalyst must (a) push the common
+    * `p_size >= 1` conjunct and the OR-of-brands into the part scan,
+    * (b) keep the join an equi-join on partkey with the residual
+    * mixed-table disjunction as a post-join filter rather than falling
+    * into a nested loop. The quantity bounds are integer-valued doubles
+    * compared as exact longs; revenue is the usual exact cents·pct.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = li(spark, sfDir).select(
+      col("l_partkey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      (col("price_cents") * (lit(100L) - col("disc_pct"))).as("amount_x100"))
+    val parts = Tables
+      .part(spark, sfDir)
+      .filter(col("p_size") >= 1 && col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    lines
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size") <= 15 && col("qty").between(1L, 11L)) ||
+          (col("p_brand") === "Brand#2" && col("p_size") <= 25 && col("qty").between(10L, 20L)) ||
+          (col("p_brand") === "Brand#3" && col("p_size") <= 35 && col("qty").between(20L, 30L)))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("amount_x100")).as("revenue_x100"),
+        (sum(col("amount_x100")) / 10000.0).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_disjunctive_revenue" -> (disjunctiveRevenue(_, _)),
     "q28_cheapest_supplier" -> (cheapestSupplier(_, _)),
     "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
     "g9_link_prediction" -> (linkPrediction(_, _)),
@@ -1106,6 +1137,22 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q29_disjunctive_revenue" ->
+      """WITH m AS (
+        |  SELECT p.p_brand, p.p_size,
+        |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS amount_x100
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size >= 1 AND p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(amount_x100) AS BIGINT) AS revenue_x100,
+        |  sum(amount_x100) / 10000.0 AS revenue
+        |FROM m
+        |WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND qty BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size <= 25 AND qty BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size <= 35 AND qty BETWEEN 20 AND 30)""".stripMargin,
     "q28_cheapest_supplier" ->
       """WITH offers AS (
         |  SELECT l.l_partkey, l.l_suppkey,

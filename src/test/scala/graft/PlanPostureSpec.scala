@@ -370,6 +370,20 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(liScans == 1, s"fact table must be scanned once, got $liScans:\n$plan")
   }
 
+  test("q29: brand/size conjuncts push into the part scan; disjunction never degrades the join") {
+    val plan = queries.RelationalQueries.disjunctiveRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in q29 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q29 plan:\n$plan")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("\n")
+    assert(
+      pushed.contains("In(p_brand") || pushed.contains("p_brand"),
+      s"brand filter not pushed to the part scan:\n$pushed")
+    assert(
+      pushed.contains("GreaterThanOrEqual(p_size,1)"),
+      s"common size conjunct not pushed:\n$pushed")
+  }
+
   test("x1: partitioned-table probe prunes to the named event types at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
