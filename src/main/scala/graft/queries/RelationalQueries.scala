@@ -1023,7 +1023,130 @@ object RelationalQueries {
         (sum(col("amount_x100")) / 10000.0).as("revenue"))
   }
 
+  /** q30: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+    * revenue "view" + correlated max: a supplier-keyed rollup over one
+    * quarter, keeping every supplier achieving the maximum via ONE
+    * whole-frame window max (no second scan, no scalar-subquery rescan).
+    * Exact integer revenue makes the max a total order.
+    */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = li(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("price_cents") * (lit(100L) - col("disc_pct"))).as("revenue_x100"))
+    rev
+      .withColumn("max_rev", max(col("revenue_x100")).over(Window.partitionBy()))
+      .filter(col("revenue_x100") === col("max_rev"))
+      .join(
+        Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_x100"))
+      .transform(orderedOutput(_, col("s_suppkey")))
+  }
+
+  /** q31: important stock (TPC-H Q11 shape) — parts whose shipped-value
+    * share exceeds the 1/[[Q11Frac]] global fraction. The global total
+    * is a one-row broadcast and the threshold is the integer
+    * cross-multiplication val·Q11Frac > total — no float share crosses
+    * the gate; the part rollup is the only shuffle, on the fact table's
+    * own key.
+    */
+  private val Q11Frac = 1600L
+
+  def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = li(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("price_cents") * round(col("l_quantity")).cast("long")).as("val_x100"))
+    val total = broadcast(v.agg(sum(col("val_x100")).as("total_x100")))
+    v.crossJoin(total)
+      .filter(col("val_x100") * Q11Frac > col("total_x100"))
+      .select(col("l_partkey"), col("val_x100"))
+      .transform(orderedOutput(_, col("val_x100").desc, col("l_partkey")))
+  }
+
+  /** q32: customer order-count distribution (TPC-H Q13 shape) — how many
+    * customers placed k orders, INCLUDING the zero-order customers the
+    * inner join would lose (the LEFT OUTER + count(o) idiom). Two hash
+    * aggs: per-customer counts ride the outer join's custkey
+    * partitioning, the k-distribution is O(max k) rows.
+    */
+  def custDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(
+        Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+    perCust
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .transform(orderedOutput(_, col("n_custs").desc, col("c_count").desc))
+  }
+
+  /** q33: suppliers with excess shipped volume of a part family (TPC-H
+    * Q20 shape) — the nested-IN chain (parts by name → their heavy
+    * shippers → supplier details) as semi-join composition: the
+    * (supplier, part) rollup HAVING the volume threshold plays the inner
+    * subquery, suppliers reach the output through a LEFT SEMI join, the
+    * name filter pushes into the part scan and bounds everything.
+    */
+  private val Q20NamePrefix = "red"
+  private val Q20MinQty = 50L
+
+  def excessSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables
+      .part(spark, sfDir)
+      .filter(col("p_name").startsWith(Q20NamePrefix))
+      .select(col("p_partkey"))
+    val heavy = Tables
+      .lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .filter(col("qty") > Q20MinQty)
+    Tables
+      .supplier(spark, sfDir)
+      .join(
+        broadcast(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .transform(orderedOutput(_, col("s_suppkey")))
+  }
+
+  /** q34: forecast revenue change (TPC-H Q6 shape) — the pure
+    * scan-filter-aggregate: one year, a discount band, a quantity cap;
+    * revenue = Σ price·disc in exact integer cents·pct. Every predicate
+    * is scan-pushable; the plan is a single codegen'd stage over the
+    * pruned read.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("disc_pct").between(5L, 7L) &&
+          round(col("l_quantity")).cast("long") < 24L)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("price_cents") * col("disc_pct")).as("revenue_x100"),
+        (sum(col("price_cents") * col("disc_pct")) / 10000.0).as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_top_supplier" -> (topSupplier(_, _)),
+    "q31_important_stock" -> (importantStock(_, _)),
+    "q32_custdist" -> (custDist(_, _)),
+    "q33_excess_suppliers" -> (excessSuppliers(_, _)),
+    "q34_forecast_revenue" -> (forecastRevenue(_, _)),
     "q29_disjunctive_revenue" -> (disjunctiveRevenue(_, _)),
     "q28_cheapest_supplier" -> (cheapestSupplier(_, _)),
     "g8_clustering_coeff" -> (clusteringCoeff(_, _)),
@@ -1137,6 +1260,59 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q30_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_x100
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_x100
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.revenue_x100 = (SELECT max(revenue_x100) FROM r)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q31_important_stock" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+         |      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS val_x100
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(val_x100) AS BIGINT) AS total_x100 FROM v)
+         |SELECT l_partkey, val_x100
+         |FROM v CROSS JOIN t
+         |WHERE val_x100 * $Q11Frac > total_x100
+         |ORDER BY val_x100 DESC, l_partkey""".stripMargin,
+    "q32_custdist" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM co GROUP BY 1 ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "q33_excess_suppliers" ->
+      s"""WITH heavy AS (
+         |  SELECT l.l_suppkey
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '$Q20NamePrefix%'
+         |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY l.l_suppkey, l.l_partkey
+         |  HAVING sum(round(l.l_quantity)) > $Q20MinQty)
+         |SELECT s.s_suppkey, s.s_name, n.n_name
+         |FROM supplier s
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+         |ORDER BY s.s_suppkey""".stripMargin,
+    "q34_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND round(l_discount*100) BETWEEN 5 AND 7
+        |  AND round(l_quantity) < 24""".stripMargin,
     "q29_disjunctive_revenue" ->
       """WITH m AS (
         |  SELECT p.p_brand, p.p_size,
