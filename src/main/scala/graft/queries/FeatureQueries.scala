@@ -2386,6 +2386,30 @@ object FeatureQueries {
       .select("n1", "n2", "ks_num", "ks_d")
   }
 
+  /** w29: week-over-week growth per event type — the period-over-period
+    * report every BI layer ships: weekly spend rollup, previous-period
+    * lag, exact integer delta, and growth in basis points as the
+    * integral division (cur−prev)·10⁴ div prev — no float percentage
+    * crosses the gate, and declines stay exact because BOTH engines'
+    * integral division truncates toward zero on BIGINT ((−5) div 2 =
+    * (−5)//2 = −2, verified). First week per type emits NULL growth.
+    * One hash rollup + one lag window sharing the type-keyed exchange.
+    */
+  def weekOverWeek(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = prepared(spark, sfDir)
+      .withColumn("week", expr("ord_us div 604800000000"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("growth_bps", expr("((cents - prev_cents) * 10000) div prev_cents"))
+      .select("event_type", "week", "n_events", "cents", "prev_cents", "delta_cents", "growth_bps")
+      .transform(orderedOutput(_, col("event_type"), col("week")))
+  }
+
   /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
     * and view spend distributions — a23's INTEGRAL twin (KS is the max
     * CDF gap; W₁ = ∫|F₁−F₂|dx is the total transport cost, the drift
@@ -2584,6 +2608,18 @@ object FeatureQueries {
           |  sqrt((CAST(sum(cell_x1e4) AS DOUBLE) / 10000.0 / n)
           |    / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
           |FROM x GROUP BY n, r, c""".stripMargin,
+      "w29_week_over_week" ->
+        s"""WITH w AS (
+           |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |    CAST(count(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, week, n_events, cents,
+           |  lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents,
+           |  cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS delta_cents,
+           |  ((cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week)) * 10000)
+           |    // lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS growth_bps
+           |FROM w ORDER BY event_type, week""".stripMargin,
       "a24_wasserstein" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
@@ -3764,6 +3800,7 @@ object FeatureQueries {
     "a22_cramers_v" -> (cramersV(_, _)),
     "a23_ks_test" -> (ksTest(_, _)),
     "a24_wasserstein" -> (wassersteinDistance(_, _)),
+    "w29_week_over_week" -> (weekOverWeek(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
     "s11_weighted_sample" -> (weightedSample(_, _)),
