@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Salting, Sampling, ServingJoin, Sessionize, Sketches, TrailingWindows}
+import graft.operators.{AsOfJoin, LatestPerKey, RangeJoin, Ranks, Salting, Sampling, ServingJoin, Sessionize, Sketches, TrailingWindows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2247,20 +2247,24 @@ object FeatureQueries {
     * exact as DOUBLED ranks: r2 = 2·rank_min + (ties−1)·1 is an integer,
     * so the whole estimator is a5's exact-integer power-sum Pearson over
     * (r2x, r2y) with decimal(38) combine and ONE double division. The
-    * ranks are windows over the |users|-row AGGREGATED frame (never raw
-    * events), which range-partitions at scale.
+    * ranks come from [[graft.operators.Ranks.doubledRanks]] — a two-pass
+    * cumulative over the DISTINCT-value rollups joined back by value —
+    * so no single-partition global window ever runs (the round-8 audit's
+    * point: `Window.orderBy` with no PARTITION BY moves every row to one
+    * executor; the two-pass form's only unpartitioned window is over the
+    * ≤ numPartitions per-partition totals).
     */
   def spearmanSpend(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val perUser = prepared(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+    def ranksFor(c: String, as: String) = Ranks
+      .doubledRanks(perUser.groupBy(col(c)).agg(count(lit(1)).as("cnt")), c, "cnt")
+      .select(col(c), col("r2").as(as))
     val ranked = perUser
-      .withColumn("rx2", rank().over(Window.orderBy(col("x"))) * 2L +
-        count(lit(1)).over(Window.partitionBy(col("x"))) - 1L)
-      .withColumn("ry2", rank().over(Window.orderBy(col("y"))) * 2L +
-        count(lit(1)).over(Window.partitionBy(col("y"))) - 1L)
+      .join(ranksFor("x", "rx2"), "x")
+      .join(ranksFor("y", "ry2"), "y")
     ranked
       .agg(
         count(lit(1)).as("n"),
@@ -2312,11 +2316,21 @@ object FeatureQueries {
         col("o").cast(d38) * col("n").cast(d38) - col("rt").cast(d38) * col("ct").cast(d38))
       .withColumn("numd", col("diffd") * col("diffd") * lit(10000L).cast(d38))
       .withColumn("dend", col("rt").cast(d38) * col("ct").cast(d38))
-      // IntegralDivide on decimals is BigDecimal.divideToIntegralValue —
-      // EXACT truncation, unlike a scale-bound decimal divide + cast
-      .withColumn("cell_x1e4", expr("numd div dend"))
+      // Exact decimal(38) truncating division (the round-8 audit: `div`
+      // on decimals computes exactly but RETURNS LongType, so the decimal
+      // headroom covered only the operands). numd ≥ 0 and dend > 0, so
+      // subtracting pmod makes the numerator an exact multiple of dend;
+      // the decimal divide of an exact multiple yields the integer
+      // quotient exactly (≤ 10⁴·n², within decimal(38,6)'s 32 integer
+      // digits for any n ≤ 10¹⁴), and quotient AND sum stay decimal(38).
+      .withColumn(
+        "cell_x1e4",
+        ((col("numd") - pmod(col("numd"), col("dend"))) / col("dend")).cast(d38))
       .groupBy(col("n"), col("r"), col("c"))
-      .agg(sum(col("cell_x1e4")).as("chi2_x1e4n"))
+      .agg(sum(col("cell_x1e4")).as("chi2_x1e4n_d"))
+      // the gate exports BIGINT (DuckDB side casts its HUGEINT sum the
+      // same way); the Long bound applies only at this final cast
+      .withColumn("chi2_x1e4n", col("chi2_x1e4n_d").cast("long"))
       .withColumn("chi2", col("chi2_x1e4n").cast("double") / 10000.0 / col("n"))
       .withColumn(
         "cramers_v",
@@ -2330,25 +2344,28 @@ object FeatureQueries {
     * ROC-AUC of "amount predicts type". Average-rank ties as doubled
     * integer ranks (a20's trick) over the combined sample, so
     * U₁·2 = ΣR₁·2 − n₁(n₁+1) is exact; the one division is the final
-    * AUC export. The rank pass is one global sort over the two types'
-    * rows — range-partitioned at scale, never a per-row correlated scan.
+    * AUC export. The rank pass never touches raw rows OR a global window:
+    * since every row tied at a value shares one average rank,
+    * ΣR₁·2 = Σ_v d1(v)·r2(v) over the DISTINCT-cents rollup, with r2 from
+    * [[graft.operators.Ranks.doubledRanks]] (two-pass range-partitioned
+    * cumulative — no single-partition WindowExec anywhere in the plan).
     */
   private val MwTypeA = "purchase"
   private val MwTypeB = "view"
 
   def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val both = prepared(spark, sfDir)
+    val g = prepared(spark, sfDir)
       .filter(col("event_type").isin(MwTypeA, MwTypeB))
-      .select(col("event_type"), col("cents"))
-    val ranked = both
-      .withColumn("r2", rank().over(Window.orderBy(col("cents"))) * 2L +
-        count(lit(1)).over(Window.partitionBy(col("cents"))) - 1L)
+      .groupBy(col("cents"))
+      .agg(
+        sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("d2"))
+    val ranked = Ranks.doubledRanks(g.withColumn("cnt", col("d1") + col("d2")), "cents", "cnt")
     ranked
       .agg(
-        sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("event_type") === MwTypeA, col("r2")).otherwise(0L)).as("r1_x2"))
+        sum(col("d1")).as("n1"),
+        sum(col("d2")).as("n2"),
+        sum(col("d1") * col("r2")).as("r1_x2"))
       .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
       .withColumn("u2_x2", col("n1") * col("n2") * 2L - col("u1_x2"))
       .withColumn("auc", col("u1_x2").cast("double") / (col("n1") * col("n2") * 2L))
@@ -2359,26 +2376,25 @@ object FeatureQueries {
     * mass, MWU sees location; KS sees ANY CDF divergence). D = max_x
     * |F₁(x) − F₂(x)| stays exact: with c₁/c₂ the cumulative counts at
     * each distinct value, the numerator |c₁·n₂ − c₂·n₁| is an integer,
-    * the max is order-independent, and D divides once at export. One
-    * sort-free plan: cumulative counts are a window over the DISTINCT
-    * value frame (|values| rows, range-partitioned at scale), never the
-    * raw stream.
+    * the max is order-independent, and D divides once at export. The
+    * cumulative counts run over the DISTINCT value frame via the
+    * [[graft.operators.Ranks]] two-pass scan (range-partitioned local
+    * cumsums + per-partition offsets) and the totals are one scalar agg
+    * broadcast back — no unpartitioned WindowExec over data anywhere.
     */
   def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val both = prepared(spark, sfDir)
       .filter(col("event_type").isin(MwTypeA, MwTypeB))
       .groupBy(col("cents"))
       .agg(
         sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("d1"),
         sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("d2"))
-    val wc = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy()
-    both
-      .withColumn("c1", sum(col("d1")).over(wc))
-      .withColumn("c2", sum(col("d2")).over(wc))
-      .withColumn("n1", sum(col("d1")).over(wn))
-      .withColumn("n2", sum(col("d2")).over(wn))
+    val tot = both.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    Ranks
+      .cumulativeOverDistinct(both, "cents", Seq("d1", "d2"))
+      .withColumnRenamed("cum_d1", "c1")
+      .withColumnRenamed("cum_d2", "c2")
+      .crossJoin(broadcast(tot))
       .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("num")).as("ks_num"))
@@ -2417,25 +2433,24 @@ object FeatureQueries {
     * over the sorted distinct-value frame, each segment contributes the
     * integer |c₁·n₂ − c₂·n₁| · (next_value − value); the sum is
     * order-independent and the single division by n₁·n₂ happens at
-    * export. Same one-explode-free plan shape as a23.
+    * export. Same two-pass plan shape as a23 (the [[Ranks]] scan also
+    * carries the cross-partition `lead`: a partition's last row takes the
+    * NEXT partition's first value from the broadcast offsets row).
     */
   def wassersteinDistance(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val both = prepared(spark, sfDir)
       .filter(col("event_type").isin(MwTypeA, MwTypeB))
       .groupBy(col("cents"))
       .agg(
         sum(when(col("event_type") === MwTypeA, 1L).otherwise(0L)).as("d1"),
         sum(when(col("event_type") === MwTypeB, 1L).otherwise(0L)).as("d2"))
-    val wo = Window.orderBy(col("cents"))
-    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy()
-    both
-      .withColumn("c1", sum(col("d1")).over(wc))
-      .withColumn("c2", sum(col("d2")).over(wc))
-      .withColumn("gap", lead(col("cents"), 1).over(wo) - col("cents"))
-      .withColumn("n1", sum(col("d1")).over(wn))
-      .withColumn("n2", sum(col("d2")).over(wn))
+    val tot = both.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    Ranks
+      .cumulativeOverDistinct(both, "cents", Seq("d1", "d2"), withNext = true)
+      .withColumnRenamed("cum_d1", "c1")
+      .withColumnRenamed("cum_d2", "c2")
+      .withColumn("gap", col("next_value") - col("cents"))
+      .crossJoin(broadcast(tot))
       .filter(col("gap").isNotNull)
       .withColumn("seg", abs(col("c1") * col("n2") - col("c2") * col("n1")) * col("gap"))
       .groupBy(col("n1"), col("n2"))

@@ -115,9 +115,16 @@ object Bucketed {
     * per batch per partition; parquet scan throughput collapses when
     * files shrink below the row-group size). The output file count
     * derives from the table's actual on-disk bytes, the rows are
-    * preserved exactly (one repartition — no ordering contract), and
-    * the swap is write-to-temp + rename so a reader never sees a
-    * half-compacted table. Returns the new file count.
+    * preserved exactly (one repartition — no ordering contract), and the
+    * swap is write-to-temp + rename-out + rename-in: the table name is
+    * briefly absent between the two renames (a catalog swap is not
+    * atomic in Spark — there is no RENAME ... TO ... EXCHANGE), but a
+    * crash at ANY point leaves every row reachable under a well-known
+    * name — `t__old` still holds the original until `t__compact` has
+    * taken the primary name, so recovery is "rename whichever of
+    * `t__old`/`t__compact` survives back to `t`", never data loss. The
+    * original is dropped only as the final step. Returns the new file
+    * count.
     */
   def compact(spark: SparkSession, table: String, targetFileBytes: Long): Int = {
     val df = spark.table(table)
@@ -128,10 +135,17 @@ object Bucketed {
     }.sum
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = table + "__compact"
+    val old = table + "__old"
     dropWithLocation(spark, tmp)
+    dropWithLocation(spark, old)
     df.repartition(n).write.format("parquet").saveAsTable(tmp)
-    dropWithLocation(spark, table)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // rename-out (original stays intact under __old) ...
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    // ... rename-in (crash between the two: both __old and __compact
+    // exist, documented recovery above) ...
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // ... and only now is the original unreachable-by-design
+    dropWithLocation(spark, old)
     n
   }
 }
