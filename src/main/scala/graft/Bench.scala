@@ -142,7 +142,21 @@ object Bench {
     * (/root/reference/notebooks/1_setup.ipynb:364) — this is the number
     * to beat, measured on the same per-event emission semantics.
     */
-  private def streamRates(spark: SparkSession, sfDir: String, reps: Int): Seq[Double] = {
+  /** Run `reps` workload-rate repetitions of `once`, sampling the
+    * loadavg sentinel as each rep begins (the r8 audit: the gate table
+    * had per-rep loads but the three rate HEADLINES had none, so a
+    * contended rate array was indistinguishable from a warm-up curve).
+    * Returns (rates, loads).
+    */
+  private def ratesWithLoad(reps: Int)(once: () => Double): (Seq[Double], Seq[Double]) = {
+    val pairs = (1 to reps).map { _ =>
+      val load = loadAvg()
+      (once(), load)
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  private def streamRates(spark: SparkSession, sfDir: String, reps: Int): (Seq[Double], Seq[Double]) = {
     import graft.streaming.StreamingAgg
     import graft.streaming.StreamingAgg.StreamEvent
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -178,7 +192,7 @@ object Bench {
     // init, codegen, and micro-batch machinery were still amortizing well
     // past the first replay, so even the steady median wasn't steady.
     onceRate()
-    (1 to reps).map(_ => onceRate())
+    ratesWithLoad(reps)(() => onceRate())
   }
 
   /** Serving-plane throughput: the full online-inference path — broadcast
@@ -192,7 +206,7 @@ object Bench {
     * deployment maintains ahead of time); the measured work is the
     * per-event join + score, reported as rows/s.
     */
-  private def serveRates(spark: SparkSession, sfDir: String, reps: Int): Seq[Double] = {
+  private def serveRates(spark: SparkSession, sfDir: String, reps: Int): (Seq[Double], Seq[Double]) = {
     import graft.operators.{LatestPerKey, TrailingWindows}
     val ev = Tables
       .events(spark, sfDir)
@@ -231,7 +245,7 @@ object Bench {
       // Warm-up rep (discarded) — r6's serve array climbed 184k -> 437k
       // across all reps; the codegen+broadcast build belongs to no rep.
       onceRate()
-      (1 to reps).map(_ => onceRate())
+      ratesWithLoad(reps)(() => onceRate())
     } finally {
       snapshot.unpersist()
       scoreable.unpersist()
@@ -296,28 +310,28 @@ object Bench {
     spark.catalog.clearCache()
     // Streaming-plane headline (median of 3): per-event trailing window
     // over the replayed sf events vs the reference's 1,000 rec/s shard.
-    val streamRateRuns =
+    val (streamRateRuns, streamRateLoad) =
       try streamRates(spark, sfDir, reps = 5)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream workload failed: $e")
-          Seq(-1.0)
+          (Seq(-1.0), Seq(-1.0))
       }
     // Serving-plane headline (median of 3): the full enrich+score path
     // over the replayed sf events against a prebuilt snapshot.
-    val serveRateRuns =
+    val (serveRateRuns, serveRateLoad) =
       try serveRates(spark, sfDir, reps = 5)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] serve workload failed: $e")
-          Seq(-1.0)
+          (Seq(-1.0), Seq(-1.0))
       }
     // Reference-workload headline: the reference's own batch job shape
     // (5.4M txns / 10K cards, trailing 10m + 1w window aggregation) had a
     // 1,200 s budget => >= 4,500 rows/s implied (BASELINE.md). Measure the
     // same shape here (median of 3 runs over one cached input) and report
     // rows/s.
-    val refRates =
+    val (refRates, refRateLoad) =
       try {
         val txns = datagen.TransactionGen
           .transactions(spark, datagen.TransactionGen.Params(nCards = 10000, nTxns = 5400000L))
@@ -331,13 +345,13 @@ object Bench {
           n / ((System.nanoTime() - t0) / 1e9)
         }
         onceRate() // warm-up (discarded), same discipline as the other headlines
-        val rates = (1 to 5).map(_ => onceRate())
+        val rl = ratesWithLoad(5)(() => onceRate())
         txns.unpersist()
-        rates
+        rl
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ref workload failed: $e")
-          Seq(-1.0)
+          (Seq(-1.0), Seq(-1.0))
       }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,""" +
@@ -346,10 +360,13 @@ object Bench {
         s""""query_errors":$errs,"sf":"$sfDir",""" +
         s""""ref_workload_rows_per_sec":${steadyMedian(refRates).round},""" +
         s""""ref_rate_runs":${refRates.map(_.round).mkString("[", ",", "]")},""" +
+        s""""ref_rate_load":${refRateLoad.mkString("[", ",", "]")},""" +
         s""""stream_rows_per_sec":${steadyMedian(streamRateRuns).round},""" +
         s""""stream_rate_runs":${streamRateRuns.map(_.round).mkString("[", ",", "]")},""" +
+        s""""stream_rate_load":${streamRateLoad.mkString("[", ",", "]")},""" +
         s""""serve_rows_per_sec":${steadyMedian(serveRateRuns).round},""" +
-        s""""serve_rate_runs":${serveRateRuns.map(_.round).mkString("[", ",", "]")}}"""
+        s""""serve_rate_runs":${serveRateRuns.map(_.round).mkString("[", ",", "]")},""" +
+        s""""serve_rate_load":${serveRateLoad.mkString("[", ",", "]")}}"""
     // Emit on stdout AND to a dedicated file: the sbt log decorates stdout
     // with [info] prefixes, which broke the driver's line parser in r1
     // (BENCH_r01.json "parsed": null).

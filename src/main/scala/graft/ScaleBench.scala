@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Empirical scale check for the heavy text/vector/join gates: run each
   * on two [[graft.datagen.ScaleGen]] corpora — sf0.1-equivalent and sf1
@@ -13,7 +13,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing discipline matches [[Bench]]: reps interleaved round-robin
   * across (gate, scale) cells, rep 1 excluded from the median, loadavg
-  * sentinel per rep, one JSON line out.
+  * sentinel per rep, one JSON line out. Round-9 additions, all from the
+  * round-8 audit:
+  *
+  *   - WORK-SIZE COUNTERS: per gate and scale, the result-row count and
+  *     (for the candidate-generating gates) the pre-threshold
+  *     candidate/pair count from the `scaleProbes` maps — so a
+  *     sub-linear ratio (d13 read 0.30x in r8) is attributable to
+  *     workload shape, and a super-linear one names its pair blow-up,
+  *     instead of both hiding inside a bare seconds ratio.
+  *   - QUIESCE GATE: the run waits (bounded) for the 1-minute loadavg
+  *     to drop below a threshold before measuring, and publishes the
+  *     observed start/end loads plus the wait — r8's artifact ended at
+  *     loadavg 23 with no way to tell our own work from contention.
+  *   - per-rep load arrays for BOTH scales in the JSON (timeQueries
+  *     already sampled them; now they are published).
   */
 object ScaleBench {
 
@@ -63,17 +77,61 @@ object ScaleBench {
     // anchor: even band-capped, its candidate set grows with corpus
     // density (measured ~5x at 10x data), which is exactly why d18's
     // declared scale path is the width-2 banding measured next to it
-    "d18w_wide_recall")
+    "d18w_wide_recall",
+    // r9 additions — the r7/r8 audits' named absentees: the two
+    // iterate-and-join shapes (5-round PageRank, its seeded twin), the
+    // Σ basket² pair rollup, the banded-DP linkage, and the
+    // degree-join assortativity — the exact places super-linear
+    // surprises hide. q18/g10 read the ScaleGen dim tables
+    // (orders/supplier/nation) added alongside.
+    "g3_pagerank",
+    "g10_personalized_pagerank",
+    "g11_assortativity",
+    "q18_market_basket",
+    "d16_edit_distance",
+    // r9: the banded-containment scale path (t19b) — candidates from
+    // the d3 banding, exact containment verify on candidates only
+    "t19b_containment_banded")
 
-  /** args: smallDir largeDir [reps]. Emits one JSON line with per-gate
-    * medians at both scales and large/small ratios.
+  /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
+  private def probes: Map[String, (SparkSession, String) => DataFrame] =
+    queries.DocQueries.scaleProbes ++ queries.RelationalQueries.scaleProbes
+
+  /** Block (bounded) until the 1-minute loadavg drops below `below`, so
+    * the measured reps do not start inside another artifact's tail — the
+    * r8 harness ran with the bench run's load still draining. Returns
+    * (waitedSec, loadAtStart-of-measurement).
+    */
+  private def quiesce(below: Double, maxWaitSec: Int): (Long, Double) = {
+    val t0 = System.nanoTime()
+    var load = Bench.loadAvg()
+    while (load >= below && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      Thread.sleep(5000)
+      load = Bench.loadAvg()
+    }
+    (((System.nanoTime() - t0) / 1e9).round, load)
+  }
+
+  /** Count rows of `fn(spark, dir)` under the cache scope; -1 on error. */
+  private def countOf(
+      spark: SparkSession,
+      dir: String,
+      fn: (SparkSession, String) => DataFrame): Long =
+    try CacheScope.scoped(spark) { fn(spark, dir).count() }
+    catch { case _: Throwable => -1L }
+
+  /** args: smallDir largeDir [reps] [outPath]. Emits one JSON line with
+    * per-gate medians at both scales, large/small ratios, per-rep loads,
+    * and the work-size counters.
     */
   def main(args: Array[String]): Unit = {
     val smallDir = args(0)
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
+    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r09.json"
     val spark: SparkSession = Sessions.local()
     val gates = SparkEntry.queries.filter { case (k, _) => HeavyGates.contains(k) }
+    val (quiesceSec, loadStart) = quiesce(below = 4.0, maxWaitSec = 300)
     // one warm pass at the small scale so codegen/parquet-reader init is
     // in nobody's rep 1 more than necessary
     CacheScope.scoped(spark) {
@@ -87,6 +145,17 @@ object ScaleBench {
     val large = CacheScope.scoped(spark) {
       Bench.timeQueries(spark, largeDir, gates, reps)
     }
+    spark.catalog.clearCache()
+    // work-size pass (untimed, after all timing): result rows at both
+    // scales for every gate, candidate/pair counts where a probe exists
+    val rows = gates.map { case (name, fn) =>
+      name -> (countOf(spark, smallDir, fn), countOf(spark, largeDir, fn))
+    }.toMap
+    val pairs = probes.filter { case (k, _) => HeavyGates.contains(k) }.map { case (name, fn) =>
+      name -> (countOf(spark, smallDir, fn), countOf(spark, largeDir, fn))
+    }
+    def ratioOf(s: Long, l: Long): Double =
+      if (s > 0 && l >= 0) math.round(l.toDouble / s * 100.0) / 100.0 else -1.0
     val byName = small.map(t => t.name -> t).toMap
     val cells = large.sortBy(_.name).map { lg =>
       val sm = byName(lg.name)
@@ -95,16 +164,33 @@ object ScaleBench {
       val err = (sm.err.toSeq ++ lg.err.toSeq).headOption
         .map(e => s""","err":"${e.replace("\"", "'")}"""")
         .getOrElse("")
+      val (rs, rl) = rows(lg.name)
+      val pairsJson = pairs.get(lg.name).map { case (ps, pl) =>
+        s""","small_pairs":$ps,"large_pairs":$pl,"pairs_ratio":${ratioOf(ps, pl)}"""
+      }.getOrElse("")
       s""""${lg.name}":{"small_sec":${sm.med},"large_sec":${lg.med},""" +
         s""""ratio":$ratio,"small_runs":${sm.runs.mkString("[", ",", "]")},""" +
-        s""""large_runs":${lg.runs.mkString("[", ",", "]")}$err}"""
+        s""""large_runs":${lg.runs.mkString("[", ",", "]")},""" +
+        s""""small_load":${sm.repLoad.mkString("[", ",", "]")},""" +
+        s""""large_load":${lg.repLoad.mkString("[", ",", "]")},""" +
+        s""""small_rows":$rs,"large_rows":$rl,"rows_ratio":${ratioOf(rs, rl)}""" +
+        pairsJson + err + "}"
+    }
+    // corpus sizes (parquet metadata counts) so every ratio has its
+    // denominator in the artifact
+    val corpus = Seq("documents", "embeddings", "events", "lineitem").map { t =>
+      val s = spark.read.parquet(s"$smallDir/$t.parquet").count()
+      val l = spark.read.parquet(s"$largeDir/$t.parquet").count()
+      s""""$t":{"small":$s,"large":$l}"""
     }
     val line =
       s"""{"metric":"scale_ratio_10x","small":"$smallDir","large":"$largeDir",""" +
-        s""""reps":$reps,"load_avg_end":${Bench.loadAvg()},""" +
+        s""""reps":$reps,"quiesce_wait_sec":$quiesceSec,"load_avg_start":$loadStart,""" +
+        s""""load_avg_end":${Bench.loadAvg()},""" +
+        s""""corpus":${corpus.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE_r08.json"), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

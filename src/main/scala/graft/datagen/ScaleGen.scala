@@ -130,17 +130,63 @@ object ScaleGen {
         (pmod(xxhash64(lit("supp"), col("id")), lit(supps)) + 1L).as("l_suppkey"))
   }
 
+  /** Orders universe implied by [[lineitem]] (`l_orderkey = id / 4`):
+    * one row per distinct orderkey. q18 (market basket) reads this table
+    * only as the transaction count `N`, so a single keyed column with
+    * the driver schema's int64 type suffices.
+    */
+  def orders(spark: SparkSession, nLines: Long): DataFrame =
+    spark.range(0L, (nLines + 3L) / 4L, 1L, 32).select(col("id").as("o_orderkey"))
+
+  /** Supplier dim matching [[lineitem]]'s supplier universe (`1..supps`,
+    * supps = nLines/600 like the driver corpus) with nation keys drawn
+    * over the TPC-H 25-nation universe — the columns g10's seed-set join
+    * touches, at the driver schema's types.
+    */
+  def supplier(spark: SparkSession, nLines: Long): DataFrame = {
+    val supps = math.max(100L, nLines / 600L)
+    spark
+      .range(0L, supps, 1L, 32)
+      .select(
+        (col("id") + 1L).as("s_suppkey"),
+        pmod(xxhash64(lit("snat"), col("id")), lit(25L)).cast("int").as("s_nationkey"))
+  }
+
+  /** 25-nation dim with the driver corpus's NATION_<k> naming (g10's
+    * seed filter matches on `n_name = 'NATION_0'`).
+    */
+  def nation(spark: SparkSession): DataFrame =
+    spark
+      .range(0L, 25L, 1L, 1)
+      .select(
+        col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id").cast("string")).as("n_name"))
+
   def writeAll(spark: SparkSession, outDir: String, nDocs: Long, nVecs: Long, nEvents: Long): Unit = {
     documents(spark, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embeddings(spark, nVecs).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     events(spark, nEvents).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     lineitem(spark, nEvents * 6L).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    writeDims(spark, outDir, nEvents * 6L)
   }
 
-  /** args: outDir nDocs nVecs nEvents */
+  /** The relational dims the round-9 scale heavies (q18/g10) read —
+    * separable so existing corpora gain them without regenerating the
+    * large tables.
+    */
+  def writeDims(spark: SparkSession, outDir: String, nLines: Long): Unit = {
+    orders(spark, nLines).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    supplier(spark, nLines).write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    nation(spark).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+  }
+
+  /** args: `outDir nDocs nVecs nEvents` (full corpus) or
+    * `--dims outDir nEvents` (just the q18/g10 dim tables).
+    */
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
-    writeAll(spark, args(0), args(1).toLong, args(2).toLong, args(3).toLong)
+    if (args(0) == "--dims") writeDims(spark, args(1), args(2).toLong * 6L)
+    else writeAll(spark, args(0), args(1).toLong, args(2).toLong, args(3).toLong)
     spark.stop()
   }
 }

@@ -141,6 +141,33 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "cont_a", "cont_b")
   }
 
+  /** Exact containment restricted to a given candidate pair set — the
+    * verify stage of banded containment dedup (t19b): same
+    * candidates-broadcast shape as [[jaccardForCandidates]], but scoring
+    * n_common against EACH side's size instead of the union. Zero-overlap
+    * band collisions drop out of the intersect join, which is harmless
+    * here because every downstream consumer thresholds containment ≥
+    * some positive value (unlike d18, whose gated surface keeps flag-0
+    * rows via [[jaccardForAllCandidates]]). Output schema matches
+    * [[containmentPairs]].
+    */
+  def containmentForCandidates(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = broadcast(cands.select(col("doc_a"), col("doc_b")))
+    val aSide = pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    val bSide = sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "b_shingle")
+    val inter = aSide
+      .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("cont_a", col("n_common") / col("sz_a"))
+      .withColumn("cont_b", col("n_common") / col("sz_b"))
+      .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "cont_a", "cont_b")
+  }
+
   /** Exact Jaccard restricted to a given candidate pair set — the verify
     * stage of LSH dedup. The candidate set is small (banding already
     * filtered), so it broadcasts against the shingle table and only the

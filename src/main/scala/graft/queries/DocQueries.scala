@@ -1232,6 +1232,50 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** t19b: BANDED containment — the r7 audit's asked-for third operating
+    * point between t19 (exact, superlinear pair space) and t19c (capped,
+    * linear but lossy on hot-shingle pairs): candidates come from d3's
+    * width-2 MinHash banding over the SAME shared shingle frame, and
+    * exact containment ([[Dedup.containmentForCandidates]]) is computed
+    * ONLY on those candidates — cost O(bands + candidates·set), linear
+    * in the corpus with NO shingle dropped from the sets themselves.
+    * The declared loss is recall on asymmetric pairs (a small doc inside
+    * a big one has high containment but LOW Jaccard, which banding
+    * under-samples); t19r pins that recall as a measured value against
+    * t19's exact output, the v6 convention.
+    */
+  def containmentDedupBanded(spark: SparkSession, sfDir: String): DataFrame =
+    containmentBandedPairs(spark, sfDir)
+      .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
+
+  private def containmentBandedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = materializedShingles(Tables.documents(spark, sfDir))
+    val cands = Dedup.minhashBandCandidatesFromShingles(sh, MinhashK)
+    Dedup
+      .containmentForCandidates(cands, sh)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+  }
+
+  /** t19r: the recall monitor for t19b (v6's shape) — exact containment
+    * pairs LEFT JOIN the banded pairs, one summary row. The pinned value
+    * is whatever the banding actually achieves on the gate corpus, not a
+    * vacuous 1.0 by construction.
+    */
+  def containmentBandedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Dedup
+      .containmentPairs(materializedShingles(Tables.documents(spark, sfDir)))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val banded = containmentBandedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact
+      .join(banded, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_pairs").cast("double"))
+  }
+
   /** d17: content-defined chunking dedup — the storage-dedup family
     * (LBFS/rsync lineage) applied to text: chunk boundaries are declared
     * at words whose md5 lands in the low quarter of hash space (p=1/4 →
@@ -1514,6 +1558,160 @@ object DocQueries {
       .transform(orderedOutput(_, col("bucket")))
   }
 
+  /** t26: BPE tokenizer TRAINER — the one first-class LLM-pipeline
+    * operator the r7/r8 audits listed as absent: learn the first
+    * [[BpeMergeRounds]] byte-pair merges from the corpus (Sennrich et
+    * al. 2016, the algorithm behind GPT-2/SentencePiece vocabularies).
+    * The production shape: ONE distributed pass rolls the corpus up to
+    * the word-frequency dict (the only data-sized stage — a hash agg
+    * over exploded tokens), and the merge loop then runs on that
+    * vocabulary-sized frame, exactly how real trainers scale to 100 TB
+    * (HF/SentencePiece train on word counts, never raw text).
+    *
+    * Per round: adjacent-symbol pairs weighted by word count → argmax
+    * (count desc, then lexicographic — fully deterministic) → GREEDY
+    * left-to-right non-overlapping merge application. Words are encoded
+    * as `|s1||s2||...|`, so one literal `replace(enc, '|a||b|',
+    * '|ab|')` IS the greedy merge: each match consumes the shared
+    * delimiter, both engines' replace scans left-to-right without
+    * re-matching inside a replacement (the `a a a a → (aa)(aa)` and
+    * `a a a → (aa)a` cases), and no float or UDF appears anywhere —
+    * the whole trainer is codegen'd Column algebra, argmax staying
+    * in-plan via a broadcast 1-row cross join. Output: the learned
+    * merge table (rank, pair, weighted count).
+    */
+  private val BpeMergeRounds = 8
+
+  def bpeTrainer(spark: SparkSession, sfDir: String): DataFrame = {
+    val dict0 = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|")).as("enc"),
+        col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairCounts(d: DataFrame): DataFrame = d
+      .select(col("cnt"), split(expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|").as("s"))
+      .select(
+        col("cnt"),
+        explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+    val (_, merges) = (1 to BpeMergeRounds)
+      .foldLeft((dict0, Seq.empty[DataFrame])) { case ((d, out), k) =>
+        val top = pairCounts(d).orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        val next = d
+          .crossJoin(broadcast(top.select(col("l"), col("r"))))
+          .withColumn(
+            "enc",
+            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
+          .select("enc", "cnt")
+        val row = top.select(
+          lit(k.toLong).as("merge_rank"),
+          col("l").as("sym_l"),
+          col("r").as("sym_r"),
+          col("c").as("pair_count"))
+        (next, out :+ row)
+      }
+    merges
+      .reduce(_.unionAll(_))
+      .transform(orderedOutput(_, col("merge_rank")))
+  }
+
+  // ---- ScaleBench work-size probes -----------------------------------------
+
+  /** Pre-threshold candidate frames for the scale harness's work-size
+    * counters: a runtime ratio alone cannot separate "the operator
+    * scales" from "the workload changed shape" (the round-8 run measured
+    * d13 at 0.30× for 10× data — the df cap prunes harder on a denser
+    * corpus, which looks like a speedup until the candidate count is
+    * next to it). Each probe REBUILDS the gate's candidate stage from
+    * the same in-file constants — no persists, no index writes — so a
+    * probe run never mutates what the timed gate reads; the harness
+    * counts its rows at both scales and publishes them beside the
+    * timing ratio.
+    */
+  private def probeShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.shingleSet(Tables.documents(spark, sfDir), "doc_id", "text", ShingleN)
+
+  /** Distinct doc pairs sharing ≥1 shingle — the verify-stage input of
+    * the shared-shingle family (t19/t19c/d2c/d13 modulo each gate's df
+    * cap, applied by the caller).
+    */
+  private def sharedShinglePairs(sh: DataFrame): DataFrame =
+    sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+  /** d16's blocked sorted-neighborhood candidates before the length-gap
+    * cut — the pair count entering (or skipping) the banded DP.
+    */
+  private def d16Candidates(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        element_at(TextAnalysis.tokens(col("text")), 1).as("block"))
+      .withColumn("nbrs", array((1 to SnmWindow).map(i => lead(col("doc_id"), i).over(win)): _*))
+      .select(col("doc_id"), explode(col("nbrs")).as("nbr"))
+      .filter(col("nbr").isNotNull)
+  }
+
+  /** d18/d18w's candidate pairs (increment bands probed against the
+    * band-capped corpus postings) without materializing the on-disk
+    * index the timed gate maintains.
+    */
+  private def incrCandidates(
+      spark: SparkSession,
+      sfDir: String,
+      bander: (DataFrame, Int) => DataFrame): DataFrame = {
+    val sh = probeShingles(spark, sfDir)
+    val corpus = bander(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) =!= 0), MinhashK)
+      .select(
+        col("doc_id").as("corpus_id"),
+        bandKey(col("band_idx"), col("band_hash")).as("band_key"))
+    val keep = corpus
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= BandCap)
+      .select("band_key")
+    val incr = bander(sh.filter(pmod(col("doc_id"), lit(NearIncrMod)) === 0), MinhashK)
+      .select(
+        col("doc_id").as("orig_id"),
+        bandKey(col("band_idx"), col("band_hash")).as("band_key"))
+    incr
+      .join(corpus.join(keep, "band_key"), "band_key")
+      .groupBy(col("orig_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  val scaleProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_containment_dedup" -> ((s, d) => sharedShinglePairs(probeShingles(s, d))),
+    "t19c_containment_capped" ->
+      ((s, d) => sharedShinglePairs(Dedup.dropHotShingles(probeShingles(s, d), JaccardMaxDf))),
+    "d2c_jaccard_capped" ->
+      ((s, d) => sharedShinglePairs(Dedup.dropHotShingles(probeShingles(s, d), JaccardMaxDf))),
+    // d13's pair SPACE is the same distinct (doc, shingle) frame under
+    // its own (looser) df cap — the tf weights change scores, not pairs
+    "d13_tfidf_neardup" ->
+      ((s, d) => sharedShinglePairs(Dedup.dropHotShingles(probeShingles(s, d), TfidfMaxDf))),
+    "d3_minhash_lsh" ->
+      ((s, d) => Dedup.minhashBandCandidatesFromShingles(probeShingles(s, d), MinhashK)),
+    "t19b_containment_banded" ->
+      ((s, d) => Dedup.minhashBandCandidatesFromShingles(probeShingles(s, d), MinhashK)),
+    "d16_edit_distance" -> (d16Candidates(_, _)),
+    "d18_incremental_neardup" -> ((s, d) => incrCandidates(s, d, Dedup.minhashBands)),
+    "d18w_wide_recall" -> ((s, d) => incrCandidates(s, d, Dedup.minhashBands1)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_rake_keywords" -> (rakeKeywords(_, _)),
     "t25_vocab_growth" -> (vocabGrowth(_, _)),
@@ -1524,6 +1722,9 @@ object DocQueries {
     "t18_phrase_search" -> (phraseSearch(_, _)),
     "t19_containment_dedup" -> (containmentDedup(_, _)),
     "t19c_containment_capped" -> (containmentDedupCapped(_, _)),
+    "t19b_containment_banded" -> (containmentDedupBanded(_, _)),
+    "t19r_containment_recall" -> (containmentBandedRecall(_, _)),
+    "t26_bpe_trainer" -> (bpeTrainer(_, _)),
     "t20_bm25_rank" -> (bm25Rank(_, _)),
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
@@ -1581,6 +1782,43 @@ object DocQueries {
        |  SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union,
        |         n_common / (sa.sz + sb.sz - n_common) AS jaccard
        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** CTE chain for t19b/t19r: shingle sets → k-component signatures →
+    * width-2 bands → candidate pairs → exact containment on candidates
+    * (thresholded), mirroring the Spark plan formula-for-formula.
+    */
+  private def bandedContSql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(i =>
+        s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until MinhashK / 2)
+      .map(b =>
+        s"SELECT doc_id, $b AS band_idx, md5(m${2 * b} || '|' || m${2 * b + 1}) AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM t),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |bc AS (
+       |  SELECT cd.doc_a, cd.doc_b,
+       |    CAST(len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT) AS n_common,
+       |    CAST(len(a.sh_set) AS BIGINT) AS sz_a,
+       |    CAST(len(b.sh_set) AS BIGINT) AS sz_b
+       |  FROM cand cd JOIN t a ON a.doc_id = cd.doc_a JOIN t b ON b.doc_id = cd.doc_b
+       |  WHERE greatest(len(list_intersect(a.sh_set, b.sh_set)) / len(a.sh_set),
+       |                 len(list_intersect(a.sh_set, b.sh_set)) / len(b.sh_set))
+       |          >= $ContainmentThreshold)""".stripMargin
+  }
 
   private val simhashV16 = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substring(md5(tok), ${i + 1}, 1)) - 1)"
@@ -1940,6 +2178,56 @@ object DocQueries {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE greatest(n_common / sa.sz, n_common / sb.sz) >= $ContainmentThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // BPE trainer: unrolled merge rounds over the word-frequency dict,
+    // greedy merges as delimiter-encoded literal replace (formula-
+    // identical to the Spark plan; see bpeTrainer's Scaladoc)
+    "t26_bpe_trainer" -> {
+      val rounds = (1 to BpeMergeRounds).map { k =>
+        s"""p$k AS (
+           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, s[i] AS l, s[i + 1] AS r FROM (
+           |      SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS i FROM (
+           |        SELECT cnt, string_split(enc[2:len(enc) - 1], '||') AS s FROM d${k - 1})))
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |d$k AS (
+           |  SELECT replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|') AS enc, cnt
+           |  FROM d${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      val arms = (1 to BpeMergeRounds)
+        .map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS sym_l, r AS sym_r, c AS pair_count FROM b$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH d0 AS (
+         |  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|' AS enc,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1),
+         |$rounds
+         |$arms
+         |ORDER BY merge_rank""".stripMargin
+    },
+    // banded containment: d3's width-2 band candidates, exact containment
+    // verified on candidates only, same threshold as t19
+    "t19b_containment_banded" ->
+      s"""WITH $bandedContSql
+         |SELECT doc_a, doc_b, n_common, sz_a, sz_b,
+         |  n_common / sz_a AS cont_a, n_common / sz_b AS cont_b
+         |FROM bc ORDER BY doc_a, doc_b""".stripMargin,
+    // t19b's recall against t19's exact pair set, one summary row
+    "t19r_containment_recall" ->
+      s"""WITH $shinglePairs,
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE greatest(n_common / sa.sz, n_common / sb.sz) >= $ContainmentThreshold),
+         |$bandedContSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN b.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(sum(CASE WHEN b.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS recall
+         |FROM exact e LEFT JOIN bc b ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b""".stripMargin,
     // t19 with the d2c hot-shingle df cap applied before pairing AND sizes
     "t19c_containment_capped" ->
       s"""WITH sh0 AS (

@@ -1141,6 +1141,79 @@ object RelationalQueries {
         sum(col("price_cents") * col("disc_pct")).as("revenue_x100"),
         (sum(col("price_cents") * col("disc_pct")) / 10000.0).as("revenue"))
 
+  // ---- ScaleBench work-size probes -----------------------------------------
+
+  /** Pre-threshold work frames for the scale harness (the DocQueries
+    * convention): each rebuilds a gate's dominant intermediate — the
+    * frame whose cardinality drives the join/iteration cost — without
+    * persists, so counting it names the measured work at both scales.
+    */
+  private def liPairsProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    items
+      .as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+  }
+
+  /** The part–supplier bipartite edge set g3/g10 iterate over. */
+  private def prEdgesProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+
+  /** g11's co-occurrence edge set (the coOccurrenceEdges plan minus the
+    * persist).
+    */
+  private def coEdgesProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  /** g9's wedge join rows — the support-thresholded graph's open
+    * two-paths, the frame its Σ 1/deg aggregation consumes.
+    */
+  private def raWedgesProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= RaMinSupport)
+      .select(col("a"), col("b"))
+    val adj = e
+      .select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+    adj
+      .select(col("nbr").as("z"), col("node").as("u"))
+      .join(adj.select(col("nbr").as("z"), col("node").as("v")), "z")
+      .filter(col("u") < col("v"))
+  }
+
+  val scaleProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_market_basket" -> (liPairsProbe(_, _)),
+    "g3_pagerank" -> (prEdgesProbe(_, _)),
+    "g10_personalized_pagerank" -> (prEdgesProbe(_, _)),
+    "g11_assortativity" -> (coEdgesProbe(_, _)),
+    "g9_link_prediction" -> (raWedgesProbe(_, _)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_top_supplier" -> (topSupplier(_, _)),
     "q31_important_stock" -> (importantStock(_, _)),

@@ -249,4 +249,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(langs.forall(TextAnalysis.langProfiles.map(_._1).contains))
     assert(DocQueries.docFingerprint(spark, sf).filter(col("fingerprint").isNull).count() == 0)
   }
+
+  test("banded containment (t19b) misses an asymmetric subset pair that exact t19 catches") {
+    // Doc B is a 5-token snippet of the 60-token doc A: containment_b =
+    // 1.0 but Jaccard ≈ 3/56 — the operating-point loss t19b declares
+    // and t19r pins. These texts are chosen so ALL THREE width-2 bands
+    // of the 6-component signature disagree (deterministic md5 math, not
+    // luck), so the banding yields no candidate while the exact pair
+    // join finds the pair at containment 1.0.
+    val a = "group window column join scan agg batch table part big hash query agg vector order " +
+      "data agg batch key key batch dup batch part key agg table query big window dup scan scan " +
+      "query window agg query query join agg dup agg part the column filter key column part big " +
+      "query filter part table slow customer big query query scan"
+    val b = "hash query agg vector order"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val exact = Dedup
+      .containmentPairs(sh)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      .collect()
+    assert(exact.length == 1 && exact(0).getDouble(6) == 1.0, s"exact missed: ${exact.toSeq}")
+    val cands = Dedup.minhashBandCandidatesFromShingles(sh, 6)
+    assert(cands.isEmpty, s"banding unexpectedly produced candidates: ${cands.collect().toSeq}")
+    assert(Dedup.containmentForCandidates(cands, sh).isEmpty)
+  }
 }
