@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFixtures, MediaFixtures}
+import graft.multimodal.{AudioFixtures, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -25,7 +25,10 @@ object SparkEntry {
       (MediaFixtures.queries, MediaFixtures.oracle),
       // m2: the audio twin — WAV PCM sample decode against ground-truth
       // sample tuples, same fixture-hash contract
-      (AudioFixtures.queries, AudioFixtures.oracle)
+      (AudioFixtures.queries, AudioFixtures.oracle),
+      // m3: the video twin — MJPEG-in-AVI container walk + per-frame
+      // JPEG decode against ground-truth per-frame pixel tuples
+      (VideoFixtures.queries, VideoFixtures.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -294,25 +294,25 @@ object MediaFixtures {
   private def lumaTile(bx: Int, by: Int): Int = 32 + ((bx * 64 + by * 96) % 224)
   private def luma420(bx: Int, by: Int): Int = 50 + ((bx * 85 + by * 60) % 200)
 
-  private def jpegGray: Array[Byte] =
+  private[multimodal] def jpegGray: Array[Byte] =
     jpegBytes(14, 11, grayTile, None)
-  private def jpegGrayTruth: Seq[(Int, Int, Int)] =
+  private[multimodal] def jpegGrayTruth: Seq[(Int, Int, Int)] =
     for (y <- 0 until 11; x <- 0 until 14) yield {
       val v = grayTile(x / 8, y / 8); (v, v, v)
     }
 
-  private def jpeg444: Array[Byte] =
+  private[multimodal] def jpeg444: Array[Byte] =
     jpegBytes(16, 16, lumaTile, Some(((_, _) => 128, (_, _) => 128, false)), restartEvery = 2)
-  private def jpeg444Truth: Seq[(Int, Int, Int)] =
+  private[multimodal] def jpeg444Truth: Seq[(Int, Int, Int)] =
     for (y <- 0 until 16; x <- 0 until 16) yield {
       val v = lumaTile(x / 8, y / 8); (v, v, v) // neutral chroma: exact gray
     }
 
   private val Cb420 = 90
   private val Cr420 = 170
-  private def jpeg420: Array[Byte] =
+  private[multimodal] def jpeg420: Array[Byte] =
     jpegBytes(16, 16, luma420, Some(((_, _) => Cb420, (_, _) => Cr420, true)))
-  private def jpeg420Truth: Seq[(Int, Int, Int)] =
+  private[multimodal] def jpeg420Truth: Seq[(Int, Int, Int)] =
     for (y <- 0 until 16; x <- 0 until 16) yield ycc(luma420(x / 8, y / 8), Cb420, Cr420)
 
   /** The fixture set: every decodable container flavor plus the two

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * binary PPM, 8-bit PNG via the JDK Inflater, GIF via the spec-complete
   * LZW decoder, and baseline JPEG via [[JpegDecode]]'s integer-islow
   * huffman+IDCT pipeline) for REAL channel statistics ([[PixelDecode]] —
-  * pure bytes, same discipline as the header parsers). The deterministic
-  * [[StubCodec]] stand-in now covers only non-image payloads (audio/video
-  * frame features) and undecodable byte streams; swap it for a JNI/FFM
-  * codec in production.
+  * pure bytes, same discipline as the header parsers), [[VideoCodec]]
+  * decodes MJPEG-in-AVI video (RIFF walk + per-frame JPEG), and the WAV
+  * path covers audio — the deterministic [[StubCodec]] stand-in remains
+  * only for codecs outside this container's reach (H.264/VP9 video,
+  * compressed audio) and arbitrary undecodable byte streams; swap it for
+  * a JNI/FFM codec in production.
   *
   * Scale posture: decode runs via `mapPartitions` so codec state is
   * initialized once per partition (not per row), records stream through in
@@ -93,12 +95,61 @@ object Multimodal {
     }
 
     def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]] =
-      StubCodec.sampleFrames(blob, n)
+      VideoCodec.sampleFrames(blob, n)
   }
 
-  /** STUB: deterministic stand-in for the absent image/audio libraries.
-    * Features are a byte-histogram sketch (stable across runs/partitions);
-    * frames are even byte-range slices. Replace with a real codec (e.g.
+  /** Real video decode — MJPEG-in-AVI, the container+codec pair this
+    * repo can decode end-to-end from pure bytes ([[AviDecode]] walks the
+    * RIFF chunk tree to the `movi` frame payloads; each frame is a
+    * baseline JPEG through [[JpegDecode]]'s existing pipeline). This
+    * retires the StubCodec stand-in for the video modality: frame
+    * sampling is real temporal sampling over container frames, and
+    * features are real channel statistics averaged over up to
+    * [[VideoCodec.MaxStatFrames]] evenly sampled frames, in
+    * [[PixelCodec]]'s 23-slot layout (flag, 6 channel stats, stub
+    * histogram only for undecodable streams). Non-AVI codecs (H.264 in
+    * MP4, VP9, ...) still need a JNI/FFM codec in production — the
+    * declared fallback below.
+    */
+  object VideoCodec extends MediaCodec {
+    val MaxStatFrames = 4
+
+    def decodeFeatures(record: MediaRecord): Array[Float] = {
+      val out = new Array[Float](PixelCodec.FeatureDim)
+      val imgs = AviDecode
+        .sampleEvenly(AviDecode.frames(record.blob), MaxStatFrames)
+        .flatMap(PixelDecode.decode(_))
+      if (imgs.nonEmpty) {
+        val stats = imgs.map(PixelDecode.channelStats)
+        val n = stats.size
+        out(0) = 1f
+        out(1) = (stats.map(_.meanR).sum / n / 255.0).toFloat
+        out(2) = (stats.map(_.meanG).sum / n / 255.0).toFloat
+        out(3) = (stats.map(_.meanB).sum / n / 255.0).toFloat
+        out(4) = (stats.map(_.stdR).sum / n / 255.0).toFloat
+        out(5) = (stats.map(_.stdG).sum / n / 255.0).toFloat
+        out(6) = (stats.map(_.stdB).sum / n / 255.0).toFloat
+      } else
+        System.arraycopy(
+          StubCodec.decodeFeatures(record), 0, out, PixelCodec.StatsDim, StubCodec.FeatureDim)
+      out
+    }
+
+    /** Real temporal sampling when the blob parses as AVI; byte-slice
+      * fallback otherwise.
+      */
+    def sampleFrames(blob: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val fr = AviDecode.frames(blob)
+      if (fr.nonEmpty) AviDecode.sampleEvenly(fr, n) else StubCodec.sampleFrames(blob, n)
+    }
+  }
+
+  /** STUB: deterministic stand-in for the absent media libraries —
+    * since the MJPEG-AVI decoder above, only the declared fallback for
+    * codecs this container cannot decode (non-AVI video, compressed
+    * audio) and for arbitrary undecodable byte streams. Features are a
+    * byte-histogram sketch (stable across runs/partitions); frames are
+    * even byte-range slices. Replace with a real codec (e.g.
     * javacpp-ffmpeg) outside this container.
     */
   object StubCodec extends MediaCodec {
