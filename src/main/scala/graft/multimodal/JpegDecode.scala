@@ -1,11 +1,18 @@
 package graft.multimodal
 
-/** Baseline (SOF0) JPEG decoder in pure JVM code — the last real codec of
-  * the multimodal plane, replacing the declared StubCodec fallback.
+/** Baseline (SOF0/1) AND progressive (SOF2) JPEG decoder in pure JVM
+  * code — the real codec of the multimodal plane, replacing the declared
+  * StubCodec fallback.
   *
-  * Scope: sequential DCT, 8-bit precision, 1–3 components, sampling
-  * factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0, grayscale), restart
-  * markers, byte stuffing. Progressive (SOF2), arithmetic coding and
+  * Scope: sequential and progressive DCT, 8-bit precision, 1–3
+  * components, sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0,
+  * grayscale), restart markers, byte stuffing. Progressive covers the
+  * full T.81 Annex G huffman feature set: spectral selection (per-band
+  * AC scans in non-interleaved component order), successive
+  * approximation (DC first/refine, AC first/refine with correction
+  * bits), and end-of-band run coding (EOBRUN spanning blocks) — the
+  * scan script libjpeg emits by default, i.e. the progressive files
+  * actually found in the wild. Arithmetic coding, hierarchical mode and
   * 12-bit precision return None — the never-garbage contract shared by
   * every decoder in this package (PixelDecode.scala): anything malformed
   * or unsupported is None, never wrong pixels.
@@ -175,6 +182,14 @@ object JpegDecode {
     var data: Array[Int] = null // full-resolution-in-blocks sample plane
     var bw = 0 // plane width in samples (blocksAcross*8)
     var bh = 0
+    // progressive state: per-block ZIGZAG-order coefficients, the padded
+    // (MCU-grid) block dims, and the non-interleaved (ceil) block dims
+    // single-component scans iterate (T.81 A.2.2)
+    var coefs: Array[Int] = null
+    var bwBlocks = 0
+    var bhBlocks = 0
+    var nbW = 0
+    var nbH = 0
   }
 
   private final class BitReader(blob: Array[Byte], var pos: Int) {
@@ -249,92 +264,161 @@ object JpegDecode {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var planesReady = false // progressive coefficient planes allocated
+    var mcusX = 0
+    var mcusY = 0
     var pos = 2
 
     def be2(i: Int) = ((blob(i) & 0xff) << 8) | (blob(i + 1) & 0xff)
 
-    while (pos + 4 <= blob.length) {
+    while (pos + 2 <= blob.length) {
       if ((blob(pos) & 0xff) != 0xff) return None
       val marker = blob(pos + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before SOS produced pixels
-      val len = be2(pos + 2)
-      if (len < 2 || pos + 2 + len > blob.length) return None
-      val seg = pos + 4
-      val segEnd = pos + 2 + len
-      marker match {
-        case 0xdb => // DQT
-          var p = seg
-          while (p < segEnd) {
-            val pq = (blob(p) & 0xff) >> 4
-            val tq = blob(p) & 0x0f
-            if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return None // 8-bit only
-            var k = 0
-            while (k < 64) { quant(tq)(ZigZag(k)) = blob(p + 1 + k) & 0xff; k += 1 }
-            p += 65
-          }
-        case 0xc4 => // DHT
-          var p = seg
-          while (p < segEnd) {
-            val tc = (blob(p) & 0xff) >> 4
-            val th = blob(p) & 0x0f
-            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
-            val bits = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) { bits(l) = blob(p + l) & 0xff; total += bits(l); l += 1 }
-            if (p + 17 + total > segEnd || total > 256) return None
-            val vals = new Array[Int](total)
-            var k = 0
-            while (k < total) { vals(k) = blob(p + 17 + k) & 0xff; k += 1 }
-            val h = new Huff(bits, vals)
-            if (tc == 0) dcHuff(th) = h else acHuff(th) = h
-            p += 17 + total
-          }
-        case 0xc0 | 0xc1 => // SOF0/1 baseline(-ish sequential)
-          if (blob(seg) != 8) return None // 8-bit precision only
-          height = be2(seg + 1)
-          width = be2(seg + 3)
-          val nc = blob(seg + 5) & 0xff
-          if (width <= 0 || height <= 0 || width.toLong * height > MaxPixels) return None
-          if (nc != 1 && nc != 3) return None
-          if (seg + 6 + nc * 3 > segEnd) return None
-          comps = Array.fill(nc)(new Component)
-          var i = 0
-          while (i < nc) {
-            val o = seg + 6 + i * 3
-            comps(i).id = blob(o) & 0xff
-            comps(i).h = (blob(o + 1) & 0xff) >> 4
-            comps(i).v = blob(o + 1) & 0x0f
-            comps(i).tq = blob(o + 2) & 0xff
-            if (comps(i).h < 1 || comps(i).h > 2 || comps(i).v < 1 || comps(i).v > 2 ||
-              comps(i).tq > 3) return None
-            i += 1
-          }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / arithmetic / hierarchical: unsupported
-        case 0xdd => // DRI
-          restartInterval = be2(seg)
-        case 0xda => // SOS — decode the scan
-          if (comps == null) return None
-          val ns = blob(seg) & 0xff
-          if (ns != comps.length) return None // interleaved single scan only
-          if (seg + 1 + ns * 2 + 3 > segEnd) return None
-          var i = 0
-          while (i < ns) {
-            val cid = blob(seg + 1 + i * 2) & 0xff
-            val tbl = blob(seg + 2 + i * 2) & 0xff
-            val comp = comps.find(_.id == cid).getOrElse(return None)
-            comp.dcTbl = tbl >> 4
-            comp.acTbl = tbl & 0x0f
-            i += 1
-          }
-          return decodeScan(blob, segEnd, comps, quant, dcHuff, acHuff,
-            width, height, restartInterval)
-        case _ => // APPn / COM / others: skip
+      if (marker == 0xff) { pos += 1 } // fill byte before a marker
+      else if (marker == 0xd9) { // EOI: a complete progressive image finishes here
+        return if (progressive && planesReady) finishProgressive(comps, quant, width, height)
+        else None
+      } else if (marker >= 0xd0 && marker <= 0xd7) { pos += 2 } // stray RST: skip
+      else {
+        if (pos + 4 > blob.length) return None
+        val len = be2(pos + 2)
+        if (len < 2 || pos + 2 + len > blob.length) return None
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        var nextPos = segEnd
+        marker match {
+          case 0xdb => // DQT
+            var p = seg
+            while (p < segEnd) {
+              val pq = (blob(p) & 0xff) >> 4
+              val tq = blob(p) & 0x0f
+              if (pq != 0 || tq > 3 || p + 1 + 64 > segEnd) return None // 8-bit only
+              var k = 0
+              while (k < 64) { quant(tq)(ZigZag(k)) = blob(p + 1 + k) & 0xff; k += 1 }
+              p += 65
+            }
+          case 0xc4 => // DHT
+            var p = seg
+            while (p < segEnd) {
+              val tc = (blob(p) & 0xff) >> 4
+              val th = blob(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = blob(p + l) & 0xff; total += bits(l); l += 1 }
+              if (p + 17 + total > segEnd || total > 256) return None
+              val vals = new Array[Int](total)
+              var k = 0
+              while (k < total) { vals(k) = blob(p + 17 + k) & 0xff; k += 1 }
+              val h = new Huff(bits, vals)
+              if (tc == 0) dcHuff(th) = h else acHuff(th) = h
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+            if (comps != null) return None // one frame per stream
+            progressive = marker == 0xc2
+            if (blob(seg) != 8) return None // 8-bit precision only
+            height = be2(seg + 1)
+            width = be2(seg + 3)
+            val nc = blob(seg + 5) & 0xff
+            if (width <= 0 || height <= 0 || width.toLong * height > MaxPixels) return None
+            if (nc != 1 && nc != 3) return None
+            if (seg + 6 + nc * 3 > segEnd) return None
+            comps = Array.fill(nc)(new Component)
+            var i = 0
+            while (i < nc) {
+              val o = seg + 6 + i * 3
+              comps(i).id = blob(o) & 0xff
+              comps(i).h = (blob(o + 1) & 0xff) >> 4
+              comps(i).v = blob(o + 1) & 0x0f
+              comps(i).tq = blob(o + 2) & 0xff
+              if (comps(i).h < 1 || comps(i).h > 2 || comps(i).v < 1 || comps(i).v > 2 ||
+                comps(i).tq > 3) return None
+              i += 1
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / arithmetic / hierarchical: unsupported
+          case 0xdd => // DRI
+            restartInterval = be2(seg)
+          case 0xda if !progressive => // sequential SOS — decode the one scan
+            if (comps == null) return None
+            val ns = blob(seg) & 0xff
+            if (ns != comps.length) return None // interleaved single scan only
+            if (seg + 1 + ns * 2 + 3 > segEnd) return None
+            var i = 0
+            while (i < ns) {
+              val cid = blob(seg + 1 + i * 2) & 0xff
+              val tbl = blob(seg + 2 + i * 2) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.dcTbl = tbl >> 4
+              comp.acTbl = tbl & 0x0f
+              i += 1
+            }
+            return decodeScan(blob, segEnd, comps, quant, dcHuff, acHuff,
+              width, height, restartInterval)
+          case 0xda => // progressive SOS — one of several scans
+            if (comps == null) return None
+            val ns = blob(seg) & 0xff
+            if (ns < 1 || ns > comps.length || seg + 1 + ns * 2 + 3 > segEnd) return None
+            val scanComps = new Array[Component](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = blob(seg + 1 + i * 2) & 0xff
+              val tbl = blob(seg + 2 + i * 2) & 0xff
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.dcTbl = tbl >> 4
+              comp.acTbl = tbl & 0x0f
+              scanComps(i) = comp
+              i += 1
+            }
+            val ss = blob(seg + 1 + ns * 2) & 0xff
+            val se = blob(seg + 2 + ns * 2) & 0xff
+            val ahal = blob(seg + 3 + ns * 2) & 0xff
+            if (!planesReady) {
+              val hMax = comps.map(_.h).max
+              val vMax = comps.map(_.v).max
+              mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+              comps.foreach { c =>
+                c.bwBlocks = mcusX * c.h
+                c.bhBlocks = mcusY * c.v
+                if (c.bwBlocks.toLong * c.bhBlocks * 64 > 4L * MaxPixels) return None
+                c.coefs = new Array[Int](c.bwBlocks * c.bhBlocks * 64)
+                c.nbW = (width * c.h + 8 * hMax - 1) / (8 * hMax)
+                c.nbH = (height * c.v + 8 * vMax - 1) / (8 * vMax)
+              }
+              planesReady = true
+            }
+            val after = decodeProgressiveScan(blob, segEnd, scanComps, dcHuff, acHuff,
+              ss, se, ahal >> 4, ahal & 0x0f, restartInterval, mcusX, mcusY)
+            if (after < 0) return None
+            nextPos = skipToMarker(blob, after)
+          case _ => // APPn / COM / others: skip
+        }
+        pos = nextPos
       }
-      pos = segEnd
     }
     None
+  }
+
+  /** Advance from the end of a scan's entropy data to the next marker:
+    * past pad bits, stuffed bytes, stray restarts and fill 0xFF bytes.
+    */
+  private def skipToMarker(blob: Array[Byte], start: Int): Int = {
+    var p = start
+    while (p + 1 < blob.length) {
+      if ((blob(p) & 0xff) != 0xff) p += 1
+      else {
+        val m = blob(p + 1) & 0xff
+        if (m == 0x00) p += 2 // stuffed data byte
+        else if (m == 0xff) p += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) p += 2 // restart leftover
+        else return p
+      }
+    }
+    blob.length
   }
 
   private def decodeScan(
@@ -427,8 +511,16 @@ object JpegDecode {
     // never-garbage: a scan that ran out of entropy data was truncated —
     // encoders pad only the final byte, so starvation is always an error
     if (br.starved) return None
+    Some(toImage(comps, width, height))
+  }
 
-    // color conversion + upsample-by-replication into the output raster
+  /** Color conversion + upsample-by-replication from the decoded
+    * component sample planes into the output raster — shared by the
+    * sequential and progressive paths.
+    */
+  private def toImage(comps: Array[Component], width: Int, height: Int): RgbImage = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
     val out = new Array[Byte](width * height * 3)
     if (comps.length == 1) {
       val c = comps(0)
@@ -466,6 +558,221 @@ object JpegDecode {
         y += 1
       }
     }
-    Some(RgbImage(width, height, out))
+    RgbImage(width, height, out)
+  }
+
+  /** One progressive scan (T.81 Annex G, huffman): DC first/refinement
+    * (interleaved over the MCU grid when ns > 1), AC first/refinement
+    * (always a single component in its non-interleaved block raster),
+    * successive-approximation point transforms, EOBRUN end-of-band runs,
+    * and restart intervals counted in MCUs (or blocks when ns == 1).
+    * Returns the position after the scan's entropy data, or -1 on any
+    * malformed condition (including entropy starvation — never-garbage).
+    */
+  private def decodeProgressiveScan(
+      blob: Array[Byte],
+      dataStart: Int,
+      scanComps: Array[Component],
+      dcHuff: Array[Huff],
+      acHuff: Array[Huff],
+      ss: Int,
+      se: Int,
+      ah: Int,
+      al: Int,
+      restartInterval: Int,
+      mcusX: Int,
+      mcusY: Int): Int = {
+    // scan-header discipline: a DC scan is exactly the [0,0] band; an AC
+    // band never includes 0 and belongs to ONE component; a refinement
+    // pass lowers the point transform by exactly one bit
+    if (ss == 0 && se != 0) return -1
+    if (ss > 0 && (scanComps.length != 1 || se < ss || se > 63)) return -1
+    if (al > 13 || (ah != 0 && ah != al + 1)) return -1
+    if (ss == 0 && ah == 0 && scanComps.exists(c => dcHuff(c.dcTbl) == null)) return -1
+    if (ss > 0 && acHuff(scanComps(0).acTbl) == null) return -1
+    val br = new BitReader(blob, dataStart)
+    var eobrun = 0
+    var sinceRestart = 0
+    scanComps.foreach(_.pred = 0)
+
+    def restartIfDue(): Boolean = {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        if (!br.restart()) return false
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+        sinceRestart = 0
+      }
+      sinceRestart += 1
+      true
+    }
+
+    def dcBlock(c: Component, off: Int): Boolean = {
+      if (ah == 0) {
+        val t = huffDecode(br, dcHuff(c.dcTbl))
+        if (t < 0 || t > 15) return false
+        c.pred += extend(br.bits(t), t)
+        c.coefs(off) = c.pred << al
+      } else if (br.bit() == 1) c.coefs(off) |= 1 << al
+      true
+    }
+
+    def acFirstBlock(c: Component, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(br, acHuff(c.acTbl))
+        if (rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+            return true // current block's band ends here
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          c.coefs(off + k) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(c: Component, off: Int): Boolean = {
+      val p1 = 1 << al
+      def correct(idx: Int): Unit = {
+        val v = c.coefs(idx)
+        if (v != 0 && br.bit() == 1 && (v & p1) == 0)
+          c.coefs(idx) = if (v >= 0) v + p1 else v - p1
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = huffDecode(br, acHuff(c.acTbl))
+          if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              // refinement EOBRUN counts the CURRENT block too — its
+              // remaining coefficients still take correction bits below
+              eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+              inBand = false
+            } // r == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (s != 1) return false // refinement codes only ±1
+            newval = if (br.bit() == 1) p1 else -p1
+          }
+          if (inBand) {
+            var advancing = true
+            while (advancing && k <= se) {
+              val idx = off + k
+              if (c.coefs(idx) != 0) correct(idx)
+              else if (r == 0) {
+                if (newval != 0) c.coefs(idx) = newval
+                advancing = false
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { correct(off + k); k += 1 }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan over the frame MCU grid
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (!restartIfDue()) return -1
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val off = ((my * c.v + by) * c.bwBlocks + (mx * c.h + bx)) * 64
+              if (!dcBlock(c, off)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan (all AC scans; DC scans of a 1-component
+      // frame or single-component DC passes): non-interleaved raster
+      val c = scanComps(0)
+      var by = 0
+      while (by < c.nbH) {
+        var bx = 0
+        while (bx < c.nbW) {
+          if (!restartIfDue()) return -1
+          val off = (by * c.bwBlocks + bx) * 64
+          val ok = if (ss == 0) dcBlock(c, off) else if (ah == 0) acFirstBlock(c, off)
+          else acRefineBlock(c, off)
+          if (!ok) return -1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (br.starved) -1 else br.pos
+  }
+
+  /** Dequantize + inverse-transform the accumulated progressive
+    * coefficient planes and assemble the raster.
+    */
+  private def finishProgressive(
+      comps: Array[Component],
+      quant: Array[Array[Int]],
+      width: Int,
+      height: Int): Option[RgbImage] = {
+    val block = new Array[Int](64)
+    comps.foreach { c =>
+      if (c.coefs == null || quant(c.tq) == null) return None
+      val q = quant(c.tq)
+      c.bw = c.bwBlocks * 8
+      c.bh = c.bhBlocks * 8
+      c.data = new Array[Int](c.bw * c.bh)
+      var by = 0
+      while (by < c.bhBlocks) {
+        var bx = 0
+        while (bx < c.bwBlocks) {
+          val off = (by * c.bwBlocks + bx) * 64
+          var k = 0
+          while (k < 64) { block(ZigZag(k)) = c.coefs(off + k) * q(ZigZag(k)); k += 1 }
+          idctBlock(block)
+          val x0 = bx * 8
+          val y0 = by * 8
+          var r = 0
+          while (r < 8) {
+            var cc = 0
+            while (cc < 8) {
+              c.data((y0 + r) * c.bw + (x0 + cc)) = block(r * 8 + cc)
+              cc += 1
+            }
+            r += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    Some(toImage(comps, width, height))
   }
 }

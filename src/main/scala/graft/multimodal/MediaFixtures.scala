@@ -277,6 +277,123 @@ object MediaFixtures {
       entropy.toArray ++ Array(0xff.toByte, 0xd9.toByte)
   }
 
+  /** PROGRESSIVE (SOF2) twin of [[jpegBytes]]: the same DC-only flat
+    * tiles (still bit-exact through the IDCT) emitted as a legal
+    * multi-scan progressive stream — DC first pass with a 1-bit point
+    * transform (Al=1), a DC successive-approximation refinement scan
+    * (raw bits, no huffman), then one non-interleaved AC scan per
+    * component (Ss=1..63) of pure end-of-band codes. Exercises the
+    * progressive scan plumbing (interleaved vs component block order,
+    * point-transform accumulation, multi-SOS parsing) under the gate's
+    * exactness contract; real AC/EOBRUN/refinement entropy paths are
+    * covered against ImageIO's own progressive encoder in JpegDecodeSpec.
+    */
+  private def jpegProgBytes(
+      w: Int,
+      h: Int,
+      luma: (Int, Int) => Int,
+      chroma: Option[((Int, Int) => Int, (Int, Int) => Int, Boolean)]): Array[Byte] = {
+    val sub = chroma.exists(_._3)
+    val mcuPx = if (sub) 16 else 8
+    val hMax = if (sub) 2 else 1
+    val mcusX = (w + mcuPx - 1) / mcuPx
+    val mcusY = (h + mcuPx - 1) / mcuPx
+
+    final class BitBuf {
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      private var cur = 0
+      private var nb = 0
+      private def emit(): Unit = {
+        out += cur.toByte
+        if ((cur & 0xff) == 0xff) out += 0.toByte
+        cur = 0; nb = 0
+      }
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) { cur = (cur << 1) | ((code >> i) & 1); nb += 1; if (nb == 8) emit(); i -= 1 }
+      }
+      def done(): Array[Byte] = {
+        if (nb > 0) { while (nb < 8) { cur = (cur << 1) | 1; nb += 1 }; emit() }
+        out.toArray
+      }
+    }
+    def category(v: Int): Int = { var t = 0; var a = math.abs(v); while (a > 0) { t += 1; a >>= 1 }; t }
+
+    // per-MCU block emission order (matches the decoder's interleaved
+    // walk): luma v*h blocks then cb then cr; collect each component's
+    // dcq sequence for the per-block refinement bits and AC block counts
+    val dcSeqs = Array.fill(if (chroma.isDefined) 3 else 1)(scala.collection.mutable.ArrayBuffer[Int]())
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (sub) for (by <- 0 until 2; bx <- 0 until 2)
+        dcSeqs(0) += luma(mx * 2 + bx, my * 2 + by) - 128
+      else dcSeqs(0) += luma(mx, my) - 128
+      chroma.foreach { case (cb, cr, _) =>
+        dcSeqs(1) += cb(mx, my) - 128
+        dcSeqs(2) += cr(mx, my) - 128
+      }
+    }
+    val ncomp = dcSeqs.length
+
+    // scan 1: interleaved DC first pass, Al=1 — diffs of (dcq >> 1)
+    val dc1 = new BitBuf
+    val preds = new Array[Int](ncomp)
+    val idxs = new Array[Int](ncomp)
+    for (_ <- 0 until mcusY * mcusX) {
+      for (ci <- 0 until ncomp) {
+        val blocksInMcu = if (ci == 0 && sub) 4 else 1
+        for (_ <- 0 until blocksInMcu) {
+          val v1 = dcSeqs(ci)(idxs(ci)) >> 1
+          idxs(ci) += 1
+          val diff = v1 - preds(ci)
+          preds(ci) = v1
+          val t = category(diff)
+          dc1.put(t, 5)
+          if (t > 0) dc1.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        }
+      }
+    }
+    // scan 2: DC refinement, Ah=1 Al=0 — the low bit of each dcq, raw
+    val dc2 = new BitBuf
+    java.util.Arrays.fill(idxs, 0)
+    for (_ <- 0 until mcusY * mcusX)
+      for (ci <- 0 until ncomp) {
+        val blocksInMcu = if (ci == 0 && sub) 4 else 1
+        for (_ <- 0 until blocksInMcu) { dc2.put(dcSeqs(ci)(idxs(ci)) & 1, 1); idxs(ci) += 1 }
+      }
+    // AC scans: per component, non-interleaved block raster, EOB0 each
+    def acScan(ci: Int): Array[Byte] = {
+      val ch = if (ci == 0 && sub) 2 else 1
+      val nbW = (w * ch + 8 * hMax - 1) / (8 * hMax)
+      val nbH = (h * ch + 8 * hMax - 1) / (8 * hMax)
+      val b = new BitBuf
+      for (_ <- 0 until nbW * nbH) b.put(0, 2) // AC huffman EOB0
+      b.done()
+    }
+
+    def be2(i: Int) = Array[Byte]((i >> 8).toByte, (i & 0xff).toByte)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be2(payload.length + 2) ++ payload
+    val dqt = seg(0xdb, Array(0x00.toByte) ++ Array.tabulate[Byte](64)(i => if (i == 0) 8 else 16))
+    val sofComps = (1 to ncomp).flatMap { cid =>
+      val hv = if (cid == 1 && sub) 0x22 else 0x11
+      Seq(cid.toByte, hv.toByte, 0.toByte)
+    }.toArray
+    val sof = seg(0xc2, Array(8.toByte) ++ be2(h) ++ be2(w) ++ Array(ncomp.toByte) ++ sofComps)
+    val dcBits = new Array[Byte](16); dcBits(4) = 9
+    val acBits = new Array[Byte](16); acBits(1) = 1
+    val dht = seg(0xc4,
+      Array(0x00.toByte) ++ dcBits ++ Array.tabulate[Byte](9)(_.toByte) ++
+        Array(0x10.toByte) ++ acBits ++ Array[Byte](0x00))
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Array[Byte] =
+      seg(0xda, Array(comps.size.toByte) ++ comps.flatMap(c => Seq(c.toByte, 0x00.toByte)).toArray ++
+        Array(ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++
+      sos(1 to ncomp, 0, 0, 0, 1) ++ dc1.done() ++
+      sos(1 to ncomp, 0, 0, 1, 0) ++ dc2.done() ++
+      (0 until ncomp).flatMap(ci => sos(Seq(ci + 1), 1, 63, 0, 0) ++ acScan(ci)).toArray ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
   /** The SCALEBITS=16 fixed-point YCbCr→RGB shared contract (like the GIF
     * LZW width schedule, mirrored encoder↔decoder by design — and
     * independently confirmed bit-exact against ImageIO in JpegDecodeSpec).
@@ -335,7 +452,20 @@ object MediaFixtures {
       Fixture(10L, "jpeg", jpegGrayTruth, jpegGray), // grayscale, non-multiple-of-8 crop
       Fixture(11L, "jpeg", jpeg444Truth, jpeg444), // 4:4:4 + restart markers
       Fixture(12L, "jpeg", jpeg420Truth, jpeg420), // 4:2:0, colored chroma
-      Fixture(13L, "jpeg", Seq.empty, jpegGray.dropRight(20))) // truncated scan
+      Fixture(13L, "jpeg", Seq.empty, jpegGray.dropRight(20)), // truncated scan
+      // PROGRESSIVE JPEG (SOF2): same flat-tile exactness through the
+      // multi-scan path — DC successive approximation + per-component
+      // AC band scans (see jpegProgBytes doc)
+      Fixture(
+        14L,
+        "jpeg",
+        jpegGrayTruth,
+        jpegProgBytes(14, 11, grayTile, None)),
+      Fixture(
+        15L,
+        "jpeg",
+        jpeg420Truth,
+        jpegProgBytes(16, 16, luma420, Some(((_, _) => Cb420, (_, _) => Cr420, true)))))
   }
 
   /** The m1 gate query: decode every fixture through the distributed

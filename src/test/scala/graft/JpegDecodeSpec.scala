@@ -29,15 +29,19 @@ class JpegDecodeSpec extends AnyFunSuite {
   test("grayscale flat-tile fixture decodes bit-exactly (odd crop)")(decodeTruth(10L))
   test("4:4:4 fixture with restart markers decodes bit-exactly")(decodeTruth(11L))
   test("4:2:0 colored-chroma fixture decodes bit-exactly")(decodeTruth(12L))
+  test("PROGRESSIVE grayscale fixture decodes bit-exactly (odd crop)")(decodeTruth(14L))
+  test("PROGRESSIVE 4:2:0 fixture decodes bit-exactly")(decodeTruth(15L))
 
   test("truncated JPEG scan returns None, never garbage") {
     assert(JpegDecode.decode(fixture(13L).blob).isEmpty)
     assert(PixelDecode.decode(fixture(13L).blob).isEmpty)
   }
 
-  test("progressive marker (SOF2) is rejected, not misdecoded") {
+  test("baseline stream relabeled SOF2 is rejected (illegal progressive scan header)") {
+    // a sequential scan header (Ss=0, Se=63) is malformed under
+    // progressive rules — a DC scan is exactly the [0,0] band — so the
+    // never-garbage contract still holds for mislabeled streams
     val b = fixture(10L).blob.clone()
-    // SOI(2) + DQT(2+67) = offset 71 is the SOF0 marker byte pair
     val sof = b.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     assert(sof > 0)
     b(sof + 1) = 0xc2.toByte
@@ -48,7 +52,7 @@ class JpegDecodeSpec extends AnyFunSuite {
     Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
 
   test("ImageIO independently decodes every gate fixture to the declared truth") {
-    for (id <- Seq(10L, 11L, 12L)) {
+    for (id <- Seq(10L, 11L, 12L, 14L, 15L)) {
       val f = fixture(id)
       val bi = imageIoDecode(f.blob).getOrElse(fail(s"ImageIO rejected fixture $id"))
       val w = bi.getWidth
@@ -90,5 +94,67 @@ class JpegDecodeSpec extends AnyFunSuite {
       maxDiff = math.max(maxDiff, math.abs(o - t))
     }
     assert(maxDiff <= 1, s"max per-sample divergence $maxDiff > 1")
+  }
+
+  /** Encode with the JDK's writer in PROGRESSIVE mode (libjpeg's default
+    * multi-scan script: DC successive approximation + AC spectral bands
+    * with refinement passes and EOBRUNs) and require our decoder to
+    * match ImageIO's own decode of the same bytes.
+    */
+  private def imageIoProgressive(bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    ios.close(); writer.dispose()
+    val blob = bos.toByteArray
+    // make sure the writer really produced SOF2, or the test is vacuous
+    assert(blob.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0, "writer did not emit SOF2")
+    blob
+  }
+
+  test("progressive grayscale: our decoder matches ImageIO on its own multi-scan output") {
+    val w = 40; val h = 24
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 255 / (w - 1) + y * 7 + (x * y) % 31) % 256)
+    val blob = imageIoProgressive(bi)
+    val ours = JpegDecode.decode(blob).getOrElse(fail("our decoder rejected progressive output"))
+    val theirs = imageIoDecode(blob).get
+    assert(ours.width == w && ours.height == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = ours.rgb((y * w + x) * 3) & 0xff
+      val t = theirs.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(o - t))
+    }
+    assert(maxDiff <= 1, s"progressive max per-sample divergence $maxDiff > 1")
+  }
+
+  test("progressive color (subsampled): our decoder matches ImageIO within chroma-replication tolerance") {
+    val w = 37; val h = 29 // non-multiple-of-8/16: exercises partial MCUs in every scan kind
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 11 + y * 3) % 256; val g = (255 - x * 7 + y * 5) % 256; val b = (x * y) % 256
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val blob = imageIoProgressive(bi)
+    val ours = JpegDecode.decode(blob).getOrElse(fail("our decoder rejected progressive output"))
+    val theirs = imageIoDecode(blob).get
+    // luma path is exact-to-±1; chroma differs only by our documented
+    // replication (vs libjpeg's fancy triangle) upsampling, so compare
+    // WHOLE-IMAGE channel means, which upsampling barely moves
+    def mean(ch: Int, f: (Int, Int) => Int): Double =
+      (0 until h).flatMap(y => (0 until w).map(x => f(x, y))).sum.toDouble / (w * h)
+    for (ch <- 0 until 3) {
+      val om = mean(ch, (x, y) => ours.rgb((y * w + x) * 3 + ch) & 0xff)
+      val tm = mean(ch, (x, y) => (theirs.getRGB(x, y) >> (16 - 8 * ch)) & 0xff)
+      assert(math.abs(om - tm) < 2.0, s"channel $ch mean diverged: ours=$om imageio=$tm")
+    }
+    // truncating the entropy stream of ANY scan must never yield pixels
+    assert(JpegDecode.decode(blob.dropRight(blob.length / 3)).isEmpty)
   }
 }
