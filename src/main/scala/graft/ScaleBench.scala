@@ -90,8 +90,11 @@ object ScaleBench {
     "q18_market_basket",
     "d16_edit_distance",
     // r9: the banded-containment scale path (t19b) — candidates from
-    // the d3 banding, exact containment verify on candidates only
-    "t19b_containment_banded")
+    // the d3 banding, exact containment verify on candidates only —
+    // and the BPE trainer (one corpus rollup + dict-sized merge loop:
+    // the ratio should be ~the word-count pass alone)
+    "t19b_containment_banded",
+    "t26_bpe_trainer")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -1582,13 +1582,33 @@ object DocQueries {
     */
   private val BpeMergeRounds = 8
 
-  def bpeTrainer(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared trainer chain: word-frequency dict (ONE corpus pass,
+    * word kept alongside its encoding), [[BpeMergeRounds]] merge rounds,
+    * returning (final dict, learned merge rows). Both t26 (the merge
+    * table) and t27 (corpus tokenization through the learned vocab)
+    * consume it.
+    *
+    * The per-round argmax is a DRIVER-collected single row (the Lloyd-
+    * iteration pattern the IVF plane uses): the pair-count aggregation
+    * is distributed, its 1-row top result comes back to the driver, and
+    * the chosen pair is inlined as merge LITERALS into the next round's
+    * plan. The earlier fully-in-plan form (argmax as a broadcast 1-row
+    * cross join) made round k's plan contain round k−1 TWICE (once
+    * under pairCounts, once under the join), i.e. 2^rounds copies of
+    * the dict scan — 33 s of planner/codegen work at the gate corpus
+    * for what is an 8×31-row computation. Driver iteration keeps every
+    * round's plan LINEAR in k.
+    */
+  private def bpeTrained(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, Seq[(Long, String, String, Long)]) = {
     val dict0 = Tables
       .documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .select(
+        col("word"),
         concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|")).as("enc"),
         col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1602,25 +1622,60 @@ object DocQueries {
           (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("c"))
-    val (_, merges) = (1 to BpeMergeRounds)
-      .foldLeft((dict0, Seq.empty[DataFrame])) { case ((d, out), k) =>
-        val top = pairCounts(d).orderBy(col("c").desc, col("l"), col("r")).limit(1)
-        val next = d
-          .crossJoin(broadcast(top.select(col("l"), col("r"))))
-          .withColumn(
-            "enc",
-            expr("replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
-          .select("enc", "cnt")
-        val row = top.select(
-          lit(k.toLong).as("merge_rank"),
-          col("l").as("sym_l"),
-          col("r").as("sym_r"),
-          col("c").as("pair_count"))
-        (next, out :+ row)
+    var d = dict0
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 1
+    var dry = false
+    while (k <= BpeMergeRounds && !dry) {
+      val top = pairCounts(d).orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) dry = true // no adjacent pairs left anywhere
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += ((k.toLong, l, r, top(0).getLong(2)))
+        d = d.withColumn(
+          "enc",
+          org.apache.spark.sql.functions
+            .replace(col("enc"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+        k += 1
       }
-    merges
-      .reduce(_.unionAll(_))
+    }
+    (d, merges.result())
+  }
+
+  def bpeTrainer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrained(spark, sfDir)._2
+      .toDF("merge_rank", "sym_l", "sym_r", "pair_count")
       .transform(orderedOutput(_, col("merge_rank")))
+  }
+
+  /** t27: BPE tokenizer APPLICATION at corpus scale — tokenize every
+    * document through the t26-learned vocabulary and report the numbers
+    * a tokenizer rollout actually monitors: per-doc word/BPE-token/char
+    * counts and the chars-per-token compression ratio (integer ×1000).
+    * The scale shape mirrors production: the trained word→token-count
+    * map is VOCABULARY-sized and broadcasts; the corpus pass is one
+    * explode + broadcast join + hash agg — no shuffle of the corpus
+    * beyond the per-doc rollup, and re-tokenization never touches the
+    * merge loop.
+    */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dict = bpeTrained(spark, sfDir)._1
+    val wordTokens = dict.select(
+      col("word"),
+      size(split(expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|")).cast("long").as("n_tok"))
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordTokens), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("compression_x1000", expr("(n_chars * 1000) div n_bpe_tokens"))
+      .transform(orderedOutput(_, col("doc_id")))
   }
 
   // ---- ScaleBench work-size probes -----------------------------------------
@@ -1725,6 +1780,7 @@ object DocQueries {
     "t19b_containment_banded" -> (containmentDedupBanded(_, _)),
     "t19r_containment_recall" -> (containmentBandedRecall(_, _)),
     "t26_bpe_trainer" -> (bpeTrainer(_, _)),
+    "t27_bpe_tokenize" -> (bpeTokenize(_, _)),
     "t20_bm25_rank" -> (bm25Rank(_, _)),
     "d1_exact_dedup" -> (exactDedup(_, _)),
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
@@ -2206,6 +2262,40 @@ object DocQueries {
          |$rounds
          |$arms
          |ORDER BY merge_rank""".stripMargin
+    },
+    // BPE application: the t26 chain with the word carried through, then
+    // one corpus tokenization pass through the learned word→token map
+    "t27_bpe_tokenize" -> {
+      val rounds = (1 to BpeMergeRounds).map { k =>
+        s"""p$k AS (
+           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, s[i] AS l, s[i + 1] AS r FROM (
+           |      SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS i FROM (
+           |        SELECT cnt, string_split(enc[2:len(enc) - 1], '||') AS s FROM d${k - 1})))
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |d$k AS (
+           |  SELECT word, replace(enc, '|' || l || '||' || r || '|', '|' || l || r || '|') AS enc,
+           |    cnt
+           |  FROM d${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d0 AS (
+         |  SELECT word, '|' || array_to_string(string_split(word, ''), '||') || '|' AS enc,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1),
+         |$rounds,
+         |wt AS (SELECT word,
+         |    CAST(len(string_split(enc[2:len(enc) - 1], '||')) AS BIGINT) AS n_tok
+         |  FROM d$BpeMergeRounds),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  (CAST(sum(len(word)) AS BIGINT) * 1000) // CAST(sum(n_tok) AS BIGINT)
+         |    AS compression_x1000
+         |FROM tok JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // banded containment: d3's width-2 band candidates, exact containment
     // verified on candidates only, same threshold as t19
