@@ -94,7 +94,8 @@ object ScaleBench {
     // and the BPE trainer (one corpus rollup + dict-sized merge loop:
     // the ratio should be ~the word-count pass alone)
     "t19b_containment_banded",
-    "t26_bpe_trainer")
+    "t26_bpe_trainer",
+    "t27_bpe_tokenize")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
