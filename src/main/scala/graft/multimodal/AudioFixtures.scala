@@ -167,8 +167,90 @@ object AudioFixtures {
        |ORDER BY media_id""".stripMargin
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("m2_audio_stats" -> (audioStats(_, _)))
+  /** m4: framed audio feature extraction — the per-window features a
+    * speech-data pipeline computes right after decode (VAD gating,
+    * silence trimming, clipping detection): channel-mixed mono frames of
+    * [[AudioFrameLen]] samples, each reporting exact integer energy
+    * (Σs²), zero-crossing count, and peak amplitude. All integers (the
+    * m2 discipline); stereo mixes as the truncating per-frame channel
+    * mean (identical division semantics both engines); the trailing
+    * partial frame is kept with its own n_samples. Undecodable streams
+    * contribute NO frame rows — the framing operator consumes decoded
+    * PCM, not container bytes.
+    */
+  private val AudioFrameLen = 16
 
-  val oracle: Map[String, String] = Map("m2_audio_stats" -> oracleSql)
+  def audioFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fx = fixtures.map(f => (f.mediaId, f.blob))
+    spark
+      .createDataset(fx)
+      .repartition(3)
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          AudioDecode.decode(blob) match {
+            case Some(clip) =>
+              val ch = clip.channels
+              val n = clip.nFrames.toInt
+              val mono = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                var c = 0
+                var s = 0
+                while (c < ch) { s += clip.samples(i * ch + c); c += 1 }
+                mono(i) = s / ch // Java / truncates toward zero, like div
+                i += 1
+              }
+              mono.grouped(AudioFrameLen).zipWithIndex.map { case (fr, idx) =>
+                var energy = 0L
+                var zc = 0L
+                var peak = 0L
+                var j = 0
+                while (j < fr.length) {
+                  val s = fr(j)
+                  energy += s.toLong * s
+                  if (j > 0 && ((s < 0) != (fr(j - 1) < 0))) zc += 1
+                  val a = math.abs(s.toLong)
+                  if (a > peak) peak = a
+                  j += 1
+                }
+                (id, idx.toLong, fr.length.toLong, energy, zc, peak)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_samples", "energy", "zero_crossings", "peak")
+      .orderBy("media_id", "frame_idx")
+      .coalesce(1)
+  }
+
+  /** DuckDB twin of m4: VALUES literals computed from the ground-truth
+    * samples (mix/frame/feature arithmetic re-derived here from the
+    * tuples, never from the decoder).
+    */
+  def framesOracleSql: String = {
+    val rows = fixtures.filter(_.truth.nonEmpty).flatMap { f =>
+      val mono = f.truth.grouped(f.channels).map(_.sum / f.channels).toSeq
+      mono.grouped(AudioFrameLen).zipWithIndex.map { case (fr, idx) =>
+        val energy = fr.map(s => s.toLong * s).sum
+        val zc = (1 until fr.length).count(j => (fr(j) < 0) != (fr(j - 1) < 0))
+        val peak = if (fr.isEmpty) 0L else fr.map(s => math.abs(s.toLong)).max
+        s"(${f.mediaId}, $idx, ${fr.length}, $energy, $zc, $peak)"
+      }
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy,
+       |  CAST(zero_crossings AS BIGINT) AS zero_crossings, CAST(peak AS BIGINT) AS peak
+       |FROM (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |  t(media_id, frame_idx, n_samples, energy, zero_crossings, peak)
+       |ORDER BY media_id, frame_idx""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("m2_audio_stats" -> (audioStats(_, _)), "m4_audio_frames" -> (audioFrames(_, _)))
+
+  val oracle: Map[String, String] =
+    Map("m2_audio_stats" -> oracleSql, "m4_audio_frames" -> framesOracleSql)
 }
