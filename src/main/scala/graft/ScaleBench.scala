@@ -95,7 +95,9 @@ object ScaleBench {
     // the ratio should be ~the word-count pass alone)
     "t19b_containment_banded",
     "t26_bpe_trainer",
-    "t27_bpe_tokenize")
+    "t27_bpe_tokenize",
+    // 4-round degree peeling over the co-occurrence graph
+    "g12_kcore")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -1141,6 +1141,49 @@ object RelationalQueries {
         sum(col("price_cents") * col("disc_pct")).as("revenue_x100"),
         (sum(col("price_cents") * col("disc_pct")) / 10000.0).as("revenue"))
 
+  /** g12: k-core peeling — the degree-based subgraph filter a graph
+    * quality pipeline runs before expensive analytics (nodes that
+    * survive [[KCoreRounds]] rounds of "remove everything with induced
+    * degree < k" at k = [[KCoreK]]). Each round is one degree
+    * aggregation plus two semi-joins over the CURRENT (non-increasing)
+    * edge set — frontier-shaped work like g3's fixed-iteration Pregel,
+    * with every round's survivor frame persisted so plans stay linear
+    * in rounds (the t26 lesson: an unpersisted iterate references its
+    * predecessor three times per round — 3^rounds subplans). Full
+    * coreness numbers need iterate-to-fixpoint; the gate pins the
+    * bounded-round operating point, whose round-by-round edge counts
+    * shrink strictly at the gate corpus (108821 → 105311 at k=80), so
+    * all four rounds do real work. Output: surviving nodes with their
+    * induced core degree.
+    */
+  private val KCoreK = 80L
+  private val KCoreRounds = 4
+
+  def kCore(spark: SparkSession, sfDir: String): DataFrame = {
+    var edges = coOccurrenceEdges(spark, sfDir)
+    var r = 0
+    while (r < KCoreRounds) {
+      val keep = edges
+        .select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r += 1
+    }
+    edges
+      .select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .transform(orderedOutput(_, col("node")))
+  }
+
   // ---- ScaleBench work-size probes -----------------------------------------
 
   /** Pre-threshold work frames for the scale harness (the DocQueries
@@ -1212,6 +1255,7 @@ object RelationalQueries {
     "g3_pagerank" -> (prEdgesProbe(_, _)),
     "g10_personalized_pagerank" -> (prEdgesProbe(_, _)),
     "g11_assortativity" -> (coEdgesProbe(_, _)),
+    "g12_kcore" -> (coEdgesProbe(_, _)),
     "g9_link_prediction" -> (raWedgesProbe(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1226,6 +1270,7 @@ object RelationalQueries {
     "g9_link_prediction" -> (linkPrediction(_, _)),
     "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
     "g11_assortativity" -> (degreeAssortativity(_, _)),
+    "g12_kcore" -> (kCore(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -1420,6 +1465,28 @@ object RelationalQueries {
         |WHERE m.rn = 1
         |ORDER BY m.l_partkey""".stripMargin,
     "g10_personalized_pagerank" -> pprSql,
+    // k-core peeling: MATERIALIZED CTEs per round — each round references
+    // its predecessor three times, so inlined CTEs would re-evaluate the
+    // co-occurrence self-join 3^rounds times (the t26 plan lesson, on the
+    // DuckDB side)
+    "g12_kcore" -> {
+      val rounds = (1 to KCoreRounds).map { r =>
+        val prev = s"e${r - 1}"
+        s"""k$r AS MATERIALIZED (
+           |  SELECT node FROM (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY 1 HAVING count(*) >= $KCoreK),
+           |e$r AS MATERIALIZED (
+           |  SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
     "g11_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
