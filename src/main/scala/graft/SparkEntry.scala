@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFixtures, MediaFixtures, VideoFixtures}
+import graft.multimodal.{AudioFixtures, ImagePhash, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -28,7 +28,10 @@ object SparkEntry {
       (AudioFixtures.queries, AudioFixtures.oracle),
       // m3: the video twin — MJPEG-in-AVI container walk + per-frame
       // JPEG decode against ground-truth per-frame pixel tuples
-      (VideoFixtures.queries, VideoFixtures.oracle)
+      (VideoFixtures.queries, VideoFixtures.oracle),
+      // m5: perceptual-hash image near-dup — banded pairs over decoded
+      // containers vs an all-pairs oracle on ground-truth-tuple hashes
+      (ImagePhash.queries, ImagePhash.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -50,29 +50,38 @@ object MediaFixtures {
   private def be4(i: Int) = Array[Byte](
     (i >>> 24).toByte, ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
 
-  private def bmpBytes(px: Seq[(Int, Int, Int)], storeTopDown: Boolean): Array[Byte] = {
-    val stride = ((W * 3 + 3) / 4) * 4
+  private[multimodal] def bmpBytes(
+      px: Seq[(Int, Int, Int)],
+      w: Int,
+      h: Int,
+      storeTopDown: Boolean): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
     val pixelOff = 54
-    val body = new Array[Byte](stride * H)
-    for (row <- 0 until H; x <- 0 until W) {
-      val (r, g, b) = px(row * W + x)
-      val fileRow = if (storeTopDown) row else H - 1 - row
+    val body = new Array[Byte](stride * h)
+    for (row <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(row * w + x)
+      val fileRow = if (storeTopDown) row else h - 1 - row
       val off = fileRow * stride + x * 3
       body(off) = b.toByte; body(off + 1) = g.toByte; body(off + 2) = r.toByte
     }
     "BM".getBytes ++ le4(pixelOff + body.length) ++ le4(0) ++ le4(pixelOff) ++
-      le4(40) ++ le4(W) ++ le4(if (storeTopDown) -H else H) ++ le2(1) ++ le2(24) ++
+      le4(40) ++ le4(w) ++ le4(if (storeTopDown) -h else h) ++ le2(1) ++ le2(24) ++
       le4(0) ++ le4(body.length) ++ le4(2835) ++ le4(2835) ++ le4(0) ++ le4(0) ++ body
   }
 
-  private def ppmBytes(px: Seq[(Int, Int, Int)]): Array[Byte] =
-    s"P6\n# graft fixture\n$W $H\n255\n".getBytes ++
+  private def ppmBytes(px: Seq[(Int, Int, Int)], w: Int, h: Int): Array[Byte] =
+    s"P6\n# graft fixture\n$w $h\n255\n".getBytes ++
       px.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
 
   /** Forward-filtered, deflated PNG; `alpha >= 0` switches to RGBA with
     * that constant alpha byte (dropped by the decoder).
     */
-  private def pngBytes(px: Seq[(Int, Int, Int)], rowFilters: Seq[Int], alpha: Int): Array[Byte] = {
+  private[multimodal] def pngBytes(
+      px: Seq[(Int, Int, Int)],
+      w: Int,
+      h: Int,
+      rowFilters: Seq[Int],
+      alpha: Int): Array[Byte] = {
     val bpp = if (alpha >= 0) 4 else 3
     val colorType = if (alpha >= 0) 6 else 2
     def paeth(a: Int, b: Int, c: Int): Int = {
@@ -80,13 +89,13 @@ object MediaFixtures {
       val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val rowBytes = W * bpp
-    val plain = Array.tabulate(H, rowBytes) { (r, k) =>
-      val (pr, pg, pb) = px(r * W + k / bpp)
+    val rowBytes = w * bpp
+    val plain = Array.tabulate(h, rowBytes) { (r, k) =>
+      val (pr, pg, pb) = px(r * w + k / bpp)
       (k % bpp) match { case 0 => pr; case 1 => pg; case 2 => pb; case _ => alpha }
     }
     val raw = new java.io.ByteArrayOutputStream()
-    for (r <- 0 until H) {
+    for (r <- 0 until h) {
       val f = rowFilters(r % rowFilters.size)
       raw.write(f)
       for (k <- 0 until rowBytes) {
@@ -117,7 +126,7 @@ object MediaFixtures {
       be4(payload.length) ++ typ.getBytes ++ payload ++ be4(crc.getValue.toInt)
     }
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    val ihdr = be4(W) ++ be4(H) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
     sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
       chunk("IEND", Array.empty[Byte])
   }
@@ -127,7 +136,11 @@ object MediaFixtures {
     * GIF "late change"); `interlaced` stores rows in the four-pass spec
     * order so decode must de-weave them.
     */
-  private def gifBytes(px: Seq[(Int, Int, Int)], interlaced: Boolean): Array[Byte] = {
+  private[multimodal] def gifBytes(
+      px: Seq[(Int, Int, Int)],
+      w: Int,
+      h: Int,
+      interlaced: Boolean): Array[Byte] = {
     val palette = px.distinct
     require(palette.size <= 256, "GIF palette cap")
     var minCode = 2
@@ -140,9 +153,9 @@ object MediaFixtures {
       Seq(r.toByte, g.toByte, b.toByte)
     }
     val rowOrder =
-      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until H by st }
-      else 0 until H
-    val stored = rowOrder.flatMap(r => px.slice(r * W, (r + 1) * W)).map(index)
+      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+      else 0 until h
+    val stored = rowOrder.flatMap(r => px.slice(r * w, (r + 1) * w)).map(index)
     // LZW: codes LSB-first; width bump when the DECODER's entry count
     // (clear + 1 + emitted) reaches 2^width
     val out = scala.collection.mutable.ArrayBuffer[Byte]()
@@ -173,9 +186,9 @@ object MediaFixtures {
     put(clear + 1)
     if (nbits > 0) out += (cur & 0xff).toByte
     val sub = out.toArray.grouped(255).flatMap(b => Array(b.length.toByte) ++ b).toArray
-    "GIF89a".getBytes ++ le2(W) ++ le2(H) ++
+    "GIF89a".getBytes ++ le2(w) ++ le2(h) ++
       Array((0x80 | gctExp).toByte, 0.toByte, 0.toByte) ++ table ++
-      Array(0x2c.toByte) ++ le2(0) ++ le2(0) ++ le2(W) ++ le2(H) ++
+      Array(0x2c.toByte) ++ le2(0) ++ le2(0) ++ le2(w) ++ le2(h) ++
       Array((if (interlaced) 0x40 else 0).toByte, minCode.toByte) ++
       sub ++ Array(0.toByte, 0x3b.toByte)
   }
@@ -413,6 +426,8 @@ object MediaFixtures {
 
   private[multimodal] def jpegGray: Array[Byte] =
     jpegBytes(14, 11, grayTile, None)
+  private[multimodal] def jpegGrayProg: Array[Byte] =
+    jpegProgBytes(14, 11, grayTile, None)
   private[multimodal] def jpegGrayTruth: Seq[(Int, Int, Int)] =
     for (y <- 0 until 11; x <- 0 until 14) yield {
       val v = grayTile(x / 8, y / 8); (v, v, v)
@@ -437,17 +452,17 @@ object MediaFixtures {
     * not decode — and a non-image byte stream).
     */
   def fixtures: Seq[Fixture] = {
-    val truncatedPng = pngBytes(pixels(6), Seq(0), alpha = -1).dropRight(24)
+    val truncatedPng = pngBytes(pixels(6), W, H, Seq(0), alpha = -1).dropRight(24)
     Seq(
-      Fixture(1L, "bmp", pixels(1), bmpBytes(pixels(1), storeTopDown = false)),
-      Fixture(2L, "bmp", pixels(2), bmpBytes(pixels(2), storeTopDown = true)),
-      Fixture(3L, "unknown", pixels(3), ppmBytes(pixels(3))), // ImageHeaders has no PPM probe
-      Fixture(4L, "png", pixels(4), pngBytes(pixels(4), Seq(0, 1, 2, 3, 4), alpha = -1)),
-      Fixture(5L, "png", pixels(5), pngBytes(pixels(5), Seq(4, 3, 2, 1, 0), alpha = 200)),
+      Fixture(1L, "bmp", pixels(1), bmpBytes(pixels(1), W, H, storeTopDown = false)),
+      Fixture(2L, "bmp", pixels(2), bmpBytes(pixels(2), W, H, storeTopDown = true)),
+      Fixture(3L, "unknown", pixels(3), ppmBytes(pixels(3), W, H)), // ImageHeaders has no PPM probe
+      Fixture(4L, "png", pixels(4), pngBytes(pixels(4), W, H, Seq(0, 1, 2, 3, 4), alpha = -1)),
+      Fixture(5L, "png", pixels(5), pngBytes(pixels(5), W, H, Seq(4, 3, 2, 1, 0), alpha = 200)),
       Fixture(6L, "png", Seq.empty, truncatedPng),
       Fixture(7L, "unknown", Seq.empty, Array.tabulate[Byte](64)(i => (i * 17).toByte)),
-      Fixture(8L, "gif", pixels(8), gifBytes(pixels(8), interlaced = false)),
-      Fixture(9L, "gif", pixels(9), gifBytes(pixels(9), interlaced = true)),
+      Fixture(8L, "gif", pixels(8), gifBytes(pixels(8), W, H, interlaced = false)),
+      Fixture(9L, "gif", pixels(9), gifBytes(pixels(9), W, H, interlaced = true)),
       // JPEG: DC-only flat tiles decode bit-exactly (see jpegBytes doc)
       Fixture(10L, "jpeg", jpegGrayTruth, jpegGray), // grayscale, non-multiple-of-8 crop
       Fixture(11L, "jpeg", jpeg444Truth, jpeg444), // 4:4:4 + restart markers
