@@ -1070,6 +1070,61 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** s13: epoch-based domain mixture with repeat factors — the
+    * training-mix composition step (the shape of public LLM data
+    * recipes: per-domain mixture weights over a token budget, small
+    * domains repeated for multiple epochs): each source gets quota =
+    * (weight·budget) div Σweights out of a 2×-corpus budget; a domain
+    * whose quota exceeds its doc count is UPSAMPLED by full epochs plus
+    * a deterministic md5-ranked remainder, a heavy domain downsampled
+    * the same way. Exact integers throughout, and the remainder
+    * MEMBERSHIP is pinned through char totals (total_chars =
+    * epochs·Σchars + Σ remainder chars). Weights derive from the source
+    * id (1 + src# mod 5) so the gate reshapes with the corpus, not a
+    * fixture.
+    *
+    * Scale: two grouped aggs, one broadcast 1-row budget frame (the q31
+    * shape), one broadcast domain-quota join, one per-source rank
+    * window (partitioned — cardinality is the domain catalog, not the
+    * corpus).
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("draw"),
+        (lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(5L))).as("weight"))
+    val per = docs
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val tot = per.agg((sum(col("n_docs")) * 2L).as("budget"), sum(col("weight")).as("sum_w"))
+    val quotas = per
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", expr("(weight * budget) div sum_w"))
+      .withColumn("full_epochs", expr("quota div n_docs"))
+      .withColumn("n_extra", expr("quota % n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    val extra = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas.select(col("source"), col("n_extra"))), Seq("source"))
+      .filter(col("rk") <= col("n_extra"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("extra_chars"))
+    quotas
+      .join(extra, Seq("source"), "left")
+      .withColumn(
+        "total_chars",
+        col("full_epochs") * col("sum_chars") + coalesce(col("extra_chars"), lit(0L)))
+      .select(
+        "source", "weight", "n_docs", "sum_chars", "quota",
+        "full_epochs", "n_extra", "total_chars")
+      .transform(orderedOutput(_, col("source")))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     scoredDocs(spark, sfDir)
       .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
@@ -1804,6 +1859,7 @@ object DocQueries {
     "t8_sequence_packing" -> (sequencePacking(_, _)),
     "s6_epoch_shuffle" -> (epochShuffle(_, _)),
     "s7_weighted_sample" -> (weightedSample(_, _)),
+    "s13_domain_mix" -> (domainMix(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
@@ -2637,6 +2693,36 @@ object DocQueries {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
         |WHERE draw < CAST(floor(quality_score * 4294967296.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "s13_domain_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('mix|' || CAST(doc_id AS VARCHAR)) AS draw,
+        |    1 + (CAST(substr(source, 4) AS BIGINT) % 5) AS weight
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, weight, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT 2 * sum(n_docs) AS budget, sum(weight) AS sum_w FROM per),
+        |q AS (
+        |  SELECT per.*, (weight * budget) // sum_w AS quota,
+        |    ((weight * budget) // sum_w) // n_docs AS full_epochs,
+        |    ((weight * budget) // sum_w) % n_docs AS n_extra
+        |  FROM per CROSS JOIN tot),
+        |rk AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rk
+        |  FROM d),
+        |extra AS (
+        |  SELECT rk.source, sum(rk.n_chars) AS extra_chars
+        |  FROM rk JOIN q ON rk.source = q.source AND rk.rk <= q.n_extra
+        |  GROUP BY 1)
+        |SELECT q.source, CAST(weight AS BIGINT) AS weight,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+        |  CAST(quota AS BIGINT) AS quota, CAST(full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(n_extra AS BIGINT) AS n_extra,
+        |  CAST(full_epochs * sum_chars + COALESCE(extra_chars, 0) AS BIGINT) AS total_chars
+        |FROM q LEFT JOIN extra ON q.source = extra.source
+        |ORDER BY 1""".stripMargin,
     "s6_epoch_shuffle" ->
       s"""SELECT doc_id, shard, u8,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS BIGINT)
