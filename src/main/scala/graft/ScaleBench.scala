@@ -97,7 +97,9 @@ object ScaleBench {
     "t26_bpe_trainer",
     "t27_bpe_tokenize",
     // 4-round degree peeling over the co-occurrence graph
-    "g12_kcore")
+    "g12_kcore",
+    // 3-round synchronous label propagation (join + hash-agg argmax per round)
+    "g13_label_propagation")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

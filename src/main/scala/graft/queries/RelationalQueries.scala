@@ -1184,6 +1184,48 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g13: deterministic synchronous label propagation — the community
+    * detection pass a graph-curation pipeline runs to group items before
+    * per-community dedup/sampling. [[LpaRounds]] synchronous rounds over
+    * the co-occurrence graph: each node adopts the most frequent label
+    * among its neighbors, ties broken by smallest label (a fully
+    * deterministic variant of the Raghavan-Albert-Kumara rule — classic
+    * LPA breaks ties randomly, which no oracle could pin). Each round is
+    * one |edges|-keyed join + one (node, label) hash agg with map-side
+    * combine + one argmax via max(struct(count, -label)) — no windows,
+    * no single-partition frames — with the survivor frame persisted per
+    * round so plans stay linear in rounds (the g12/t26 lesson). Output:
+    * node → community plus the community size (the downstream
+    * quality-filter key).
+    */
+  private val LpaRounds = 3
+
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
+    val und = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("node"), col("src").as("label")).distinct()
+    var r = 0
+    while (r < LpaRounds) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .transform(orderedOutput(_, col("node")))
+  }
+
   // ---- ScaleBench work-size probes -----------------------------------------
 
   /** Pre-threshold work frames for the scale harness (the DocQueries
@@ -1256,6 +1298,7 @@ object RelationalQueries {
     "g10_personalized_pagerank" -> (prEdgesProbe(_, _)),
     "g11_assortativity" -> (coEdgesProbe(_, _)),
     "g12_kcore" -> (coEdgesProbe(_, _)),
+    "g13_label_propagation" -> (coEdgesProbe(_, _)),
     "g9_link_prediction" -> (raWedgesProbe(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1271,6 +1314,7 @@ object RelationalQueries {
     "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
     "g11_assortativity" -> (degreeAssortativity(_, _)),
     "g12_kcore" -> (kCore(_, _)),
+    "g13_label_propagation" -> (labelPropagation(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -1486,6 +1530,33 @@ object RelationalQueries {
          |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+    // deterministic LPA: unrolled MATERIALIZED rounds (the g12 pattern);
+    // the oracle derives each round's argmax via row_number over the
+    // grouped counts — a different derivation than Spark's
+    // max(struct(count, -label)) combine
+    "g13_label_propagation" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT src AS node, label FROM (
+           |    SELECT u.src, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM und u JOIN l${r - 1} l ON u.dst = l.node
+           |    GROUP BY u.src, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und),
+         |$rounds
+         |SELECT f.node, CAST(f.label AS BIGINT) AS community,
+         |  CAST(s.community_size AS BIGINT) AS community_size
+         |FROM l$LpaRounds f
+         |JOIN (SELECT label, count(*) AS community_size FROM l$LpaRounds GROUP BY 1) s
+         |  ON f.label = s.label
+         |ORDER BY f.node""".stripMargin
     },
     "g11_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
