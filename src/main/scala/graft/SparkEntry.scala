@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFixtures, ImagePhash, MediaFixtures, VideoFixtures}
+import graft.multimodal.{AudioFixtures, ImagePhash, ImageQuality, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -31,7 +31,10 @@ object SparkEntry {
       (VideoFixtures.queries, VideoFixtures.oracle),
       // m5: perceptual-hash image near-dup — banded pairs over decoded
       // containers vs an all-pairs oracle on ground-truth-tuple hashes
-      (ImagePhash.queries, ImagePhash.oracle)
+      (ImagePhash.queries, ImagePhash.oracle),
+      // m6: image quality features (extremes/grayscale/color-count/mode
+      // flatness) over the same decoded-fixture plane
+      (ImageQuality.queries, ImageQuality.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
