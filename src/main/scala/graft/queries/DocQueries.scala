@@ -1125,6 +1125,67 @@ object DocQueries {
       .transform(orderedOutput(_, col("source")))
   }
 
+  /** t28: PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before release: count and mask emails, phone numbers
+    * and IPv4 addresses. The synthetic corpus carries no PII, so the
+    * gate first AUGMENTS it deterministically (docs at doc_id ≡ 0 mod
+    * 7/11/13 get a derived email / 555-phone / 192.168 address appended
+    * — both engines build the identical string from doc_id arithmetic),
+    * then detects on the raw text and masks in a fixed order
+    * (email → phone → IP). Counts are non-overlapping left-to-right
+    * matches (identical in Java regex and RE2 for these anchored-shape
+    * patterns — no alternation, no backtracking divergence), and the
+    * redacted text is pinned through md5, so a single masking divergence
+    * fails the gate. Row-local work only — the scan is the whole plan.
+    */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .withColumn(
+        "aug",
+        concat(
+          col("text"),
+          when(
+            pmod(col("doc_id"), lit(7L)) === 0L,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(
+            pmod(col("doc_id"), lit(11L)) === 0L,
+            concat(
+              lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id") * 3L, lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(
+            pmod(col("doc_id"), lit(13L)) === 0L,
+            concat(
+              lit(" from 192.168."),
+              pmod(col("doc_id"), lit(256L)).cast("string"),
+              lit("."),
+              pmod(col("doc_id") * 7L, lit(256L)).cast("string")))
+            .otherwise(lit(""))))
+      .withColumn("n_emails", regexp_count(col("aug"), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("aug"), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("aug"), lit(IpRe)).cast("long"))
+      .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0L)
+      .withColumn(
+        "clean_hash",
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+              PhoneRe,
+              "<PHONE>"),
+            IpRe,
+            "<IP>")))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_hash")
+      .transform(orderedOutput(_, col("doc_id")))
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     scoredDocs(spark, sfDir)
       .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
@@ -1860,6 +1921,7 @@ object DocQueries {
     "s6_epoch_shuffle" -> (epochShuffle(_, _)),
     "s7_weighted_sample" -> (weightedSample(_, _)),
     "s13_domain_mix" -> (domainMix(_, _)),
+    "t28_pii_redaction" -> (piiRedaction(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
@@ -2692,6 +2754,35 @@ object DocQueries {
         |      CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
         |WHERE draw < CAST(floor(quality_score * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "t28_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |              || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+        |              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |         ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(aug, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS clean_hash
+        |FROM aug
+        |WHERE len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+'))
+        |    + len(regexp_extract_all(aug, '\d{3}-\d{3}-\d{4}'))
+        |    + len(regexp_extract_all(aug, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) > 0
         |ORDER BY doc_id""".stripMargin,
     "s13_domain_mix" ->
       """WITH d AS (
