@@ -384,6 +384,43 @@ class PlanPostureSpec extends AnyFunSuite {
       s"common size conjunct not pushed:\n$pushed")
   }
 
+  test("g13: every LPA round is hash-agg argmax — no Window, no cartesian, anywhere") {
+    val plan = queries.RelationalQueries.labelPropagation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"LPA argmax must be max(struct), not a rank window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in LPA plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LPA plan:\n$plan")
+  }
+
+  test("s13: budget and quota frames broadcast; the only window partitions by source") {
+    val df = queries.DocQueries.domainMix(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"budget/quota frames must broadcast:\n$plan")
+    // the remainder-rank window must be keyed (domain catalog), never empty
+    val analyzed = df.queryExecution.optimizedPlan
+    val emptySpecWindows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(emptySpecWindows.isEmpty, s"unpartitioned window in s13:\n$analyzed")
+  }
+
+  test("m5: phash pairing goes through the band equi-join — no nested-loop/cartesian") {
+    val plan = multimodal.ImagePhash.imagePhash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in phash plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in phash plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"band self-join must be an equi-join:\n$plan")
+  }
+
+  test("g12: k-core rounds prune via semi-joins over the shrinking edge frame") {
+    val plan = queries.RelationalQueries.kCore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"survivor filtering must be left-semi:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unbounded join in k-core plan:\n$plan")
+  }
+
   test("x1: partitioned-table probe prunes to the named event types at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
