@@ -1145,42 +1145,54 @@ object RelationalQueries {
     * quality pipeline runs before expensive analytics (nodes that
     * survive [[KCoreRounds]] rounds of "remove everything with induced
     * degree < k" at k = [[KCoreK]]). Each round is one degree
-    * aggregation plus two semi-joins over the CURRENT (non-increasing)
-    * edge set — frontier-shaped work like g3's fixed-iteration Pregel,
-    * with every round's survivor frame persisted so plans stay linear
-    * in rounds (the t26 lesson: an unpersisted iterate references its
-    * predecessor three times per round — 3^rounds subplans). Full
-    * coreness numbers need iterate-to-fixpoint; the gate pins the
-    * bounded-round operating point, whose round-by-round edge counts
-    * shrink strictly at the gate corpus (108821 → 105311 at k=80), so
-    * all four rounds do real work. Output: surviving nodes with their
-    * induced core degree.
+    * aggregation plus two semi-joins — frontier-shaped work like g3's
+    * fixed-iteration Pregel, in the PageRank state shape: the EDGE frame
+    * is static (persisted once, both directions); the evolving state is
+    * the |nodes|-sized ALIVE set, pruned per round as
+    * alive' = alive ∩ {v : deg induced by alive ≥ k}. The alive frame is
+    * referenced twice per round, so each round cuts lineage with
+    * `localCheckpoint` (the Components/Bfs convention — per-round
+    * persist alone leaves an exponential logical tree plus nested AQE
+    * cache stages, measured ~25 s of planning at sf0.1; checkpointing
+    * |nodes| rows instead of re-materializing |edges| holds the round
+    * cost at one broadcast semi-join + one map-combined degree agg). On
+    * a real cluster prefer reliable `checkpoint()` so executor loss
+    * cannot void a round. Full coreness numbers need
+    * iterate-to-fixpoint; the gate pins the bounded-round operating
+    * point, whose round-by-round survivor counts shrink strictly at the
+    * gate corpus (k=80), so all four rounds do real work. Output:
+    * surviving nodes with their induced core degree.
     */
   private val KCoreK = 80L
   private val KCoreRounds = 4
 
   def kCore(spark: SparkSession, sfDir: String): DataFrame = {
-    var edges = coOccurrenceEdges(spark, sfDir)
+    val e = coOccurrenceEdges(spark, sfDir)
+    val und = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      // pre-partitioned on the per-round semi-join key (the PageRank e
+      // convention): each round shuffles only the alive set, never und
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = und.select(col("src").as("node")).distinct().localCheckpoint()
     var r = 0
     while (r < KCoreRounds) {
-      val keep = edges
-        .select(col("a").as("node"))
-        .unionAll(edges.select(col("b").as("node")))
-        .groupBy(col("node"))
+      val deep = und
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCoreK)
-        .select("node")
-      edges = edges
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("src").as("node"))
+      alive = alive.join(deep, Seq("node"), "left_semi").localCheckpoint()
       r += 1
     }
-    edges
-      .select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-      .groupBy(col("node"))
+    und
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src"))
       .agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
       .transform(orderedOutput(_, col("node")))
   }
 
