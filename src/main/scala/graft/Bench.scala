@@ -149,11 +149,25 @@ object Bench {
     * Returns (rates, loads).
     */
   private def ratesWithLoad(reps: Int)(once: () => Double): (Seq[Double], Seq[Double]) = {
+    quiesce()
     val pairs = (1 to reps).map { _ =>
       val load = loadAvg()
       (once(), load)
     }
     (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** Let the 1-minute loadavg decay below the contention threshold
+    * before a rate headline starts (the ScaleBench quiesce gate, r8/r9
+    * audit): the bench's OWN full-tilt gate phase otherwise bleeds into
+    * the first reps' sentinels, making self-load indistinguishable from
+    * external contention. Bounded wait — a genuinely busy box is then
+    * visible in the recorded sentinels rather than hidden.
+    */
+  private def quiesce(maxWaitSecs: Int = 180, threshold: Double = 6.0): Unit = {
+    val deadline = System.nanoTime() + maxWaitSecs * 1_000_000_000L
+    while (loadAvg() > threshold && System.nanoTime() < deadline)
+      Thread.sleep(5000)
   }
 
   private def streamRates(spark: SparkSession, sfDir: String, reps: Int): (Seq[Double], Seq[Double]) = {
