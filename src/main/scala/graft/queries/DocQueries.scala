@@ -1186,6 +1186,41 @@ object DocQueries {
       .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_hash")
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t29: length-bucketed dynamic batching — the batch-composition step
+    * a training loader runs so sequences of similar length share a batch
+    * and padding waste stays low (the t8 sequence-packing companion:
+    * packing concatenates, batching groups). Docs shard by id (shard
+    * count sized from the corpus via [[packShards]], so parallelism
+    * grows with data), bucket into 32-char length bands, draw a
+    * deterministic md5 shuffle order within (shard, band), and chunk
+    * into batches of [[BatchDocs]]. The gate pins per-batch composition
+    * through exact integers: count, max length, length sum, and
+    * padding_waste = n·max − Σlen (what a padded tensor allocates minus
+    * what it uses). One (shard, band)-partitioned rank window — key
+    * cardinality scales with the corpus, never a global sort.
+    */
+  private val BatchDocs = 8L
+
+  def lengthBatching(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val shards = packShards(docs.count())
+    val w = Window.partitionBy(col("shard"), col("band")).orderBy(col("draw"), col("doc_id"))
+    docs
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .withColumn("band", least(lit(15L), expr("n_chars div 32")))
+      .withColumn("draw", md5(concat(lit("lb|"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(rk - 1) div $BatchDocs"))
+      .groupBy(col("shard"), col("band"), col("batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_len"),
+        sum(col("n_chars")).as("sum_len"))
+      .withColumn("padding_waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .transform(orderedOutput(_, col("shard"), col("band"), col("batch")))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     scoredDocs(spark, sfDir)
       .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
@@ -1922,6 +1957,7 @@ object DocQueries {
     "s7_weighted_sample" -> (weightedSample(_, _)),
     "s13_domain_mix" -> (domainMix(_, _)),
     "t28_pii_redaction" -> (piiRedaction(_, _)),
+    "t29_length_batching" -> (lengthBatching(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
@@ -2755,6 +2791,22 @@ object DocQueries {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
         |WHERE draw < CAST(floor(quality_score * 4294967296.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "t29_length_batching" ->
+      s"""SELECT shard, band, batch, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_chars) AS BIGINT) AS max_len,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+         |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS padding_waste
+         |FROM (
+         |  SELECT shard, band, n_chars,
+         |    (row_number() OVER (PARTITION BY shard, band ORDER BY draw, doc_id) - 1) // $BatchDocs
+         |      AS batch
+         |  FROM (
+         |    SELECT doc_id, n_chars, doc_id % p.ns AS shard,
+         |      least(15, n_chars // 32) AS band,
+         |      md5('lb|' || CAST(doc_id AS VARCHAR)) AS draw
+         |    FROM documents CROSS JOIN $packShardsSql p))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "t28_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id,
