@@ -2426,6 +2426,45 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type"), col("week")))
   }
 
+  /** a26: per-user CUSUM change detection — the ONLINE drift monitor
+    * (Page 1954) next to the batch two-sample tests (a19/a23/a24):
+    * S_t = max(0, S_{t−1} + (x_t − μ₀ − slack)) flags a sustained
+    * upward spend shift the moment it accumulates, not at batch close.
+    * The sequential recurrence has the closed form
+    * S_t = P_t − min(0, min_{i≤t} P_i) over the drift prefix sum
+    * P_t = Σ(x_i − μ₀ − slack), so the scan is two window layers
+    * (running sum + running min) over ONE (user, time) sort — no
+    * per-row iteration, no state machine. Baseline μ₀ is the corpus
+    * mean in integer cents (floor), slack = μ₀ div 10, alarm threshold
+    * h = 10·μ₀ (a sustained ten-mean excursion) — all derived from a 1-row broadcast agg (the q31
+    * shape), no fixture constants. Exact integers end to end; output
+    * per user: peak statistic, alarm flag, and the first alarm time.
+    */
+  def cusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir).select(
+      col("user_id"), col("event_id"), col("ord_us"), col("cents"))
+    val base = broadcast(
+      ev.agg(expr("sum(cents) div count(1)").as("mu0"))
+        .withColumn("slack", expr("mu0 div 10"))
+        .withColumn("h", col("mu0") * 10L))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ord_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(base)
+      .withColumn("p", sum(col("cents") - col("mu0") - col("slack")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .groupBy(col("user_id"), col("h"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("s")).as("max_s"),
+        min(when(col("s") > col("h"), col("ord_us"))).as("first_alarm_us"))
+      .withColumn("alarmed", when(col("max_s") > col("h"), 1L).otherwise(0L))
+      .select("user_id", "n_events", "max_s", "alarmed", "first_alarm_us")
+      .transform(orderedOutput(_, col("user_id")))
+  }
+
   /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
     * and view spend distributions — a23's INTEGRAL twin (KS is the max
     * CDF gap; W₁ = ∫|F₁−F₂|dx is the total transport cost, the drift
@@ -2635,6 +2674,33 @@ object FeatureQueries {
            |  ((cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week)) * 10000)
            |    // lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS growth_bps
            |FROM w ORDER BY event_type, week""".stripMargin,
+      "a26_cusum_drift" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ord_us,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |base AS (
+          |  SELECT sum(cents) // count(*) AS mu0,
+          |    (sum(cents) // count(*)) // 10 AS slack,
+          |    (sum(cents) // count(*)) * 10 AS h
+          |  FROM ev),
+          |pfx AS (
+          |  SELECT user_id, event_id, ord_us, h,
+          |    sum(cents - mu0 - slack) OVER w AS p
+          |  FROM ev CROSS JOIN base
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ord_us, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |scan AS (
+          |  SELECT user_id, ord_us, h,
+          |    p - least(min(p) OVER (PARTITION BY user_id ORDER BY ord_us, event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+          |  FROM pfx)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(max(s) AS BIGINT) AS max_s,
+          |  CAST(CASE WHEN max(s) > any_value(h) THEN 1 ELSE 0 END AS BIGINT) AS alarmed,
+          |  CAST(min(CASE WHEN s > h THEN ord_us END) AS BIGINT) AS first_alarm_us
+          |FROM scan GROUP BY user_id
+          |ORDER BY user_id""".stripMargin,
       "a24_wasserstein" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
@@ -3815,6 +3881,7 @@ object FeatureQueries {
     "a22_cramers_v" -> (cramersV(_, _)),
     "a23_ks_test" -> (ksTest(_, _)),
     "a24_wasserstein" -> (wassersteinDistance(_, _)),
+    "a26_cusum_drift" -> (cusumDrift(_, _)),
     "w29_week_over_week" -> (weekOverWeek(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
