@@ -1709,6 +1709,46 @@ object FeatureQueries {
         max(col("ord_us")).as("last_us"))
       .transform(orderedOutput(_, col("event_type")))
 
+  /** x3: schema-evolution read — the lakehouse lifecycle where a table's
+    * later file generation gains a column and readers must still see ONE
+    * coherent schema. Gen-1 files carry (event_id, user_id, cents);
+    * gen-2 files add `channel` (derived from user_id, so both engines
+    * synthesize it identically). The read half exercises Spark's
+    * `mergeSchema` + recursive file listing: old rows surface with
+    * channel NULL (folded to 'legacy' at the aggregate so the gate key
+    * is total). The oracle never touches the written files — it derives
+    * the same rollup from the base table, so a row lost or misaligned by
+    * the evolution read diverges the hash. Generation split is
+    * event_id parity: scale-free, no cutoff constant.
+    */
+  def schemaEvolutionScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_evolving").toString
+    base
+      .filter(pmod(col("event_id"), lit(2L)) === 0L)
+      .write.mode("overwrite").parquet(s"$loc/gen1")
+    base
+      .filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .withColumn(
+        "channel",
+        when(pmod(col("user_id"), lit(3L)) === 0L, "web")
+          .when(pmod(col("user_id"), lit(3L)) === 1L, "app")
+          .otherwise("api"))
+      .write.mode("overwrite").parquet(s"$loc/gen2")
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(loc)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .transform(orderedOutput(_, col("channel")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -3548,6 +3588,18 @@ object FeatureQueries {
            |SELECT user_id, n_events, n_types, sum_sq,
            |  ((n_events * n_events - sum_sq) * 1000000) // (n_events * n_events) AS impurity_x1e6
            |FROM u ORDER BY user_id""".stripMargin,
+      "x3_schema_evolution" ->
+        """SELECT channel, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM (
+          |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+          |    CASE WHEN event_id % 2 = 1 THEN
+          |      CASE user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'app' ELSE 'api' END
+          |    ELSE 'legacy' END AS channel
+          |  FROM events)
+          |GROUP BY channel
+          |ORDER BY channel""".stripMargin,
       "x1_partitioned_scan" ->
         """SELECT event_type,
           |  count(*) AS n_events,
@@ -3958,6 +4010,7 @@ object FeatureQueries {
     "a19_drift_chi2" -> (driftChiSquare(_, _)),
     "w28_gap_histogram" -> (gapHistogram(_, _)),
     "x1_partitioned_scan" -> (partitionedScan(_, _)),
+    "x3_schema_evolution" -> (schemaEvolutionScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
