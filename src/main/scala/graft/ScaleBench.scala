@@ -99,7 +99,9 @@ object ScaleBench {
     // 4-round degree peeling over the co-occurrence graph
     "g12_kcore",
     // 3-round synchronous label propagation (join + hash-agg argmax per round)
-    "g13_label_propagation")
+    "g13_label_propagation",
+    // 3 alternating hub/authority join+agg rounds over the order bipartite graph
+    "g14_hits")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

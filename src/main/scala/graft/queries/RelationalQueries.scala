@@ -1238,6 +1238,51 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g14: HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment") over the DIRECTED
+    * customer→part order graph — the bipartite mutual-reinforcement
+    * ranking (a part is authoritative if heavy-hub customers order it;
+    * a customer is a hub if it orders authoritative parts) that the
+    * undirected co-occurrence gates cannot express. The iteration runs
+    * UNNORMALIZED in exact integers (the g3 discipline: normalization
+    * is a presentation-time division; the fixpoint structure lives in
+    * the integer sums): h₀ = 1, then per round a(p) = Σ h(c),
+    * h(c) = Σ a(p) over the edge set. Scores grow ~(deg_c·deg_p)^rounds
+    * — decimal(38) holds three rounds far past sf1000 — and export as
+    * STRINGS (the a8 m2_num convention, HUGEINT↔decimal38 parity).
+    * Plan: the edge frame persists once; each round is two keyed
+    * join+agg passes with the evolving score frame referenced once —
+    * linear lineage, no checkpoints needed (the PageRank shape).
+    */
+  private val HitsRounds = 3
+
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(
+        Tables
+          .lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        Seq("ok"))
+      .select(col("c"), col("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = e.select(col("c")).distinct().withColumn("score", lit(1L).cast(d38))
+    var a = e.select(col("p")).distinct().withColumn("score", lit(0L).cast(d38))
+    var r = 0
+    while (r < HitsRounds) {
+      a = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
+      h = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
+      r += 1
+    }
+    a.select(lit("auth").as("role"), col("p").as("node"), col("score").cast("string").as("score"))
+      .unionAll(
+        h.select(lit("hub").as("role"), col("c").as("node"), col("score").cast("string").as("score")))
+      .transform(orderedOutput(_, col("role"), col("node")))
+  }
+
   // ---- ScaleBench work-size probes -----------------------------------------
 
   /** Pre-threshold work frames for the scale harness (the DocQueries
@@ -1264,6 +1309,21 @@ object RelationalQueries {
       .select(
         (col("l_partkey") * 2L).as("p"),
         (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+
+  /** g14's directed customer→part edge set (the hits plan minus the
+    * persist).
+    */
+  private def hitsEdgesProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(
+        Tables
+          .lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        Seq("ok"))
+      .select(col("c"), col("p"))
       .distinct()
 
   /** g11's co-occurrence edge set (the coOccurrenceEdges plan minus the
@@ -1311,6 +1371,7 @@ object RelationalQueries {
     "g11_assortativity" -> (coEdgesProbe(_, _)),
     "g12_kcore" -> (coEdgesProbe(_, _)),
     "g13_label_propagation" -> (coEdgesProbe(_, _)),
+    "g14_hits" -> (hitsEdgesProbe(_, _)),
     "g9_link_prediction" -> (raWedgesProbe(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1327,6 +1388,7 @@ object RelationalQueries {
     "g11_assortativity" -> (degreeAssortativity(_, _)),
     "g12_kcore" -> (kCore(_, _)),
     "g13_label_propagation" -> (labelPropagation(_, _)),
+    "g14_hits" -> (hits(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -1542,6 +1604,27 @@ object RelationalQueries {
          |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+    // HITS: unrolled alternating a/h rounds in HUGEINT, string export
+    // (the a8 big-integer convention)
+    "g14_hits" -> {
+      val rounds = (1 to HitsRounds).map { r =>
+        s"""a$r AS MATERIALIZED (
+           |  SELECT e.p, sum(h${r - 1}.score) AS score
+           |  FROM e JOIN h${r - 1} ON e.c = h${r - 1}.c GROUP BY e.p),
+           |h$r AS MATERIALIZED (
+           |  SELECT e.c, sum(a$r.score) AS score
+           |  FROM e JOIN a$r ON e.p = a$r.p GROUP BY e.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1 AS HUGEINT) AS score FROM e),
+         |$rounds
+         |SELECT 'auth' AS role, p AS node, CAST(score AS VARCHAR) AS score FROM a$HitsRounds
+         |UNION ALL
+         |SELECT 'hub' AS role, c AS node, CAST(score AS VARCHAR) AS score FROM h$HitsRounds
+         |ORDER BY role, node""".stripMargin
     },
     // deterministic LPA: unrolled MATERIALIZED rounds (the g12 pattern);
     // the oracle derives each round's argmax via row_number over the
