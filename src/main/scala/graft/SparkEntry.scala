@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFixtures, ImagePhash, ImageQuality, MediaFixtures, VideoFixtures}
+import graft.multimodal.{AudioFingerprint, AudioFixtures, ImagePhash, ImageQuality, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -34,7 +34,10 @@ object SparkEntry {
       (ImagePhash.queries, ImagePhash.oracle),
       // m6: image quality features (extremes/grayscale/color-count/mode
       // flatness) over the same decoded-fixture plane
-      (ImageQuality.queries, ImageQuality.oracle)
+      (ImageQuality.queries, ImageQuality.oracle),
+      // m7: audio near-dup via the energy-profile fingerprint (the m5
+      // twin for the audio plane)
+      (AudioFingerprint.queries, AudioFingerprint.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

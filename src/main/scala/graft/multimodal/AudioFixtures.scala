@@ -68,6 +68,10 @@ object AudioFixtures {
     ascii("RIFF") ++ le4(4 + chunks.length) ++ ascii("WAVE") ++ chunks
   }
 
+  /** Plain PCM WAV from interleaved samples (the m7 fixture encoder). */
+  private[multimodal] def pcmWav(ch: Int, rate: Int, bits: Int, truth: Seq[Int]): Array[Byte] =
+    wavBytes(1, ch, rate, bits, truth)
+
   /** An odd-length junk chunk — must be skipped with its pad byte. */
   private def oddChunk: Array[Byte] =
     ascii("junk") ++ le4(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
