@@ -132,11 +132,19 @@ object ScaleGen {
 
   /** Orders universe implied by [[lineitem]] (`l_orderkey = id / 4`):
     * one row per distinct orderkey. q18 (market basket) reads this table
-    * only as the transaction count `N`, so a single keyed column with
-    * the driver schema's int64 type suffices.
+    * as the transaction count `N`; g14 (HITS) additionally joins
+    * `o_custkey`, drawn over a TPC-H-shaped customer universe
+    * (customers = orders/10) so hub degrees stay scale-invariant.
     */
-  def orders(spark: SparkSession, nLines: Long): DataFrame =
-    spark.range(0L, (nLines + 3L) / 4L, 1L, 32).select(col("id").as("o_orderkey"))
+  def orders(spark: SparkSession, nLines: Long): DataFrame = {
+    val nOrders = (nLines + 3L) / 4L
+    val custs = math.max(100L, nOrders / 10L)
+    spark
+      .range(0L, nOrders, 1L, 32)
+      .select(
+        col("id").as("o_orderkey"),
+        (pmod(xxhash64(lit("cust"), col("id")), lit(custs)) + 1L).as("o_custkey"))
+  }
 
   /** Supplier dim matching [[lineitem]]'s supplier universe (`1..supps`,
     * supps = nLines/600 like the driver corpus) with nation keys drawn
