@@ -421,6 +421,46 @@ class PlanPostureSpec extends AnyFunSuite {
       s"unbounded join in k-core plan:\n$plan")
   }
 
+  test("g14: HITS rounds are keyed join+agg only — no windows, no cartesian") {
+    val plan = queries.RelationalQueries.hits(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"HITS must iterate via join+agg, not windows:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"unbounded join in HITS plan:\n$plan")
+  }
+
+  test("a26: the CUSUM scan shares ONE (user, time) sort; no unpartitioned window") {
+    val df = queries.FeatureQueries.cusumDrift(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "CUSUM must plan its running sum/min as windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in a26:\n$optimized")
+    // both running layers ride one exchange+sort pair (the w1 discipline)
+    val plan = df.queryExecution.executedPlan.toString
+    val sorts = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(sorts <= 2, s"CUSUM layers should reuse the user partitioning:\n$plan")
+  }
+
+  test("t29: the batching rank window partitions by (shard, band) — never global") {
+    val optimized = queries.DocQueries.lengthBatching(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.size == 2),
+      s"batching window must key on (shard, band):\n$optimized")
+  }
+
+  test("m7: fingerprint pairing is an equi self-join on (n_frames, fp)") {
+    val plan = multimodal.AudioFingerprint.audioFingerprint(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fingerprint pairing must stay an equi-join:\n$plan")
+  }
+
   test("x1: partitioned-table probe prunes to the named event types at planning time") {
     // build the partitioned table (the x1 lifecycle), then inspect the
     // probe-only plan: the event_type predicate must resolve against
