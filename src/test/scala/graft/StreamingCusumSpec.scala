@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.CusumProcessor
+import graft.streaming.StreamingAgg.StreamEvent
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming CUSUM processor must be bit-identical to the batch
+  * closed form S_t = P_t − min(0, min P_i) over the same per-key
+  * event-time replay, across micro-batch boundaries (the a26 operator
+  * on the stream; O(1) state per key).
+  */
+class StreamingCusumSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Sessions.local("4")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("streaming CUSUM == batch closed form over a chunked replay") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // distinct (user, ordUs) keeps the order-sensitive scan tie-free —
+    // the processor's in-batch sort and the batch window then share one
+    // total order
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id").as("userId"), col("ord_us").as("ordUs"), col("cents"))
+      .as[StreamEvent]
+      .collect()
+      .groupBy(e => (e.userId, e.ordUs))
+      .map(_._2.head)
+      .toSeq
+      .sortBy(e => (e.ordUs, e.userId))
+    val mu0 = events.map(_.cents).sum / events.size
+    val slack = mu0 / 10
+
+    val source = MemoryStream[StreamEvent]
+    val sink = s"cusum_out_${System.nanoTime()}"
+    val q = CusumProcessor
+      .cusum(source.toDS(), mu0, slack)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    val streamed =
+      try {
+        // 7 uneven chunks: state must carry p/minP across micro-batches
+        events.grouped(math.max(1, events.size / 7)).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+        spark.table(sink).as[(Long, Long, Long)].collect().toSet
+      } finally q.stop()
+
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("userId"))
+        .orderBy(col("ordUs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events
+        .toDF()
+        .withColumn("p", sum(col("cents") - mu0 - slack).over(w))
+        .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+        .select(col("userId"), col("ordUs"), col("s"))
+        .as[(Long, Long, Long)]
+        .collect()
+        .toSet
+    }
+
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming CUSUM diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+}
