@@ -1270,8 +1270,9 @@ object RelationalQueries {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var h = e.select(col("c")).distinct().withColumn("score", lit(1L).cast(d38))
-    var a = e.select(col("p")).distinct().withColumn("score", lit(0L).cast(d38))
-    var r = 0
+    var a = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
+    h = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
+    var r = 1
     while (r < HitsRounds) {
       a = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
       h = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
