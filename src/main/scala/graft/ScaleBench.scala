@@ -133,6 +133,13 @@ object ScaleBench {
   /** args: smallDir largeDir [reps] [outPath]. Emits one JSON line with
     * per-gate medians at both scales, large/small ratios, per-rep loads,
     * and the work-size counters.
+    *
+    * Heap: the sf1 corpus drives edge-sized hash aggregations (g13's
+    * (node,label) frame over ~24M undirected rows) through 32 concurrent
+    * local tasks — run with `SPARK_DRIVER_MEM=16g` or more (the r9 runs
+    * used 24g; the 8g default OOMs in HashAggregate at sf1). A real
+    * cluster sizes per-executor heaps independently; this is a
+    * single-JVM-local-mode constraint, not an operator one.
     */
   def main(args: Array[String]): Unit = {
     val smallDir = args(0)
