@@ -80,4 +80,47 @@ class StreamingCusumSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch,
       s"streaming CUSUM diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
+
+  test("CUSUM state (p, minP) survives a query restart from checkpoint") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cusum_recovery").toString
+    val srcDir = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    val emissions = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def startQuery() = spark.readStream
+      .schema("userId LONG, ordUs LONG, cents LONG")
+      .parquet(srcDir)
+      .as[StreamEvent]
+      .transform(CusumProcessor.cusum(_, mu0 = 100L, slack = 10L))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.CusumEmit], _: Long) =>
+        ds.collect().foreach(e => emissions.add((e.userId, e.ordUs, e.s)))
+      }
+      .start()
+
+    // phase 1: d = +90 then −60 → p = 30, minP = 0, s emissions 90 then 30
+    Seq(StreamEvent(7L, 1000L, 200L), StreamEvent(7L, 2000L, 50L))
+      .toDS().write.parquet(s"$srcDir/chunk=1")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: RESTART; d = +190 → s = 220 ONLY if p = 30 was recovered
+    // (a fresh state would emit 190)
+    Seq(StreamEvent(7L, 3000L, 300L)).toDS().write.parquet(s"$srcDir/chunk=2")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = {
+      val it = emissions.iterator(); val b = Seq.newBuilder[(Long, Long, Long)]
+      while (it.hasNext) b += it.next(); b.result().toSet
+    }
+    assert(got == Set((7L, 1000L, 90L), (7L, 2000L, 30L), (7L, 3000L, 220L)),
+      s"CUSUM state lost across restart: $got")
+  }
 }
