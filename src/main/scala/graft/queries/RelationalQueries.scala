@@ -1024,21 +1024,24 @@ object RelationalQueries {
   }
 
   /** q30: top supplier by quarterly revenue (TPC-H Q15 shape) — the
-    * revenue "view" + correlated max: a supplier-keyed rollup over one
-    * quarter, keeping every supplier achieving the maximum via ONE
-    * whole-frame window max (no second scan, no scalar-subquery rescan).
+    * revenue "view" + correlated max, in the q31 posture: the global max
+    * is a ONE-ROW aggregate broadcast back over the supplier rollup
+    * (never a `Window.partitionBy()` whole-frame window, which would
+    * funnel the rollup through a single partition at scale). The rollup
+    * is recomputed for the max side — two passes over one quarter's
+    * filtered scan beat a single-partition WindowExec on every scale.
     * Exact integer revenue makes the max a total order.
     */
   def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = li(spark, sfDir)
       .filter(
         col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("price_cents") * (lit(100L) - col("disc_pct"))).as("revenue_x100"))
+    val maxRev = broadcast(rev.agg(max(col("revenue_x100")).as("max_rev")))
     rev
-      .withColumn("max_rev", max(col("revenue_x100")).over(Window.partitionBy()))
+      .crossJoin(maxRev)
       .filter(col("revenue_x100") === col("max_rev"))
       .join(
         Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),

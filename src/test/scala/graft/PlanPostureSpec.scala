@@ -498,4 +498,57 @@ class PlanPostureSpec extends AnyFunSuite {
       scan.get.partitionFilters.exists(_.toString.contains("event_type")),
       s"partition filters should carry event_type: ${scan.get.partitionFilters}")
   }
+
+  /** The scale-killer class r8 found — `Window.orderBy(...)` with no
+    * PARTITION BY funnels its whole input through ONE partition — is
+    * banned as an INVARIANT over every gated query, not just the three
+    * call sites it was originally fixed at. The whitelist below names the
+    * only gates allowed to keep an unpartitioned window, each justified
+    * by a value/dimension-bounded input frame (never corpus-sized); the
+    * test fails BOTH ways: an un-whitelisted gate that plans one, and a
+    * stale whitelist entry whose gate no longer plans one.
+    */
+  test("sweep: no gated query plans an unpartitioned window over an unbounded frame") {
+    // gate -> why its unpartitioned window is value/dimension-bounded
+    val whitelist: Map[String, String] = Map(
+      "t20_bm25_rank" -> "rank minted AFTER limit(10): window input is <= 10 rows",
+      "t25_vocab_growth" -> "cumulative scan over the VocabBuckets-row bucket frame (O(buckets))",
+      "w20_concurrency" -> "global prefix over the per-bin net-delta frame (corpus span / bin width rows)",
+      "a10_chi_square" -> "grand-total window over the <= |event types| * 7 contingency-cell frame",
+      "a22_cramers_v" -> "same contingency-cell frame as a10 (<= |types| * 7 rows)",
+      "a11_spend_autocorr" -> "lag window over the daily rollup (#days rows, never raw events)")
+    val unknown = whitelist.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"whitelist names that are not gates: ${unknown.mkString(", ")}")
+    // operators/Ranks' two-pass scan carries ONE unpartitioned window by
+    // design: the exclusive prefix over the per-partition totals frame —
+    // one row per range partition (<= numParts), bounded by cluster
+    // parallelism, never by data. It is recognizable by ordering on the
+    // Ranks-internal `__pid` attribute; exempt it structurally so every
+    // Ranks caller (a20/a21/a23/a24 today) stays covered by the sweep for
+    // any OTHER unpartitioned window it might add.
+    def isRanksPidPrefix(w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean =
+      w.orderSpec.nonEmpty &&
+        w.orderSpec.forall(_.child.references.forall(_.name == "__pid"))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val cleanWhitelisted = scala.collection.mutable.ListBuffer.empty[String]
+    CacheScope.scoped(spark) {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val emptySpec = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty && !isRanksPidPrefix(w) =>
+            w
+        }
+        if (emptySpec.nonEmpty && !whitelist.contains(name)) offenders += name
+        if (emptySpec.isEmpty && whitelist.contains(name)) cleanWhitelisted += name
+      }
+    }
+    assert(
+      offenders.isEmpty,
+      s"unpartitioned windows outside the whitelist (use operators/Ranks or a keyed window): " +
+        offenders.mkString(", "))
+    assert(
+      cleanWhitelisted.isEmpty,
+      s"stale whitelist entries (gate no longer plans an unpartitioned window): " +
+        cleanWhitelisted.mkString(", "))
+  }
 }
