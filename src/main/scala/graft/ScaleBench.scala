@@ -145,7 +145,7 @@ object ScaleBench {
     val smallDir = args(0)
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
-    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r09.json"
+    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r10.json"
     val spark: SparkSession = Sessions.local()
     val gates = SparkEntry.queries.filter { case (k, _) => HeavyGates.contains(k) }
     val (quiesceSec, loadStart) = quiesce(below = 4.0, maxWaitSec = 300)
@@ -200,11 +200,23 @@ object ScaleBench {
       val l = spark.read.parquet(s"$largeDir/$t.parquet").count()
       s""""$t":{"small":$s,"large":$l}"""
     }
+    // g12 evidence counters: per-round alive-set sizes at both scales,
+    // so the k-core ratio is attributable to real multi-round peeling
+    // (r9's cell measured a corpus whose alive set quenched to zero by
+    // round 3 — the ratio priced only round 1's degree aggregation)
+    val g12Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
+      val counts =
+        try CacheScope.scoped(spark) {
+          queries.RelationalQueries.kCoreRoundSurvivors(spark, dir).map(_._2)
+        } catch { case _: Throwable => Seq.empty[Long] }
+      s""""$tag":${counts.mkString("[", ",", "]")}"""
+    }
     val line =
       s"""{"metric":"scale_ratio_10x","small":"$smallDir","large":"$largeDir",""" +
         s""""reps":$reps,"quiesce_wait_sec":$quiesceSec,"load_avg_start":$loadStart,""" +
         s""""load_avg_end":${Bench.loadAvg()},""" +
         s""""corpus":${corpus.mkString("{", ",", "}")},""" +
+        s""""g12_round_survivors":${g12Rounds.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

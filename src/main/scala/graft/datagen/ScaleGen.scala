@@ -113,21 +113,36 @@ object ScaleGen {
   }
 
   /** Minimal lineitem for the graph gates (orderkey/partkey/suppkey —
-    * the only columns g4/g5/g6 touch): ~4 lines per order, part and
-    * supplier universes scaled like the driver testdata (20k parts /
-    * 1k suppliers per 600k lines), keys hash-drawn so part popularity is
-    * uniform — the co-occurrence graph shape (≈C(4,2) edges per order,
-    * growing density with scale) matches the TPC-H-ish corpus.
+    * the only columns g4/g5/g6 touch): 1–7 hash-drawn lines per order
+    * (mean 4, the TPC-H shape), part and supplier universes scaled like
+    * the driver testdata (20k parts / 1k suppliers per 600k lines).
+    *
+    * The VARIABLE order size is load-bearing for g12's scale cell: a
+    * flat 4-lines-per-order corpus yields a co-occurrence degree
+    * distribution so narrow (median 90, p90 111 per 600k lines) that
+    * k=80 peeling quenches — every node loses its neighbors in the same
+    * round, and rounds 3–4 of the k-core loop run against empty frames
+    * (SCALE_r09's 0→0 survivor counters). The 1–7 mix reproduces the
+    * driver corpus's measured degree spread (median ~119, p90 ~151) and
+    * its peeling behavior: survivors shrink strictly but stay non-empty
+    * through all four rounds at both harness scales, so the multi-round
+    * ratio prices real per-round work.
     */
   def lineitem(spark: SparkSession, n: Long): DataFrame = {
     val parts = math.max(200L, n / 30L)
     val supps = math.max(100L, n / 600L)
+    val nOrders = (n + 3L) / 4L
     spark
-      .range(0L, n, 1L, 32)
+      .range(0L, nOrders, 1L, 32)
       .select(
-        (col("id") / 4L).cast("long").as("l_orderkey"),
-        (pmod(xxhash64(lit("part"), col("id")), lit(parts)) + 1L).as("l_partkey"),
-        (pmod(xxhash64(lit("supp"), col("id")), lit(supps)) + 1L).as("l_suppkey"))
+        col("id").as("l_orderkey"),
+        explode(sequence(lit(1L), pmod(xxhash64(lit("sz"), col("id")), lit(7L)) + 1L)).as("i"))
+      .select(
+        col("l_orderkey"),
+        (pmod(xxhash64(lit("part"), col("l_orderkey"), col("i")), lit(parts)) + 1L)
+          .as("l_partkey"),
+        (pmod(xxhash64(lit("supp"), col("l_orderkey"), col("i")), lit(supps)) + 1L)
+          .as("l_suppkey"))
   }
 
   /** Orders universe implied by [[lineitem]] (`l_orderkey = id / 4`):
@@ -188,13 +203,20 @@ object ScaleGen {
     nation(spark).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
   }
 
-  /** args: `outDir nDocs nVecs nEvents` (full corpus) or
-    * `--dims outDir nEvents` (just the q18/g10 dim tables).
+  /** args: `outDir nDocs nVecs nEvents` (full corpus),
+    * `--dims outDir nEvents` (just the q18/g10 dim tables), or
+    * `--rel outDir nEvents` (lineitem + dims — the relational plane
+    * only, for regenerating after a lineitem shape change without
+    * touching the unchanged documents/embeddings/events).
     */
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     if (args(0) == "--dims") writeDims(spark, args(1), args(2).toLong * 6L)
-    else writeAll(spark, args(0), args(1).toLong, args(2).toLong, args(3).toLong)
+    else if (args(0) == "--rel") {
+      val nLines = args(2).toLong * 6L
+      lineitem(spark, nLines).write.mode("overwrite").parquet(s"${args(1)}/lineitem.parquet")
+      writeDims(spark, args(1), nLines)
+    } else writeAll(spark, args(0), args(1).toLong, args(2).toLong, args(3).toLong)
     spark.stop()
   }
 }

@@ -1169,7 +1169,14 @@ object RelationalQueries {
   private val KCoreK = 80L
   private val KCoreRounds = 4
 
-  def kCore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The g12 peeling loop, shared by the gate and the scale probe:
+    * returns the persisted undirected edge frame and the final alive
+    * set, calling `onRound(round, alive)` after each round's prune so a
+    * caller can observe (count) the surviving frontier without the gate
+    * paying for it.
+    */
+  private def kCorePeel(spark: SparkSession, sfDir: String)(
+      onRound: (Int, DataFrame) => Unit): (DataFrame, DataFrame) = {
     val e = coOccurrenceEdges(spark, sfDir)
     val und = e
       .select(col("a").as("src"), col("b").as("dst"))
@@ -1189,7 +1196,13 @@ object RelationalQueries {
         .select(col("src").as("node"))
       alive = alive.join(deep, Seq("node"), "left_semi").localCheckpoint()
       r += 1
+      onRound(r, alive)
     }
+    (und, alive)
+  }
+
+  def kCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (und, alive) = kCorePeel(spark, sfDir)((_, _) => ())
     und
       .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -1197,6 +1210,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
       .transform(orderedOutput(_, col("node")))
+  }
+
+  /** g12 scale probe: per-round alive-set sizes from the same peeling
+    * loop the gate runs. SCALE artifacts carry these so a k-core ratio
+    * cell is attributable — a corpus where the alive set quenches to
+    * zero mid-loop (SCALE_r09's finding) prices only round 1's degree
+    * aggregation, and the counters make that visible instead of letting
+    * the ratio read as healthy multi-round evidence.
+    */
+  def kCoreRoundSurvivors(spark: SparkSession, sfDir: String): Seq[(Int, Long)] = {
+    val counts = scala.collection.mutable.ListBuffer.empty[(Int, Long)]
+    kCorePeel(spark, sfDir)((r, alive) => counts += ((r, alive.count())))
+    counts.toList
   }
 
   /** g13: deterministic synchronous label propagation — the community
