@@ -17,7 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `mode_count` multiplicity of the most frequent RGB value — the
   *                 flatness detector (mode_count ≈ n_pixels → banner /
   *                 letterboxed / solid image). The COUNT is emitted, not
-  *                 the color, so ties cannot diverge the gate.
+  *                 the color, so ties cannot diverge the gate. The
+  *                 frequency table backing it is capped at the SAME 4096
+  *                 colors (the first ones encountered in row-major
+  *                 order, a deterministic set): a photographic image can
+  *                 hold 2^24 distinct RGBs, and an uncapped map is
+  *                 hundreds of MB of executor state per image. Past the
+  *                 cap, colors outside the tracked set still count
+  *                 pixels but not candidates — exact for every image the
+  *                 flatness filter actually fires on (a flat image's
+  *                 mode is in the first 4096 colors by definition), and
+  *                 a disclosed undercount on color-rich images, which
+  *                 the filter discards anyway.
   *  - `bright_range`  max−min brightness — dynamic-range detector.
   *
   * All counters are row-local integer work inside the distributed decode
@@ -48,9 +59,15 @@ object ImageQuality {
       if (s < bMin) bMin = s
       if (s > bMax) bMax = s
       val packed = (r << 16) | (g << 8) | b
-      val c = freq.merge(packed, 1L, (a, x) => a + x)
-      if (c == 1L && distinct < DistinctCap) distinct += 1L
-      if (c > mode) mode = c
+      // the freq map is capped with the distinct counter: beyond
+      // DistinctCap tracked colors, unseen colors are not inserted (see
+      // the mode_count doc — O(DistinctCap) state per image, never
+      // O(distinct colors))
+      if (freq.size < DistinctCap || freq.containsKey(packed)) {
+        val c = freq.merge(packed, 1L, (a, x) => a + x)
+        if (c == 1L && distinct < DistinctCap) distinct += 1L
+        if (c > mode) mode = c
+      }
     }
     val range = if (bMax >= bMin) (bMax - bMin).toLong else 0L
     (nGray, nDark, nBright, distinct, mode, range)

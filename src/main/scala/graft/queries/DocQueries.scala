@@ -1104,6 +1104,9 @@ object DocQueries {
     val tot = per.agg((sum(col("n_docs")) * 2L).as("budget"), sum(col("weight")).as("sum_w"))
     val quotas = per
       .crossJoin(broadcast(tot))
+      // Spark `div` (truncate) == DuckDB `//` (floor) because every
+      // operand here is non-negative (weights 1..5, counts, budget);
+      // signed inputs would diverge the two engines at these lines
       .withColumn("quota", expr("(weight * budget) div sum_w"))
       .withColumn("full_epochs", expr("quota div n_docs"))
       .withColumn("n_extra", expr("quota % n_docs"))
@@ -1731,7 +1734,17 @@ object DocQueries {
     * in-plan via a broadcast 1-row cross join. Output: the learned
     * merge table (rank, pair, weighted count).
     */
-  private val BpeMergeRounds = 8
+  /** Merge-round count == DRIVER ROUND-TRIPS: each round launches one
+    * distributed pair-count job whose 1-row argmax is collected (see
+    * [[bpeTrained]]'s doc). 8 rounds ≈ 8 × ~100 ms of driver latency —
+    * negligible. A REAL vocabulary build is 10k–50k merges, where this
+    * loop becomes rounds-dominated regardless of cluster size; the scale
+    * path there is batching compatible (non-overlapping-symbol) merges
+    * per round, not raising this constant. BpeSpec pins the bound so a
+    * casual bump cannot silently turn the trainer into a driver loop
+    * over thousands of jobs.
+    */
+  private[graft] val BpeMergeRounds = 8
 
   /** The shared trainer chain: word-frequency dict (ONE corpus pass,
     * word kept alongside its encoding), [[BpeMergeRounds]] merge rounds,
@@ -1825,6 +1838,8 @@ object DocQueries {
         count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_bpe_tokens"),
         sum(length(col("word")).cast("long")).as("n_chars"))
+      // div == DuckDB `//` here because chars/tokens are positive counts
+      // (truncate-vs-floor diverges only on negative operands)
       .withColumn("compression_x1000", expr("(n_chars * 1000) div n_bpe_tokens"))
       .transform(orderedOutput(_, col("doc_id")))
   }

@@ -69,6 +69,51 @@ object FeatureQueries {
     * aggregates (the store-ingest projection). Tied rows at a key's max
     * timestamp share the same RANGE frame, hence identical feature values.
     */
+  /** w7/S5: the ONLINE STORE's contents after the batch upsert lifecycle —
+    * the gate that checks the store's last-write-wins `put` itself, not
+    * just the latest-per-key frame feeding it (that is w5). Three
+    * [[graft.operators.FeatureAggJob]] runs hit one store:
+    *
+    *   1. a STALE half-corpus run (events before the time midpoint) —
+    *      seeds the store;
+    *   2. the FULL corpus — every key's row must win (newer-or-equal
+    *      event time; keys whose events all predate the cutoff re-put
+    *      identical values, since trailing frames are per-key);
+    *   3. the stale run AGAIN — every put must now LOSE the LWW race.
+    *
+    * Final contents are therefore exactly the full-corpus snapshot; a
+    * store that ignored event-time ordering (always-overwrite, or
+    * always-keep-first) diverges the hash. The oracle derives the same
+    * frame from the raw put log: trailing 1-week count/avg at each key's
+    * LATEST event — LWW-by-event-time as DuckDB's dense_rank-over-time
+    * (the put-log max_by). The three `upsertBatch` hops are each the
+    * documented |keys|-row serving boundary, not distributed operators.
+    */
+  def storeContents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("user_id"), col("ts"), col("ord_us"), col("cents"))
+    // scale-free time midpoint as a 1-row broadcast, no driver hop
+    val cut = broadcast(ev.agg(expr("(min(ord_us) + max(ord_us)) div 2").as("__cut")))
+    val stale = ev.crossJoin(cut).filter(col("ord_us") < col("__cut")).drop("__cut")
+    val store = new graft.store.OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    def run(half: DataFrame): Unit =
+      // drop the job's cached aggregate frame right away — this gate only
+      // wants the store side effect, and bench reps would stack 3 caches
+      // per invocation otherwise
+      graft.operators.FeatureAggJob.run(half, "user_id", "ts", "cents", store)
+        .aggregates.unpersist()
+    run(stale) // seed
+    run(ev) // full corpus: every key overwritten (or equal-time re-put)
+    run(stale) // replayed stale puts must all lose
+    store
+      .snapshot(spark)
+      .select(
+        col("key"),
+        col("event_time_us"),
+        col("cnt_1w").cast("long").as("cnt_1w"),
+        col("avg_1w"))
+      .transform(orderedOutput(_, col("key")))
+  }
+
   def latestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = withAggColumns(prepared(spark, sfDir))
     LatestPerKey
@@ -2492,6 +2537,11 @@ object FeatureQueries {
     import org.apache.spark.sql.expressions.Window
     val ev = prepared(spark, sfDir).select(
       col("user_id"), col("event_id"), col("ord_us"), col("cents"))
+    // div/`//` parity caveat: Spark `div` truncates toward zero, DuckDB
+    // `//` floors — identical ONLY on non-negative operands. cents >= 0
+    // by construction (round(value*100), value >= 0), so sum/mu0 are
+    // non-negative here; a signed-amount corpus would need the floor
+    // form (a - pmod(a, b)) / b on the Spark side.
     val base = broadcast(
       ev.agg(expr("sum(cents) div count(1)").as("mu0"))
         .withColumn("slack", expr("mu0 div 10"))
@@ -2859,6 +2909,23 @@ object FeatureQueries {
            |  SELECT user_id, ord_us AS ts_us, num_trans_last_1w, avg_amt_last_1w,
            |         dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
            |  FROM agg) WHERE rk = 1 ORDER BY user_id""".stripMargin,
+      // w7/S5: LWW store contents == the put log's per-key LATEST trailing
+      // 1-week aggregates (the dense_rank form of max_by over event time);
+      // avg is the single double division of the exact integer window sum,
+      // mirroring Spark's avg over the cents column
+      "w7_store_contents" ->
+        s"""WITH prep AS ($prep), agg AS (
+           |  SELECT user_id, ord_us,
+           |    count(*) OVER w1w AS cnt_1w,
+           |    sum(cents) OVER w1w / count(*) OVER w1w AS avg_1w
+           |  FROM prep
+           |  WINDOW w1w AS (PARTITION BY user_id ORDER BY ord_us
+           |                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+           |SELECT DISTINCT user_id AS key, ord_us AS event_time_us,
+           |       CAST(cnt_1w AS BIGINT) AS cnt_1w, avg_1w
+           |FROM (SELECT *, dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
+           |      FROM agg) WHERE rk = 1
+           |ORDER BY key""".stripMargin,
       "j1_enrich_staleness" ->
         s"""$withRatios, snap AS (
            |  SELECT DISTINCT user_id, ts_us AS snap_ts_us, cnt_short, avg_short, cnt_long, avg_long FROM (
@@ -3948,6 +4015,7 @@ object FeatureQueries {
     "s11_weighted_sample" -> (weightedSample(_, _)),
     "w1_trailing_agg" -> (trailingAgg(_, _)),
     "w5_latest_per_key" -> (latestPerKey(_, _)),
+    "w7_store_contents" -> (storeContents(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),
     "j3_asof_join" -> (asofSnapshots(_, _)),
     "j4_range_join" -> (rangeJoinAgg(_, _)),

@@ -1250,6 +1250,7 @@ object RelationalQueries {
     var labels = und.select(col("src").as("node"), col("src").as("label")).distinct()
     var r = 0
     while (r < LpaRounds) {
+      val prev = labels
       labels = und
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src"), col("label"))
@@ -1258,6 +1259,14 @@ object RelationalQueries {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize THIS round (one count job), then free the previous
+      // round's label frame: without the eager release a long LPA chain
+      // holds |nodes| x rounds cached rows until batch end (CacheScope
+      // reclaims them eventually, but at 100x that is real executor
+      // memory held for nothing). round 0's `prev` is the unpersisted
+      // seed projection — unpersist is a harmless no-op there.
+      labels.count()
+      prev.unpersist()
       r += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))

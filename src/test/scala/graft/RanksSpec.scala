@@ -48,6 +48,33 @@ class RanksSpec extends AnyFunSuite {
     assert(fast.orderBy("v").collect().toSeq == slow.orderBy("v").collect().toSeq)
   }
 
+  test("the DISTINCT-on-sortCol precondition is real: duplicate keys break cumulation") {
+    import spark.implicits._
+    // cumulativeOverDistinct documents that rows must be DISTINCT on the
+    // sort column (every current caller feeds a groupBy(value) rollup).
+    // This test PINS why: with duplicate keys, the local pass cumulates in
+    // arbitrary intra-key row order, so per-row results are not the
+    // value-ordered prefix sums a caller would expect — the TOTAL is still
+    // right, but per-duplicate rows disagree with the naive window's
+    // rangeBetween semantics. A new caller must pre-aggregate, not pass
+    // raw rows. (Guard recipe: df.count() == df.select(sortCol).distinct().count().)
+    val dup = Seq((1L, 10L), (1L, 5L), (2L, 1L)).toDF("v", "d")
+    val out = Ranks
+      .cumulativeOverDistinct(dup, "v", Seq("d"), numParts = 2)
+      .select("v", "cum_d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val v1 = out.filter(_._1 == 1L).map(_._2).sorted
+    // RANGE-frame semantics would give BOTH v=1 rows cum_d = 15 (all ties
+    // in frame); row cumulation gives two DIFFERENT prefixes whose max is
+    // the key total — the documented divergence. v=2's cum is 16 either
+    // way (totals are order-independent).
+    assert(v1.distinct.size == 2 && v1.last == 15L,
+      s"duplicate keys should produce divergent per-row prefixes, got $out")
+    assert(out.contains((2L, 16L)), s"downstream totals must still be exact, got $out")
+  }
+
   test("no unpartitioned WindowExec over the data frame survives in the physical plan") {
     import spark.implicits._
     val dv = (0 until 100).map(i => (i.toLong, 1L)).toDF("v", "cnt")

@@ -123,4 +123,36 @@ class StreamingCusumSpec extends AnyFunSuite {
     assert(got == Set((7L, 1000L, 90L), (7L, 2000L, 30L), (7L, 3000L, 220L)),
       s"CUSUM state lost across restart: $got")
   }
+
+  test("cross-batch late event is dropped, not folded into the statistic") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[StreamEvent]
+    val sink = s"cusum_late_${System.nanoTime()}"
+    // mu0=100, slack=10 → d = cents − 110
+    val q = CusumProcessor
+      .cusum(source.toDS(), mu0 = 100L, slack = 10L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    val got =
+      try {
+        // batch 1 advances lastOrd to 3000
+        source.addData(StreamEvent(7L, 1000L, 200L), StreamEvent(7L, 3000L, 50L))
+        q.processAllAvailable()
+        // batch 2 carries a LATE event (2000 < 3000) plus an in-order one;
+        // the late row must emit nothing and leave p/minP untouched
+        source.addData(StreamEvent(7L, 2000L, 999L), StreamEvent(7L, 4000L, 300L))
+        q.processAllAvailable()
+        spark.table(sink).as[(Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    // in-order replay [200, 50, 300]: d = +90, −60, +190 → p = 90, 30, 220;
+    // minP = 0 throughout → s = 90, 30, 220. A folded-in late 999 event
+    // would shift every subsequent p by +889.
+    assert(
+      got == Set((7L, 1000L, 90L), (7L, 3000L, 30L), (7L, 4000L, 220L)),
+      s"late event corrupted or was emitted: $got")
+  }
 }
