@@ -1224,6 +1224,77 @@ object DocQueries {
       .transform(orderedOutput(_, col("shard"), col("band"), col("batch")))
   }
 
+  /** t30: sub-document (line-level) dedup with keep-first semantics — the
+    * CCNet/RefinedWeb boilerplate-removal stage (Wenzek et al. 2020;
+    * Penedo et al. 2023): where the d-family FLAGS whole near-duplicate
+    * documents, this REWRITES each document, deleting repeated spans.
+    * Documents are segmented into fixed [[LineW]]-token chunks (the
+    * corpus has no newlines, so the chunk grid plays the line role); a
+    * chunk occurrence survives iff its text is corpus-unique (df ≤ 1) OR
+    * it is the FIRST occurrence — min (doc_id, chunk_idx) — so exactly
+    * one copy of every repeated span remains in the corpus (CCNet keeps
+    * the first-seen paragraph; removing all copies would delete the
+    * content itself). The cleaned document is reassembled from surviving
+    * chunks in chunk order via sorted-struct assembly (the q16
+    * partitioning-independent idiom) and pinned by md5.
+    *
+    * Scale: one row-local explode, two hash aggs (by chunk hash, by doc)
+    * and one chunk-hash-keyed join — linear, shuffles carry md5 keys not
+    * text twice. First-occurrence = min over the ENCODED key
+    * `doc_id·2^20 + chunk_idx` (exact in both engines; chunk_idx < 2^20
+    * ⇔ docs under ~8.4M tokens — any real corpus document; the encoding
+    * is documented rather than struct-min because DuckDB's struct
+    * ordering is not part of the oracle discipline).
+    */
+  private val LineW = 8
+  private val LineMaxDf = 1L
+  private val ChunkShift = 1048576L // 2^20: first-occurrence encoding bound
+
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("chunk_idx", expr(s"pos div $LineW").cast("long"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")),
+          " ").as("chunk_text"))
+      .withColumn("h", md5(col("chunk_text")))
+    val stats = chunks
+      .groupBy(col("h"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id") * lit(ChunkShift) + col("chunk_idx")).as("canon"))
+    val kept = chunks
+      .join(stats, Seq("h"))
+      .withColumn(
+        "keep",
+        col("df") <= LineMaxDf ||
+          col("canon") === col("doc_id") * lit(ChunkShift) + col("chunk_idx"))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")),
+          " ").as("clean_text"))
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_kept"),
+        col("n_removed"),
+        length(col("clean_text")).cast("long").as("clean_chars"),
+        md5(col("clean_text")).as("clean_md5"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     scoredDocs(spark, sfDir)
       .select("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "quality_score", "quality_band")
@@ -1973,6 +2044,7 @@ object DocQueries {
     "s13_domain_mix" -> (domainMix(_, _)),
     "t28_pii_redaction" -> (piiRedaction(_, _)),
     "t29_length_batching" -> (lengthBatching(_, _)),
+    "t30_line_dedup" -> (lineDedup(_, _)),
     "t3_lang_id" -> (langId(_, _)),
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
@@ -2822,6 +2894,33 @@ object DocQueries {
          |    FROM documents CROSS JOIN $packShardsSql p))
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
+    "t30_line_dedup" ->
+      s"""WITH w2 AS (
+         |  SELECT doc_id, t.ord AS ord, t.word AS word FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+         |      i -> struct_pack(ord := i, word := w[i]))) AS t
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         |ch AS (
+         |  SELECT doc_id, (ord - 1) // $LineW AS chunk_idx,
+         |    string_agg(word, ' ' ORDER BY ord) AS chunk_text
+         |  FROM w2 GROUP BY 1, 2),
+         |st AS (
+         |  SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS df,
+         |    min(doc_id * $ChunkShift + chunk_idx) AS canon
+         |  FROM ch GROUP BY 1),
+         |k AS (
+         |  SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+         |    (s.df <= $LineMaxDf OR s.canon = c.doc_id * $ChunkShift + c.chunk_idx) AS keep
+         |  FROM ch c JOIN st s ON md5(c.chunk_text) = s.h)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  CAST(length(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+         |    FILTER (WHERE keep), '')) AS BIGINT) AS clean_chars,
+         |  md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+         |    FILTER (WHERE keep), '')) AS clean_md5
+         |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "t28_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -208,6 +208,75 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** j11: point-in-time multi-feature-group training-set builder — the
+    * feature-store workflow the reference's training path approximates
+    * with a single pre-joined CSV (`notebooks/3_train_and_deploy_model
+    * .ipynb:105-149`): label rows joined against SEVERAL independently
+    * maintained feature groups, each AS OF the label's own timestamp, so
+    * no feature value from the label's future (or its own still-open
+    * aggregation window) can leak into training.
+    *
+    * Two groups with deliberately different publication cadences:
+    *
+    *   - `fg_daily` — a batch-materialized per-(user, day) rollup whose
+    *     snapshot becomes visible only at `(day+1)·86400s` (a closed
+    *     day): a label event mid-day sees YESTERDAY's rollup, never the
+    *     partial day it sits in — the point-in-time contract batch
+    *     feature pipelines must honor;
+    *   - `fg_profile` — streaming-style point upserts (every 10th event),
+    *     visible from their own event time (the reference's store-write
+    *     path, `S5`/`S6`).
+    *
+    * Both joins ride [[AsOfJoin.asof]] (union + one keyed last-ignorenulls
+    * window — linear, no range BNLJ), chained: two user-keyed
+    * exchange+sort passes TOTAL for any number of label rows, each
+    * further group adding one more — the plan a 1000-executor training-set
+    * build wants. The oracle is DuckDB's NATIVE chained `ASOF LEFT JOIN`,
+    * an independent first-class implementation of the semantics.
+    * `ord_us div/`//` day bucketing is exact: `ord_us >= 0` always
+    * (truncation == floor on non-negative operands, the repo-wide
+    * discipline).
+    */
+  def trainingDataset(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = prepared(spark, sfDir).select("event_id", "user_id", "ord_us", "cents")
+    val labels = ev
+      .filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ord_us"),
+        when(col("cents") >= 15000L, lit(1L)).otherwise(lit(0L)).as("label"))
+    val fgDaily = ev
+      .groupBy(col("user_id"), expr(s"ord_us div ${dayUs}L").as("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("cents")).as("day_cents"))
+      .select(
+        col("user_id"),
+        ((col("day") + 1L) * lit(dayUs)).as("avail_us"),
+        col("n_day"),
+        col("day_cents"))
+    val fgProfile = ev
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .groupBy(col("user_id"), col("ord_us").as("snap_us"))
+      .agg(max(col("cents")).as("snap_cents"))
+    val withDaily = AsOfJoin
+      .asof(labels, fgDaily, "user_id", "ord_us", "avail_us", Seq("n_day", "day_cents"))
+      .withColumnRenamed("asof_ts", "daily_asof")
+    AsOfJoin
+      .asof(withDaily, fgProfile, "user_id", "ord_us", "snap_us", Seq("snap_cents"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ord_us"),
+        col("label"),
+        coalesce(col("n_day"), lit(0L)).as("n_day"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        coalesce(col("daily_asof"), lit(-1L)).as("daily_asof_us"),
+        coalesce(col("snap_cents"), lit(-1L)).as("snap_cents"),
+        coalesce(col("asof_ts"), lit(-1L)).as("profile_asof_us"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** s4: deterministic stratified sampling ([[Sampling]]) — strata by
     * user-id mod 4 at rates 50%/25%/12.5%, stratum 3 dropped entirely.
     * The draw (`u8`) is part of the output, so the gate pins the sampling
@@ -2962,6 +3031,29 @@ object FeatureQueries {
            |FROM prep p ASOF LEFT JOIN snaps s
            |  ON p.user_id = s.user_id AND p.ord_us >= s.snap_ts
            |ORDER BY p.event_id""".stripMargin,
+      "j11_training_dataset" ->
+        s"""WITH prep AS ($prep),
+           |l AS (
+           |  SELECT event_id, user_id, ord_us,
+           |    CAST(CASE WHEN cents >= 15000 THEN 1 ELSE 0 END AS BIGINT) AS label
+           |  FROM prep WHERE event_id % 5 = 0),
+           |fa AS (
+           |  SELECT user_id, (ord_us // 86400000000 + 1) * 86400000000 AS avail_us,
+           |    count(*) AS n_day, CAST(sum(cents) AS BIGINT) AS day_cents
+           |  FROM prep GROUP BY 1, 2),
+           |fb AS (
+           |  SELECT user_id, ord_us AS snap_us, max(cents) AS snap_cents
+           |  FROM prep WHERE event_id % 10 = 0 GROUP BY 1, 2)
+           |SELECT l.event_id, l.user_id, l.ord_us, l.label,
+           |  coalesce(a.n_day, 0) AS n_day,
+           |  coalesce(a.day_cents, 0) AS day_cents,
+           |  coalesce(a.avail_us, -1) AS daily_asof_us,
+           |  coalesce(b.snap_cents, -1) AS snap_cents,
+           |  coalesce(b.snap_us, -1) AS profile_asof_us
+           |FROM l
+           |ASOF LEFT JOIN fa a ON l.user_id = a.user_id AND l.ord_us >= a.avail_us
+           |ASOF LEFT JOIN fb b ON l.user_id = b.user_id AND l.ord_us >= b.snap_us
+           |ORDER BY l.event_id""".stripMargin,
       "w7_sessionize" ->
         s"""WITH prep AS ($prep),
            |s1 AS (
@@ -4018,6 +4110,7 @@ object FeatureQueries {
     "w7_store_contents" -> (storeContents(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),
     "j3_asof_join" -> (asofSnapshots(_, _)),
+    "j11_training_dataset" -> (trainingDataset(_, _)),
     "j4_range_join" -> (rangeJoinAgg(_, _)),
     "w7_sessionize" -> (sessionize(_, _)),
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
