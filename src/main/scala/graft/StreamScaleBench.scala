@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CusumProcessor, StreamingSketch, TrailingAggProcessor}
+import graft.streaming.{CusumProcessor, SessionProcessor, StreamingSketch, TrailingAggProcessor}
 import graft.streaming.StreamingAgg.StreamEvent
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -22,7 +22,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - sketch    (StreamingSketch complete-mode agg): state is CAPPED at
   *     the depth·width counter frame — touched slots grow toward the cap
   *     as keys grow, never past it, and never with events (that is the
-  *     entire point of sketching a stream).
+  *     entire point of sketching a stream);
+  *   - sessions  (SessionProcessor, ValueState): exactly one open-session
+  *     row per key; the 30 s gap sits below the 60 s event spacing so
+  *     EVERY arrival closes-and-emits — the emission-heavy path, where a
+  *     per-emission regression would show directly in the rate ratio.
   *
   * Each cell replays a deterministic keyed event stream through a
   * MemoryStream in [[Chunks]] micro-batches (state must carry across
@@ -144,6 +148,7 @@ object StreamScaleBench {
       Seq(
         ("trailing", "append", s => TrailingAggProcessor.trailingAgg(s.toDS()).toDF()),
         ("cusum", "append", s => CusumProcessor.cusum(s.toDS(), mu0 = 100L, slack = 10L).toDF()),
+        ("sessions", "append", s => SessionProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
         ("sketch", "complete", s =>
           StreamingSketch.countMinStream(
             s.toDS().toDF(), col("userId"), col("cents"), depth = 5, width = 2048, seed = "ss")))

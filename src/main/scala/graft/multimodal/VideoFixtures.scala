@@ -135,6 +135,86 @@ object VideoFixtures {
       .coalesce(1)
   }
 
+  /** m8: scene-change detection — the TEMPORAL analysis over
+    * [[AviDecode]]'s frame stream (m3 summarizes per video; this scores
+    * per transition): consecutive DECODED frames compared by the exact
+    * sum of absolute channel differences (SAD), a transition is a cut
+    * when the mean per-channel delta exceeds [[SceneCutThreshold]]
+    * (SAD > thr·3·n_pixels in integers), and a resolution change (pixel
+    * count differs) is a cut by definition (SAD := -1, no meaningful
+    * positional diff). Undecodable frames are TRANSPARENT — the
+    * comparison chain skips them, so a corrupted frame cannot mint two
+    * phantom cuts around itself (fixture 202 pins exactly this: its
+    * surviving transition is frame 0 → frame 2). The oracle recomputes
+    * everything from the ground-truth tuples at string-build time —
+    * encoder/decoder independence, as m3.
+    */
+  private val SceneCutThreshold = 48L
+
+  def sceneChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark
+      .createDataset(fixtures.map(f => (f.mediaId, f.blob)))
+      .repartition(2)
+      .flatMap { case (id, blob) =>
+        val decoded = AviDecode
+          .frames(blob)
+          .zipWithIndex
+          .flatMap { case (fr, i) => PixelDecode.decode(fr).map(img => (i.toLong, img)) }
+        decoded
+          .sliding(2)
+          .collect { case Seq((ia, a), (ib, b)) =>
+            val na = a.rgb.length / 3
+            val nb = b.rgb.length / 3
+            if (na != nb) (id, ia, ib, na.toLong, nb.toLong, -1L, 1L)
+            else {
+              var sad = 0L
+              var i = 0
+              while (i < a.rgb.length) {
+                sad += math.abs((a.rgb(i) & 0xff) - (b.rgb(i) & 0xff))
+                i += 1
+              }
+              val cut = if (sad > SceneCutThreshold * 3L * na) 1L else 0L
+              (id, ia, ib, na.toLong, nb.toLong, sad, cut)
+            }
+          }
+          .toSeq
+      }
+      .toDF("media_id", "frame_a", "frame_b", "px_a", "px_b", "sad", "is_cut")
+      .orderBy("media_id", "frame_a")
+      .coalesce(1)
+  }
+
+  /** m8's DuckDB twin: the same skip-chain + SAD + threshold from the
+    * ground-truth tuples.
+    */
+  def sceneOracleSql: String = {
+    val rows = fixtures.flatMap { f =>
+      val decoded = f.truths.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i.toLong, t) }
+      decoded.sliding(2).toSeq.collect { case Seq((ia, a), (ib, b)) =>
+        if (a.size != b.size) s"(${f.mediaId}, $ia, $ib, ${a.size}, ${b.size}, -1, 1)"
+        else {
+          val sad = a
+            .zip(b)
+            .map { case ((r1, g1, b1), (r2, g2, b2)) =>
+              (r1 - r2).abs.toLong + (g1 - g2).abs + (b1 - b2).abs
+            }
+            .sum
+          val cut = if (sad > SceneCutThreshold * 3L * a.size) 1 else 0
+          s"(${f.mediaId}, $ia, $ib, ${a.size}, ${b.size}, $sad, $cut)"
+        }
+      }
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_a AS BIGINT) AS frame_a,
+       |  CAST(frame_b AS BIGINT) AS frame_b, CAST(px_a AS BIGINT) AS px_a,
+       |  CAST(px_b AS BIGINT) AS px_b, CAST(sad AS BIGINT) AS sad,
+       |  CAST(is_cut AS BIGINT) AS is_cut
+       |FROM (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |  t(media_id, frame_a, frame_b, px_a, px_b, sad, is_cut)
+       |ORDER BY media_id, frame_a""".stripMargin
+  }
+
   /** DuckDB twin: VALUES literals from the ground-truth tuples. */
   def oracleSql: String = {
     val rows = fixtures.map { f =>
@@ -159,7 +239,11 @@ object VideoFixtures {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("m3_video_stats" -> (videoStats(_, _)))
+    Map(
+      "m3_video_stats" -> (videoStats(_, _)),
+      "m8_scene_changes" -> (sceneChanges(_, _)))
 
-  val oracle: Map[String, String] = Map("m3_video_stats" -> oracleSql)
+  val oracle: Map[String, String] = Map(
+    "m3_video_stats" -> oracleSql,
+    "m8_scene_changes" -> sceneOracleSql)
 }

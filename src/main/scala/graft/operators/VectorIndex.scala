@@ -60,6 +60,30 @@ object VectorIndex {
     }
   }
 
+  /** Incremental maintenance: assign a new vector batch to the EXISTING
+    * stored centroids — no retrain, the production append path (FAISS's
+    * `add` after `train`) — and append it into the bucketed assignment
+    * table, preserving the exchange-free probe layout. The quantizer
+    * drifts only as much as the data distribution does; a v6-style
+    * recall monitor is the rebuild signal. Appended rows are NOT
+    * re-capped: [[build]]'s `maxCell` applies to the build corpus, and a
+    * skew-accreting cell is re-capped at the next rebuild (re-running
+    * the cap here would need a full re-read of the stored assignment on
+    * every batch — the wrong trade at 100 TB ingest rates).
+    */
+  def append(
+      spark: SparkSession,
+      table: String,
+      newVecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      buckets: Int = 32): Unit = {
+    val centroids = spark.table(s"${table}_centroids")
+    val assigned =
+      Similarity.assignCells(Similarity.prepared(newVecs, idCol, embCol), centroids)
+    Bucketed.append(assigned, table, "cell", buckets)
+  }
+
   /** Top-k cosine probe of a query batch against persisted index frames.
     * Exposed frame-first so callers (and the spec's unbucketed control)
     * can supply any assignment source; [[topK]] is the catalog form.

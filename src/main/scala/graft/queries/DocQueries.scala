@@ -144,6 +144,41 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** s14: leakage-safe cluster-aware train/test split — the
+    * contamination guard random splits cannot give (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": near-
+    * duplicate train/test pairs inflate eval): the split unit is d10's
+    * near-dup CLUSTER, not the document, so every jaccard>=0.5 relation
+    * lands wholly in train or wholly in test and no test document has a
+    * near-duplicate in train by construction. The draw is the repo's
+    * deterministic md5 hash on the CLUSTER label (20% test via mod 5),
+    * so membership is reproducible and oracle-checkable; `n_cluster`
+    * rides along as the audit column (singleton docs split i.i.d., big
+    * boilerplate clusters move as blocks — the visible cost of safety).
+    * Scale: the expensive subplan is d10's pair frame, shared through
+    * the same persisted [[thresholdedPairs]]; on top of it one
+    * label agg + one cluster-keyed size join — linear.
+    */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = thresholdedPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val lab = Components
+      .connectedComponentsAuto(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val sz = lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_cluster"))
+    lab
+      .join(sz, Seq("cluster_id"))
+      .withColumn(
+        "split",
+        when(
+          pmod(graft.operators.Sketches.hash32("split", col("cluster_id")), lit(5L)) === 0L,
+          lit("test"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_id"), col("n_cluster"), col("split"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   /** d11: exact long-substring overlap ([[Dedup.substringOverlapPairs]],
     * k=15) — the Lee et al. 2022 "verbatim copy" detector next to d2's
     * bag-of-shingles Jaccard: a pair appears iff the two docs share an
@@ -2025,6 +2060,7 @@ object DocQueries {
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
     "d4_simhash" -> (simhash(_, _)),
     "d10_dedup_clusters" -> (dedupClusters(_, _)),
+    "s14_cluster_split" -> (clusterSplit(_, _)),
     "d11_substring_dedup" -> (substringDedup(_, _)),
     "d12_incremental_dedup" -> (incrementalDedup(_, _)),
     "d18_incremental_neardup" -> (incrementalNearDup(_, _)),
@@ -2752,6 +2788,23 @@ object DocQueries {
          |SELECT a AS doc_id, min(b) AS canonical_id,
          |  CAST(CASE WHEN min(b) <> a THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
+    "s14_cluster_split" ->
+      s"""WITH RECURSIVE $shinglePairs,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sz AS (SELECT cluster_id, count(*) AS n_cluster FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.n_cluster,
+         |  CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(l.cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin,
     "d11_substring_dedup" -> {
       val kg = SubstrN
       s"""WITH sh AS (

@@ -1871,6 +1871,109 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("channel")))
   }
 
+  /** x4: snapshot isolation / time-travel read ([[graft.sources.Snapshots]])
+    * — the versioned-table lifecycle next to x3's schema evolution: three
+    * commits (overwrite, append, overwrite) against one table directory,
+    * then every HISTORICAL version read back as of its manifest. The gate
+    * pins that v1 stays bit-stable after later commits logically replace
+    * it (time travel), that v2 sees v1's files plus its own (append
+    * semantics), and that v3 sees only its own (overwrite semantics) —
+    * the read-side contract a reproducible training run depends on
+    * ("train against snapshot v2" must mean the same rows forever). The
+    * generation split is event_id mod 3 (scale-free); the oracle derives
+    * each version's expected contents from the base table, so a row
+    * leaked across snapshots diverges the hash. Writes go to a
+    * per-invocation temp directory (the x3 sandbox discipline) and the
+    * timed reps include them — the honest price of a lifecycle gate.
+    */
+  def timeTravelScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapshots").toString
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val perVersion = (1 to 3).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("n_users"), col("sum_cents"),
+          col("min_event_id"), col("max_event_id"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
+  /** x5: zone-map file skipping ([[graft.sources.Snapshots.readVersionRange]])
+    * — the data-skipping half of the lakehouse story z1 audits: the
+    * commit records each file's min/max of the clustering column in the
+    * manifest, and a range read hands the scan ONLY the overlapping
+    * files (planning-time skipping) with the exact BETWEEN kept as the
+    * residual row-group filter. The table is range-clustered by `cents`
+    * at write (repartitionByRange — what OPTIMIZE ... ORDER BY buys), so
+    * a selective spend range touches O(matching files): SnapshotsSpec
+    * pins the actual file-count reduction; this gate pins that pruning
+    * NEVER changes results (the oracle filters the base table directly —
+    * a row lost to an over-eager zone map diverges the hash). File
+    * layout is nondeterministic across runs (range sampling), results
+    * are not — the gate aggregates, never enumerates files.
+    */
+  def zoneMapScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zonemaps").toString
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
+    Snapshots
+      .readVersionRange(spark, dir, 1, 1000L, 4999L)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  /** x6: copy-on-write row-level delete ([[graft.sources.Snapshots
+    * .commitDelete]]) — the erasure lifecycle over x4's snapshots and
+    * x5's zone maps composed: v1 commits the range-clustered table, the
+    * delete rewrites ONLY the files whose zone map overlaps the doomed
+    * spend range (SnapshotsSpec pins the carried-file evidence), and v2
+    * publishes. The gate reads BOTH versions: v1 must still hold every
+    * row (time travel across a delete — the audit/reproducibility
+    * contract), v2 must hold none in the range and all outside it. The
+    * oracle derives both version's expected contents from the base
+    * table, so a row over- or under-deleted diverges the hash.
+    */
+  def rowDeleteScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_deletes").toString
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
+    Snapshots.commitDelete(spark, dir, 1000L, 4999L)
+    val perVersion = (1 to 2).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("cents").between(1000L, 4999L), 1L).otherwise(0L)).as("n_in_range"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("sum_cents"), col("n_in_range"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -2632,6 +2735,54 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("user_id")))
   }
 
+  /** a27: population drift via exact total-variation distance — the
+    * PSI-style binned-histogram drift monitor re-expressed in the repo's
+    * exact-integer discipline: PSI's Σ(p−q)·ln(p/q) needs a per-bin
+    * transcendental (libm-dependent doubles — unhashable across
+    * engines), while TVD = ½·Σ|p_i − q_i| carries the same "how much
+    * mass moved between the reference and current windows" signal in
+    * exact integers (the t23 pattern: re-express the score so ordering
+    * and thresholds survive bit-for-bit). Reference window = the first
+    * half of the event timeline, current = the second (midpoint split
+    * from a 1-row broadcast agg — the q31 shape); bins = cents div 5000
+    * capped at 9 (10 fixed spend bins). Per bin the two counts and
+    * |n_ref·T_cur − n_cur·T_ref| (= |p − q| scaled by T_ref·T_cur,
+    * exact); globally tvd_scaled = Σ of that and the alarm TVD > 0.1 ⟺
+    * 5·tvd_scaled > T_ref·T_cur — integers throughout (headroom: the
+    * products stay under 2^63 while T_ref·T_cur < 9.2e18, i.e. up to
+    * ~3e9 events per window; past that, lift to decimal(38,0)). All
+    * operands non-negative, so `div`/`//` and the comparisons agree.
+    * Plan: one corpus pass into a 10-row hash agg plus three 1-row/
+    * 10-row broadcast joins — no window, nothing scales with the
+    * corpus but the single scan.
+    */
+  def tvdDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("ord_us"), col("cents"))
+    val bounds = broadcast(ev.agg(min(col("ord_us")).as("lo"), max(col("ord_us")).as("hi")))
+    val bins = ev
+      .crossJoin(bounds)
+      .withColumn("is_cur", (col("ord_us") * 2L >= col("lo") + col("hi")).cast("long"))
+      .withColumn("bin", least(expr("cents div 5000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(
+        sum(lit(1L) - col("is_cur")).as("n_ref"),
+        sum(col("is_cur")).as("n_cur"))
+    val tot = broadcast(bins.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur")))
+    val diffs = bins
+      .crossJoin(tot)
+      .withColumn(
+        "diff_scaled",
+        abs(col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")))
+    val tvd = broadcast(diffs.agg(sum(col("diff_scaled")).as("tvd_scaled")))
+    diffs
+      .crossJoin(tvd)
+      .withColumn(
+        "is_drifted",
+        when(col("tvd_scaled") * 5L > col("t_ref") * col("t_cur"), 1L).otherwise(0L))
+      .select("bin", "n_ref", "n_cur", "diff_scaled", "t_ref", "t_cur", "tvd_scaled", "is_drifted")
+      .transform(orderedOutput(_, col("bin")))
+  }
+
   /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
     * and view spend distributions — a23's INTEGRAL twin (KS is the max
     * CDF gap; W₁ = ∫|F₁−F₂|dx is the total transport cost, the drift
@@ -2868,6 +3019,30 @@ object FeatureQueries {
           |  CAST(min(CASE WHEN s > h THEN ord_us END) AS BIGINT) AS first_alarm_us
           |FROM scan GROUP BY user_id
           |ORDER BY user_id""".stripMargin,
+      "a27_tvd_drift" ->
+        s"""WITH prep AS ($prep),
+           |b AS (SELECT min(ord_us) AS lo, max(ord_us) AS hi FROM prep),
+           |binned AS (
+           |  SELECT CASE WHEN p.ord_us * 2 >= b.lo + b.hi THEN 1 ELSE 0 END AS is_cur,
+           |    least(p.cents // 5000, 9) AS bin
+           |  FROM prep p CROSS JOIN b),
+           |bins AS (
+           |  SELECT bin, CAST(sum(1 - is_cur) AS BIGINT) AS n_ref,
+           |    CAST(sum(is_cur) AS BIGINT) AS n_cur
+           |  FROM binned GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+           |    CAST(sum(n_cur) AS BIGINT) AS t_cur
+           |  FROM bins),
+           |diffs AS (
+           |  SELECT bin, n_ref, n_cur,
+           |    abs(n_ref * t.t_cur - n_cur * t.t_ref) AS diff_scaled, t.t_ref, t.t_cur
+           |  FROM bins CROSS JOIN tot t),
+           |tv AS (SELECT CAST(sum(diff_scaled) AS BIGINT) AS tvd_scaled FROM diffs)
+           |SELECT d.bin, d.n_ref, d.n_cur, d.diff_scaled, d.t_ref, d.t_cur, v.tvd_scaled,
+           |  CAST(CASE WHEN v.tvd_scaled * 5 > d.t_ref * d.t_cur THEN 1 ELSE 0 END AS BIGINT) AS is_drifted
+           |FROM diffs d CROSS JOIN tv v
+           |ORDER BY d.bin""".stripMargin,
       "a24_wasserstein" ->
         s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
            |      FROM events WHERE event_type IN ('$MwTypeA', '$MwTypeB')),
@@ -3767,6 +3942,38 @@ object FeatureQueries {
           |  FROM events)
           |GROUP BY channel
           |ORDER BY channel""".stripMargin,
+      "x4_time_travel" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(1, 3)) AS version)
+           |SELECT CAST(v.version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(p.event_id) AS BIGINT) AS min_event_id,
+           |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
+           |FROM v JOIN prep p ON
+           |     (v.version = 1 AND p.event_id % 3 = 0)
+           |  OR (v.version = 2 AND p.event_id % 3 IN (0, 1))
+           |  OR (v.version = 3 AND p.event_id % 3 = 2)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x5_zone_map_skip" ->
+        s"""WITH prep AS ($prep)
+           |SELECT CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents,
+           |  CAST(max(cents) AS BIGINT) AS max_cents
+           |FROM prep WHERE cents BETWEEN 1000 AND 4999""".stripMargin,
+      "x6_row_delete" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(1, 2)) AS version)
+           |SELECT CAST(v.version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(CASE WHEN p.cents BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
+           |FROM v JOIN prep p
+           |  ON v.version = 1 OR p.cents NOT BETWEEN 1000 AND 4999
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "x1_partitioned_scan" ->
         """SELECT event_type,
           |  count(*) AS n_events,
@@ -4101,6 +4308,7 @@ object FeatureQueries {
     "a23_ks_test" -> (ksTest(_, _)),
     "a24_wasserstein" -> (wassersteinDistance(_, _)),
     "a26_cusum_drift" -> (cusumDrift(_, _)),
+    "a27_tvd_drift" -> (tvdDrift(_, _)),
     "w29_week_over_week" -> (weekOverWeek(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
@@ -4180,6 +4388,9 @@ object FeatureQueries {
     "w28_gap_histogram" -> (gapHistogram(_, _)),
     "x1_partitioned_scan" -> (partitionedScan(_, _)),
     "x3_schema_evolution" -> (schemaEvolutionScan(_, _)),
+    "x4_time_travel" -> (timeTravelScan(_, _)),
+    "x5_zone_map_skip" -> (zoneMapScan(_, _)),
+    "x6_row_delete" -> (rowDeleteScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

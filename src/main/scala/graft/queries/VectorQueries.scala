@@ -396,6 +396,38 @@ object VectorQueries {
     ivfIndexProbeOnly(spark, sfDir)
   }
 
+  /** v14: incremental IVF maintenance ([[VectorIndex.append]]) — the
+    * index lifecycle BETWEEN rebuilds: train + build on the initial
+    * corpus (vec_id % 10 != 0 here), then a later ingest batch (the
+    * % 10 == 0 rows) is assigned to the EXISTING centroids and appended
+    * into the bucketed assignment table — no retrain, no re-shuffle of
+    * the stored corpus, the FAISS train-once/add-many shape a 100 TB
+    * serving index actually runs (a rebuild per ingest batch would
+    * re-read the whole index). The gate probes the full corpus against
+    * the maintained index: every appended vector is findable, and base
+    * vectors' neighborhoods now include the appended rows. Cell count /
+    * training sample / seeds derive from the BUILD corpus only (the
+    * append must not perturb the quantizer — that is the point);
+    * appended rows are uncapped until the next rebuild (documented in
+    * [[VectorIndex.append]]). The oracle re-derives the same split
+    * lifecycle in SQL, so the gate pins build→append→probe end to end,
+    * parquet round-trip included.
+    */
+  private val IncrTable = "graft_ivf_incr"
+
+  def ivfIncrementalProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    VectorIndex.build(
+      base, "vec_id", "embedding", IncrTable,
+      IvfFloorCells, IvfCapCells, LloydIters, MaxCell, IvfTrainPerCell)
+    VectorIndex.append(spark, IncrTable, delta, "vec_id", "embedding")
+    VectorIndex
+      .topK(spark, IncrTable, emb, "vec_id", "embedding", 1, 1, excludeSelf = true)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   /** v6: ANN quality evaluation — recall@1 of the IVF path (v3) against
     * the brute-force ground truth (v1) over the fixed query set, AS A
     * GATED QUERY: the measurement operator a production ANN deployment
@@ -542,6 +574,7 @@ object VectorQueries {
     "d9_semdedup" -> (semDedup(_, _)),
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
+    "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
 
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
@@ -725,6 +758,63 @@ object VectorQueries {
        |  SELECT cell, c_qv, CAST(list_sum(list_transform(c_qv, x -> x * x)) AS BIGINT) AS c_nrm
        |  FROM (SELECT cell, list(comp ORDER BY pos) AS c_qv FROM m$n GROUP BY cell))""".stripMargin
 
+  /** Nearest-cent2-cell assignment of `src` in SQL — the v14 incremental
+    * oracle needs it three times (build corpus, append batch, probe
+    * side), each against the SAME build-trained centroid frame.
+    */
+  private def assignToCent2(src: String): String =
+    s"""SELECT vec_id, qv, nrm, cell FROM (
+       |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        b.nrm + c.c_nrm
+       |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+       |        c.cell) AS arnk
+       |    FROM $src b CROSS JOIN cent2 c)
+       |  WHERE arnk = 1""".stripMargin
+
+  /** v14's oracle: the build/append split lifecycle re-derived in SQL —
+    * quantizer (cells, training sample, seeds, Lloyd) from the BUILD
+    * corpus only; build side capped, append side not; probe = full
+    * corpus against the union.
+    */
+  private lazy val ivfIncrementalSql: String =
+    s"""WITH $prep,
+       |corpus0 AS (SELECT * FROM base WHERE vec_id % 10 != 0),
+       |delta AS (SELECT * FROM base WHERE vec_id % 10 = 0),
+       |params AS (
+       |  SELECT cnt, least($IvfCapCells, greatest($IvfFloorCells, CAST(floor(sqrt(cnt)) AS BIGINT))) AS c
+       |  FROM (SELECT count(*) AS cnt FROM corpus0)),
+       |params2 AS (
+       |  SELECT cnt, c, greatest(1, cnt // (c * $IvfTrainPerCell)) AS s FROM params),
+       |train AS (
+       |  SELECT b.* FROM corpus0 b CROSS JOIN params2 p
+       |  WHERE CAST(('0x' || substr(md5('kmtrain|' || CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % p.s = 0),
+       |cent0 AS (
+       |  SELECT vec_id AS cell, qv AS c_qv, nrm AS c_nrm FROM (
+       |    SELECT t.*, row_number() OVER (ORDER BY
+       |        substr(md5('kmseed|' || CAST(t.vec_id AS VARCHAR)), 1, 8), t.vec_id) AS srnk
+       |    FROM train t) CROSS JOIN params2 p
+       |  WHERE srnk <= p.c),
+       |${lloydRound("cent0", 1)},
+       |${lloydRound("cent1", 2)},
+       |based AS (
+       |  ${assignToCent2("corpus0")}),
+       |capped AS (
+       |  SELECT * FROM based QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxCell),
+       |deltad AS (
+       |  ${assignToCent2("delta")}),
+       |stored AS (SELECT * FROM capped UNION ALL SELECT * FROM deltad),
+       |probes AS (
+       |  ${assignToCent2("base")}),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.cell AS cell,
+       |    $cosineExpr AS cosine
+       |  FROM probes a JOIN stored b ON b.cell = a.cell AND b.vec_id != a.vec_id)
+       |SELECT query_id, vec_id, cell, rnk, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin
+
   /** The IVF quantizer chain shared by v3 and d9: derived cell count,
     * hash-drawn training sample, md5-rank seeds + 2 Lloyd rounds, nearest-centroid
     * assignment, hot-cell cap. Mirrors [[Similarity.semDedup]] /
@@ -779,6 +869,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "v5_ivf_index_probe" -> ivfTop1Sql,
+    "v14_ivf_incremental" -> ivfIncrementalSql,
     "v6_ann_recall" ->
       s"""WITH $ivfAssignedCtes,
          |exact AS (

@@ -107,6 +107,22 @@ object Bucketed {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Append `df` into an EXISTING bucketed table under the same bucket
+    * spec — the incremental-maintenance write path: new rows hash into
+    * the same `hash(key) % n` layout (Spark validates the spec against
+    * the catalog and refuses a mismatch), so every downstream join or
+    * aggregation on `key` stays exchange-free across appends. Each
+    * append adds up to one file per bucket per writing task;
+    * [[compact]] is the standing answer once the file count accretes.
+    */
+  def append(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Compact a fragmented plain table to ~`targetFileBytes`-sized data

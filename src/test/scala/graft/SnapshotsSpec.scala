@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot table's commit contracts — what x4's oracle gate cannot
+  * see: torn commits stay invisible, history survives logical overwrite,
+  * and version discovery ignores unpublished staging artifacts.
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local("4")
+
+  test("commit/append/overwrite lifecycle: history stays readable and bit-stable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_spec").toString
+    val v1 = Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    val v1Rows = Snapshots.readVersion(spark, dir, v1).as[(Long, Long)].collect().toSet
+    val v2 = Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
+    val v3 = Snapshots.commitOverwrite(Seq((9L, 90L)).toDF("id", "x"), dir)
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(Snapshots.readVersion(spark, dir, 1).as[(Long, Long)].collect().toSet == v1Rows,
+      "v1 must read identically after later commits logically replaced it")
+    assert(Snapshots.readVersion(spark, dir, 2).as[(Long, Long)].collect().toSet
+      == v1Rows + ((3L, 30L)), "append must see previous files plus its own")
+    assert(Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet
+      == Set((9L, 90L)), "overwrite must see only its own files")
+    assert(Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet == Set((9L, 90L)))
+  }
+
+  test("a torn commit (leftover .tmp manifest) is invisible to readers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_torn").toString
+    Snapshots.commitOverwrite(Seq((1L, 1L)).toDF("id", "x"), dir)
+    // simulate a writer that crashed after staging its manifest: data
+    // files and a .tmp exist, the rename never happened
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    java.nio.file.Files.writeString(md.resolve("v2.list.tmp"), "file:/nonexistent.parquet\n")
+    assert(Snapshots.latestVersion(spark, dir) == 1,
+      "an unpublished .tmp manifest must not count as a version")
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 2))
+    // and the NEXT real commit publishes v2 normally over the debris
+    assert(Snapshots.commitAppend(Seq((2L, 2L)).toDF("id", "x"), dir) == 2)
+    assert(Snapshots.readVersion(spark, dir, 2).count() == 2)
+  }
+
+  test("zone maps actually skip files, and never change results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_zonemap").toString
+    val rows = (1L to 4000L).map(i => (i, i % 97))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
+    val pruned = Snapshots.readVersionRange(spark, dir, 1, 100L, 400L)
+    val full = Snapshots.readVersion(spark, dir, 1).filter(col("id").between(100L, 400L))
+    assert(pruned.inputFiles.length < Snapshots.readVersion(spark, dir, 1).inputFiles.length,
+      "the range read must hand the scan strictly fewer files on a range-clustered table")
+    assert(pruned.as[(Long, Long)].collect().toSet == full.as[(Long, Long)].collect().toSet,
+      "pruning must never change results")
+    // a range outside every zone map reads no matching rows
+    assert(Snapshots.readVersionRange(spark, dir, 1, 100000L, 200000L).count() == 0)
+  }
+
+  test("copy-on-write delete rewrites only overlapping files; prior version intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_delete").toString
+    val rows = (1L to 4000L).map(i => (i, i % 97))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
+    val v1Files = Snapshots.readVersion(spark, dir, 1).inputFiles.toSet
+    assert(Snapshots.commitDelete(spark, dir, 100L, 400L) == 2)
+    val v2Files = Snapshots.readVersion(spark, dir, 2).inputFiles.toSet
+    val carried = v1Files.intersect(v2Files)
+    assert(carried.nonEmpty, "files outside the deleted range must be carried, not rewritten")
+    assert(v1Files.diff(v2Files).nonEmpty, "files holding doomed rows must be replaced")
+    // v2 = v1 minus the range; v1 still reads every original row
+    val v2Ids = Snapshots.readVersion(spark, dir, 2).select("id").as[Long].collect().toSet
+    assert(v2Ids == (1L to 4000L).toSet.filterNot(i => i >= 100L && i <= 400L))
+    assert(Snapshots.readVersion(spark, dir, 1).count() == 4000L,
+      "time travel across a delete must still read the undeleted snapshot")
+  }
+
+  test("reads push filters into the snapshot's parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
+    Snapshots.commitOverwrite((1L to 100L).map(i => (i, i * 2)).toDF("id", "x"), dir)
+    val plan = Snapshots
+      .readLatest(spark, dir)
+      .filter(col("id") > 90L)
+      .select("id")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"snapshot read must stay an ordinary pushdown-capable parquet scan:\n$plan")
+  }
+}

@@ -57,6 +57,47 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental append: new vectors findable, layout still exchange-free, quantizer untouched") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    VectorIndex.build(base, "vec_id", "embedding", "ivf_idx_incr", 16, 65536, 2)
+    val centBefore = spark.table("ivf_idx_incr_centroids").collect().toSet
+    val baseRows = spark.table("ivf_idx_incr").count()
+    def probeExchanges(): Int = withNoBroadcast {
+      val plan = VectorIndex
+        .probeFrames(
+          spark.table("ivf_idx_incr"), spark.table("ivf_idx_incr_centroids"),
+          emb, "vec_id", "embedding", 1, excludeSelf = true)
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    val exchangesBefore = probeExchanges()
+
+    VectorIndex.append(spark, "ivf_idx_incr", delta, "vec_id", "embedding")
+
+    // the append must not perturb the quantizer or lose rows
+    assert(spark.table("ivf_idx_incr_centroids").collect().toSet == centBefore,
+      "append must leave the centroid table untouched")
+    assert(spark.table("ivf_idx_incr").count() == baseRows + delta.count(),
+      "every appended row must land in the assignment table")
+
+    // every appended vector is findable as its own exact-match neighbor
+    val found = VectorIndex
+      .topK(spark, "ivf_idx_incr", delta, "vec_id", "embedding", 1)
+      .filter(col("query_id") === col("vec_id") && col("cosine") > 0.999)
+      .count()
+    assert(found == delta.count(),
+      "each appended vector must come back as its own top-1 after append")
+
+    // bucket layout survives the append: the probe plan pays exactly the
+    // exchanges it paid before the append (the unbucketed control in the
+    // build test pins what losing the layout would cost)
+    assert(probeExchanges() == exchangesBefore,
+      "post-append probe must pay no additional exchange")
+  }
+
   test("external query batch keeps an id-colliding index vector as a neighbor") {
     val sf = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sf)
