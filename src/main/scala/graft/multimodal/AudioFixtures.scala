@@ -184,7 +184,10 @@ object AudioFixtures {
     */
   private val AudioFrameLen = 16
 
-  def audioFrames(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The distributed frame-feature frame (unordered — gate outputs add
+    * their own deterministic ordering), shared by m4 and m9.
+    */
+  private def frameFeatures(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val fx = fixtures.map(f => (f.mediaId, f.blob))
     spark
@@ -225,9 +228,12 @@ object AudioFixtures {
         }
       }
       .toDF("media_id", "frame_idx", "n_samples", "energy", "zero_crossings", "peak")
+  }
+
+  def audioFrames(spark: SparkSession, sfDir: String): DataFrame =
+    frameFeatures(spark)
       .orderBy("media_id", "frame_idx")
       .coalesce(1)
-  }
 
   /** DuckDB twin of m4: VALUES literals computed from the ground-truth
     * samples (mix/frame/feature arithmetic re-derived here from the
@@ -252,9 +258,94 @@ object AudioFixtures {
        |ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  /** m9: activity (VAD-shape) segmentation — the silence-trimming stage a
+    * speech pipeline runs on m4's frame features: a frame is ACTIVE when
+    * its mean energy per sample exceeds the clip's own mean (exact
+    * integer cross-multiply `energy·tot_samples > tot_energy·n_samples`
+    * — data-derived, no fixture constant), and consecutive same-flag
+    * frames collapse into segments (the Sessionize flip/running-sum
+    * idiom, keyed windows only). Per segment: the flag, frame extent,
+    * and exact energy mass — the rows a trim/keep decision consumes.
+    * The per-clip threshold makes the operator scale-free: each clip is
+    * judged against itself, so a quiet recording still splits into its
+    * own louder/quieter runs.
+    */
+  def audioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val frames = frameFeatures(spark)
+    val tot = frames
+      .groupBy(col("media_id"))
+      .agg(sum(col("energy")).as("tot_energy"), sum(col("n_samples")).as("tot_samples"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .join(broadcast(tot), Seq("media_id"))
+      .withColumn(
+        "active",
+        (col("energy") * col("tot_samples") > col("tot_energy") * col("n_samples"))
+          .cast("long"))
+      .withColumn(
+        "flip",
+        when(lag(col("active"), 1).over(w).isNull
+          || lag(col("active"), 1).over(w) =!= col("active"), 1L).otherwise(0L))
+      .withColumn("seg_idx", sum(col("flip")).over(run))
+      .groupBy(col("media_id"), col("seg_idx"))
+      .agg(
+        max(col("active")).as("active"),
+        min(col("frame_idx")).as("first_frame"),
+        max(col("frame_idx")).as("last_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"))
+      .orderBy("media_id", "seg_idx")
+      .coalesce(1)
+  }
+
+  /** DuckDB twin of m9: segments re-derived from the ground-truth tuples. */
+  def segmentsOracleSql: String = {
+    val rows = fixtures.filter(_.truth.nonEmpty).flatMap { f =>
+      val mono = f.truth.grouped(f.channels).map(_.sum / f.channels).toSeq
+      val frames = mono.grouped(AudioFrameLen).zipWithIndex.map { case (fr, idx) =>
+        (idx.toLong, fr.length.toLong, fr.map(s => s.toLong * s).sum)
+      }.toSeq
+      val totEnergy = frames.map(_._3).sum
+      val totSamples = frames.map(_._2).sum
+      val flagged = frames.map { case (idx, n, e) =>
+        (idx, n, e, if (e * totSamples > totEnergy * n) 1L else 0L)
+      }
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      var segIdx = 0L
+      var i = 0
+      while (i < flagged.size) {
+        var j = i
+        while (j + 1 < flagged.size && flagged(j + 1)._4 == flagged(i)._4) j += 1
+        segIdx += 1
+        val block = flagged.slice(i, j + 1)
+        segs += s"(${f.mediaId}, $segIdx, ${flagged(i)._4}, ${block.head._1}, " +
+          s"${block.last._1}, ${block.size}, ${block.map(_._3).sum})"
+        i = j + 1
+      }
+      segs
+    }
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       |  CAST(active AS BIGINT) AS active, CAST(first_frame AS BIGINT) AS first_frame,
+       |  CAST(last_frame AS BIGINT) AS last_frame, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(sum_energy AS BIGINT) AS sum_energy
+       |FROM (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |  t(media_id, seg_idx, active, first_frame, last_frame, n_frames, sum_energy)
+       |ORDER BY media_id, seg_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("m2_audio_stats" -> (audioStats(_, _)), "m4_audio_frames" -> (audioFrames(_, _)))
+    Map(
+      "m2_audio_stats" -> (audioStats(_, _)),
+      "m4_audio_frames" -> (audioFrames(_, _)),
+      "m9_audio_segments" -> (audioSegments(_, _)))
 
   val oracle: Map[String, String] =
-    Map("m2_audio_stats" -> oracleSql, "m4_audio_frames" -> framesOracleSql)
+    Map(
+      "m2_audio_stats" -> oracleSql,
+      "m4_audio_frames" -> framesOracleSql,
+      "m9_audio_segments" -> segmentsOracleSql)
 }

@@ -2783,6 +2783,45 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("bin")))
   }
 
+  /** a28: Benford first-digit screen over purchase amounts — the classic
+    * forensic-accounting anomaly test for the reference's own domain
+    * (fabricated transaction amounts have uniform-ish leading digits;
+    * organic ones follow log10(1+1/d)). Exactness discipline: the
+    * Benford expectations are PPM-scaled integer literals (public
+    * constants, they sum to exactly 1,000,000 — no log10 is evaluated in
+    * either engine), the observed share is `n_d·10^6 div N` (exact,
+    * non-negative), and the deviation/flag are integer compares. The
+    * digit is taken from the decimal string (exact in both engines —
+    * floor(log10) in doubles is the classic off-by-one trap). Digits
+    * with zero observations still emit (left join from the 9-row
+    * literal frame), so the output grain is fixed. Plan: one filtered
+    * corpus pass into a ≤9-row agg; everything after is broadcast
+    * arithmetic.
+    */
+  def benfordScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L), (5L, 79181L),
+      (6L, 66947L), (7L, 57992L), (8L, 51153L), (9L, 45757L))
+      .toDF("digit", "benford_ppm")
+    val obs = prepared(spark, sfDir)
+      .filter(col("event_type") === MwTypeA && col("cents") >= 1L)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(obs.agg(sum(col("n_obs")).as("n_total")))
+    broadcast(benford)
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(tot)
+      .withColumn("obs_ppm", expr("n_obs * 1000000 div n_total"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .withColumn("is_anomalous", when(col("dev_ppm") > 20000L, 1L).otherwise(0L))
+      .select(
+        "digit", "n_obs", "n_total", "obs_ppm", "benford_ppm", "dev_ppm", "is_anomalous")
+      .transform(orderedOutput(_, col("digit")))
+  }
+
   /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
     * and view spend distributions — a23's INTEGRAL twin (KS is the max
     * CDF gap; W₁ = ∫|F₁−F₂|dx is the total transport cost, the drift
@@ -3019,6 +3058,27 @@ object FeatureQueries {
           |  CAST(min(CASE WHEN s > h THEN ord_us END) AS BIGINT) AS first_alarm_us
           |FROM scan GROUP BY user_id
           |ORDER BY user_id""".stripMargin,
+      "a28_benford" ->
+        s"""WITH obs AS (
+           |  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |    CAST(count(*) AS BIGINT) AS n_obs
+           |  FROM events
+           |  WHERE event_type = '$MwTypeA' AND CAST(round(value * 100) AS BIGINT) >= 1
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+           |b(digit, benford_ppm) AS (VALUES
+           |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+           |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+           |SELECT CAST(b.digit AS BIGINT) AS digit,
+           |  CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           |  t.n_total,
+           |  CAST(coalesce(o.n_obs, 0) * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
+           |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           |  CAST(abs(coalesce(o.n_obs, 0) * 1000000 // t.n_total - b.benford_ppm) AS BIGINT) AS dev_ppm,
+           |  CAST(CASE WHEN abs(coalesce(o.n_obs, 0) * 1000000 // t.n_total - b.benford_ppm) > 20000
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomalous
+           |FROM b LEFT JOIN obs o ON b.digit = o.digit CROSS JOIN tot t
+           |ORDER BY b.digit""".stripMargin,
       "a27_tvd_drift" ->
         s"""WITH prep AS ($prep),
            |b AS (SELECT min(ord_us) AS lo, max(ord_us) AS hi FROM prep),
@@ -4309,6 +4369,7 @@ object FeatureQueries {
     "a24_wasserstein" -> (wassersteinDistance(_, _)),
     "a26_cusum_drift" -> (cusumDrift(_, _)),
     "a27_tvd_drift" -> (tvdDrift(_, _)),
+    "a28_benford" -> (benfordScreen(_, _)),
     "w29_week_over_week" -> (weekOverWeek(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
