@@ -1241,7 +1241,20 @@ object RelationalQueries {
     */
   private val LpaRounds = 3
 
-  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropagation(spark, sfDir, eagerRelease = false)
+
+  /** `eagerRelease` trades one blocking job per round for bounded cache:
+    * materialize each round, then free the previous round's label frame
+    * — without it a long LPA chain holds |nodes| × rounds cached rows
+    * until CacheScope's batch-end reclaim, which at 100× corpus and many
+    * rounds is real executor memory held for nothing. At the gate's 3
+    * rounds the held memory is trivial and the extra per-round job
+    * overhead dominates (measured 0.7 s lazy vs 4.2 s eager at sf0.1),
+    * so the GATE runs lazy; a long-chain caller flips the flag — the
+    * same memory-vs-latency dial g12's per-round localCheckpoint turns.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String, eagerRelease: Boolean): DataFrame = {
     val e = coOccurrenceEdges(spark, sfDir)
     val und = e
       .select(col("a").as("src"), col("b").as("dst"))
@@ -1259,14 +1272,12 @@ object RelationalQueries {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize THIS round (one count job), then free the previous
-      // round's label frame: without the eager release a long LPA chain
-      // holds |nodes| x rounds cached rows until batch end (CacheScope
-      // reclaims them eventually, but at 100x that is real executor
-      // memory held for nothing). round 0's `prev` is the unpersisted
-      // seed projection — unpersist is a harmless no-op there.
-      labels.count()
-      prev.unpersist()
+      if (eagerRelease) {
+        // round 0's `prev` is the unpersisted seed — unpersist no-ops
+        labels.count()
+        prev.unpersist()
+        ()
+      }
       r += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))

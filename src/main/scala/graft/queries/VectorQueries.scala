@@ -411,7 +411,11 @@ object VectorQueries {
     * appended rows are uncapped until the next rebuild (documented in
     * [[VectorIndex.append]]). The oracle re-derives the same split
     * lifecycle in SQL, so the gate pins build→append→probe end to end,
-    * parquet round-trip included.
+    * parquet round-trip included. Timed reps include the build+append
+    * writes (the honest price of a lifecycle gate, the x3/x4 convention);
+    * v5's split build/probe headlines already carry the amortized serving
+    * numbers, and the append path's standalone cost is one assignment
+    * scan of the batch.
     */
   private val IncrTable = "graft_ivf_incr"
 

@@ -13,6 +13,16 @@ class GraphLayoutSpec extends AnyFunSuite {
   lazy val spark = Sessions.local("4")
   import spark.implicits._
 
+  test("g13: eager-release LPA path is bit-identical to the lazy gate path") {
+    val sf = "/root/testdata/sf0.001"
+    val lazyRows = queries.RelationalQueries
+      .labelPropagation(spark, sf).collect().toSet
+    val eagerRows = queries.RelationalQueries
+      .labelPropagation(spark, sf, eagerRelease = true).collect().toSet
+    assert(lazyRows.nonEmpty && lazyRows == eagerRows,
+      "the memory-bounded long-chain path must not change results")
+  }
+
   test("triangles: K4 minus an edge — exact participation counts") {
     // K4 on {1,2,3,4} without (3,4): triangles (1,2,3) and (1,2,4)
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

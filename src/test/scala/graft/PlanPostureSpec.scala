@@ -499,6 +499,23 @@ class PlanPostureSpec extends AnyFunSuite {
       s"partition filters should carry event_type: ${scan.get.partitionFilters}")
   }
 
+  test("j11: chained as-of joins cost two user-keyed window passes — no range BNLJ") {
+    val df = queries.FeatureQueries.trainingDataset(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2 && windows.forall(_.partitionSpec.nonEmpty),
+      s"two keyed as-of windows expected, got ${windows.size}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the as-of chain must stay union+window, never a range join:\n$plan")
+    // each AsOfJoin pass = exactly one exchange keyed by user_id ALONE
+    // (the feature-group rollups exchange on composite keys and don't match)
+    val userOnly = "hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(plan).length
+    assert(userOnly == 2,
+      s"chained as-of should cost exactly two user-keyed exchanges, got $userOnly:\n$plan")
+  }
+
   /** The scale-killer class r8 found — `Window.orderBy(...)` with no
     * PARTITION BY funnels its whole input through ONE partition — is
     * banned as an INVARIANT over every gated query, not just the three
