@@ -1974,6 +1974,35 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version")))
   }
 
+  /** x7: vacuum (retention) read — the erasure lifecycle COMPLETED: after
+    * x6's copy-on-write delete, the doomed rows still exist physically in
+    * the expired version's files; [[graft.sources.Snapshots.vacuum]]
+    * reference-counts data files across the surviving manifests and
+    * deletes the unreferenced ones plus the expired manifests — only then
+    * is the GDPR contract physically honored. The gate vacuums down to
+    * the post-delete version and reads it: bit-identical to x6's v2 (the
+    * oracle derives it from the base table), proving the pass deleted
+    * ONLY unreferenced files. SnapshotsSpec pins the sharper
+    * reference-counting contracts (append-carried files survive a vacuum
+    * that still keeps any referencing version; expired versions stop
+    * reading).
+    */
+  def vacuumScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
+    Snapshots.commitDelete(spark, dir, 1000L, 4999L)
+    Snapshots.vacuum(spark, dir, keepFrom = 2)
+    Snapshots
+      .readLatest(spark, dir)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("cents").between(1000L, 4999L), 1L).otherwise(0L)).as("n_in_range"))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -4034,6 +4063,13 @@ object FeatureQueries {
            |FROM v JOIN prep p
            |  ON v.version = 1 OR p.cents NOT BETWEEN 1000 AND 4999
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x7_vacuum_read" ->
+        s"""WITH prep AS ($prep)
+           |SELECT CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(CASE WHEN cents BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
+           |FROM prep WHERE cents NOT BETWEEN 1000 AND 4999""".stripMargin,
       "x1_partitioned_scan" ->
         """SELECT event_type,
           |  count(*) AS n_events,
@@ -4452,6 +4488,7 @@ object FeatureQueries {
     "x4_time_travel" -> (timeTravelScan(_, _)),
     "x5_zone_map_skip" -> (zoneMapScan(_, _)),
     "x6_row_delete" -> (rowDeleteScan(_, _)),
+    "x7_vacuum_read" -> (vacuumScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

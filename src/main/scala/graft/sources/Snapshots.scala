@@ -204,6 +204,46 @@ object Snapshots {
     v
   }
 
+  /** Scheme-insensitive file identity ("file:///x" == "file:/x" — manifest
+    * paths come from input_file_name URIs, listings from Hadoop Paths).
+    */
+  private def fileKey(p: String): String = new Path(p).toUri.getPath
+
+  /** Retention pass — the physical-erasure half every manifest-based
+    * format splits off from its logical operations: delete every data
+    * file referenced by NO surviving version (>= `keepFrom`) and drop the
+    * expired manifests. A file carried forward by appends survives as
+    * long as ANY surviving version lists it — reference counting is by
+    * file, not by the commit that wrote it. After vacuum, time travel
+    * before `keepFrom` is gone (that is the point: commitDelete's doomed
+    * rows stop being readable ANYWHERE once the versions holding them
+    * expire), and every surviving version still reads bit-identically
+    * (SnapshotsSpec pins both). Returns the number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Int = {
+    val latest = latestVersion(spark, dir)
+    require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
+    val referenced = (keepFrom to latest)
+      .flatMap(v => readManifest(spark, dir, v)._2.map(e => fileKey(e.path)))
+      .toSet
+    val dataDir = new Path(dir, "data")
+    val f = fs(spark, dataDir)
+    var deleted = 0
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      val doomed = scala.collection.mutable.ListBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")
+          && !referenced.contains(fileKey(st.getPath.toString)))
+          doomed += st.getPath
+      }
+      doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    (1 until keepFrom).foreach(v => f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
+    deleted
+  }
+
   /** Read the table exactly as of `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(readManifest(spark, dir, version)._2.map(_.path): _*)

@@ -79,6 +79,33 @@ class SnapshotsSpec extends AnyFunSuite {
       "time travel across a delete must still read the undeleted snapshot")
   }
 
+  test("vacuum reference-counts by FILE: carried files survive, expired versions die") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_vacuum").toString
+    val rows = (1L to 4000L).map(i => (i, i % 97))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
+    Snapshots.commitAppend(
+      (4001L to 4100L).map(i => (i, i % 97)).toDF("id", "x"), dir, Some("id"))
+    Snapshots.commitDelete(spark, dir, 100L, 400L)
+    val v3Before = Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet
+
+    // keepFrom = 2: v2 still references EVERY v1 file (append carried
+    // them), so nothing is deletable yet — only v1's manifest expires
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 2) == 0,
+      "files referenced by a surviving version must never be deleted")
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 1))
+    assert(Snapshots.readVersion(spark, dir, 2).count() == 4100L)
+
+    // keepFrom = 3: only now do the delete-rewritten originals lose their
+    // last reference and get erased; v3 must read bit-identically after
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 3) > 0,
+      "the rewritten-away files must be physically erased once unreferenced")
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 2))
+    assert(Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet == v3Before,
+      "surviving versions must read bit-identically across a vacuum")
+  }
+
   test("reads push filters into the snapshot's parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
