@@ -2815,7 +2815,10 @@ object FeatureQueries {
   /** a28: Benford first-digit screen over purchase amounts — the classic
     * forensic-accounting anomaly test for the reference's own domain
     * (fabricated transaction amounts have uniform-ish leading digits;
-    * organic ones follow log10(1+1/d)). Exactness discipline: the
+    * organic ones follow log10(1+1/d)). Where a14 profiles the observed
+    * digit shares per type, this gate carries the LAW itself and the
+    * verdict: deviation against Benford's expected frequencies and the
+    * anomaly flag an auditor acts on. Exactness discipline: the
     * Benford expectations are PPM-scaled integer literals (public
     * constants, they sum to exactly 1,000,000 — no log10 is evaluated in
     * either engine), the observed share is `n_d·10^6 div N` (exact,
@@ -2849,6 +2852,98 @@ object FeatureQueries {
       .select(
         "digit", "n_obs", "n_total", "obs_ppm", "benford_ppm", "dev_ppm", "is_anomalous")
       .transform(orderedOutput(_, col("digit")))
+  }
+
+  /** a29: quantile binning with the FIT/TRANSFORM split — a13's binning
+    * is descriptive (per-type quartiles over the whole stream); this is
+    * the sklearn-discipline form a TRAINING pipeline needs: the quartile
+    * cut points derive from TRAIN rows only (holdout never influences
+    * its own binning — the leakage j11/s14 guard against, applied to a
+    * transform), then broadcast onto every event. Cut points are the
+    * exact inverse-CDF values — smallest v with 4·cdf(v) ≥ k·n over the
+    * train distinct-value frame via [[Ranks.cumulativeOverDistinct]]
+    * (the a23/a24 two-pass scan: no single-partition window anywhere,
+    * where a13's per-type ranks are naturally keyed) — so there is no
+    * interpolation and no float quantile definition to disagree on.
+    * Output: per-bin train/holdout populations and extents with the
+    * fitted cuts as audit columns. Plan: one train rollup + two-pass
+    * scan + 1-row broadcast cuts + one corpus pass into a 4-row agg.
+    */
+  def quantileBinningTrainFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir)
+      .select(col("event_id"), col("cents"))
+      .withColumn("is_train", (pmod(col("event_id"), lit(5L)) =!= 0L).cast("long"))
+    val trainVals = ev
+      .filter(col("is_train") === 1L)
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Ranks.cumulativeOverDistinct(trainVals, "cents", Seq("c"))
+    val n = broadcast(ev.filter(col("is_train") === 1L).agg(count(lit(1)).as("n")))
+    val cuts = broadcast(
+      cum
+        .crossJoin(n)
+        .agg(
+          min(when(col("cum_c") * 4L >= col("n"), col("cents"))).as("q1"),
+          min(when(col("cum_c") * 4L >= col("n") * 2L, col("cents"))).as("q2"),
+          min(when(col("cum_c") * 4L >= col("n") * 3L, col("cents"))).as("q3")))
+    ev.crossJoin(cuts)
+      .withColumn(
+        "bin",
+        (col("cents") > col("q1")).cast("long")
+          + (col("cents") > col("q2")).cast("long")
+          + (col("cents") > col("q3")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("is_train")).as("n_train"),
+        sum(lit(1L) - col("is_train")).as("n_holdout"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .crossJoin(cuts)
+      .select(
+        "bin", "n_train", "n_holdout", "min_cents", "max_cents", "sum_cents",
+        "q1", "q2", "q3")
+      .transform(orderedOutput(_, col("bin")))
+  }
+
+  /** f15: SMOOTHED target encoding with the fit/apply split — f13's
+    * leave-one-out form encodes within one dataset; this is the other
+    * standard variant (CatBoost/category-encoders "target encoding with
+    * additive smoothing"): the encoding derives exclusively from TRAIN
+    * rows, shrunk toward the global train rate by [[TePrior]]
+    * pseudo-counts (the thin-category guard LOO lacks), and applies to
+    * holdout as a broadcast lookup — the split that keeps holdout labels
+    * out of their own features. Exactness: the smoothed rate
+    * (n_pos + m·p_glob)/(n + m) is carried as the exact integer rational
+    * enc_num = n_pos·n_glob + m·pos_glob over
+    * enc_den = (n_train + m)·n_glob, with the ONE double division at
+    * export. Plan: one corpus pass into a |categories|-row agg + a 1-row
+    * broadcast global.
+    */
+  private val TePrior = 100L
+
+  def targetEncodingSmoothed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(
+      col("event_id"),
+      col("event_type"),
+      when(col("cents") >= 15000L, 1L).otherwise(0L).as("label"),
+      (pmod(col("event_id"), lit(5L)) =!= 0L).cast("long").as("is_train"))
+    val glob = broadcast(
+      ev.filter(col("is_train") === 1L)
+        .agg(count(lit(1)).as("n_glob"), sum(col("label")).as("pos_glob")))
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(col("is_train")).as("n_train"),
+        sum(col("is_train") * col("label")).as("n_pos"),
+        sum(lit(1L) - col("is_train")).as("n_holdout"))
+      .crossJoin(glob)
+      .withColumn("enc_num", col("n_pos") * col("n_glob") + lit(TePrior) * col("pos_glob"))
+      .withColumn("enc_den", (col("n_train") + lit(TePrior)) * col("n_glob"))
+      .withColumn("encoding", col("enc_num").cast("double") / col("enc_den").cast("double"))
+      .select(
+        "event_type", "n_train", "n_pos", "n_holdout", "n_glob", "pos_glob",
+        "enc_num", "enc_den", "encoding")
+      .transform(orderedOutput(_, col("event_type")))
   }
 
   /** a24: 1-D Wasserstein-1 (earth-mover) distance between the purchase
@@ -3087,6 +3182,61 @@ object FeatureQueries {
           |  CAST(min(CASE WHEN s > h THEN ord_us END) AS BIGINT) AS first_alarm_us
           |FROM scan GROUP BY user_id
           |ORDER BY user_id""".stripMargin,
+      "a29_binning_trainfit" ->
+        s"""WITH prep AS ($prep),
+           |ev AS (
+           |  SELECT event_id, cents,
+           |    CAST(CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END AS BIGINT) AS is_train
+           |  FROM prep),
+           |tv AS (SELECT cents, count(*) AS c FROM ev WHERE is_train = 1 GROUP BY 1),
+           |cum AS (
+           |  SELECT cents,
+           |    CAST(sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+           |  FROM tv),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev WHERE is_train = 1),
+           |cuts AS (
+           |  SELECT
+           |    min(CASE WHEN cum_c * 4 >= nn.n THEN cents END) AS q1,
+           |    min(CASE WHEN cum_c * 4 >= nn.n * 2 THEN cents END) AS q2,
+           |    min(CASE WHEN cum_c * 4 >= nn.n * 3 THEN cents END) AS q3
+           |  FROM cum CROSS JOIN nn),
+           |binned AS (
+           |  SELECT e.cents, e.is_train,
+           |    CAST(CASE WHEN e.cents > c.q1 THEN 1 ELSE 0 END
+           |      + CASE WHEN e.cents > c.q2 THEN 1 ELSE 0 END
+           |      + CASE WHEN e.cents > c.q3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+           |  FROM ev e CROSS JOIN cuts c)
+           |SELECT b.bin,
+           |  CAST(sum(b.is_train) AS BIGINT) AS n_train,
+           |  CAST(sum(1 - b.is_train) AS BIGINT) AS n_holdout,
+           |  CAST(min(b.cents) AS BIGINT) AS min_cents,
+           |  CAST(max(b.cents) AS BIGINT) AS max_cents,
+           |  CAST(sum(b.cents) AS BIGINT) AS sum_cents,
+           |  c.q1, c.q2, c.q3
+           |FROM binned b CROSS JOIN cuts c
+           |GROUP BY b.bin, c.q1, c.q2, c.q3
+           |ORDER BY b.bin""".stripMargin,
+      "f15_target_smoothed" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, event_type,
+           |    CAST(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 15000 THEN 1 ELSE 0 END AS BIGINT) AS label,
+           |    CAST(CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END AS BIGINT) AS is_train
+           |  FROM events),
+           |gtot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_glob, CAST(sum(label) AS BIGINT) AS pos_glob
+           |  FROM ev WHERE is_train = 1)
+           |SELECT e.event_type,
+           |  CAST(sum(e.is_train) AS BIGINT) AS n_train,
+           |  CAST(sum(e.is_train * e.label) AS BIGINT) AS n_pos,
+           |  CAST(sum(1 - e.is_train) AS BIGINT) AS n_holdout,
+           |  g.n_glob, g.pos_glob,
+           |  CAST(sum(e.is_train * e.label) * g.n_glob + $TePrior * g.pos_glob AS BIGINT) AS enc_num,
+           |  CAST((sum(e.is_train) + $TePrior) * g.n_glob AS BIGINT) AS enc_den,
+           |  CAST(sum(e.is_train * e.label) * g.n_glob + $TePrior * g.pos_glob AS DOUBLE)
+           |    / CAST((sum(e.is_train) + $TePrior) * g.n_glob AS DOUBLE) AS encoding
+           |FROM ev e CROSS JOIN gtot g
+           |GROUP BY e.event_type, g.n_glob, g.pos_glob
+           |ORDER BY e.event_type""".stripMargin,
       "a28_benford" ->
         s"""WITH obs AS (
            |  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -4406,6 +4556,8 @@ object FeatureQueries {
     "a26_cusum_drift" -> (cusumDrift(_, _)),
     "a27_tvd_drift" -> (tvdDrift(_, _)),
     "a28_benford" -> (benfordScreen(_, _)),
+    "a29_binning_trainfit" -> (quantileBinningTrainFit(_, _)),
+    "f15_target_smoothed" -> (targetEncodingSmoothed(_, _)),
     "w29_week_over_week" -> (weekOverWeek(_, _)),
     "s12_poisson_bootstrap" -> (poissonBootstrap(_, _)),
     "k7_ams_f2" -> (amsF2(_, _)),
