@@ -548,15 +548,22 @@ class PlanPostureSpec extends AnyFunSuite {
         w.orderSpec.forall(_.child.references.forall(_.name == "__pid"))
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val cleanWhitelisted = scala.collection.mutable.ListBuffer.empty[String]
+    val cartesians = scala.collection.mutable.ListBuffer.empty[String]
     CacheScope.scoped(spark) {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-        val emptySpec = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        val qe = fn(spark, sf).queryExecution
+        val emptySpec = qe.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty && !isRanksPidPrefix(w) =>
             w
         }
         if (emptySpec.nonEmpty && !whitelist.contains(name)) offenders += name
         if (emptySpec.isEmpty && whitelist.contains(name)) cleanWhitelisted += name
+        // a true CartesianProduct (a non-broadcast cross join — every
+        // crossJoin in the repo pairs a broadcast/1-row frame, which
+        // plans as BNLJ with a bounded build side) is never acceptable:
+        // it shuffles BOTH sides everywhere. Banned with NO whitelist.
+        if (qe.executedPlan.toString.contains("CartesianProduct")) cartesians += name
       }
     }
     assert(
@@ -567,5 +574,8 @@ class PlanPostureSpec extends AnyFunSuite {
       cleanWhitelisted.isEmpty,
       s"stale whitelist entries (gate no longer plans an unpartitioned window): " +
         cleanWhitelisted.mkString(", "))
+    assert(
+      cartesians.isEmpty,
+      s"CartesianProduct planned (broadcast the small side): ${cartesians.mkString(", ")}")
   }
 }
