@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Sessionize
-import graft.streaming.{SessionEmit, SessionProcessor}
+import graft.streaming.{SessionEmit, SessionProcessor, SessionTimerProcessor}
 import graft.streaming.StreamingAgg.StreamEvent
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -76,6 +76,63 @@ class StreamingSessionSpec extends AnyFunSuite {
 
     assert(streamed.nonEmpty && streamed == batch,
       s"streaming sessions diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
+  test("timer form: the watermark closes final sessions — full parity, NO flush events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id").as("userId"), col("ord_us").as("ordUs"), col("cents"))
+      .as[StreamEvent]
+      .collect()
+      .groupBy(e => (e.userId, e.ordUs))
+      .map(_._2.head)
+      .toSeq
+      .sortBy(e => (e.ordUs, e.userId))
+
+    val source = MemoryStream[StreamEvent]
+    val sink = s"sess_timer_${System.nanoTime()}"
+    val q = SessionTimerProcessor
+      .sessions(source.toDS(), GapUs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    val streamed =
+      try {
+        events.grouped(math.max(1, events.size / 7)).foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+        // one watermark-only nudge: a single event for ONE synthetic key
+        // far in the future advances the GLOBAL watermark past every real
+        // key's gap deadline, so the per-key TIMERS (not data) close all
+        // final sessions — this is precisely what the flush-per-key form
+        // cannot do
+        val nudgeTs = events.map(_.ordUs).max + 100L * GapUs
+        source.addData(StreamEvent(-1L, nudgeTs, 0L))
+        q.processAllAvailable()
+        q.processAllAvailable() // the no-data batch that fires the timers
+        spark.table(sink).as[SessionEmit].collect().toSet
+      } finally q.stop()
+
+    val batch = Sessionize
+      .sessionRollup(events.toDF(), "userId", "ordUs", GapUs, "cents")
+      .select("userId", "session_idx", "n_events", "start_us", "end_us", "span_us", "sum_cents")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(t => SessionEmit(t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+      .toSet
+
+    // the nudge key's own (still-open) session never emits; every real
+    // key's FULL history — final sessions included — must match batch
+    val real = streamed.filterNot(_.userId == -1L)
+    assert(real.nonEmpty && real == batch,
+      s"timer-closed sessions diverged: ${real.diff(batch).take(3)} vs ${batch.diff(real).take(3)}")
   }
 
   test("open-session state survives a query restart from checkpoint") {
