@@ -101,7 +101,17 @@ object ScaleBench {
     // 3-round synchronous label propagation (join + hash-agg argmax per round)
     "g13_label_propagation",
     // 3 alternating hub/authority join+agg rounds over the order bipartite graph
-    "g14_hits")
+    "g14_hits",
+    // r10 additions — the corpus-shaped new gates: chunk-grid sub-document
+    // dedup (one explode + two hash aggs + chunk-hash join), the
+    // cluster-aware split (components over the shared thresholded pair
+    // frame + size join), the chained as-of training-set build (two
+    // user-keyed window passes over 10x events), and the incremental IVF
+    // lifecycle (train on 9/10, assign+append 1/10, probe all)
+    "t30_line_dedup",
+    "s14_cluster_split",
+    "j11_training_dataset",
+    "v14_ivf_incremental")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
