@@ -32,6 +32,7 @@ object Snapshots {
 
   private val VersionRe = "v(\\d+)\\.list".r
   private val StatsHeader = "#stats="
+  private val BatchHeader = "#batch="
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,7 +68,7 @@ object Snapshots {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
-    val statsCol = lines.headOption.filter(_.startsWith(StatsHeader)).map(_.drop(StatsHeader.length))
+    val statsCol = lines.find(_.startsWith(StatsHeader)).map(_.drop(StatsHeader.length))
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       line.split('\t') match {
         case Array(p, mn, mx) => ManifestEntry(p, Some(mn.toLong), Some(mx.toLong))
@@ -78,11 +79,64 @@ object Snapshots {
     (statsCol, entries)
   }
 
+  /** The most recent `#batch=` header across versions, scanning from the
+    * latest downward (a non-sink commit between sink commits leaves its
+    * manifest headerless; the sink's idempotence question is "what is
+    * the highest batch id ever committed", so the scan skips those).
+    */
+  private def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val latest = latestVersion(spark, dir)
+    (latest to 1 by -1).iterator
+      .map { v =>
+        val mf = new Path(manifestDir(dir), s"v$v.list")
+        val in = fs(spark, mf).open(mf)
+        try
+          scala.io.Source
+            .fromInputStream(in, "UTF-8")
+            .getLines()
+            .find(_.startsWith(BatchHeader))
+            .map(_.drop(BatchHeader.length).toLong)
+        finally in.close()
+      }
+      .collectFirst { case Some(id) => id }
+  }
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch sink contract:
+    * Structured Streaming replays a failed micro-batch with the SAME
+    * (batchId, data), so committing the batch id inside the manifest
+    * makes the retry provably a no-op: a crash before the manifest
+    * rename left no version (the retry re-runs cleanly — staged orphan
+    * files are vacuum fodder, never visible); a crash after the rename
+    * but before the checkpoint commit replays a batch id ≤ the recorded
+    * one and is SKIPPED. This is the idempotent-sink pattern that turns
+    * at-least-once replay into exactly-once table contents. Returns
+    * whether the batch was committed (false = already present).
+    */
+  def commitAppendExactlyOnce(
+      df: DataFrame,
+      dir: String,
+      batchId: Long,
+      statsCol: Option[String] = None): Boolean = {
+    val spark = df.sparkSession
+    if (lastBatchId(spark, dir).exists(_ >= batchId)) false
+    else {
+      commit(df, dir, carryForward = true, statsCol, batchId = Some(batchId))
+      true
+    }
+  }
+
+  /** A foreachBatch function writing this table exactly-once:
+    * `stream.writeStream.foreachBatch(Snapshots.sink(dir)).start()`.
+    */
+  def sink(dir: String, statsCol: Option[String] = None): (DataFrame, Long) => Unit =
+    (df, batchId) => { commitAppendExactlyOnce(df, dir, batchId, statsCol); () }
+
   private def commit(
       df: DataFrame,
       dir: String,
       carryForward: Boolean,
-      statsCol: Option[String]): Int = {
+      statsCol: Option[String],
+      batchId: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val v = latestVersion(spark, dir) + 1
     val stage = new Path(dir, s"data/commit-v$v")
@@ -119,7 +173,7 @@ object Snapshots {
           s"append stats column $statsCol must match the carried snapshot's $prevCol")
         prev
       } else Nil
-    publish(spark, dir, v, statsCol, carried ++ staged)
+    publish(spark, dir, v, statsCol, carried ++ staged, batchId)
     v
   }
 
@@ -132,12 +186,14 @@ object Snapshots {
       dir: String,
       v: Int,
       statsCol: Option[String],
-      entries: Seq[ManifestEntry]): Unit = {
+      entries: Seq[ManifestEntry],
+      batchId: Option[Long] = None): Unit = {
     val md = manifestDir(dir)
     val f = fs(spark, md)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.list.tmp")
-    val header = statsCol.map(c => s"$StatsHeader$c\n").getOrElse("")
+    val header = statsCol.map(c => s"$StatsHeader$c\n").getOrElse("") +
+      batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val body = entries.map { e =>
       (e.min, e.max) match {
         case (Some(mn), Some(mx)) => s"${e.path}\t$mn\t$mx"

@@ -106,6 +106,44 @@ class SnapshotsSpec extends AnyFunSuite {
       "surviving versions must read bit-identically across a vacuum")
   }
 
+  test("exactly-once streaming sink: a replayed micro-batch is a no-op") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snap_sink").toString
+    val dir = s"$root/table"
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = source
+      .toDS()
+      .toDF("id", "x")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(Snapshots.sink(dir))
+      .start()
+    try {
+      source.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      source.addData((3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def tableRows() = Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet
+    assert(tableRows() == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "the sink must land every micro-batch exactly once")
+
+    // the at-least-once failure mode: the engine replays batch 1 (same
+    // id, same data) after a crash between manifest rename and
+    // checkpoint commit — the recorded batch id makes it a no-op
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    assert(!Snapshots.commitAppendExactlyOnce(Seq((3L, 30L)).toDF("id", "x"), dir, 1L),
+      "a replayed batch id must be skipped")
+    assert(Snapshots.latestVersion(spark, dir) == vBefore && tableRows().size == 3,
+      "the replay must leave the table untouched")
+
+    // a genuinely new batch id still commits
+    assert(Snapshots.commitAppendExactlyOnce(Seq((4L, 40L)).toDF("id", "x"), dir, 2L))
+    assert(tableRows() == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
   test("reads push filters into the snapshot's parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
