@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CusumProcessor, SessionProcessor, StreamingSketch, TrailingAggProcessor}
+import graft.streaming.{CusumProcessor, SessionProcessor, SessionTimerProcessor, StreamingSketch, TrailingAggProcessor}
 import graft.streaming.StreamingAgg.StreamEvent
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -26,7 +26,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - sessions  (SessionProcessor, ValueState): exactly one open-session
   *     row per key; the 30 s gap sits below the 60 s event spacing so
   *     EVERY arrival closes-and-emits — the emission-heavy path, where a
-  *     per-emission regression would show directly in the rate ratio.
+  *     per-emission regression would show directly in the rate ratio;
+  *   - sessions_timer (SessionTimerProcessor, event-time mode): the same
+  *     fold plus the watermark machinery under maximum churn — every
+  *     arrival deletes the previous per-key timer and arms the next, so
+  *     the cell prices the timer-state round-trips the TimeMode.None
+  *     form avoids; per-key live timers stay at one by construction.
   *
   * Each cell replays a deterministic keyed event stream through a
   * MemoryStream in [[Chunks]] micro-batches (state must carry across
@@ -149,6 +154,8 @@ object StreamScaleBench {
         ("trailing", "append", s => TrailingAggProcessor.trailingAgg(s.toDS()).toDF()),
         ("cusum", "append", s => CusumProcessor.cusum(s.toDS(), mu0 = 100L, slack = 10L).toDF()),
         ("sessions", "append", s => SessionProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
+        ("sessions_timer", "append", s =>
+          SessionTimerProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
         ("sketch", "complete", s =>
           StreamingSketch.countMinStream(
             s.toDS().toDF(), col("userId"), col("cents"), depth = 5, width = 2048, seed = "ss")))
