@@ -10,12 +10,14 @@ import java.nio.charset.StandardCharsets
   * that constitute the snapshot; data files are never rewritten; commit
   * = atomic publication of the next manifest):
   *
-  *   - a commit stages its parquet into a fresh per-commit subdirectory
-  *     (`data/commit-v<N>/`), then publishes `_manifests/v<N>.list` by
-  *     writing `.tmp` and RENAMING into place. Readers either see
-  *     version N whole (the manifest exists and every listed file is
-  *     immutable) or not at all; a crash mid-commit leaves a `.tmp` and
-  *     unreferenced data files — garbage, never a torn snapshot. Rename
+  *   - a commit stages its parquet into a fresh per-ATTEMPT subdirectory
+  *     (`data/commit-v<N>-<uuid>/` — unique per attempt, so a crashed
+  *     attempt's orphan directory never blocks the retry of the same
+  *     version), then publishes `_manifests/v<N>.list` by writing `.tmp`
+  *     and RENAMING into place. Readers either see version N whole (the
+  *     manifest exists and every listed file is immutable) or not at
+  *     all; a crash mid-commit leaves a `.tmp` and unreferenced data
+  *     files — garbage for [[vacuum]], never a torn snapshot. Rename
   *     refusing an existing destination is the concurrency check: two
   *     racing writers of the same version cannot both publish;
   *   - APPEND commits list the previous snapshot's files plus the staged
@@ -139,7 +141,12 @@ object Snapshots {
       batchId: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val v = latestVersion(spark, dir) + 1
-    val stage = new Path(dir, s"data/commit-v$v")
+    // stage under a per-attempt unique name: a crashed attempt's orphaned
+    // stage directory (left when the manifest rename never ran) must not
+    // block the RETRY of the same version — the manifest records absolute
+    // file paths, so the stage name never matters to readers, and orphan
+    // files are unreferenced vacuum fodder
+    val stage = new Path(dir, s"data/commit-v$v-${java.util.UUID.randomUUID()}")
     df.write.mode("error").parquet(stage.toString)
     val f = fs(spark, stage)
     // with a declared stats column, one narrow read of the staged files
@@ -241,7 +248,7 @@ object Snapshots {
     val staged: Seq[ManifestEntry] =
       if (touched.isEmpty) Nil
       else {
-        val stage = new Path(dir, s"data/commit-v$v")
+        val stage = new Path(dir, s"data/commit-v$v-${java.util.UUID.randomUUID()}")
         spark.read
           .parquet(touched.map(_.path): _*)
           .filter(!col(c).between(lo, hi))

@@ -39,7 +39,13 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(spark, dir) == 1,
       "an unpublished .tmp manifest must not count as a version")
     intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 2))
-    // and the NEXT real commit publishes v2 normally over the debris
+    // a crashed attempt also leaves an orphan STAGE directory; staging is
+    // per-attempt-unique, so the retry of the same version must neither
+    // collide with it nor read its junk
+    val orphan = java.nio.file.Paths.get(dir, "data", "commit-v2")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    // the NEXT real commit publishes v2 normally over all the debris
     assert(Snapshots.commitAppend(Seq((2L, 2L)).toDF("id", "x"), dir) == 2)
     assert(Snapshots.readVersion(spark, dir, 2).count() == 2)
   }
