@@ -91,14 +91,20 @@ object Snapshots {
     (latest to 1 by -1).iterator
       .map { v =>
         val mf = new Path(manifestDir(dir), s"v$v.list")
-        val in = fs(spark, mf).open(mf)
-        try
-          scala.io.Source
-            .fromInputStream(in, "UTF-8")
-            .getLines()
-            .find(_.startsWith(BatchHeader))
-            .map(_.drop(BatchHeader.length).toLong)
-        finally in.close()
+        val f = fs(spark, mf)
+        // versions below a vacuum's keepFrom no longer exist — skip them
+        // (their batch ids are necessarily older than the survivors')
+        if (!f.exists(mf)) None
+        else {
+          val in = f.open(mf)
+          try
+            scala.io.Source
+              .fromInputStream(in, "UTF-8")
+              .getLines()
+              .find(_.startsWith(BatchHeader))
+              .map(_.drop(BatchHeader.length).toLong)
+          finally in.close()
+        }
       }
       .collectFirst { case Some(id) => id }
   }

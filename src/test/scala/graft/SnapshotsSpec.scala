@@ -148,6 +148,15 @@ class SnapshotsSpec extends AnyFunSuite {
     // a genuinely new batch id still commits
     assert(Snapshots.commitAppendExactlyOnce(Seq((4L, 40L)).toDF("id", "x"), dir, 2L))
     assert(tableRows() == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+
+    // idempotence survives a retention pass: vacuum down to the newest
+    // version (whose manifest carries the highest batch id) — an old
+    // replay must STILL be skipped, and a fresh batch still commits
+    Snapshots.vacuum(spark, dir, keepFrom = Snapshots.latestVersion(spark, dir))
+    assert(!Snapshots.commitAppendExactlyOnce(Seq((1L, 10L)).toDF("id", "x"), dir, 2L),
+      "a replayed batch id must stay skipped after vacuum")
+    assert(Snapshots.commitAppendExactlyOnce(Seq((5L, 50L)).toDF("id", "x"), dir, 3L))
+    assert(tableRows().size == 5)
   }
 
   test("reads push filters into the snapshot's parquet scan") {
