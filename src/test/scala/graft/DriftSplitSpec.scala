@@ -67,6 +67,12 @@ class DriftSplitSpec extends AnyFunSuite {
   test("t30: counts reconcile; untouched documents round-trip bit-identically") {
     val out = DocQueries.lineDedup(spark, sf).cache()
     assert(out.filter(col("n_kept") + col("n_removed") =!= col("n_chunks")).count() == 0)
+    // the first-occurrence key encodes (doc_id * 2^20 + chunk_idx): the
+    // documented precondition is chunk_idx < 2^20 (docs under ~8.4M
+    // tokens); guard it the way RanksSpec guards its distinct-key
+    // precondition, so a future corpus change cannot silently alias keys
+    assert(out.agg(max("n_chunks")).head.getLong(0) < 1048576L,
+      "t30's doc_id*2^20+chunk_idx encoding requires chunk_idx < 2^20")
     assert(out.agg(sum("n_removed")).head.getLong(0) > 0, "the gate must do real removal work")
     val docs = Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("orig_md5"))
     val broken = out
