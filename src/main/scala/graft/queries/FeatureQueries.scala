@@ -1823,6 +1823,38 @@ object FeatureQueries {
         max(col("ord_us")).as("last_us"))
       .transform(orderedOutput(_, col("event_type")))
 
+  /** Lifecycle-gate sandbox: run `body` against a PER-INVOCATION temp
+    * directory (not the shared warehouse dir — two sessions, or two
+    * concurrent invocations in one session, can never race each other's
+    * write/read halves), materialize the gate's small aggregate result,
+    * RECLAIM the sandbox, and hand the rows back as a local relation.
+    * The reclaim is the round-10 advice item: each bench rep of x3–x10
+    * otherwise left a full filtered-corpus parquet copy in /tmp,
+    * accreting GBs across reps and the 10x scale harness. The timed reps
+    * still pay the write+read work — the collect happens inside the gate
+    * call; that is the honest price of a lifecycle gate and is called
+    * out wherever these gates appear in a bench table.
+    */
+  private def sandboxed(spark: SparkSession)(body: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lifecycle")
+    try {
+      val df = body(dir.toString)
+      val rows = df.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_))
+          finally s.close()
+        }
+        try { java.nio.file.Files.deleteIfExists(p); () }
+        catch { case _: Throwable => () }
+      }
+      rm(dir)
+    }
+  }
+
   /** x3: schema-evolution read — the lakehouse lifecycle where a table's
     * later file generation gains a column and readers must still see ONE
     * coherent schema. Gen-1 files carry (event_id, user_id, cents);
@@ -1833,21 +1865,11 @@ object FeatureQueries {
     * is total). The oracle never touches the written files — it derives
     * the same rollup from the base table, so a row lost or misaligned by
     * the evolution read diverges the hash. Generation split is
-    * event_id parity: scale-free, no cutoff constant.
-    *
-    * The two generations are written to a PER-INVOCATION temp directory
-    * (not the shared warehouse dir): two sessions — or two concurrent
-    * invocations in one session — each get their own lifecycle sandbox,
-    * so the write half can never race another invocation's read half.
-    * The cost is that timed reps measure write+read together; that is
-    * the honest price of a lifecycle gate and is called out wherever x3
-    * appears in a bench table.
+    * event_id parity: scale-free, no cutoff constant. Runs in the
+    * reclaimed [[sandboxed]] lifecycle sandbox.
     */
-  def schemaEvolutionScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def schemaEvolutionScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { loc =>
     val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
-    val loc = java.nio.file.Files
-      .createTempDirectory("graft_events_evolving")
-      .toString
     base
       .filter(pmod(col("event_id"), lit(2L)) === 0L)
       .write.mode("overwrite").parquet(s"$loc/gen1")
@@ -1871,6 +1893,12 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("channel")))
   }
 
+  /** The x4–x10 snapshot-lifecycle gates share one base frame: the
+    * prepared events projected to (event_id, user_id, cents).
+    */
+  private def snapBase(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
+
   /** x4: snapshot isolation / time-travel read ([[graft.sources.Snapshots]])
     * — the versioned-table lifecycle next to x3's schema evolution: three
     * commits (overwrite, append, overwrite) against one table directory,
@@ -1882,14 +1910,12 @@ object FeatureQueries {
     * ("train against snapshot v2" must mean the same rows forever). The
     * generation split is event_id mod 3 (scale-free); the oracle derives
     * each version's expected contents from the base table, so a row
-    * leaked across snapshots diverges the hash. Writes go to a
-    * per-invocation temp directory (the x3 sandbox discipline) and the
-    * timed reps include them — the honest price of a lifecycle gate.
+    * leaked across snapshots diverges the hash. Runs in the reclaimed
+    * [[sandboxed]] lifecycle sandbox (timed reps include the writes).
     */
-  def timeTravelScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def timeTravelScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
     import graft.sources.Snapshots
-    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_snapshots").toString
+    val base = snapBase(spark, sfDir)
     Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
     Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
     Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
@@ -1926,13 +1952,12 @@ object FeatureQueries {
     * layout is nondeterministic across runs (range sampling), results
     * are not — the gate aggregates, never enumerates files.
     */
-  def zoneMapScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def zoneMapScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
     import graft.sources.Snapshots
-    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_zonemaps").toString
-    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
     Snapshots
-      .readVersionRange(spark, dir, 1, 1000L, 4999L)
+      .readVersionRange(spark, dir, 1, "cents", 1000L, 4999L)
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -1952,12 +1977,11 @@ object FeatureQueries {
     * oracle derives both version's expected contents from the base
     * table, so a row over- or under-deleted diverges the hash.
     */
-  def rowDeleteScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def rowDeleteScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
     import graft.sources.Snapshots
-    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_deletes").toString
-    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
-    Snapshots.commitDelete(spark, dir, 1000L, 4999L)
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
+    Snapshots.commitDelete(spark, dir, "cents", 1000L, 4999L)
     val perVersion = (1 to 2).map { v =>
       Snapshots
         .readVersion(spark, dir, v)
@@ -1987,12 +2011,11 @@ object FeatureQueries {
     * that still keeps any referencing version; expired versions stop
     * reading).
     */
-  def vacuumScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def vacuumScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
     import graft.sources.Snapshots
-    val base = prepared(spark, sfDir).select(col("event_id"), col("user_id"), col("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
-    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Some("cents"))
-    Snapshots.commitDelete(spark, dir, 1000L, 4999L)
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
+    Snapshots.commitDelete(spark, dir, "cents", 1000L, 4999L)
     Snapshots.vacuum(spark, dir, keepFrom = 2)
     Snapshots
       .readLatest(spark, dir)
@@ -2001,6 +2024,135 @@ object FeatureQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("cents")).as("sum_cents"),
         sum(when(col("cents").between(1000L, 4999L), 1L).otherwise(0L)).as("n_in_range"))
+  }
+
+  /** Payload shift for x8's merged rows — far above any organic cents
+    * value (round(value*100) tops out in the tens of thousands), so
+    * "modified" is unmistakable in the aggregates.
+    */
+  private val MergeShift = 1000000000L
+
+  /** x8: copy-on-write MERGE / keyed upsert ([[graft.sources.Snapshots
+    * .commitMerge]]) — the BATCH form of the reference's last-writer-wins
+    * put_record semantic (reference src/lambda/StreamingIngestAggFeatures/
+    * lambda_function.py:31) lifted onto the versioned table: v1 commits
+    * the base (event_id % 3 != 2) range-clustered by event_id, then one
+    * changes batch UPDATES every key with event_id % 5 == 0 and INSERTS
+    * the % 3 == 2 keys, each carrying a +[[MergeShift]] payload. The gate
+    * reads BOTH versions: v1 must be untouched (time travel across a
+    * merge), v2 must hold exactly base-minus-matched plus changes — a row
+    * double-kept, double-inserted, or rewritten into the wrong file
+    * diverges n_events/sum_cents/n_modified. Zone-map pruning (only
+    * key-overlapping files rewritten) is pinned by SnapshotsSpec; the
+    * oracle derives both versions from the base table. Runs in the
+    * reclaimed [[sandboxed]] lifecycle sandbox.
+    */
+  def mergeUpsertScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("event_id")),
+      dir,
+      Seq("event_id"))
+    val changes = base
+      .filter(pmod(col("event_id"), lit(5L)) === 0L || pmod(col("event_id"), lit(3L)) === 2L)
+      .withColumn("cents", col("cents") + lit(MergeShift))
+    Snapshots.commitMerge(spark, dir, changes, "event_id")
+    val perVersion = (1 to 2).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("cents") >= MergeShift, 1L).otherwise(0L)).as("n_modified"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("n_users"), col("sum_cents"), col("n_modified"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
+  /** x9: versioned OPTIMIZE ([[graft.sources.Snapshots.commitOptimize]])
+    * — compaction-as-a-commit over the fragmented table the exactly-once
+    * streaming sink produces: v1..v3 accrete 40 small files across three
+    * appends (each deliberately multi-file), v4 = OPTIMIZE bin-packs them
+    * range-clustered on cents. The gate reads v3 and v4 with identical
+    * aggregates: OPTIMIZE must move BYTES, never data — any row lost,
+    * duplicated, or mutated by the rewrite diverges the version pair.
+    * File-count reduction, tightened zone maps, and fragment reclaim via
+    * vacuum are pinned by SnapshotsSpec (file layout is nondeterministic;
+    * the gate aggregates, never enumerates files). Runs in the reclaimed
+    * [[sandboxed]] lifecycle sandbox.
+    */
+  def optimizeScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) === 0L).repartition(16), dir, Seq("cents"))
+    Snapshots.commitAppend(
+      base.filter(pmod(col("event_id"), lit(3L)) === 1L).repartition(16), dir, Seq("cents"))
+    Snapshots.commitAppend(
+      base.filter(pmod(col("event_id"), lit(3L)) === 2L).repartition(8), dir, Seq("cents"))
+    Snapshots.commitOptimize(spark, dir)
+    val perVersion = Seq(3, 4).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("n_users"), col("sum_cents"),
+          col("min_event_id"), col("max_event_id"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
+  /** x10: MULTI-column zone maps over a Z-ordered layout — the pruning
+    * story z1 audits, closed end-to-end: the commit interleaves
+    * (user_id, cents) into a Morton key ([[graft.operators.ZOrder]]),
+    * range-partitions on the curve, and declares BOTH columns as zone-map
+    * stats; [[graft.sources.Snapshots.readVersionRange]] then prunes
+    * files for a predicate on EITHER dimension (x5 could prune on exactly
+    * one). The gate runs one range read per dimension and tags the rows;
+    * the oracle filters the base table directly, so a file wrongly
+    * skipped on either dimension diverges that dimension's aggregates.
+    * File-count pruning evidence on both dimensions is pinned by
+    * SnapshotsSpec. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def multiZoneScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    val zk = graft.operators.ZOrder.interleaveCol(
+      col("user_id").bitwiseAND(lit(65535L)),
+      col("cents").bitwiseAND(lit(65535L)))
+    Snapshots.commitOverwrite(
+      base.withColumn("zk", zk).repartitionByRange(8, col("zk")).drop("zk"),
+      dir,
+      Seq("user_id", "cents"))
+    def slice(dim: String, lo: Long, hi: Long) = Snapshots
+      .readVersionRange(spark, dir, 1, dim, lo, hi)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(
+        lit(dim).as("dim"),
+        col("n_events"), col("n_users"), col("sum_cents"),
+        col("min_event_id"), col("max_event_id"))
+    slice("user_id", 100L, 299L)
+      .unionByName(slice("cents", 1000L, 4999L))
+      .transform(orderedOutput(_, col("dim")))
   }
 
   /** q16: user journey paths — each user's first 10 event types joined
@@ -4220,6 +4372,45 @@ object FeatureQueries {
            |  CAST(sum(cents) AS BIGINT) AS sum_cents,
            |  CAST(sum(CASE WHEN cents BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
            |FROM prep WHERE cents NOT BETWEEN 1000 AND 4999""".stripMargin,
+      "x8_merge_upsert" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(1, 2)) AS version),
+           |r AS (
+           |  SELECT v.version, p.user_id,
+           |    CASE WHEN v.version = 2 AND (p.event_id % 5 = 0 OR p.event_id % 3 = 2)
+           |         THEN p.cents + 1000000000 ELSE p.cents END AS cents
+           |  FROM v JOIN prep p
+           |    ON v.version = 2 OR p.event_id % 3 <> 2)
+           |SELECT CAST(version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(CASE WHEN cents >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x9_optimize" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(3, 4)) AS version)
+           |SELECT CAST(v.version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(p.event_id) AS BIGINT) AS min_event_id,
+           |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
+           |FROM v JOIN prep p ON true
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x10_multi_zone" ->
+        s"""WITH prep AS ($prep),
+           |d AS (SELECT 'user_id' AS dim UNION ALL SELECT 'cents')
+           |SELECT d.dim,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(p.event_id) AS BIGINT) AS min_event_id,
+           |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
+           |FROM d JOIN prep p
+           |  ON (d.dim = 'user_id' AND p.user_id BETWEEN 100 AND 299)
+           |  OR (d.dim = 'cents' AND p.cents BETWEEN 1000 AND 4999)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "x1_partitioned_scan" ->
         """SELECT event_type,
           |  count(*) AS n_events,
@@ -4641,6 +4832,9 @@ object FeatureQueries {
     "x5_zone_map_skip" -> (zoneMapScan(_, _)),
     "x6_row_delete" -> (rowDeleteScan(_, _)),
     "x7_vacuum_read" -> (vacuumScan(_, _)),
+    "x8_merge_upsert" -> (mergeUpsertScan(_, _)),
+    "x9_optimize" -> (optimizeScan(_, _)),
+    "x10_multi_zone" -> (multiZoneScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max => fMax, min => fMin}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import java.nio.charset.StandardCharsets
 
 /** Minimal snapshot-isolated table layout — versioned (time-travel) reads
@@ -19,22 +21,35 @@ import java.nio.charset.StandardCharsets
   *     all; a crash mid-commit leaves a `.tmp` and unreferenced data
   *     files — garbage for [[vacuum]], never a torn snapshot. Rename
   *     refusing an existing destination is the concurrency check: two
-  *     racing writers of the same version cannot both publish;
+  *     racing writers of the same version cannot both publish — the
+  *     loser RE-READS the new latest and retries at the next version
+  *     (append/overwrite never lose data to a race; read-modify-write
+  *     commits — [[commitDelete]], [[commitMerge]], [[commitOptimize]] —
+  *     abort instead, because their staged rows were derived from a
+  *     snapshot that is no longer latest);
   *   - APPEND commits list the previous snapshot's files plus the staged
   *     ones; OVERWRITE commits list only the staged ones. Every prior
-  *     version stays readable until an explicit retention pass (not
-  *     provided here — vacuuming is a deployment policy);
+  *     version stays readable until an explicit [[vacuum]];
   *   - a read at version N hands Spark exactly the manifest's files: the
   *     scan is the same parquet scan the unversioned table would get —
   *     column pruning and predicate pushdown per file as usual — plus
   *     one small manifest read, which is what keeps time travel free at
-  *     100 TB (snapshotting never copies data, only file lists).
+  *     100 TB (snapshotting never copies data, only file lists);
+  *   - a commit may declare ZONE-MAP columns (`statsCols`, integral):
+  *     the manifest then carries each file's per-column min/max, and
+  *     [[readVersionRange]] / [[commitDelete]] / [[commitMerge]] prune
+  *     at PLANNING time to the overlapping files. Multi-column maps are
+  *     what a Z-order/Hilbert layout needs to pay off: a predicate on
+  *     ANY declared column skips files (the manifest line format is
+  *     `path\tmin1\tmax1\tmin2\tmax2...`, one (min,max) per declared
+  *     column in declaration order).
   */
 object Snapshots {
 
   private val VersionRe = "v(\\d+)\\.list".r
   private val StatsHeader = "#stats="
   private val BatchHeader = "#batch="
+  private val HwmName = "_batch.hwm"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,16 +68,23 @@ object Snapshots {
         .foldLeft(0)(math.max)
   }
 
-  /** One manifest entry: a data file, optionally with its zone map (the
-    * commit-declared stats column's min/max within that file).
-    */
-  final case class ManifestEntry(path: String, min: Option[Long], max: Option[Long])
+  /** One zone-map cell: the declared column's [min, max] within a file. */
+  final case class ColStats(min: Long, max: Long)
 
-  /** (stats column if the snapshot carries zone maps, entries). */
-  private def readManifest(
+  /** One manifest entry: a data file plus its zone maps — one [[ColStats]]
+    * per commit-declared stats column, in declaration order (empty when
+    * the snapshot carries none).
+    */
+  final case class ManifestEntry(path: String, stats: Seq[ColStats])
+
+  /** (declared stats columns — empty when the snapshot carries no zone
+    * maps — and the entries). Public so specs and metadata harnesses can
+    * audit manifests without a data read.
+    */
+  def manifest(
       spark: SparkSession,
       dir: String,
-      version: Int): (Option[String], Seq[ManifestEntry]) = {
+      version: Int): (Seq[String], Seq[ManifestEntry]) = {
     val mf = new Path(manifestDir(dir), s"v$version.list")
     val f = fs(spark, mf)
     require(f.exists(mf), s"snapshot v$version does not exist under $dir")
@@ -70,25 +92,37 @@ object Snapshots {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
-    val statsCol = lines.find(_.startsWith(StatsHeader)).map(_.drop(StatsHeader.length))
+    val statsCols = lines
+      .find(_.startsWith(StatsHeader))
+      .map(_.drop(StatsHeader.length).split(',').toSeq)
+      .getOrElse(Nil)
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) => ManifestEntry(p, Some(mn.toLong), Some(mx.toLong))
-        case Array(p)         => ManifestEntry(p, None, None)
-        case _                => throw new IllegalArgumentException(s"bad manifest line: $line")
+      val parts = line.split('\t')
+      require(parts.length == 1 + 2 * statsCols.length,
+        s"bad manifest line (expected ${statsCols.length} zone-map column pairs): $line")
+      val stats = statsCols.indices.map { i =>
+        ColStats(parts(1 + 2 * i).toLong, parts(2 + 2 * i).toLong)
       }
+      ManifestEntry(parts(0), stats)
     }
-    (statsCol, entries)
+    (statsCols, entries)
   }
 
-  /** The most recent `#batch=` header across versions, scanning from the
-    * latest downward (a non-sink commit between sink commits leaves its
-    * manifest headerless; the sink's idempotence question is "what is
-    * the highest batch id ever committed", so the scan skips those).
+  /** The highest `#batch=` header ever committed. The common case reads
+    * ONE side file: each exactly-once commit records (batchId, version)
+    * in `_manifests/_batch.hwm` after its manifest rename, so the scan
+    * only walks manifests ABOVE the recorded version (a crash between
+    * rename and hwm update leaves the hwm stale-LOW, which the scan
+    * covers; a missing/corrupt hwm degrades to the full downward walk —
+    * the hwm is a high-water hint, never load-bearing for correctness).
+    * Without it, a long un-vacuumed history paid O(versions) small-file
+    * reads per micro-batch — O(V^2) over a stream's lifetime.
     */
   private def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val hwm = readHwm(spark, dir)
+    val floor = hwm.map(_._2).getOrElse(0)
     val latest = latestVersion(spark, dir)
-    (latest to 1 by -1).iterator
+    val scanned = (latest to math.max(1, floor + 1) by -1).iterator
       .map { v =>
         val mf = new Path(manifestDir(dir), s"v$v.list")
         val f = fs(spark, mf)
@@ -107,7 +141,45 @@ object Snapshots {
         }
       }
       .collectFirst { case Some(id) => id }
+    (scanned.toSeq ++ hwm.map(_._1).toSeq).reduceOption(_ max _)
   }
+
+  /** (batchId, version) hint from the side file; None when absent or
+    * unparseable (both degrade to the full manifest walk).
+    */
+  private def readHwm(spark: SparkSession, dir: String): Option[(Long, Int)] = {
+    val p = new Path(manifestDir(dir), HwmName)
+    val f = fs(spark, p)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val line =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+          finally in.close()
+        val Array(b, v) = line.split('\t')
+        Some((b.toLong, v.toInt))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Advance the high-water hint (best-effort: written AFTER the manifest
+    * rename, so a crash leaves it stale-low; write/replace failures are
+    * swallowed — the hint only ever saves reads).
+    */
+  private def writeHwm(spark: SparkSession, dir: String, batchId: Long, version: Int): Unit =
+    try {
+      val md = manifestDir(dir)
+      val f = fs(spark, md)
+      val tmp = new Path(md, s"$HwmName.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"$batchId\t$version\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(md, HwmName)
+      f.delete(dst, false)
+      f.rename(tmp, dst)
+      ()
+    } catch { case _: Throwable => () }
 
   /** EXACTLY-ONCE streaming append — the foreachBatch sink contract:
     * Structured Streaming replays a failed micro-batch with the SAME
@@ -116,160 +188,332 @@ object Snapshots {
     * rename left no version (the retry re-runs cleanly — staged orphan
     * files are vacuum fodder, never visible); a crash after the rename
     * but before the checkpoint commit replays a batch id ≤ the recorded
-    * one and is SKIPPED. This is the idempotent-sink pattern that turns
-    * at-least-once replay into exactly-once table contents. Returns
-    * whether the batch was committed (false = already present).
+    * one and is SKIPPED. The skip check is re-evaluated after every lost
+    * publish race, so a retry that loses the rename to its twin attempt
+    * sees the twin's batch header and skips. The residual assumption —
+    * shared with every file-system-only idempotent sink — is that two
+    * attempts of the SAME batch do not interleave within one
+    * check-then-rename window (Structured Streaming serializes a
+    * query's micro-batch retries; only a zombie driver racing its
+    * replacement violates this, and closing that needs a CAS the
+    * filesystem does not offer). Returns whether the batch was committed
+    * (false = already present).
     */
   def commitAppendExactlyOnce(
       df: DataFrame,
       dir: String,
       batchId: Long,
-      statsCol: Option[String] = None): Boolean = {
-    val spark = df.sparkSession
-    if (lastBatchId(spark, dir).exists(_ >= batchId)) false
-    else {
-      commit(df, dir, carryForward = true, statsCol, batchId = Some(batchId))
-      true
-    }
-  }
+      statsCols: Seq[String] = Nil): Boolean =
+    commit(df, dir, carryForward = true, statsCols, batchId = Some(batchId)).isDefined
 
   /** A foreachBatch function writing this table exactly-once:
     * `stream.writeStream.foreachBatch(Snapshots.sink(dir)).start()`.
     */
-  def sink(dir: String, statsCol: Option[String] = None): (DataFrame, Long) => Unit =
-    (df, batchId) => { commitAppendExactlyOnce(df, dir, batchId, statsCol); () }
+  def sink(dir: String, statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (df, batchId) => { commitAppendExactlyOnce(df, dir, batchId, statsCols); () }
 
+  /** Zone maps for freshly staged files: one narrow read of ONLY the
+    * staged batch computes each file's per-column min/max (at real
+    * cluster scale this would come from the parquet footers the write
+    * already produced; the extra single-column scan keeps this
+    * implementation honest without a footer parser). Declared columns
+    * must be integral-typed and non-null within every staged file — a
+    * silently truncated or null zone map would prune wrongly later, so
+    * both are rejected AT COMMIT time.
+    */
+  private def zoneEntries(
+      spark: SparkSession,
+      stage: Path,
+      statsCols: Seq[String]): Seq[ManifestEntry] = {
+    val staged = spark.read.parquet(stage.toString)
+    statsCols.foreach { c =>
+      val dt = staged.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"zone-map column $c must be integral, got $dt")
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(fMin(col(c)).cast("long").as(s"mn_$c"), fMax(col(c)).cast("long").as(s"mx_$c")))
+    staged
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val stats = statsCols.indices.map { i =>
+          require(!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i),
+            s"zone-map column ${statsCols(i)} is all-NULL in staged file ${r.getString(0)}; " +
+              "commit refused (a null zone map cannot prune)")
+          ColStats(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }
+        ManifestEntry(r.getString(0), stats)
+      }
+      .sortBy(_.path)
+      .toSeq
+  }
+
+  /** Stage `df` once, then publish at the next free version — retrying
+    * the version number (never the data write) on a lost rename race.
+    * Returns None iff `batchId` was already committed (exactly-once
+    * skip); the skip re-checks after every lost race.
+    */
   private def commit(
       df: DataFrame,
       dir: String,
       carryForward: Boolean,
-      statsCol: Option[String],
-      batchId: Option[Long] = None): Int = {
+      statsCols: Seq[String],
+      batchId: Option[Long] = None): Option[Int] = {
     val spark = df.sparkSession
-    val v = latestVersion(spark, dir) + 1
+    if (batchId.exists(b => lastBatchId(spark, dir).exists(_ >= b))) return None
     // stage under a per-attempt unique name: a crashed attempt's orphaned
     // stage directory (left when the manifest rename never ran) must not
     // block the RETRY of the same version — the manifest records absolute
     // file paths, so the stage name never matters to readers, and orphan
     // files are unreferenced vacuum fodder
-    val stage = new Path(dir, s"data/commit-v$v-${java.util.UUID.randomUUID()}")
+    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
     df.write.mode("error").parquet(stage.toString)
-    val f = fs(spark, stage)
-    // with a declared stats column, one narrow read of the staged files
-    // computes each file's zone map (min/max of the column — at real
-    // cluster scale this would come from the parquet footers the write
-    // already produced; one extra single-column scan of ONLY the staged
-    // batch keeps this implementation honest without a footer parser)
-    val staged: Seq[ManifestEntry] = statsCol match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max => fMax, min => fMin}
-        spark.read
-          .parquet(stage.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(fMin(col(c)).cast("long").as("mn"), fMax(col(c)).cast("long").as("mx"))
-          .collect()
-          .map(r => ManifestEntry(r.getString(0), Some(r.getLong(1)), Some(r.getLong(2))))
-          .sortBy(_.path)
-          .toSeq
-      case None =>
+    val staged: Seq[ManifestEntry] =
+      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+      else {
+        val f = fs(spark, stage)
         f.listStatus(stage)
           .map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
-          .map(p => ManifestEntry(p.toString, None, None))
+          .map(p => ManifestEntry(p.toString, Nil))
           .sortBy(_.path)
           .toSeq
+      }
+    var out: Option[Option[Int]] = None
+    while (out.isEmpty) {
+      if (batchId.exists(b => lastBatchId(spark, dir).exists(_ >= b))) {
+        // a twin attempt of this batch won the race while we staged:
+        // drop our orphan stage eagerly (it would only be vacuum fodder)
+        fs(spark, stage).delete(stage, true)
+        out = Some(None)
+      } else {
+        val v = latestVersion(spark, dir) + 1
+        val carried =
+          if (carryForward && v > 1) {
+            val (prevCols, prev) = manifest(spark, dir, v - 1)
+            require(prevCols == statsCols,
+              s"append stats columns $statsCols must match the carried snapshot's $prevCols")
+            prev
+          } else Nil
+        if (tryPublish(spark, dir, v, statsCols, carried ++ staged, batchId)) {
+          batchId.foreach(b => writeHwm(spark, dir, b, v))
+          out = Some(Some(v))
+        }
+        // else: lost the publish race — loop re-reads latest and retries
+      }
     }
-    val carried =
-      if (carryForward && v > 1) {
-        val (prevCol, prev) = readManifest(spark, dir, v - 1)
-        require(prevCol == statsCol,
-          s"append stats column $statsCol must match the carried snapshot's $prevCol")
-        prev
-      } else Nil
-    publish(spark, dir, v, statsCol, carried ++ staged, batchId)
-    v
+    out.get
   }
 
   /** Write the manifest to `.tmp` and RENAME into place — the atomic
-    * commit point: a failed rename (crash, or a concurrent writer already
+    * commit point: a failed rename (a concurrent writer already
     * published this version) leaves the snapshot unborn, never torn.
+    * Returns whether the rename won.
     */
-  private def publish(
+  private def tryPublish(
       spark: SparkSession,
       dir: String,
       v: Int,
-      statsCol: Option[String],
+      statsCols: Seq[String],
       entries: Seq[ManifestEntry],
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long]): Boolean = {
     val md = manifestDir(dir)
     val f = fs(spark, md)
     f.mkdirs(md)
-    val tmp = new Path(md, s"v$v.list.tmp")
-    val header = statsCol.map(c => s"$StatsHeader$c\n").getOrElse("") +
+    val tmp = new Path(md, s"v$v.list.tmp-${java.util.UUID.randomUUID()}")
+    val header = (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
       batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val body = entries.map { e =>
-      (e.min, e.max) match {
-        case (Some(mn), Some(mx)) => s"${e.path}\t$mn\t$mx"
-        case _                    => e.path
-      }
+      (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))).mkString("\t")
     }
     val out = f.create(tmp, true)
     try out.write((header + body.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    require(f.rename(tmp, new Path(md, s"v$v.list")), s"commit of v$v lost the publish race")
+    val won = f.rename(tmp, new Path(md, s"v$v.list"))
+    if (!won) f.delete(tmp, false)
+    won
   }
 
-  /** Publish a new snapshot = previous snapshot + `df`. Returns its version.
-    * `statsCol` (integer-typed) adds a per-file zone map to the manifest;
-    * an append's stats column must match the carried snapshot's.
+  /** require-or-throw publish for the read-modify-write commits: their
+    * staged rows were derived from a snapshot that a lost race proves is
+    * no longer latest, so retrying at the next version would silently
+    * drop the interleaved commit's effect (the lost-update anomaly).
     */
-  def commitAppend(df: DataFrame, dir: String, statsCol: Option[String] = None): Int =
-    commit(df, dir, carryForward = true, statsCol)
+  private[graft] def publishOrAbort(
+      spark: SparkSession,
+      dir: String,
+      v: Int,
+      statsCols: Seq[String],
+      entries: Seq[ManifestEntry]): Unit =
+    require(tryPublish(spark, dir, v, statsCols, entries, None),
+      s"commit of v$v lost the publish race to a concurrent writer; " +
+        "re-run the operation against the new latest snapshot")
+
+  /** Publish a new snapshot = previous snapshot + `df`. Returns its
+    * version. `statsCols` (integral-typed) adds per-file zone maps to the
+    * manifest; an append's stats columns must match the carried
+    * snapshot's.
+    */
+  def commitAppend(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Int =
+    commit(df, dir, carryForward = true, statsCols).get
 
   /** Publish a new snapshot containing ONLY `df` (logical replace — prior
     * versions' files remain on disk and readable).
     */
-  def commitOverwrite(df: DataFrame, dir: String, statsCol: Option[String] = None): Int =
-    commit(df, dir, carryForward = false, statsCol)
+  def commitOverwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Int =
+    commit(df, dir, carryForward = false, statsCols).get
 
-  /** Copy-on-write row-level DELETE of `statsCol BETWEEN lo AND hi` —
+  /** Copy-on-write row-level DELETE of `column BETWEEN lo AND hi` —
     * the GDPR/right-to-erasure primitive at table scale: only files
-    * whose zone map MAY contain matching rows are rewritten (read,
-    * anti-filtered, re-staged); every other file is carried into the new
-    * manifest untouched — at 100 TB a selective delete against a
+    * whose zone map on `column` MAY contain matching rows are rewritten
+    * (read, anti-filtered, re-staged); every other file is carried into
+    * the new manifest untouched — at 100 TB a selective delete against a
     * range-clustered table rewrites O(matching files), not the table.
     * Prior versions still read the undeleted rows (physical erasure is
     * the retention/vacuum pass's job — same split as every
     * manifest-based format). Publishes and returns the new version.
     */
-  def commitDelete(spark: SparkSession, dir: String, lo: Long, hi: Long): Int = {
-    import org.apache.spark.sql.functions.col
+  def commitDelete(spark: SparkSession, dir: String, column: String, lo: Long, hi: Long): Int = {
     val prev = latestVersion(spark, dir)
-    val (statsCol, entries) = readManifest(spark, dir, prev)
-    val c = statsCol.getOrElse(
-      throw new IllegalArgumentException(s"delete needs zone maps; $dir carries none"))
+    val (statsCols, entries) = manifest(spark, dir, prev)
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val (touched, untouched) =
-      entries.partition(e => e.max.exists(_ >= lo) && e.min.exists(_ <= hi))
+      entries.partition(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)
     val v = prev + 1
     val staged: Seq[ManifestEntry] =
       if (touched.isEmpty) Nil
       else {
-        val stage = new Path(dir, s"data/commit-v$v-${java.util.UUID.randomUUID()}")
+        val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
         spark.read
           .parquet(touched.map(_.path): _*)
-          .filter(!col(c).between(lo, hi))
+          .filter(!col(column).between(lo, hi))
           .write.mode("error").parquet(stage.toString)
-        import org.apache.spark.sql.functions.{input_file_name, max => fMax, min => fMin}
-        spark.read
-          .parquet(stage.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(fMin(col(c)).cast("long").as("mn"), fMax(col(c)).cast("long").as("mx"))
+        zoneEntries(spark, stage, statsCols)
+      }
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged)
+    v
+  }
+
+  /** Copy-on-write MERGE (keyed upsert) of a `changes` batch — the BATCH
+    * form of the reference's last-writer-wins put_record semantic
+    * (reference: src/lambda/StreamingIngestAggFeatures/lambda_function
+    * .py:31 upserts one record per key into the online store): every
+    * base row whose `keyCol` appears in `changes` is REPLACED by the
+    * change row; change keys absent from the base are inserted. Only
+    * files whose zone map on `keyCol` contains at least one change key
+    * are rewritten (the per-file hit test joins the distinct change keys
+    * against the BROADCAST file-range list — metadata-sized, exact);
+    * every other file is carried untouched, so a merge of a small change
+    * batch into a key-clustered 100 TB table rewrites O(touched files).
+    * When the table declares no zone map on `keyCol` every file is
+    * rewritten (correct, just unpruned — documented cost of merging on
+    * an uncovered key). `changes` must carry at most one row per key
+    * (the batch's own LWW collapse is the caller's policy — e.g.
+    * [[graft.operators.LatestPerKey]]) and exactly the table's columns.
+    * Publishes and returns the new version.
+    */
+  def commitMerge(spark: SparkSession, dir: String, changes: DataFrame, keyCol: String): Int = {
+    val prev = latestVersion(spark, dir)
+    require(prev >= 1, s"cannot merge into an empty table at $dir")
+    val (statsCols, entries) = manifest(spark, dir, prev)
+    val dupKeys = changes
+      .groupBy(col(keyCol))
+      .count()
+      .filter(col("count") > 1)
+      .limit(1)
+      .count()
+    require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
+    val ci = statsCols.indexOf(keyCol)
+    val touchedPaths: Set[String] =
+      if (ci < 0) entries.map(_.path).toSet
+      else if (entries.isEmpty) Set.empty
+      else {
+        val ranges = spark
+          .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
+          .toDF("path", "mn", "mx")
+        changes
+          .select(col(keyCol).cast("long").as("k"))
+          .distinct()
+          .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+          .select("path")
+          .distinct()
           .collect()
-          .map(r => ManifestEntry(r.getString(0), Some(r.getLong(1)), Some(r.getLong(2))))
+          .map(_.getString(0))
+          .toSet
+      }
+    val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
+    val v = prev + 1
+    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+    val survivors =
+      if (touched.isEmpty) changes
+      else
+        spark.read
+          .parquet(touched.map(_.path): _*)
+          .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(changes)
+    survivors.write.mode("error").parquet(stage.toString)
+    val staged =
+      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+      else {
+        val f = fs(spark, stage)
+        f.listStatus(stage)
+          .map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => ManifestEntry(p.toString, Nil))
           .sortBy(_.path)
           .toSeq
       }
-    publish(spark, dir, v, statsCol, untouched ++ staged)
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged)
+    v
+  }
+
+  /** Versioned OPTIMIZE — compaction + re-cluster AS A SNAPSHOT COMMIT:
+    * bin-packs the latest version's files to `targetFileBytes` (the
+    * exactly-once streaming sink accretes one file set per micro-batch;
+    * left alone, a year of micro-batches is a year of manifest entries
+    * and tiny scans), range-re-clustered on the FIRST declared zone-map
+    * column so the rewritten files' zone maps come out tight again
+    * (fragmented appends overlap arbitrarily; post-OPTIMIZE a range read
+    * prunes like the freshly clustered table). The new version's ROWS
+    * are bit-identical to the old's — OPTIMIZE moves bytes, never data —
+    * and the fragments stay readable via time travel until [[vacuum]]
+    * reclaims them (their refcount drops to zero once the pre-OPTIMIZE
+    * versions expire). Publishes and returns the new version.
+    */
+  def commitOptimize(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val prev = latestVersion(spark, dir)
+    val (statsCols, entries) = manifest(spark, dir, prev)
+    require(entries.nonEmpty, s"cannot OPTIMIZE an empty snapshot at $dir")
+    val f = fs(spark, new Path(entries.head.path))
+    val totalBytes = entries.map(e => f.getFileStatus(new Path(e.path)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val all = spark.read.parquet(entries.map(_.path): _*)
+    val packed = statsCols.headOption match {
+      case Some(c) => all.repartitionByRange(nFiles, col(c))
+      case None    => all.repartition(nFiles)
+    }
+    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+    packed.write.mode("error").parquet(stage.toString)
+    val staged =
+      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+      else {
+        val fsS = fs(spark, stage)
+        fsS.listStatus(stage)
+          .map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => ManifestEntry(p.toString, Nil))
+          .sortBy(_.path)
+          .toSeq
+      }
+    val v = prev + 1
+    publishOrAbort(spark, dir, v, statsCols, staged)
     v
   }
 
@@ -288,13 +532,26 @@ object Snapshots {
     * rows stop being readable ANYWHERE once the versions holding them
     * expire), and every surviving version still reads bit-identically
     * (SnapshotsSpec pins both). Returns the number of data files deleted.
+    *
+    * CONCURRENCY: an in-flight commit's staged files are not yet
+    * referenced by any manifest, so a vacuum racing that commit would
+    * eat them as orphans and the commit would publish a torn snapshot.
+    * `retainMs` is the guard (the Delta/Iceberg retention pattern): only
+    * unreferenced files whose modification time is older than `retainMs`
+    * are deleted, so any commit that stages and publishes within the
+    * retention window is safe. The default 0 deletes ALL orphans and is
+    * only safe when the caller holds exclusive write access to the table
+    * (the single-writer deployments the specs and gates model); set
+    * `retainMs` above the longest plausible stage→publish latency
+    * otherwise.
     */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int, retainMs: Long = 0L): Int = {
     val latest = latestVersion(spark, dir)
     require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
     val referenced = (keepFrom to latest)
-      .flatMap(v => readManifest(spark, dir, v)._2.map(e => fileKey(e.path)))
+      .flatMap(v => manifest(spark, dir, v)._2.map(e => fileKey(e.path)))
       .toSet
+    val cutoffMs = System.currentTimeMillis() - retainMs
     val dataDir = new Path(dir, "data")
     val f = fs(spark, dataDir)
     var deleted = 0
@@ -304,7 +561,8 @@ object Snapshots {
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet")
-          && !referenced.contains(fileKey(st.getPath.toString)))
+          && !referenced.contains(fileKey(st.getPath.toString))
+          && st.getModificationTime <= cutoffMs)
           doomed += st.getPath
       }
       doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
@@ -315,34 +573,37 @@ object Snapshots {
 
   /** Read the table exactly as of `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
-    spark.read.parquet(readManifest(spark, dir, version)._2.map(_.path): _*)
+    spark.read.parquet(manifest(spark, dir, version)._2.map(_.path): _*)
 
-  /** Range read THROUGH the zone maps: only files whose [min, max]
-    * overlaps [lo, hi] are handed to the scan (manifest-level skipping —
-    * the planning-time half), and the exact `BETWEEN` survives as the
-    * residual filter (pushed to the surviving files' row groups). On a
-    * range-clustered table this is the 100 TB lever: a selective range
-    * touches O(matching files), not the table. Correctness never depends
-    * on the zone maps — a stale/wide map only costs extra reads.
+  /** Range read THROUGH the zone maps: only files whose [min, max] on
+    * `column` overlaps [lo, hi] are handed to the scan (manifest-level
+    * skipping — the planning-time half), and the exact `BETWEEN` survives
+    * as the residual filter (pushed to the surviving files' row groups).
+    * `column` may be ANY declared stats column — on a Z-ordered layout
+    * with multi-column zone maps, predicates on either dimension prune.
+    * On a range-clustered table this is the 100 TB lever: a selective
+    * range touches O(matching files), not the table. Correctness never
+    * depends on the zone maps — a stale/wide map only costs extra reads.
     */
   def readVersionRange(
       spark: SparkSession,
       dir: String,
       version: Int,
+      column: String,
       lo: Long,
       hi: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (statsCol, entries) = readManifest(spark, dir, version)
-    val c = statsCol.getOrElse(
-      throw new IllegalArgumentException(s"snapshot v$version of $dir carries no zone maps"))
-    val keep = entries.filter(e => e.max.exists(_ >= lo) && e.min.exists(_ <= hi)).map(_.path)
+    val (statsCols, entries) = manifest(spark, dir, version)
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"snapshot v$version of $dir carries no zone map on $column (declared: $statsCols)")
+    val keep = entries.filter(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi).map(_.path)
     // zone maps exclude every file: any one file's schema + an
     // always-false residual yields the same (empty) result
     val src = if (keep.nonEmpty) keep else entries.map(_.path).take(1)
-    spark.read.parquet(src: _*).filter(col(c).between(lo, hi))
+    spark.read.parquet(src: _*).filter(col(column).between(lo, hi))
   }
 
   /** Read the latest published snapshot. */
   def readLatest(spark: SparkSession, dir: String): DataFrame =
-    readVersion(spark, dir, latestVersion(spark, dir))
+    spark.read.parquet(manifest(spark, dir, latestVersion(spark, dir))._2.map(_.path): _*)
 }

@@ -55,15 +55,15 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("snap_zonemap").toString
     val rows = (1L to 4000L).map(i => (i, i % 97))
     Snapshots.commitOverwrite(
-      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
-    val pruned = Snapshots.readVersionRange(spark, dir, 1, 100L, 400L)
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
+    val pruned = Snapshots.readVersionRange(spark, dir, 1, "id", 100L, 400L)
     val full = Snapshots.readVersion(spark, dir, 1).filter(col("id").between(100L, 400L))
     assert(pruned.inputFiles.length < Snapshots.readVersion(spark, dir, 1).inputFiles.length,
       "the range read must hand the scan strictly fewer files on a range-clustered table")
     assert(pruned.as[(Long, Long)].collect().toSet == full.as[(Long, Long)].collect().toSet,
       "pruning must never change results")
     // a range outside every zone map reads no matching rows
-    assert(Snapshots.readVersionRange(spark, dir, 1, 100000L, 200000L).count() == 0)
+    assert(Snapshots.readVersionRange(spark, dir, 1, "id", 100000L, 200000L).count() == 0)
   }
 
   test("copy-on-write delete rewrites only overlapping files; prior version intact") {
@@ -71,9 +71,9 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("snap_delete").toString
     val rows = (1L to 4000L).map(i => (i, i % 97))
     Snapshots.commitOverwrite(
-      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
     val v1Files = Snapshots.readVersion(spark, dir, 1).inputFiles.toSet
-    assert(Snapshots.commitDelete(spark, dir, 100L, 400L) == 2)
+    assert(Snapshots.commitDelete(spark, dir, "id", 100L, 400L) == 2)
     val v2Files = Snapshots.readVersion(spark, dir, 2).inputFiles.toSet
     val carried = v1Files.intersect(v2Files)
     assert(carried.nonEmpty, "files outside the deleted range must be carried, not rewritten")
@@ -90,10 +90,10 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("snap_vacuum").toString
     val rows = (1L to 4000L).map(i => (i, i % 97))
     Snapshots.commitOverwrite(
-      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Some("id"))
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
     Snapshots.commitAppend(
-      (4001L to 4100L).map(i => (i, i % 97)).toDF("id", "x"), dir, Some("id"))
-    Snapshots.commitDelete(spark, dir, 100L, 400L)
+      (4001L to 4100L).map(i => (i, i % 97)).toDF("id", "x"), dir, Seq("id"))
+    Snapshots.commitDelete(spark, dir, "id", 100L, 400L)
     val v3Before = Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet
 
     // keepFrom = 2: v2 still references EVERY v1 file (append carried
@@ -157,6 +157,165 @@ class SnapshotsSpec extends AnyFunSuite {
       "a replayed batch id must stay skipped after vacuum")
     assert(Snapshots.commitAppendExactlyOnce(Seq((5L, 50L)).toDF("id", "x"), dir, 3L))
     assert(tableRows().size == 5)
+  }
+
+  test("merge rewrites only key-overlapping files; updates, inserts, time travel hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_merge").toString
+    val rows = (1L to 4000L).map(i => (i, i % 97))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
+    val v1Files = Snapshots.readVersion(spark, dir, 1).inputFiles.toSet
+    // changes: update keys 200..210, insert keys 5001..5005
+    val changes = ((200L to 210L) ++ (5001L to 5005L)).map(i => (i, -i)).toDF("id", "x")
+    assert(Snapshots.commitMerge(spark, dir, changes, "id") == 2)
+    val v2Files = Snapshots.readVersion(spark, dir, 2).inputFiles.toSet
+    assert(v1Files.intersect(v2Files).nonEmpty,
+      "files whose key range misses every change key must be carried, not rewritten")
+    assert(v1Files.diff(v2Files).nonEmpty, "key-overlapping files must be replaced")
+    val v2 = Snapshots.readVersion(spark, dir, 2).as[(Long, Long)].collect().toMap
+    assert(v2.size == 4005, "merge must keep every unmatched row and add every insert")
+    assert((200L to 210L).forall(i => v2(i) == -i), "matched keys must carry the CHANGE payload")
+    assert((5001L to 5005L).forall(i => v2(i) == -i), "unmatched change keys must be inserted")
+    assert(v2(199L) == 199L % 97 && v2(211L) == 211L % 97, "unmatched base rows must survive")
+    assert(Snapshots.readVersion(spark, dir, 1).count() == 4000,
+      "time travel across a merge must still read the pre-merge snapshot")
+    // a changes batch with a duplicated key is ambiguous — refused
+    intercept[IllegalArgumentException](
+      Snapshots.commitMerge(spark, dir, Seq((7L, 1L), (7L, 2L)).toDF("id", "x"), "id"))
+    // merging on a key with no zone map is correct (full rewrite)
+    val dir2 = java.nio.file.Files.createTempDirectory("snap_merge_nozm").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir2)
+    Snapshots.commitMerge(spark, dir2, Seq((2L, -2L), (3L, -3L)).toDF("id", "x"), "id")
+    assert(Snapshots.readLatest(spark, dir2).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, -2L), (3L, -3L)))
+  }
+
+  test("OPTIMIZE compacts files, tightens zone maps, moves no data; vacuum reclaims") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_optimize").toString
+    // three fragmented appends: 24 small files with arbitrary id overlap
+    Snapshots.commitOverwrite(
+      (1L to 4000L by 3).map(i => (i, i % 97)).toDF("id", "x").repartition(8), dir, Seq("id"))
+    Snapshots.commitAppend(
+      (2L to 4000L by 3).map(i => (i, i % 97)).toDF("id", "x").repartition(8), dir, Seq("id"))
+    Snapshots.commitAppend(
+      (3L to 4000L by 3).map(i => (i, i % 97)).toDF("id", "x").repartition(8), dir, Seq("id"))
+    val before = Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet
+    val nBefore = Snapshots.readVersion(spark, dir, 3).inputFiles.length
+    val prunedBefore = Snapshots.readVersionRange(spark, dir, 3, "id", 100L, 400L)
+      .inputFiles.length
+    assert(Snapshots.commitOptimize(spark, dir, targetFileBytes = 32L << 10) == 4)
+    val nAfter = Snapshots.readVersion(spark, dir, 4).inputFiles.length
+    assert(nAfter < nBefore, s"OPTIMIZE must reduce the file count ($nBefore -> $nAfter)")
+    assert(Snapshots.readVersion(spark, dir, 4).as[(Long, Long)].collect().toSet == before,
+      "OPTIMIZE must be bit-identical: it moves bytes, never data")
+    val prunedAfter = Snapshots.readVersionRange(spark, dir, 4, "id", 100L, 400L)
+      .inputFiles.length
+    assert(prunedAfter < prunedBefore,
+      s"re-clustering must tighten zone maps: a selective range touched $prunedBefore " +
+        s"fragment files but only $prunedAfter packed files")
+    assert(Snapshots.readVersionRange(spark, dir, 4, "id", 100L, 400L)
+      .as[(Long, Long)].collect().toSet == before.filter(r => r._1 >= 100L && r._1 <= 400L))
+    // once the fragmented versions expire, their files lose the last ref
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 4) > 0,
+      "vacuum must reclaim the pre-OPTIMIZE fragments")
+    assert(Snapshots.readVersion(spark, dir, 4).as[(Long, Long)].collect().toSet == before,
+      "the OPTIMIZE'd version must read bit-identically after the fragments are reclaimed")
+  }
+
+  test("multi-column zone maps prune on EITHER dimension of a Z-ordered layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_multizone").toString
+    // two independent-ish dimensions; Z-order the layout so both prune
+    val rows = (1L to 8000L).map(i => (i % 251, (i * 7919L) % 1021))
+    val zk = graft.operators.ZOrder.interleaveCol(
+      col("a").bitwiseAND(lit(65535L)), col("b").bitwiseAND(lit(65535L)))
+    Snapshots.commitOverwrite(
+      rows.toDF("a", "b").withColumn("zk", zk).repartitionByRange(16, col("zk")).drop("zk"),
+      dir,
+      Seq("a", "b"))
+    val total = Snapshots.readVersion(spark, dir, 1).inputFiles.length
+    val onA = Snapshots.readVersionRange(spark, dir, 1, "a", 0L, 30L)
+    val onB = Snapshots.readVersionRange(spark, dir, 1, "b", 0L, 120L)
+    assert(onA.inputFiles.length < total, "a selective range on dim A must skip files")
+    assert(onB.inputFiles.length < total,
+      "a selective range on dim B — the column x5 could NOT prune on — must skip files")
+    assert(onA.as[(Long, Long)].collect().toSet == rows.filter(_._1 <= 30L).toSet)
+    assert(onB.as[(Long, Long)].collect().toSet == rows.filter(_._2 <= 120L).toSet)
+    // an undeclared column is refused, not silently unpruned
+    intercept[IllegalArgumentException](
+      Snapshots.readVersionRange(spark, dir, 1, "zk", 0L, 1L))
+  }
+
+  test("zone-map commit refuses all-NULL and non-integral stats columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_zmguard").toString
+    val nulls = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "x")
+    intercept[IllegalArgumentException](Snapshots.commitOverwrite(nulls, dir, Seq("x")))
+    val doubles = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x")
+    intercept[IllegalArgumentException](Snapshots.commitOverwrite(doubles, dir, Seq("x")))
+  }
+
+  test("vacuum retention spares young orphans (in-flight commit staging)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_retain").toString
+    Snapshots.commitOverwrite(Seq((1L, 1L)).toDF("id", "x"), dir)
+    Snapshots.commitOverwrite(Seq((2L, 2L)).toDF("id", "x"), dir)
+    // simulate a commit mid-stage: a fresh data file no manifest references yet
+    val staged = java.nio.file.Paths.get(dir, "data", "stage-inflight")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    // retention covers the stage->publish window: the young orphan survives
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 2, retainMs = 3600_000L) == 0,
+      "unreferenced files younger than the retention window must survive a vacuum")
+    assert(java.nio.file.Files.exists(staged.resolve("part-00000.parquet")))
+    // exclusive-access mode (retainMs = 0) reclaims it
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 2) >= 1)
+    assert(!java.nio.file.Files.exists(staged.resolve("part-00000.parquet")))
+  }
+
+  test("batch high-water side file is a hint: deleting it never breaks idempotence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_hwm").toString
+    assert(Snapshots.commitAppendExactlyOnce(Seq((1L, 1L)).toDF("id", "x"), dir, 1L))
+    assert(Snapshots.commitAppendExactlyOnce(Seq((2L, 2L)).toDF("id", "x"), dir, 2L))
+    val hwm = java.nio.file.Paths.get(dir, "_manifests", "_batch.hwm")
+    assert(java.nio.file.Files.exists(hwm),
+      "each exactly-once commit must advance the high-water side file")
+    assert(java.nio.file.Files.readString(hwm).trim == "2\t2")
+    // the hwm is an O(1) shortcut, never load-bearing: without it the
+    // downward manifest walk still answers correctly
+    java.nio.file.Files.delete(hwm)
+    assert(!Snapshots.commitAppendExactlyOnce(Seq((9L, 9L)).toDF("id", "x"), dir, 2L),
+      "a replayed batch id must be skipped even with no hwm file")
+    assert(Snapshots.commitAppendExactlyOnce(Seq((3L, 3L)).toDF("id", "x"), dir, 3L))
+    assert(java.nio.file.Files.readString(hwm).trim == "3\t3",
+      "a fresh commit must rebuild the hwm")
+    assert(Snapshots.readLatest(spark, dir).count() == 3)
+  }
+
+  test("read-modify-write commits abort on a lost publish race (no lost update)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rmw").toString
+    Snapshots.commitOverwrite(
+      (1L to 100L).map(i => (i, i)).toDF("id", "x").repartitionByRange(2, col("id")),
+      dir, Seq("id"))
+    // the race, frozen at its decisive moment: the read-modify-write
+    // commit derived its rows from v1 and claims v2, but an interloper
+    // published v2 first — the publish must ABORT (retrying at v3 would
+    // silently drop the interloper's effect: the lost-update anomaly;
+    // commitDelete/commitMerge/commitOptimize all publish through this
+    // path, while append/overwrite retry at the next version instead)
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    java.nio.file.Files.writeString(md.resolve("v2.list"), "#stats=id\n")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.publishOrAbort(spark, dir, 2, Seq("id"), Nil))
+    assert(e.getMessage.contains("lost the publish race"), e.getMessage)
+    // the append path retries PAST the squatter instead of aborting
+    assert(Snapshots.commitAppend(Seq((200L, 200L)).toDF("id", "x"), dir, Seq("id")) == 3)
+    assert(Snapshots.readVersion(spark, dir, 3).count() == 1,
+      "the retried append carries the squatter's (empty) snapshot plus its own rows")
   }
 
   test("reads push filters into the snapshot's parquet scan") {
