@@ -318,7 +318,17 @@ object Dedup {
     * shuffles instead of building a global index): two docs pair iff they
     * contain an identical k-token run (k ~ 15-50 in production; 3-gram
     * Jaccard cannot see the difference between scattered shared phrases
-    * and one long verbatim copy — this operator can). Grams are
+    * and one long verbatim copy — this operator can).
+    *
+    * DETECTION BOUND (SubstringBoundarySpec pins every clause): shingles
+    * slide at STRIDE 1, so a shared run of L >= k whole whitespace
+    * tokens yields exactly L-k+1 shared grams — the bound is the exact
+    * >= k of the suffix-array family at TOKEN granularity (not the
+    * >= 2k-1 a chunked k-aligned scheme would give), n_shared doubles
+    * as a run-length witness, and the two deliberate trades are (a) the
+    * detection unit is the whole token — character overlap off a token
+    * boundary only counts its fully shared tokens — and (b) the df cap
+    * below forfeits runs whose every gram is boilerplate-hot. Grams are
     * md5-hashed BEFORE the shuffle so shuffle rows stay 32 hex chars at
     * any k, and grams shared by more than `maxDf` docs are dropped first
     * ([[Similarity.capBySize]] — one window pass; a boilerplate k-gram

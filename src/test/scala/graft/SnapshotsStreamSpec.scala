@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.Snapshots
+import graft.streaming.StreamingAgg
+import graft.streaming.StreamingAgg.StreamEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two round-10 planes COMPOSED: Structured Streaming's per-event
+  * trailing-window operator feeding the snapshot table through the
+  * exactly-once sink, then audited through time travel. The parts are
+  * spec'd separately (StreamingSpec: batch≡stream bit-parity;
+  * SnapshotsSpec: sink idempotence, manifest isolation) — this spec
+  * guards the INTEGRATION: version k of the table is exactly the
+  * micro-batches ≤ k, a replayed batch is a no-op against the live
+  * table, a restart resumes the version chain from the checkpoint, and
+  * a historical read reproduces the store as it stood after batch k —
+  * the reproducible-training contract ("train on the features as of
+  * Tuesday") that motivates versioning a feature store at all.
+  */
+class SnapshotsStreamSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local("4")
+
+  private def emitsOf(dir: String, version: Int): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Snapshots
+      .readVersion(spark, dir, version)
+      .select("userId", "ordUs", "cnt", "sumCents")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+  }
+
+  test("stream -> trailing agg -> exactly-once sink -> time travel, end to end") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snap_stream_e2e").toString
+    val dir = s"$root/table"
+    val ckpt = s"$root/ckpt"
+
+    // three micro-batches of per-user events inside one trailing horizon
+    val m = 60L * 1000000L
+    val chunks = Seq(
+      Seq(StreamEvent(1L, 1 * m, 100L), StreamEvent(2L, 1 * m, 50L)),
+      Seq(StreamEvent(1L, 2 * m, 300L)),
+      Seq(StreamEvent(2L, 3 * m, 150L), StreamEvent(1L, 3 * m, 500L)))
+
+    val source = MemoryStream[StreamEvent]
+    def startQuery() = StreamingAgg
+      .trailingAgg(source.toDS())
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[StreamingAgg.AggEmit], id: Long) =>
+        Snapshots.sink(dir)(ds.toDF(), id))
+      .start()
+
+    // capture the LIVE table contents after each micro-batch: the
+    // time-travel assertions below replay history against these
+    val live = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long, Long)]]
+    val q = startQuery()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+        live += emitsOf(dir, Snapshots.latestVersion(spark, dir))
+      }
+    } finally q.stop()
+
+    assert(Snapshots.latestVersion(spark, dir) == 3,
+      "each data-carrying micro-batch must publish exactly one version")
+    assert(live(0).size == 2 && live(1).size == 3 && live(2).size == 5,
+      "per-event emission: one table row per input event, accreting across batches")
+
+    // version k IS the store as of batch k — bit-identical to what a
+    // reader saw live, forever
+    (1 to 3).foreach { v =>
+      assert(emitsOf(dir, v) == live(v - 1),
+        s"historical read of v$v must reproduce the store exactly as of batch ${v - 1}")
+    }
+
+    // the streamed table equals the BATCH form of the same operator over
+    // the full replay — the cross-plane parity StreamingSpec pins for
+    // emissions, now holding THROUGH the sink and the manifests
+    val batchForm = StreamingAgg
+      .trailingAgg(chunks.flatten.toDS())
+      .select("userId", "ordUs", "cnt", "sumCents")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(emitsOf(dir, 3) == batchForm,
+      "stream-through-sink must be bit-identical to the batch operator")
+
+    // a replayed micro-batch (crash between manifest rename and
+    // checkpoint commit) is a no-op
+    val replay = StreamingAgg.trailingAgg(chunks(1).toDS())
+    assert(!Snapshots.commitAppendExactlyOnce(replay.toDF(), dir, 1L))
+    assert(Snapshots.latestVersion(spark, dir) == 3 && emitsOf(dir, 3) == live(2),
+      "the replay must leave the table untouched")
+
+    // a RESTART from the checkpoint resumes the batch-id chain: the new
+    // query's first batch continues, versions keep accreting
+    val q2 = startQuery()
+    try {
+      source.addData(Seq(StreamEvent(3L, 4 * m, 700L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 4,
+      "a restarted query must append the next version, not fork or replay")
+    assert(emitsOf(dir, 4) == live(2) + ((3L, 4 * m, 1L, 700L)))
+    // and history below the restart is untouched
+    assert(emitsOf(dir, 2) == live(1))
+  }
+}
