@@ -140,6 +140,60 @@ object ScaleBench {
     try CacheScope.scoped(spark) { fn(spark, dir).count() }
     catch { case _: Throwable => -1L }
 
+  /** The snapshot-table METADATA path at 10x the file count (the r10
+    * audit's named absentee: commit/read/vacuum are driver-side manifest
+    * list/parse — fine at gate-sized file counts, unmeasured beyond).
+    * Builds a table of `n` data files (two overwrite commits so a vacuum
+    * at keepFrom=2 really deletes n files), then measures what scales
+    * with FILES, not rows: manifest parse seconds (median of 20 parses
+    * via [[graft.sources.Snapshots.manifest]] — the cost every versioned
+    * read pays before its scan), manifest byte size (the format's
+    * linearity made visible), commit seconds (staging + zone-map scan +
+    * publish), and vacuum seconds (recursive list + refcount + delete of
+    * n files). Returns (commitSec, parseSec, vacuumSec, manifestBytes,
+    * deleted).
+    */
+  private def snapshotMetaCell(
+      spark: SparkSession,
+      n: Int): (Double, Double, Double, Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_meta_$n")
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val df = spark
+        .range(n.toLong * 20)
+        .select(col("id"), (col("id") % 97L).as("x"))
+        .repartition(n)
+      val (_, commitSec) =
+        timed(graft.sources.Snapshots.commitOverwrite(df, dir.toString, Seq("id")))
+      graft.sources.Snapshots.commitOverwrite(df, dir.toString, Seq("id"))
+      val parseReps = 20
+      val parses = (1 to parseReps).map { _ =>
+        timed(graft.sources.Snapshots.manifest(spark, dir.toString, 2))._2
+      }
+      val bytes = java.nio.file.Files
+        .size(java.nio.file.Paths.get(dir.toString, "_manifests", "v2.list"))
+      val (deleted, vacSec) =
+        timed(graft.sources.Snapshots.vacuum(spark, dir.toString, keepFrom = 2))
+      (commitSec, Bench.median(parses), vacSec, bytes, deleted)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_))
+          finally s.close()
+        }
+        try { java.nio.file.Files.deleteIfExists(p); () }
+        catch { case _: Throwable => () }
+      }
+      rm(dir)
+    }
+  }
+
   /** args: smallDir largeDir [reps] [outPath]. Emits one JSON line with
     * per-gate medians at both scales, large/small ratios, per-rep loads,
     * and the work-size counters.
@@ -155,7 +209,7 @@ object ScaleBench {
     val smallDir = args(0)
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
-    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r10.json"
+    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r11.json"
     val spark: SparkSession = Sessions.local()
     val gates = SparkEntry.queries.filter { case (k, _) => HeavyGates.contains(k) }
     val (quiesceSec, loadStart) = quiesce(below = 4.0, maxWaitSec = 300)
@@ -214,6 +268,25 @@ object ScaleBench {
     // so the k-core ratio is attributable to real multi-round peeling
     // (r9's cell measured a corpus whose alive set quenched to zero by
     // round 3 — the ratio priced only round 1's degree aggregation)
+    // snapshot-metadata cell at 10x files (300 vs 3000): the manifest
+    // parse/vacuum path's own scale evidence, independent of row volume
+    val snapMeta = {
+      def ratio(s: Double, l: Double): Double =
+        if (s > 0) math.round(l / s * 100.0) / 100.0 else -1.0
+      try {
+        val (cS, pS, vS, bS, dS) = snapshotMetaCell(spark, 300)
+        val (cL, pL, vL, bL, dL) = snapshotMetaCell(spark, 3000)
+        s""""snapshot_meta":{"small_files":300,"large_files":3000,""" +
+          s""""deleted":{"small":$dS,"large":$dL},""" +
+          s""""commit_sec":{"small":$cS,"large":$cL,"ratio":${ratio(cS, cL)}},""" +
+          s""""parse_sec":{"small":$pS,"large":$pL,"ratio":${ratio(pS, pL)}},""" +
+          s""""vacuum_sec":{"small":$vS,"large":$vL,"ratio":${ratio(vS, vL)}},""" +
+          s""""manifest_bytes":{"small":$bS,"large":$bL,"ratio":${ratio(bS.toDouble, bL.toDouble)}}}"""
+      } catch {
+        case e: Throwable =>
+          s""""snapshot_meta":{"err":"${e.toString.take(200).replace("\"", "'")}"}"""
+      }
+    }
     val g12Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
       val counts =
         try CacheScope.scoped(spark) {
@@ -226,6 +299,7 @@ object ScaleBench {
         s""""reps":$reps,"quiesce_wait_sec":$quiesceSec,"load_avg_start":$loadStart,""" +
         s""""load_avg_end":${Bench.loadAvg()},""" +
         s""""corpus":${corpus.mkString("{", ",", "}")},""" +
+        s"""$snapMeta,""" +
         s""""g12_round_survivors":${g12Rounds.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)

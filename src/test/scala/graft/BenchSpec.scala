@@ -51,4 +51,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.steadyMedian(Seq(100.0, 900.0, 800.0, 850.0)) == 850.0)
     assert(Bench.steadyMedian(Seq(7.0)) == 7.0)
   }
+
+  test("headline median drops contended reps when enough quiet ones remain") {
+    // the r10 dip scenario: reps measured at load 8-12 read slower with
+    // no way to exclude them; now a rep's rate only counts when its load
+    // stamp was at or under the ceiling (6.0) — given >= 2 quiet reps
+    val rates = Seq(100.0, 900.0, 600.0, 650.0, 880.0)
+    val loads = Seq(0.5, 1.0, 9.0, 11.5, 2.0)
+    assert(Bench.filteredSteadyMedian(rates, loads) == 880.0,
+      "the two contended reps (600/650 at load 9/11.5) must not drag the median")
+    // rep 1 stays excluded even when quiet (the steady-median convention)
+    assert(Bench.filteredSteadyMedian(Seq(100.0, 700.0, 900.0, 800.0), Seq(1.0, 1.0, 1.0, 1.0))
+      == 800.0)
+    // fewer than 2 quiet reps: fall back to the plain steady median — a
+    // fully contended run reports its honest, visibly-stamped number
+    assert(Bench.filteredSteadyMedian(Seq(100.0, 500.0, 520.0), Seq(9.0, 9.0, 9.0)) == 500.0)
+    assert(Bench.filteredSteadyMedian(Seq(-1.0), Seq(-1.0)) == -1.0,
+      "the failure sentinel passes through")
+  }
 }
