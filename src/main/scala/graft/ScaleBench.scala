@@ -206,6 +206,17 @@ object ScaleBench {
     * single-JVM-local-mode constraint, not an operator one.
     */
   def main(args: Array[String]): Unit = {
+    // standalone metadata-cell mode for quick iteration on the snapshot
+    // metadata path: `runMain graft.ScaleBench meta`
+    if (args.headOption.contains("meta")) {
+      val spark: SparkSession = Sessions.local()
+      Seq(300, 3000).foreach { n =>
+        val (c, p, v, b, del) = snapshotMetaCell(spark, n)
+        println(f"META files=$n commit=$c%.2fs parse=${p * 1000}%.2fms vacuum=$v%.2fs bytes=$b deleted=$del")
+      }
+      spark.stop()
+      return
+    }
     val smallDir = args(0)
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4

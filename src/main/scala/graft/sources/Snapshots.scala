@@ -556,16 +556,42 @@ object Snapshots {
     val f = fs(spark, dataDir)
     var deleted = 0
     if (f.exists(dataDir)) {
-      val it = f.listFiles(dataDir, true)
+      // plain listStatus walk, NOT listFiles(recursive=true): the located
+      // iterator resolves block locations per file, which the r11
+      // metadata cell measured at ~5 ms/file — the whole retention pass
+      // was list-bound (3 s to list 600 local files). Status entries
+      // already carry everything vacuum needs (type, mtime, path).
+      def walk(p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+        f.listStatus(p).iterator.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath) else Iterator.single(st)
+        }
       val doomed = scala.collection.mutable.ListBuffer.empty[Path]
-      while (it.hasNext) {
-        val st = it.next()
+      walk(dataDir).foreach { st =>
         if (st.isFile && st.getPath.getName.endsWith(".parquet")
           && !referenced.contains(fileKey(st.getPath.toString))
           && st.getModificationTime <= cutoffMs)
           doomed += st.getPath
       }
-      doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
+      // deletes run on a bounded pool, not one-by-one on the caller
+      // thread: the r11 metadata scale cell measured sequential deletes
+      // super-linear at 10x files (2.2 s -> 43.5 s for 300 -> 3000) —
+      // each FileSystem.delete pays per-call filesystem latency, so at
+      // real table sizes (a year of micro-batch commits) the retention
+      // pass would be hours of driver time. Every manifest-based format
+      // batches its deletes; 16 concurrent callers is the local-mode
+      // stand-in (Hadoop FileSystem instances are thread-safe).
+      if (doomed.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, doomed.size))
+        try {
+          val futures = doomed.toList.map { p =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean = f.delete(p, false)
+            })
+          }
+          deleted = futures.count(_.get())
+        } finally pool.shutdown()
+      }
     }
     (1 until keepFrom).foreach(v => f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
     deleted
