@@ -2155,6 +2155,60 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("dim")))
   }
 
+  /** x11: VERSIONED schema evolution — x3's mergeSchema read lifted
+    * through the snapshot table (x3 evolves a raw directory; here the
+    * manifest pins each version's exact file list, so the SCHEMA itself
+    * time-travels): v1 commits the table before the `channel` column
+    * existed, v2 appends a file generation that carries it. The gate
+    * reads v1 (which must still present the PRE-evolution schema — its
+    * one output row is the whole-snapshot rollup) and v2 through
+    * [[graft.sources.Snapshots.readVersionMerged]] (old rows surface
+    * with channel NULL, folded to 'legacy'). The oracle derives both
+    * versions' rollups from the base table, so a row lost at the
+    * evolution boundary, a misaligned merged column, or a v1 read
+    * polluted by the later generation diverges the hash. SnapshotsSpec
+    * pins the sharper schema contract (v1's columns do NOT contain
+    * `channel`; zone maps on the all-generations column still prune
+    * across the boundary). Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def schemaTravelScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(4, col("event_id")),
+      dir,
+      Seq("event_id"))
+    val gen2 = base
+      .filter(pmod(col("event_id"), lit(3L)) === 2L)
+      .withColumn(
+        "channel",
+        when(pmod(col("user_id"), lit(3L)) === 0L, "web")
+          .when(pmod(col("user_id"), lit(3L)) === 1L, "app")
+          .otherwise("api"))
+    Snapshots.commitAppend(gen2, dir, Seq("event_id"))
+    val v1 = Snapshots
+      .readVersion(spark, dir, 1)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(1L).as("version"), lit("legacy").as("channel"),
+        col("n_events"), col("n_users"), col("sum_cents"))
+    val v2 = Snapshots
+      .readVersionMerged(spark, dir, 2)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(2L).as("version"), col("channel"),
+        col("n_events"), col("n_users"), col("sum_cents"))
+    v1.unionByName(v2)
+      .transform(orderedOutput(_, col("version"), col("channel")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -4398,6 +4452,23 @@ object FeatureQueries {
            |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
            |FROM v JOIN prep p ON true
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x11_schema_travel" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 1 AS version, 'legacy' AS channel, user_id, cents
+           |  FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL
+           |  SELECT 2,
+           |    CASE WHEN event_id % 3 = 2 THEN
+           |      CASE user_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'app' ELSE 'api' END
+           |    ELSE 'legacy' END,
+           |    user_id, cents
+           |  FROM prep)
+           |SELECT CAST(version AS BIGINT) AS version, channel,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "x10_multi_zone" ->
         s"""WITH prep AS ($prep),
            |d AS (SELECT 'user_id' AS dim UNION ALL SELECT 'cents')
@@ -4835,6 +4906,7 @@ object FeatureQueries {
     "x8_merge_upsert" -> (mergeUpsertScan(_, _)),
     "x9_optimize" -> (optimizeScan(_, _)),
     "x10_multi_zone" -> (multiZoneScan(_, _)),
+    "x11_schema_travel" -> (schemaTravelScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

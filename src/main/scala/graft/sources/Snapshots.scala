@@ -601,6 +601,23 @@ object Snapshots {
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(manifest(spark, dir, version)._2.map(_.path): _*)
 
+  /** Read `version` with SCHEMA MERGING across its file generations — the
+    * schema-evolution read (x3's `mergeSchema` discipline) lifted THROUGH
+    * the manifest: an append may stage files carrying added columns (the
+    * manifest tracks files, not schemas, so evolution needs no special
+    * commit), and because each version pins its exact file list, time
+    * travel also travels SCHEMA — a version published before the column
+    * existed reads WITHOUT it, forever, which is what makes "rerun
+    * against snapshot k" reproducible under evolution. Pre-evolution
+    * rows surface with the added columns NULL, exactly as in the
+    * unversioned x3 read. Zone maps on columns present in every
+    * generation keep pruning across the evolution boundary.
+    */
+  def readVersionMerged(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(manifest(spark, dir, version)._2.map(_.path): _*)
+
   /** Range read THROUGH the zone maps: only files whose [min, max] on
     * `column` overlaps [lo, hi] are handed to the scan (manifest-level
     * skipping — the planning-time half), and the exact `BETWEEN` survives

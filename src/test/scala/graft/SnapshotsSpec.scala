@@ -318,6 +318,30 @@ class SnapshotsSpec extends AnyFunSuite {
       "the retried append carries the squatter's (empty) snapshot plus its own rows")
   }
 
+  test("schema evolution is versioned: v1 reads WITHOUT the later column, zone maps survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_evolve").toString
+    Snapshots.commitOverwrite(
+      (1L to 2000L).map(i => (i, i % 97)).toDF("id", "x").repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    // the evolution commit: same manifest machinery, files just carry more
+    Snapshots.commitAppend(
+      (2001L to 3000L).map(i => (i, i % 97, s"t${i % 3}")).toDF("id", "x", "tag"),
+      dir, Seq("id"))
+    assert(!Snapshots.readVersion(spark, dir, 1).columns.contains("tag"),
+      "time travel must travel the SCHEMA too: v1 predates the column")
+    val merged = Snapshots.readVersionMerged(spark, dir, 2)
+    assert(merged.columns.contains("tag"))
+    assert(merged.filter(col("tag").isNull).count() == 2000,
+      "pre-evolution rows must surface with the added column NULL")
+    assert(merged.filter(col("tag").isNotNull).count() == 1000)
+    // pruning on the every-generation column crosses the boundary: a
+    // range inside gen-2 skips every gen-1 file and still reads exactly
+    val pruned = Snapshots.readVersionRange(spark, dir, 2, "id", 2100L, 2200L)
+    assert(pruned.inputFiles.length < Snapshots.readVersion(spark, dir, 2).inputFiles.length)
+    assert(pruned.select("id").as[Long].collect().toSet == (2100L to 2200L).toSet)
+  }
+
   test("reads push filters into the snapshot's parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
