@@ -2209,6 +2209,42 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version"), col("channel")))
   }
 
+  /** x12: incremental read / append diff ([[graft.sources.Snapshots
+    * .readChangesSince]]) — the consumption half of the exactly-once
+    * sink's production half: three commits build the table (overwrite,
+    * append, append — event_id thirds), and the gate reads the rows
+    * ADDED after each checkpoint version (since v1 = thirds 1+2, since
+    * v2 = third 2 only) plus the empty diff (v3→v3). A manifest diff
+    * selects exactly the new files — no re-scan of consumed history —
+    * which is what lets a 100 TB training pipeline poll a snapshot
+    * table instead of re-reading it. The oracle derives every diff from
+    * the base table, so a row re-delivered (consumed twice) or dropped
+    * at a version boundary diverges the hash; the append-only
+    * precondition (a delete/OPTIMIZE in the range refuses) is pinned by
+    * SnapshotsSpec. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def incrementalReadScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val diffs = Seq((1, 3), (2, 3), (3, 3)).map { case (from, to) =>
+      Snapshots
+        .readChangesSince(spark, dir, from, to)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .select(
+          lit(from.toLong).as("from_version"),
+          col("n_events"), col("n_users"), col("sum_cents"))
+    }
+    diffs
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("from_version")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -4452,6 +4488,17 @@ object FeatureQueries {
            |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
            |FROM v JOIN prep p ON true
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x12_incremental_read" ->
+        s"""WITH prep AS ($prep),
+           |f AS (SELECT unnest(generate_series(1, 3)) AS from_version)
+           |SELECT CAST(f.from_version AS BIGINT) AS from_version,
+           |  CAST(count(p.event_id) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS sum_cents
+           |FROM f LEFT JOIN prep p
+           |  ON (f.from_version = 1 AND p.event_id % 3 IN (1, 2))
+           |  OR (f.from_version = 2 AND p.event_id % 3 = 2)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "x11_schema_travel" ->
         s"""WITH prep AS ($prep),
            |r AS (
@@ -4907,6 +4954,7 @@ object FeatureQueries {
     "x9_optimize" -> (optimizeScan(_, _)),
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
+    "x12_incremental_read" -> (incrementalReadScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -601,6 +601,47 @@ object Snapshots {
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
     spark.read.parquet(manifest(spark, dir, version)._2.map(_.path): _*)
 
+  /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive) — the incremental-consumption primitive a training
+    * pipeline polls ("give me everything new since the snapshot I last
+    * processed") and the batch half of a change-data feed: because data
+    * files are immutable and appends carry the prior file list forward,
+    * the added rows are EXACTLY the files in `toVersion`'s manifest
+    * absent from `fromVersion`'s — one manifest diff, zero data reads
+    * beyond the new files themselves, any history length. Composes with
+    * the exactly-once sink: a consumer that remembers its last-read
+    * version gets each micro-batch's rows exactly once. Requires every
+    * version in the range to be an APPEND of its predecessor (file-set
+    * superset); a delete/overwrite/OPTIMIZE in the range REWRITES
+    * history rather than adding rows, so "the rows added since" is
+    * ill-posed there and the call refuses with a clear message (the
+    * consumer falls back to a full re-read of the latest snapshot —
+    * the same compaction-vs-tailing contract Delta/Iceberg streaming
+    * sources expose).
+    */
+  def readChangesSince(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion >= 1 && toVersion >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got [$fromVersion, $toVersion]")
+    var prevKeys = manifest(spark, dir, fromVersion)._2.map(e => fileKey(e.path)).toSet
+    val added = scala.collection.mutable.ListBuffer.empty[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val cur = manifest(spark, dir, v)._2.map(_.path)
+      val curKeys = cur.map(fileKey).toSet
+      require(prevKeys.subsetOf(curKeys),
+        s"v$v is not an append of v${v - 1} (files were removed/rewritten): " +
+          "incremental reads are only defined over append-only ranges — " +
+          "re-read the latest snapshot instead")
+      added ++= cur.filter(p => !prevKeys.contains(fileKey(p)))
+      prevKeys = curKeys
+    }
+    if (added.isEmpty) readVersion(spark, dir, toVersion).limit(0)
+    else spark.read.parquet(added.toSeq: _*)
+  }
+
   /** Read `version` with SCHEMA MERGING across its file generations — the
     * schema-evolution read (x3's `mergeSchema` discipline) lifted THROUGH
     * the manifest: an append may stage files carrying added columns (the

@@ -342,6 +342,29 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSet == (2100L to 2200L).toSet)
   }
 
+  test("incremental reads deliver each appended row exactly once; rewrites refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_incr").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
+    Snapshots.commitAppend(Seq((4L, 40L), (5L, 50L)).toDF("id", "x"), dir)
+    def diff(from: Int, to: Int) =
+      Snapshots.readChangesSince(spark, dir, from, to).as[(Long, Long)].collect().toSet
+    assert(diff(1, 3) == Set((3L, 30L), (4L, 40L), (5L, 50L)))
+    assert(diff(2, 3) == Set((4L, 40L), (5L, 50L)))
+    assert(diff(1, 2) == Set((3L, 30L)))
+    assert(diff(3, 3).isEmpty, "the empty diff is an empty frame, not an error")
+    // the consumer loop: remembering the last-read version partitions the
+    // stream of rows exactly (no overlap, no gap)
+    assert(diff(1, 2) ++ diff(2, 3) == diff(1, 3))
+    // a rewrite inside the range makes "rows added since" ill-posed
+    Snapshots.commitOverwrite(Seq((9L, 90L)).toDF("id", "x"), dir)
+    val e = intercept[IllegalArgumentException](Snapshots.readChangesSince(spark, dir, 3, 4))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // ranges entirely before the rewrite still work
+    assert(diff(1, 3) == Set((3L, 30L), (4L, 40L), (5L, 50L)))
+  }
+
   test("reads push filters into the snapshot's parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
