@@ -2245,6 +2245,138 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("from_version")))
   }
 
+  /** x13: RESTORE as a commit ([[graft.sources.Snapshots.commitRestore]])
+    * — the rollback lifecycle: v1 commits third 0, v2 appends third 1, v3
+    * OVERWRITES with third 2 (the "bad deploy" that replaced the table),
+    * v4 restores to v2. The gate reads v2, v3 AND v4: v4 must reproduce
+    * v2 exactly (the rollback) while v3 stays readable (the undo is
+    * itself audit-logged history, not a rewrite) — a restore that copied
+    * data, resurrected v3 rows, or dropped a carried file diverges the
+    * per-version aggregates. Zero-copy (v4's manifest lists v2's files by
+    * reference) and vacuum's refcounting across a restore are pinned by
+    * SnapshotsSpec. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def restoreScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    Snapshots.commitRestore(spark, dir, 2)
+    val perVersion = (2 to 4).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("n_users"), col("sum_cents"),
+          col("min_event_id"), col("max_event_id"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
+  /** Key offset for x14's merge-inserted rows — far above any organic
+    * event_id, so inserted keys never collide with base keys.
+    */
+  private val CdfInsertOffset = 1000000000000L
+
+  /** x14: CHANGE DATA FEED ([[graft.sources.Snapshots.readChangeFeed]]) —
+    * the row-level consumption primitive that keeps a downstream store in
+    * sync without re-scanning the table: v1 commits two-thirds of the
+    * base (event_id-clustered), v2 APPENDS the rest (feed: inserts from
+    * the manifest diff — zero recorded state), v3 MERGES updates (%7
+    * keys, +[[MergeShift]]) plus brand-new keys (%11, offset by
+    * [[CdfInsertOffset]]) (feed: update_preimage/update_postimage/insert
+    * from the commit's recorded change files), v4 DELETES a cents range
+    * (feed: the deleted rows), v5 OPTIMIZEs (feed: NOTHING — bytes moved,
+    * rows identical, and the gate reads across it to prove so). The gate
+    * aggregates the whole feed by (version, change_type); the oracle
+    * derives every change set from the base table, so a phantom change,
+    * a lost preimage, or an optimize that leaked "changes" diverges the
+    * hash. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def changeFeedScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("event_id")),
+      dir,
+      Seq("event_id", "cents"))
+    Snapshots.commitAppend(
+      base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir, Seq("event_id", "cents"))
+    val updates = base
+      .filter(pmod(col("event_id"), lit(7L)) === 0L)
+      .withColumn("cents", col("cents") + lit(MergeShift))
+    val inserts = base
+      .filter(pmod(col("event_id"), lit(11L)) === 0L)
+      .withColumn("event_id", col("event_id") + lit(CdfInsertOffset))
+    Snapshots.commitMerge(spark, dir, updates.unionByName(inserts), "event_id")
+    Snapshots.commitDelete(spark, dir, "cents", 1000L, 4999L)
+    Snapshots.commitOptimize(spark, dir)
+    Snapshots
+      .readChangeFeed(spark, dir, 1, 5)
+      .groupBy(
+        col(Snapshots.ChangeVersionCol).as("version"),
+        col(Snapshots.ChangeTypeCol).as("change_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .transform(orderedOutput(_, col("version"), col("change_type")))
+  }
+
+  /** x15: commit-time CHECK constraints ([[graft.sources.Snapshots
+    * .commitAppendChecked]]) — the Delta-constraints/expectations shape:
+    * a table declares invariants and the COMMIT enforces them, so
+    * downstream readers never re-validate. v1 lands the honest half
+    * (even event_ids) through the checked path; a poisoned batch (odd
+    * rows, %5 keys shifted past [[MergeShift]]) is then profiled
+    * ([[graft.sources.Snapshots.constraintViolations]] — all constraints
+    * counted in ONE aggregate pass) and its checked commit must REFUSE,
+    * leaving the table exactly at v1. The gate emits the violation
+    * profile, the refusal flag, and the final table aggregates; the
+    * oracle derives all three from the base table (the refusal flag as
+    * CASE WHEN violations > 0 — the oracle never assumes the refusal, it
+    * derives it). Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def checkedCommitScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    val cons = Seq(
+      "cents_nonneg" -> (col("cents") >= 0L),
+      "cents_sane" -> (col("cents") < MergeShift),
+      "user_present" -> col("user_id").isNotNull)
+    Snapshots.commitAppendChecked(
+      base.filter(pmod(col("event_id"), lit(2L)) === 0L), dir, cons)
+    val poisoned = base
+      .filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .withColumn(
+        "cents",
+        when(pmod(col("event_id"), lit(5L)) === 0L, col("cents") + lit(MergeShift))
+          .otherwise(col("cents")))
+    val profile = Snapshots.constraintViolations(poisoned, cons)
+    val refused =
+      try { Snapshots.commitAppendChecked(poisoned, dir, cons); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    val table = Snapshots
+      .readLatest(spark, dir)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    profile
+      .select(col("constraint").as("row_key"), col("n_violations").as("metric"))
+      .unionByName(spark.range(1)
+        .select(lit("commit_refused").as("row_key"), lit(refused).as("metric")))
+      .unionByName(table.select(lit("table_rows").as("row_key"), col("n").as("metric")))
+      .unionByName(table.select(lit("table_sum_cents").as("row_key"), col("s").as("metric")))
+      .transform(orderedOutput(_, col("row_key")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -4499,6 +4631,82 @@ object FeatureQueries {
            |  ON (f.from_version = 1 AND p.event_id % 3 IN (1, 2))
            |  OR (f.from_version = 2 AND p.event_id % 3 = 2)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x13_restore" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(2, 4)) AS version)
+           |SELECT CAST(v.version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(min(p.event_id) AS BIGINT) AS min_event_id,
+           |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
+           |FROM v JOIN prep p ON
+           |     (v.version IN (2, 4) AND p.event_id % 3 IN (0, 1))
+           |  OR (v.version = 3 AND p.event_id % 3 = 2)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the refusal flag and the post-refusal table state are DERIVED
+      // (CASE WHEN violations > 0), never assumed — an enforcement hole
+      // that let the poisoned batch through diverges table_rows/sum
+      "x15_checked_commit" ->
+        s"""WITH prep AS ($prep),
+           |odd AS (
+           |  SELECT event_id, user_id,
+           |    CASE WHEN event_id % 5 = 0 THEN cents + 1000000000 ELSE cents END AS cents
+           |  FROM prep WHERE event_id % 2 = 1),
+           |viol AS (
+           |  SELECT 'cents_nonneg' AS row_key,
+           |    CAST(coalesce(sum(CASE WHEN NOT (cents >= 0) THEN 1 ELSE 0 END), 0) AS BIGINT) AS metric
+           |  FROM odd
+           |  UNION ALL
+           |  SELECT 'cents_sane',
+           |    CAST(coalesce(sum(CASE WHEN NOT (cents < 1000000000) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |  FROM odd
+           |  UNION ALL
+           |  SELECT 'user_present',
+           |    CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |  FROM odd),
+           |flag AS (
+           |  SELECT CAST(CASE WHEN (SELECT sum(metric) FROM viol) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS refused)
+           |SELECT row_key, metric FROM (
+           |  SELECT row_key, metric FROM viol
+           |  UNION ALL SELECT 'commit_refused', refused FROM flag
+           |  UNION ALL
+           |  SELECT 'table_rows', CAST(CASE WHEN (SELECT refused FROM flag) = 1
+           |    THEN (SELECT count(*) FROM prep WHERE event_id % 2 = 0)
+           |    ELSE (SELECT count(*) FROM prep WHERE event_id % 2 = 0)
+           |       + (SELECT count(*) FROM odd) END AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'table_sum_cents', CAST(CASE WHEN (SELECT refused FROM flag) = 1
+           |    THEN (SELECT sum(cents) FROM prep WHERE event_id % 2 = 0)
+           |    ELSE (SELECT sum(cents) FROM prep WHERE event_id % 2 = 0)
+           |       + (SELECT sum(cents) FROM odd) END AS BIGINT))
+           |ORDER BY row_key""".stripMargin,
+      "x14_change_feed" ->
+        s"""WITH prep AS ($prep),
+           |ch AS (
+           |  SELECT 2 AS version, 'insert' AS change_type, user_id, cents
+           |  FROM prep WHERE event_id % 3 = 2
+           |  UNION ALL
+           |  SELECT 3, 'update_preimage', user_id, cents
+           |  FROM prep WHERE event_id % 7 = 0
+           |  UNION ALL
+           |  SELECT 3, 'update_postimage', user_id, cents + 1000000000
+           |  FROM prep WHERE event_id % 7 = 0
+           |  UNION ALL
+           |  SELECT 3, 'insert', user_id, cents
+           |  FROM prep WHERE event_id % 11 = 0
+           |  UNION ALL
+           |  SELECT 4, 'delete', user_id, cents
+           |  FROM prep WHERE event_id % 7 <> 0 AND cents BETWEEN 1000 AND 4999
+           |  UNION ALL
+           |  SELECT 4, 'delete', user_id, cents
+           |  FROM prep WHERE event_id % 11 = 0 AND cents BETWEEN 1000 AND 4999)
+           |SELECT CAST(version AS BIGINT) AS version, change_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "x11_schema_travel" ->
         s"""WITH prep AS ($prep),
            |r AS (
@@ -4516,16 +4724,19 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // LEFT join from the dim spine (the x12 convention): a dimension
+      // matching zero rows at a tiny SF must still emit its zero row,
+      // exactly as the Spark side's whole-frame agg does
       "x10_multi_zone" ->
         s"""WITH prep AS ($prep),
            |d AS (SELECT 'user_id' AS dim UNION ALL SELECT 'cents')
            |SELECT d.dim,
-           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(p.event_id) AS BIGINT) AS n_events,
            |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
            |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
            |  CAST(min(p.event_id) AS BIGINT) AS min_event_id,
            |  CAST(max(p.event_id) AS BIGINT) AS max_event_id
-           |FROM d JOIN prep p
+           |FROM d LEFT JOIN prep p
            |  ON (d.dim = 'user_id' AND p.user_id BETWEEN 100 AND 299)
            |  OR (d.dim = 'cents' AND p.cents BETWEEN 1000 AND 4999)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -4955,6 +5166,9 @@ object FeatureQueries {
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
     "x12_incremental_read" -> (incrementalReadScan(_, _)),
+    "x13_restore" -> (restoreScan(_, _)),
+    "x14_change_feed" -> (changeFeedScan(_, _)),
+    "x15_checked_commit" -> (checkedCommitScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

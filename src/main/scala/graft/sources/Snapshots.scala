@@ -49,7 +49,12 @@ object Snapshots {
   private val VersionRe = "v(\\d+)\\.list".r
   private val StatsHeader = "#stats="
   private val BatchHeader = "#batch="
+  private val OpHeader = "#op="
   private val HwmName = "_batch.hwm"
+
+  /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
+  val ChangeTypeCol = "_change_type"
+  val ChangeVersionCol = "_commit_version"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,17 +86,30 @@ object Snapshots {
     * maps — and the entries). Public so specs and metadata harnesses can
     * audit manifests without a data read.
     */
-  def manifest(
-      spark: SparkSession,
-      dir: String,
-      version: Int): (Seq[String], Seq[ManifestEntry]) = {
+  private def manifestLines(spark: SparkSession, dir: String, version: Int): List[String] = {
     val mf = new Path(manifestDir(dir), s"v$version.list")
     val f = fs(spark, mf)
     require(f.exists(mf), s"snapshot v$version does not exist under $dir")
     val in = f.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The commit operation that produced `version` (`append`, `overwrite`,
+    * `delete`, `merge`, `optimize`, `restore`), None for manifests
+    * published before op headers existed. [[readChangeFeed]] keys its
+    * per-version semantics off this.
+    */
+  def commitOp(spark: SparkSession, dir: String, version: Int): Option[String] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(OpHeader))
+      .map(_.drop(OpHeader.length))
+
+  def manifest(
+      spark: SparkSession,
+      dir: String,
+      version: Int): (Seq[String], Seq[ManifestEntry]) = {
+    val lines = manifestLines(spark, dir, version)
     val statsCols = lines
       .find(_.startsWith(StatsHeader))
       .map(_.drop(StatsHeader.length).split(',').toSeq)
@@ -297,7 +315,8 @@ object Snapshots {
               s"append stats columns $statsCols must match the carried snapshot's $prevCols")
             prev
           } else Nil
-        if (tryPublish(spark, dir, v, statsCols, carried ++ staged, batchId)) {
+        if (tryPublish(spark, dir, v, statsCols, carried ++ staged, batchId,
+            if (carryForward) "append" else "overwrite")) {
           batchId.foreach(b => writeHwm(spark, dir, b, v))
           out = Some(Some(v))
         }
@@ -318,12 +337,14 @@ object Snapshots {
       v: Int,
       statsCols: Seq[String],
       entries: Seq[ManifestEntry],
-      batchId: Option[Long]): Boolean = {
+      batchId: Option[Long],
+      op: String): Boolean = {
     val md = manifestDir(dir)
     val f = fs(spark, md)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.list.tmp-${java.util.UUID.randomUUID()}")
-    val header = (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
+    val header = s"$OpHeader$op\n" +
+      (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
       batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val body = entries.map { e =>
       (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))).mkString("\t")
@@ -346,8 +367,9 @@ object Snapshots {
       dir: String,
       v: Int,
       statsCols: Seq[String],
-      entries: Seq[ManifestEntry]): Unit =
-    require(tryPublish(spark, dir, v, statsCols, entries, None),
+      entries: Seq[ManifestEntry],
+      op: String): Unit =
+    require(tryPublish(spark, dir, v, statsCols, entries, None, op),
       s"commit of v$v lost the publish race to a concurrent writer; " +
         "re-run the operation against the new latest snapshot")
 
@@ -383,6 +405,7 @@ object Snapshots {
     val (touched, untouched) =
       entries.partition(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)
     val v = prev + 1
+    var chStage: Option[Path] = None
     val staged: Seq[ManifestEntry] =
       if (touched.isEmpty) Nil
       else {
@@ -391,9 +414,19 @@ object Snapshots {
           .parquet(touched.map(_.path): _*)
           .filter(!col(column).between(lo, hi))
           .write.mode("error").parquet(stage.toString)
+        // change-feed record: the doomed rows, read from the same pruned
+        // file set the rewrite read — O(touched files), the price every
+        // CDF-enabled format pays on DELETE (the feed row count is the
+        // deleted row count, never the table's)
+        chStage = Some(stageChanges(spark, dir,
+          spark.read
+            .parquet(touched.map(_.path): _*)
+            .filter(col(column).between(lo, hi))
+            .withColumn(ChangeTypeCol, lit("delete"))))
         zoneEntries(spark, stage, statsCols)
       }
-    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged)
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "delete")
+    chStage.foreach(publishChanges(spark, dir, _, v))
     v
   }
 
@@ -455,6 +488,32 @@ object Snapshots {
           .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
           .unionByName(changes)
     survivors.write.mode("error").parquet(stage.toString)
+    // change-feed record: replaced rows surface as update_preimage (their
+    // old values) + update_postimage (the change row), unmatched change
+    // keys as insert — all derived from the SAME pruned touched-file set
+    // the rewrite read, so the feed costs O(touched + changes), never a
+    // table scan
+    val chStage = {
+      val feed = touched match {
+        case Seq() => changes.withColumn(ChangeTypeCol, lit("insert"))
+        case _ =>
+          val baseTouched = spark.read.parquet(touched.map(_.path): _*)
+          val matchedKeys = baseTouched
+            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .select(col(keyCol))
+            .distinct()
+          baseTouched
+            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(changes
+              .join(matchedKeys, Seq(keyCol), "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+            .unionByName(changes
+              .join(matchedKeys, Seq(keyCol), "left_anti")
+              .withColumn(ChangeTypeCol, lit("insert")))
+      }
+      stageChanges(spark, dir, feed)
+    }
     val staged =
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
       else {
@@ -466,7 +525,8 @@ object Snapshots {
           .sortBy(_.path)
           .toSeq
       }
-    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged)
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge")
+    publishChanges(spark, dir, chStage, v)
     v
   }
 
@@ -513,8 +573,170 @@ object Snapshots {
           .toSeq
       }
     val v = prev + 1
-    publishOrAbort(spark, dir, v, statsCols, staged)
+    publishOrAbort(spark, dir, v, statsCols, staged, "optimize")
     v
+  }
+
+  /** RESTORE — roll the table back to `toVersion` AS A NEW COMMIT (the
+    * Delta RESTORE shape): publishes version latest+1 whose manifest is a
+    * COPY of `toVersion`'s file list, so the rollback moves zero bytes
+    * (the restored files are carried by reference, exactly like an
+    * append's carry-forward) and the botched versions in between stay
+    * readable via time travel until [[vacuum]] expires them — an undo
+    * that is itself audit-logged, not a history rewrite. Vacuum's
+    * per-file reference counting keeps the restored files alive as long
+    * as the restore commit survives, even once the original version
+    * expires. Aborts on a lost publish race (restoring over a commit it
+    * never saw would silently discard that commit — the lost-update
+    * anomaly again). Returns the new version.
+    */
+  def commitRestore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val prev = latestVersion(spark, dir)
+    require(toVersion >= 1 && toVersion <= prev,
+      s"cannot restore $dir to v$toVersion (latest is v$prev)")
+    val (statsCols, entries) = manifest(spark, dir, toVersion)
+    val v = prev + 1
+    publishOrAbort(spark, dir, v, statsCols, entries, "restore")
+    v
+  }
+
+  /** Violation profile for declarative table constraints — ONE
+    * distributed pass over `df` counts every constraint's violating rows
+    * (a conditional sum per constraint inside a single aggregate, the
+    * q10 data-quality shape — never one job per constraint). A NULL
+    * predicate result counts as a violation (the SQL CHECK convention is
+    * the opposite, but for data-quality gating an unevaluable row is a
+    * bad row). Returns (constraint, n_violations), every constraint
+    * present.
+    */
+  def constraintViolations(
+      df: DataFrame,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    import org.apache.spark.sql.functions.{coalesce, explode, map => fMap, sum, when}
+    val counters = constraints.flatMap { case (name, pred) =>
+      Seq(
+        lit(name),
+        coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L)))
+    }
+    df.agg(fMap(counters: _*).as("m"))
+      .select(explode(col("m")).as(Seq("constraint", "n_violations")))
+  }
+
+  /** CHECKED append — commit-time constraint enforcement (the Delta CHECK
+    * constraint / expectations shape): the staged batch must satisfy
+    * every named predicate or the commit REFUSES — no version published,
+    * nothing staged — with a message listing each violated constraint
+    * and its violating-row count. Enforcement at the COMMIT is what
+    * makes the table's invariants trustworthy downstream (a reader never
+    * re-validates); the price is one extra aggregate pass over the batch
+    * (counted in ONE job regardless of constraint count). Returns the
+    * new version.
+    */
+  def commitAppendChecked(
+      df: DataFrame,
+      dir: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Nil): Int = {
+    val bad = constraintViolations(df, constraints)
+      .filter(col("n_violations") > 0L)
+      .collect()
+    require(bad.isEmpty,
+      s"commit to $dir refused: constraint violations — " +
+        bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
+    commitAppend(df, dir, statsCols)
+  }
+
+  /** A commit's row-level change record staged under a per-attempt unique
+    * name (`changes/stage-<uuid>`), renamed to `changes/v<N>` only AFTER
+    * the manifest rename wins — a lost publish race leaves an orphan
+    * stage directory no reader ever resolves (vacuum reclaims it), never
+    * a change record attributed to somebody else's version. An empty
+    * change set still writes one schema-bearing empty file so the feed
+    * read can infer its schema.
+    */
+  private def stageChanges(spark: SparkSession, dir: String, rows: DataFrame): Path = {
+    val stage = new Path(dir, s"changes/stage-${java.util.UUID.randomUUID()}")
+    rows.write.mode("error").parquet(stage.toString)
+    val f = fs(spark, stage)
+    if (!f.listStatus(stage).exists(_.getPath.getName.endsWith(".parquet")))
+      spark
+        .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
+        .repartition(1)
+        .write.mode("overwrite").parquet(stage.toString)
+    stage
+  }
+
+  private def publishChanges(spark: SparkSession, dir: String, stage: Path, v: Int): Unit = {
+    val dst = new Path(dir, s"changes/v$v")
+    fs(spark, dst).rename(stage, dst)
+    ()
+  }
+
+  /** CHANGE DATA FEED — every row-level change between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), typed like Delta's CDF:
+    * table columns plus [[ChangeTypeCol]] (`insert`, `delete`,
+    * `update_preimage`, `update_postimage`) and [[ChangeVersionCol]].
+    * Per-version semantics key off the manifest's op header:
+    *
+    *   - `append` versions derive their inserts from the MANIFEST DIFF
+    *     (the new files ARE the new rows — zero recorded state, zero
+    *     re-reads of consumed history, same as [[readChangesSince]]);
+    *   - `delete`/`merge` versions read the change record their commit
+    *     staged (`changes/v<N>` — deleted rows, update pre/post images,
+    *     merge inserts), sized by the CHANGE, not the table;
+    *   - `optimize` versions contribute nothing (bytes moved, rows
+    *     bit-identical — an empty feed is the correct feed);
+    *   - `overwrite`/`restore` versions REFUSE: both rewrite history
+    *     wholesale, so "the row changes" would be a table-sized diff the
+    *     consumer should express as a full re-read of the latest
+    *     snapshot instead (the same contract [[readChangesSince]]
+    *     exposes for non-append ranges).
+    *
+    * This is the consumption primitive that keeps a downstream FEATURE
+    * STORE in sync with a mutable upstream table without re-scanning it:
+    * apply inserts/postimages as upserts and deletes as removals, in
+    * version order.
+    */
+  def readChangeFeed(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion >= 1 && toVersion >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got [$fromVersion, $toVersion]")
+    def emptyAt(v: Int) =
+      readVersion(spark, dir, v).limit(0).withColumn(ChangeTypeCol, lit(""))
+    var prevKeys = manifest(spark, dir, fromVersion)._2.map(e => fileKey(e.path)).toSet
+    val parts = ((fromVersion + 1) to toVersion).map { v =>
+      val op = commitOp(spark, dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"v$v of $dir carries no op header (pre-CDF manifest): change feed undefined"))
+      val cur = manifest(spark, dir, v)._2.map(_.path)
+      val slice = op match {
+        case "append" =>
+          val added = cur.filter(p => !prevKeys.contains(fileKey(p)))
+          if (added.isEmpty) emptyAt(v)
+          else
+            spark.read
+              .option("mergeSchema", "true")
+              .parquet(added: _*)
+              .withColumn(ChangeTypeCol, lit("insert"))
+        case "delete" | "merge" =>
+          val chDir = new Path(dir, s"changes/v$v")
+          if (fs(spark, chDir).exists(chDir)) spark.read.parquet(chDir.toString)
+          else emptyAt(v) // a delete that touched no files records nothing
+        case "optimize" => emptyAt(v)
+        case other =>
+          throw new IllegalArgumentException(
+            s"v$v of $dir is a $other commit: row-level changes are undefined across a " +
+              "history rewrite — re-read the latest snapshot instead")
+      }
+      prevKeys = cur.map(fileKey).toSet
+      slice.withColumn(ChangeVersionCol, lit(v.toLong))
+    }
+    if (parts.isEmpty) emptyAt(toVersion).withColumn(ChangeVersionCol, lit(0L))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Scheme-insensitive file identity ("file:///x" == "file:/x" — manifest
@@ -594,6 +816,19 @@ object Snapshots {
       }
     }
     (1 until keepFrom).foreach(v => f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
+    // change-feed hygiene: an expired version's change record is no longer
+    // reachable (the feed refuses ranges that cross vacuumed history), and
+    // a lost-race commit's orphaned change stage is never resolved by any
+    // reader — both are reclaimed here, stage orphans under the same
+    // retention guard as data orphans
+    val chRoot = new Path(dir, "changes")
+    if (f.exists(chRoot)) {
+      (1 until keepFrom).foreach(v => f.delete(new Path(chRoot, s"v$v"), true))
+      f.listStatus(chRoot).foreach { st =>
+        if (st.getPath.getName.startsWith("stage-") && st.getModificationTime <= cutoffMs)
+          f.delete(st.getPath, true)
+      }
+    }
     deleted
   }
 

@@ -310,7 +310,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val md = java.nio.file.Paths.get(dir, "_manifests")
     java.nio.file.Files.writeString(md.resolve("v2.list"), "#stats=id\n")
     val e = intercept[IllegalArgumentException](
-      Snapshots.publishOrAbort(spark, dir, 2, Seq("id"), Nil))
+      Snapshots.publishOrAbort(spark, dir, 2, Seq("id"), Nil, "delete"))
     assert(e.getMessage.contains("lost the publish race"), e.getMessage)
     // the append path retries PAST the squatter instead of aborting
     assert(Snapshots.commitAppend(Seq((200L, 200L)).toDF("id", "x"), dir, Seq("id")) == 3)
@@ -363,6 +363,111 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only"), e.getMessage)
     // ranges entirely before the rewrite still work
     assert(diff(1, 3) == Set((3L, 30L), (4L, 40L), (5L, 50L)))
+  }
+
+  test("RESTORE is a zero-copy commit: shared files, survivable vacuum, auditable undo") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_restore").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
+    val v2 = Snapshots.readVersion(spark, dir, 2).as[(Long, Long)].collect().toSet
+    Snapshots.commitOverwrite(Seq((9L, 90L)).toDF("id", "x"), dir) // the bad deploy
+    assert(Snapshots.commitRestore(spark, dir, 2) == 4)
+    assert(Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet == v2,
+      "the restore must reproduce the target version exactly")
+    // zero-copy: v4's manifest lists v2's files BY REFERENCE
+    assert(Snapshots.manifest(spark, dir, 4)._2.map(_.path)
+      == Snapshots.manifest(spark, dir, 2)._2.map(_.path),
+      "restore must carry the restored files by reference, never copy them")
+    // the undone version stays readable — the rollback is itself history
+    assert(Snapshots.readVersion(spark, dir, 3).as[(Long, Long)].collect().toSet
+      == Set((9L, 90L)), "the rolled-back version must stay readable (auditable undo)")
+    // refcounting across the restore: expiring v1..v3 must NOT erase the
+    // restored files (v4 still references them), only v3's orphans
+    assert(Snapshots.vacuum(spark, dir, keepFrom = 4) >= 1,
+      "the bad deploy's unshared files must be reclaimed")
+    assert(Snapshots.readVersion(spark, dir, 4).as[(Long, Long)].collect().toSet == v2,
+      "the restored version must read bit-identically after vacuum expired its ORIGINAL")
+    // restore is a history rewrite to downstream consumers: both the
+    // incremental read and the change feed refuse across it
+    intercept[IllegalArgumentException](Snapshots.readChangesSince(spark, dir, 3, 4))
+    intercept[IllegalArgumentException](Snapshots.readChangeFeed(spark, dir, 3, 4))
+    // restoring to a version that never existed is refused
+    intercept[IllegalArgumentException](Snapshots.commitRestore(spark, dir, 99))
+  }
+
+  test("change feed replays the table: applying it to a checkpoint reproduces the latest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_cdf").toString
+    Snapshots.commitOverwrite(
+      (1L to 400L).map(i => (i, i % 97)).toDF("id", "x").repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    Snapshots.commitAppend((401L to 500L).map(i => (i, i % 97)).toDF("id", "x"), dir, Seq("id"))
+    Snapshots.commitMerge(spark, dir,
+      ((50L to 60L) ++ (1001L to 1005L)).map(i => (i, -i)).toDF("id", "x"), "id")
+    Snapshots.commitDelete(spark, dir, "id", 200L, 300L)
+    Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, 5)
+    // the downstream-sync contract: apply inserts+postimages as upserts
+    // and deletes as removals, in version order, onto the v1 checkpoint —
+    // the result must be EXACTLY the latest table
+    val v1 = Snapshots.readVersion(spark, dir, 1).as[(Long, Long)].collect().toMap
+    val applied = feed
+      .orderBy(col(Snapshots.ChangeVersionCol))
+      .select(col("id"), col("x"), col(Snapshots.ChangeTypeCol))
+      .as[(Long, Long, String)]
+      .collect()
+      .foldLeft(v1) {
+        case (st, (id, x, "insert"))           => st + (id -> x)
+        case (st, (id, x, "update_postimage")) => st + (id -> x)
+        case (st, (id, _, "delete"))           => st - id
+        case (st, _)                           => st // preimages carry no new state
+      }
+    val latest = Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toMap
+    assert(applied == latest,
+      "replaying the change feed onto the checkpoint must reproduce the latest snapshot")
+    // every preimage has its postimage twin (same keys, same version)
+    val pre = feed.filter(col(Snapshots.ChangeTypeCol) === "update_preimage")
+      .select("id").as[Long].collect().toSet
+    val post = feed.filter(col(Snapshots.ChangeTypeCol) === "update_postimage")
+      .select("id").as[Long].collect().toSet
+    assert(pre == post && pre == (50L to 60L).toSet,
+      "update pre/postimages must pair exactly on the matched keys")
+    // OPTIMIZE contributes nothing: bytes moved, rows identical
+    assert(feed.filter(col(Snapshots.ChangeVersionCol) === 5L).isEmpty,
+      "an OPTIMIZE version's change feed must be empty")
+    // a feed across an overwrite is a history rewrite — refused
+    Snapshots.commitOverwrite(Seq((1L, 1L)).toDF("id", "x"), dir, Seq("id"))
+    val e = intercept[IllegalArgumentException](Snapshots.readChangeFeed(spark, dir, 5, 6))
+    assert(e.getMessage.contains("history rewrite"), e.getMessage)
+    // vacuum reclaims expired change records alongside expired manifests
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "changes", "v3")))
+    Snapshots.vacuum(spark, dir, keepFrom = 6)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "changes", "v3")),
+      "an expired version's change record must be reclaimed by vacuum")
+  }
+
+  test("checked commits enforce declared constraints; a refusal publishes nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_checked").toString
+    val cons = Seq("x_pos" -> (col("x") > 0L), "id_nn" -> col("id").isNotNull)
+    assert(Snapshots.commitAppendChecked(Seq((1L, 10L)).toDF("id", "x"), dir, cons) == 1)
+    val e = intercept[IllegalArgumentException](Snapshots.commitAppendChecked(
+      Seq((2L, -5L), (3L, 0L), (4L, 4L)).toDF("id", "x"), dir, cons))
+    assert(e.getMessage.contains("x_pos (2 rows)"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, dir) == 1,
+      "a refused commit must publish nothing")
+    assert(Snapshots.readLatest(spark, dir).count() == 1)
+    // a NULL predicate result is a violation, not a pass (data-quality
+    // gating treats an unevaluable row as a bad row)
+    val e2 = intercept[IllegalArgumentException](Snapshots.commitAppendChecked(
+      Seq((5L, Option.empty[Long])).toDF("id", "x"), dir, cons))
+    assert(e2.getMessage.contains("x_pos (1 rows)"), e2.getMessage)
+    // the profile lists EVERY constraint, zero counts included
+    val prof = Snapshots
+      .constraintViolations(Seq((2L, -5L), (3L, 3L)).toDF("id", "x"), cons)
+      .as[(String, Long)].collect().toMap
+    assert(prof == Map("x_pos" -> 1L, "id_nn" -> 0L))
   }
 
   test("reads push filters into the snapshot's parquet scan") {
