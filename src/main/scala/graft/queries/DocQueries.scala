@@ -1224,6 +1224,74 @@ object DocQueries {
       .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_hash")
       .transform(orderedOutput(_, col("doc_id")))
 
+  /** t31: HTML text extraction — the boilerplate-stripping stage every
+    * web-scrape training pipeline runs first (WARC/HTML → clean text;
+    * the trafilatura/jusText problem shape re-expressed as codegen'd
+    * Column algebra). Each document is wrapped in DETERMINISTIC
+    * synthetic HTML (title, style+script blocks carrying text-derived
+    * junk, nav/footer chrome, entity-encoded punctuation, a doc-derived
+    * link set — the t28 augmentation convention, so both engines build
+    * the identical page), then extracted: script/style blocks dropped
+    * ((?s) non-greedy spans), tags stripped, entities decoded (&amp;
+    * LAST — decoding it first would corrupt double-encoded entities),
+    * whitespace collapsed (explicit [ \\t\\n\\r] class — Java and RE2
+    * disagree on \\s's vertical-tab membership). Emits the title, link
+    * count, extracted length, and the md5-pinned extracted text — a
+    * character lost or boilerplate leaked anywhere diverges the hash.
+    * Row-local end to end: no shuffle before the output sort.
+    */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val withHtml = Tables
+      .documents(spark, sfDir)
+      .withColumn(
+        "html",
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>body{margin:0}</style><script>var k=\""),
+          md5(col("text")),
+          lit("\";</script></head><body><nav>Home | About | <a href=\"/\">Index</a></nav><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit(" &amp; more &lt;tags&gt; &quot;quoted&quot;&nbsp;end</p><a href=\"/d/"),
+          pmod(col("doc_id") * 31L, lit(997L)).cast("string"),
+          lit("\">next</a>"),
+          when(
+            pmod(col("doc_id"), lit(3L)) === 0L,
+            concat(
+              lit("<a href=\"/d/"),
+              pmod(col("doc_id") * 17L, lit(997L)).cast("string"),
+              lit("\">rel</a>")))
+            .otherwise(lit("")),
+          lit("<footer>(c) corp</footer></body></html>")))
+    val noBlocks = regexp_replace(
+      regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>",
+      " ")
+    val unTagged = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val clean = trim(
+      regexp_replace(
+        replace(
+          replace(
+            replace(
+              replace(
+                replace(unTagged, lit("&lt;"), lit("<")),
+                lit("&gt;"), lit(">")),
+              lit("&quot;"), lit("\"")),
+            lit("&nbsp;"), lit(" ")),
+          lit("&amp;"), lit("&")),
+        "[ \\t\\n\\r]+",
+        " "))
+    withHtml
+      .select(
+        col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        ((length(col("html")) - length(replace(col("html"), lit("<a href="), lit("")))) / 8L)
+          .cast("long").as("n_links"),
+        length(clean).cast("long").as("extracted_len"),
+        md5(clean).as("extract_hash"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   /** t29: length-bucketed dynamic batching — the batch-composition step
     * a training loader runs so sequences of similar length share a batch
     * and padding waste stays low (the t8 sequence-packing companion:
@@ -2079,6 +2147,7 @@ object DocQueries {
     "s7_weighted_sample" -> (weightedSample(_, _)),
     "s13_domain_mix" -> (domainMix(_, _)),
     "t28_pii_redaction" -> (piiRedaction(_, _)),
+    "t31_html_extract" -> (htmlExtract(_, _)),
     "t29_length_batching" -> (lengthBatching(_, _)),
     "t30_line_dedup" -> (lineDedup(_, _)),
     "t3_lang_id" -> (langId(_, _)),
@@ -2974,6 +3043,42 @@ object DocQueries {
          |  md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
          |    FILTER (WHERE keep), '')) AS clean_md5
          |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // t31: the identical synthetic page built in SQL, the identical
+    // extraction chain ((?s) spans, tag strip, entity decode with &amp;
+    // last, explicit whitespace class) — the md5 pins every character
+    "t31_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>body{margin:0}</style><script>var k="' || md5(text)
+        |    || '";</script></head><body><nav>Home | About | <a href="/">Index</a></nav><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text
+        |    || ' &amp; more &lt;tags&gt; &quot;quoted&quot;&nbsp;end</p><a href="/d/'
+        |    || CAST((doc_id * 31) % 997 AS VARCHAR) || '">next</a>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="/d/' || CAST((doc_id * 17) % 997 AS VARCHAR) || '">rel</a>'
+        |         ELSE '' END
+        |    || '<footer>(c) corp</footer></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  CAST((length(html) - length(replace(html, '<a href=', ''))) // 8 AS BIGINT) AS n_links,
+        |  CAST(length(clean) AS BIGINT) AS extracted_len,
+        |  md5(clean) AS extract_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t28_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -1333,6 +1333,67 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("role"), col("node")))
   }
 
+  /** g15: deterministic random-walk sampling — the sampling phase of
+    * DeepWalk/node2vec (Perozzi et al. 2014; Grover & Leskovec 2016)
+    * that turns a graph into training sequences for embedding models,
+    * made md5-DETERMINISTIC (the repo's s5/s6 draw discipline) so the
+    * walks are reproducible across runs, partitionings, AND engines: at
+    * each step the walker at node u moves to the neighbor v minimizing
+    * md5(seed:walk:step:v) — a pseudo-random uniform choice that any SQL
+    * engine replays bit-exactly. [[WalksPerSeed]] walks of [[WalkLen]]
+    * steps start from every seed node (pmod [[WalkSeedMod]] — scale-free
+    * seed rate) of the shared co-occurrence graph.
+    *
+    * Plan shape: the frontier is |seeds|×walks rows (tiny, shrinks
+    * nothing); each step is ONE keyed join frontier⋈edges (shuffle on the
+    * node key, the per-round PageRank shape) + one hash agg whose min()
+    * is map-side combinable — a hub node fanning out to 10^5 candidate
+    * rows collapses to one row per walk before the exchange. No windows,
+    * no cross products; walk count scales with nodes, cost per step with
+    * frontier-degree mass, both linear at 100 TB.
+    */
+  private val WalkLen = 3
+  private val WalksPerSeed = 2
+  private val WalkSeedMod = 41L
+
+  def randomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
+    val sym = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    var frontier = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .filter(pmod(col("node"), lit(WalkSeedMod)) === 0L)
+      .select(
+        col("node").as("seed"),
+        explode(array((0 until WalksPerSeed).map(w => lit(w.toLong)): _*)).as("wid"))
+      .select(col("seed"), col("wid"), col("seed").as("cur"),
+        col("seed").cast("string").as("path"))
+    (1 to WalkLen).foreach { s =>
+      frontier = frontier
+        .join(sym, col("cur") === col("src"))
+        .withColumn(
+          "h",
+          md5(concat_ws(":",
+            col("seed").cast("string"), col("wid").cast("string"),
+            lit(s.toString), col("dst").cast("string"))))
+        .groupBy(col("seed"), col("wid"))
+        // min over (h, dst, path) is the lexicographic argmin on (h, dst)
+        // — path rides along unchanged (one frontier row per walk, so
+        // every candidate shares it)
+        .agg(min(struct(col("h"), col("dst"), col("path"))).as("m"))
+        .select(
+          col("seed"), col("wid"),
+          col("m.dst").as("cur"),
+          concat(col("m.path"), lit(">"), col("m.dst").cast("string")).as("path"))
+    }
+    frontier
+      .select(col("seed"), col("wid").as("walk_id"), col("path"),
+        col("cur").as("final_node"))
+      .transform(orderedOutput(_, col("seed"), col("walk_id")))
+  }
+
   // ---- ScaleBench work-size probes -----------------------------------------
 
   /** Pre-threshold work frames for the scale harness (the DocQueries
@@ -1439,6 +1500,7 @@ object RelationalQueries {
     "g12_kcore" -> (kCore(_, _)),
     "g13_label_propagation" -> (labelPropagation(_, _)),
     "g14_hits" -> (hits(_, _)),
+    "g15_random_walks" -> (randomWalks(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
     "q22_market_share" -> (marketShare(_, _)),
     "q23_returned_items" -> (returnedItems(_, _)),
@@ -1675,6 +1737,33 @@ object RelationalQueries {
          |UNION ALL
          |SELECT 'hub' AS role, c AS node, CAST(score AS VARCHAR) AS score FROM h$HitsRounds
          |ORDER BY role, node""".stripMargin
+    },
+    // deterministic random walks: unrolled per-step CTEs; the oracle
+    // derives each step's argmin via row_number over (h, dst) — a
+    // different derivation than Spark's min(struct(h, dst, path)) combine
+    "g15_random_walks" -> {
+      val steps = (1 to WalkLen).map { s =>
+        s"""f$s AS MATERIALIZED (
+           |  SELECT seed, wid, dst AS cur, path || '>' || CAST(dst AS VARCHAR) AS path
+           |  FROM (
+           |    SELECT f.seed, f.wid, e.dst, f.path,
+           |      row_number() OVER (PARTITION BY f.seed, f.wid ORDER BY
+           |        md5(concat_ws(':', CAST(f.seed AS VARCHAR), CAST(f.wid AS VARCHAR),
+           |          '$s', CAST(e.dst AS VARCHAR))), e.dst) AS rn
+           |    FROM f${s - 1} f JOIN sym e ON f.cur = e.src)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |f0 AS (
+         |  SELECT node AS seed, wid, node AS cur, CAST(node AS VARCHAR) AS path
+         |  FROM (SELECT DISTINCT src AS node FROM sym WHERE src % $WalkSeedMod = 0)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${WalksPerSeed - 1})) AS wid)),
+         |$steps
+         |SELECT seed, CAST(wid AS BIGINT) AS walk_id, path, CAST(cur AS BIGINT) AS final_node
+         |FROM f$WalkLen ORDER BY seed, walk_id""".stripMargin
     },
     // deterministic LPA: unrolled MATERIALIZED rounds (the g12 pattern);
     // the oracle derives each round's argmax via row_number over the

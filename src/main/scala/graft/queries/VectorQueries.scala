@@ -310,6 +310,78 @@ object VectorQueries {
         MaxBucket)
       .transform(orderedOutput(_, col("vec_a"), col("vec_b")))
 
+  /** v15: kNN-GRAPH construction — every vector's top-[[KnnGraphK]]
+    * neighbors (the input UMAP/HDBSCAN-style clustering, graph-based
+    * dedup, and label propagation over embeddings all start from), built
+    * the way it scales: sign-LSH buckets seed candidate edges (d6's
+    * derived-bits blocking, hot buckets capped), then ONE NN-descent
+    * round (Dong et al. 2011: "a neighbor of a neighbor is likely a
+    * neighbor") expands candidates through the init graph's
+    * neighbor-of-neighbor joins before the final exact-cosine top-k.
+    * Each final edge carries a `mutual` flag (both endpoints rank each
+    * other) — the mutual-kNN subgraph is the standard clustering
+    * skeleton. All candidate generation is bounded: buckets by the
+    * [[MaxBucket]] cap, the descent round by |edges|·k = n·k², never
+    * n²; the exact verify touches candidates only. The oracle replays
+    * the whole pipeline (same derived bits, same cap, row_number
+    * tie-breaks on (cosine DESC, dst)) so recall is pinned by parity,
+    * not assumed.
+    */
+  private val KnnGraphK = 5
+  private val KgTables = 4
+
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bits = Similarity.autoBits(emb.count(), BlockTargetBucket, BlockFloorBits)
+    val tables = math.max(1, math.min(KgTables, EmbedDim / bits))
+    val base = Similarity
+      .prepared(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cool = Similarity.dropHotBuckets(
+      base.select(col("vec_id"), explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket")),
+      MaxBucket)
+    // directed candidates via the capped grouped-collect (the
+    // verifyCandidates shape): per-bucket work bounded by MaxBucket^2
+    val cand0 = cool
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("src"), col("ids"))
+      .select(col("src"), explode(col("ids")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    def verified(cand: DataFrame): DataFrame = cand
+      .join(base.select(col("vec_id").as("src"), col("qv").as("qa"), col("nrm").as("na")), "src")
+      .join(base.select(col("vec_id").as("dst"), col("qv").as("qb"), col("nrm").as("nb")), "dst")
+      .select(
+        col("src"), col("dst"),
+        Similarity.cosine(Similarity.dot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+    def topK(v: DataFrame): DataFrame = v
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst")))
+          .cast("long"))
+      .filter(col("rnk") <= KnnGraphK)
+    val g0 = topK(verified(cand0)).select("src", "dst")
+    // the NN-descent expansion walks the UNDIRECTED init graph (forward
+    // and reverse neighbors both count, per the paper)
+    val und = g0.unionAll(g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val cand1 = und.as("e1")
+      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val g1 = topK(verified(cand0.unionAll(cand1).distinct()))
+    g1.join(
+        g1.select(col("dst").as("src"), col("src").as("dst"), lit(1L).as("mut")).distinct(),
+        Seq("src", "dst"),
+        "left")
+      .select(
+        col("src").as("vec_id"), col("rnk"), col("dst").as("nbr_id"), col("cosine"),
+        coalesce(col("mut"), lit(0L)).as("mutual"))
+      .transform(orderedOutput(_, col("vec_id"), col("rnk")))
+  }
+
   /** v3 IVF sizing: cells = clamp(sqrt(n), 16, 65536) (n=500 at the gate
     * => 22 cells), k-means trained on a ~64-vectors-per-cell hash sample
     * and seeded by md5-rank (both density-free — a sparse-id corpus still
@@ -579,6 +651,7 @@ object VectorQueries {
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
     "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
+    "v15_knn_graph" -> (knnGraph(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
 
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
@@ -1159,6 +1232,55 @@ object VectorQueries {
          |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
          |    FROM (SELECT count(*) AS cnt FROM embeddings)))""".stripMargin,
       NearDupThreshold),
+    // v15: the full kNN-graph pipeline replayed — derived bits, capped
+    // buckets, directed candidates, init top-k, one NN-descent
+    // neighbor-of-neighbor expansion, final top-k, mutuality
+    "v15_knn_graph" ->
+      s"""WITH $prep,
+         |params AS (
+         |  SELECT b, greatest(1, least($KgTables, $EmbedDim // b)) AS t FROM (
+         |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
+         |    FROM (SELECT count(*) AS cnt FROM embeddings))),
+         |slots AS (
+         |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
+         |  FROM base CROSS JOIN params),
+         |bucketed AS (
+         |  SELECT vec_id,
+         |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
+         |      CASE WHEN qv[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM slots),
+         |cool AS (
+         |  SELECT vec_id, bucket FROM bucketed
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
+         |cand0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |v0 AS (
+         |  SELECT c.src, c.dst, $cosineExpr AS cosine
+         |  FROM cand0 c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+         |g0 AS (
+         |  SELECT src, dst FROM v0
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM
+         |    (SELECT src, dst FROM g0 UNION ALL SELECT dst, src FROM g0)),
+         |cand1 AS (
+         |  SELECT DISTINCT e1.src, e2.dst FROM und e1 JOIN und e2 ON e1.dst = e2.src
+         |  WHERE e1.src <> e2.dst),
+         |allc AS (SELECT src, dst FROM cand0 UNION SELECT src, dst FROM cand1),
+         |v1 AS (
+         |  SELECT c.src, c.dst, $cosineExpr AS cosine
+         |  FROM allc c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+         |g1 AS MATERIALIZED (
+         |  SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+         |  FROM v1
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK)
+         |SELECT g.src AS vec_id, CAST(g.rnk AS BIGINT) AS rnk, g.dst AS nbr_id, g.cosine,
+         |  CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+         |FROM g1 g LEFT JOIN (SELECT DISTINCT dst AS src, src AS dst FROM g1) r
+         |  ON g.src = r.src AND g.dst = r.dst
+         |ORDER BY vec_id, rnk""".stripMargin,
     "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
       s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
       HiThreshold),
