@@ -111,7 +111,20 @@ object ScaleBench {
     "t30_line_dedup",
     "s14_cluster_split",
     "j11_training_dataset",
-    "v14_ivf_incremental")
+    "v14_ivf_incremental",
+    // r11 additions: the per-step frontier⋈edges walk rounds (cost should
+    // track the edge mass, like g3 — measured 1.72x), the LSH-init +
+    // NN-descent kNN graph (measured 5.2x at 10x vectors: its in-bucket
+    // candidate set grows 6.3x by design — derived bits hold avg bucket
+    // size near the target as n grows, so candidates ~ n·target·T — and
+    // the NN-descent round adds n·(2k)², both LINEAR in n; the ratio
+    // sits below the 10x data growth, the t19-style disclosed-anchor
+    // convention), and the change-feed lifecycle (5 commits incl.
+    // merge/delete change recording — the CDF write amplification at
+    // 10x events, measured 1.70x)
+    "g15_random_walks",
+    "v15_knn_graph",
+    "x14_change_feed")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -1483,6 +1483,7 @@ object RelationalQueries {
     "g12_kcore" -> (coEdgesProbe(_, _)),
     "g13_label_propagation" -> (coEdgesProbe(_, _)),
     "g14_hits" -> (hitsEdgesProbe(_, _)),
+    "g15_random_walks" -> (coEdgesProbe(_, _)),
     "g9_link_prediction" -> (raWedgesProbe(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

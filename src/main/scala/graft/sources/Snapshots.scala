@@ -546,18 +546,31 @@ object Snapshots {
   def commitOptimize(
       spark: SparkSession,
       dir: String,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      zOrder: Boolean = false): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val prev = latestVersion(spark, dir)
     val (statsCols, entries) = manifest(spark, dir, prev)
     require(entries.nonEmpty, s"cannot OPTIMIZE an empty snapshot at $dir")
+    require(!zOrder || statsCols.size >= 2,
+      s"Z-order OPTIMIZE interleaves the first TWO stats columns; $dir declares $statsCols")
     val f = fs(spark, new Path(entries.head.path))
     val totalBytes = entries.map(e => f.getFileStatus(new Path(e.path)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val all = spark.read.parquet(entries.map(_.path): _*)
-    val packed = statsCols.headOption match {
-      case Some(c) => all.repartitionByRange(nFiles, col(c))
-      case None    => all.repartition(nFiles)
+    // zOrder = true re-clusters on the Morton interleave of the first two
+    // stats columns (low 16 bits each — the x10/z1 convention) so the
+    // rewritten zone maps prune on EITHER dimension; the default
+    // range-clusters on the leading column alone (tightest single-dim
+    // pruning). Both are bit-identical rewrites — only the LAYOUT differs.
+    val packed = statsCols match {
+      case Seq(c1, c2, _*) if zOrder =>
+        val zk = graft.operators.ZOrder.interleaveCol(
+          col(c1).bitwiseAND(lit(65535L)),
+          col(c2).bitwiseAND(lit(65535L)))
+        all.withColumn("__zk", zk).repartitionByRange(nFiles, col("__zk")).drop("__zk")
+      case Seq(c, _*) => all.repartitionByRange(nFiles, col(c))
+      case _          => all.repartition(nFiles)
     }
     val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
     packed.write.mode("error").parquet(stage.toString)

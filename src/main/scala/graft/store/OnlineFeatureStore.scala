@@ -41,6 +41,12 @@ final class OnlineFeatureStore(val featureNames: Seq[String]) {
 
   def get(key: Long): Option[(Long, Array[Double])] = records.get(key)
 
+  /** Remove a key — the reference store's DeleteRecord twin (the online
+    * half of a table-side row erasure; the change-feed sync path applies
+    * `delete` feed rows through this).
+    */
+  def delete(key: Long): Unit = { records.remove(key); () }
+
   def getFeature(key: Long, name: String): Option[Double] = {
     val idx = featureNames.indexOf(name)
     if (idx < 0) None else records.get(key).map(_._2(idx))

@@ -447,6 +447,75 @@ class SnapshotsSpec extends AnyFunSuite {
       "an expired version's change record must be reclaimed by vacuum")
   }
 
+  test("Z-order OPTIMIZE re-clusters so BOTH dimensions prune; rows bit-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_zopt").toString
+    // fragmented appends with two independent-ish dimensions
+    val rows = (1L to 8000L).map(i => (i % 251, (i * 7919L) % 1021, i))
+    Snapshots.commitOverwrite(
+      rows.take(3000).toDF("a", "b", "id").repartition(8), dir, Seq("a", "b"))
+    Snapshots.commitAppend(
+      rows.slice(3000, 6000).toDF("a", "b", "id").repartition(8), dir, Seq("a", "b"))
+    Snapshots.commitAppend(
+      rows.drop(6000).toDF("a", "b", "id").repartition(8), dir, Seq("a", "b"))
+    val before = Snapshots.readVersion(spark, dir, 3).as[(Long, Long, Long)].collect().toSet
+    // pack to ~20 files: with too few output files the Morton curve's top
+    // bits (dominated by the wider dimension) leave the narrower one a
+    // single slab — the same granularity floor any Z-order layout has
+    assert(Snapshots.commitOptimize(spark, dir, targetFileBytes = 4L << 10, zOrder = true) == 4)
+    assert(Snapshots.readVersion(spark, dir, 4).as[(Long, Long, Long)].collect().toSet
+      == before, "Z-order OPTIMIZE must move bytes, never data")
+    val total = Snapshots.readVersion(spark, dir, 4).inputFiles.length
+    val onA = Snapshots.readVersionRange(spark, dir, 4, "a", 0L, 30L)
+    val onB = Snapshots.readVersionRange(spark, dir, 4, "b", 0L, 120L)
+    assert(onA.inputFiles.length < total && onB.inputFiles.length < total,
+      s"post-Z-order-OPTIMIZE both dimensions must skip files " +
+        s"(a: ${onA.inputFiles.length}, b: ${onB.inputFiles.length}, total: $total)")
+    assert(onA.as[(Long, Long, Long)].collect().toSet == before.filter(_._1 <= 30L))
+    assert(onB.as[(Long, Long, Long)].collect().toSet == before.filter(_._2 <= 120L))
+    // declaring zOrder with a single stats column is refused, not ignored
+    val dir2 = java.nio.file.Files.createTempDirectory("snap_zopt1").toString
+    Snapshots.commitOverwrite(Seq((1L, 1L)).toDF("a", "b"), dir2, Seq("a"))
+    intercept[IllegalArgumentException](
+      Snapshots.commitOptimize(spark, dir2, zOrder = true))
+  }
+
+  test("change feed keeps the online feature store in sync with the mutating table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_cdf_store").toString
+    Snapshots.commitOverwrite(
+      (1L to 400L).map(i => (i, i % 97)).toDF("id", "x").repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    // bootstrap the store from the checkpoint snapshot (v1), then mutate
+    // the TABLE and let the store follow the FEED — never re-scanning
+    val store = new graft.store.OnlineFeatureStore(Seq("x"))
+    Snapshots.readVersion(spark, dir, 1).as[(Long, Long)].collect()
+      .foreach { case (k, x) => store.put(k, 1L, Array(x.toDouble)) }
+    Snapshots.commitMerge(spark, dir,
+      ((50L to 60L) ++ (1001L to 1005L)).map(i => (i, -i)).toDF("id", "x"), "id")
+    Snapshots.commitDelete(spark, dir, "id", 200L, 300L)
+    Snapshots.commitAppend((2001L to 2010L).map(i => (i, i)).toDF("id", "x"), dir, Seq("id"))
+    Snapshots
+      .readChangeFeed(spark, dir, 1, 4)
+      .select(
+        col(Snapshots.ChangeVersionCol), col(Snapshots.ChangeTypeCol), col("id"), col("x"))
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .sortBy(_._1) // version order; within a version the ops touch disjoint keys
+      .foreach {
+        case (v, "insert", k, x)           => store.put(k, v, Array(x.toDouble))
+        case (v, "update_postimage", k, x) => store.put(k, v, Array(x.toDouble))
+        case (_, "delete", k, _)           => store.delete(k)
+        case _                             => () // preimages carry no new state
+      }
+    val latest = Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toMap
+    assert(store.size == latest.size,
+      s"store has ${store.size} keys, table has ${latest.size}")
+    latest.foreach { case (k, x) =>
+      assert(store.getFeature(k, "x").contains(x.toDouble), s"key $k diverged")
+    }
+  }
+
   test("checked commits enforce declared constraints; a refusal publishes nothing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_checked").toString
