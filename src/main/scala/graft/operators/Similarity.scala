@@ -401,6 +401,54 @@ object Similarity {
     ivfFromPrepared(base, nCells, k, lloydIters, maxCell, trainStride(n, nCells, perCell), nProbe)
   }
 
+  /** FILTERED IVF ANN — the vector-DB "filtered search" shape: one index
+    * serves every metadata filter because the constraint is applied
+    * INSIDE the probe join (an extra equi-key next to the cell key),
+    * before ranking — never a post-top-k re-query (which under-fills k)
+    * and never a per-filter index rebuild. Here the constraint is
+    * same-`metaCol` (each query's neighbors must share its label — the
+    * "among my category" retrieval); metadata rides the capped cell
+    * assignment via one keyed join, so probe cost stays bounded by the
+    * cell cap exactly as in the unfiltered path.
+    */
+  def ivfTopKFilteredAuto(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      metaCol: String,
+      floorCells: Int,
+      capCells: Int,
+      k: Int,
+      lloydIters: Int,
+      maxCell: Long = DefaultMaxCell,
+      perCell: Long = 64L): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val meta = emb.select(col(idCol).as("vec_id"), col(metaCol).cast("long").as("meta"))
+    val n = base.count()
+    val nCells = autoCells(n, floorCells, capCells)
+    val train = trainSample(base, trainStride(n, nCells, perCell))
+    val centroids = kmeansCentroids(train, nCells, lloydIters)
+    val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
+      .join(meta, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .as("a")
+      .join(
+        assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.meta") === col("b.meta"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("vec_id"),
+        col("a.cell").as("cell"),
+        col("a.meta").as("meta"),
+        cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cell", "meta", "rnk", "cosine")
+  }
+
   private def ivfFromPrepared(
       base: DataFrame,
       nCells: Int,

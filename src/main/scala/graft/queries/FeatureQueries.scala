@@ -2377,6 +2377,77 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("row_key")))
   }
 
+  /** j12: SCD2 dimension MAINTENANCE — the apply-changes half of the
+    * type-2 dimension lifecycle (w18 builds history, j10 reads it; this
+    * is the nightly job that MUTATES it): the dimension holds each
+    * user's state intervals as of [[SnapT1Us]] (run-collapsed
+    * non-purchase states, exactly one open row per user), and the
+    * changes batch is each user's FIRST state observation at or after
+    * the cutoff. Type-2 semantics per user: a changed state CLOSES the
+    * open interval at the change time and opens a new current row; an
+    * unchanged state is a no-op (the SCD2 idempotence convention — no
+    * spurious version churn); a user with no history inserts their
+    * first open row. Closed history rows pass through untouched. One
+    * window pass per side plus ONE keyed full-outer join of two
+    * per-user single-row frames — never a rescan of the dimension's
+    * closed history.
+    */
+  def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = prepared(spark, sfDir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ord_us"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val runs = ev
+      .filter(col("ord_us") < SnapT1Us)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        col("ord_us").as("valid_from_us"),
+        col("event_id"))
+    val wRun = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val dim = runs
+      .withColumn(
+        "valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wRun), lit(-1L)))
+      .drop("event_id")
+    val changes = ev
+      .filter(col("ord_us") >= SnapT1Us)
+      .withColumn("rk", row_number().over(wOrd))
+      .filter(col("rk") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("new_state"),
+        col("ord_us").as("chg_us"))
+    val open = dim.filter(col("valid_to_us") === -1L)
+    val closedHist = dim.filter(col("valid_to_us") =!= -1L)
+    val j = open.join(changes, Seq("user_id"), "full_outer")
+    val keptOpen = j
+      .filter(col("state").isNotNull &&
+        (col("new_state").isNull || col("new_state") === col("state")))
+      .select(col("user_id"), col("state"), col("valid_from_us"), lit(-1L).as("valid_to_us"))
+    val closedNow = j
+      .filter(col("state").isNotNull && col("new_state").isNotNull &&
+        col("new_state") =!= col("state"))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("chg_us").as("valid_to_us"))
+    val opened = j
+      .filter(col("new_state").isNotNull &&
+        (col("state").isNull || col("new_state") =!= col("state")))
+      .select(col("user_id"), col("new_state").as("state"),
+        col("chg_us").as("valid_from_us"), lit(-1L).as("valid_to_us"))
+    closedHist
+      .unionByName(keptOpen)
+      .unionByName(closedNow)
+      .unionByName(opened)
+      .withColumn("is_current", when(col("valid_to_us") === -1L, 1L).otherwise(0L))
+      .transform(orderedOutput(_, col("user_id"), col("valid_from_us"), col("state")))
+  }
+
   /** q16: user journey paths — each user's first 10 event types joined
     * into an ordered path string (the funnel-exploration shape product
     * analytics runs). Order is the (ord_us, event_id) total order; the
@@ -4448,6 +4519,53 @@ object FeatureQueries {
            |FROM f ASOF LEFT JOIN rs
            |  ON f.user_id = rs.user_id AND f.ord_us >= rs.state_from_us
            |ORDER BY f.event_id""".stripMargin,
+      // j12: the identical run/interval/changes construction, the apply
+      // as a FULL OUTER join with the same three outcome branches
+      "j12_scd2_apply" ->
+        s"""WITH p AS (
+           |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ord_us
+           |  FROM events WHERE event_type != 'purchase'),
+           |runs AS (
+           |  SELECT user_id, event_type AS state, ord_us AS valid_from_us, event_id
+           |  FROM (
+           |    SELECT user_id, event_type, ord_us, event_id,
+           |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS prev
+           |    FROM p WHERE ord_us < $SnapT1Us)
+           |  WHERE prev IS NULL OR prev != event_type),
+           |dim AS (
+           |  SELECT user_id, state, valid_from_us,
+           |    coalesce(lead(valid_from_us) OVER (
+           |      PARTITION BY user_id ORDER BY valid_from_us, event_id), -1) AS valid_to_us
+           |  FROM runs),
+           |chg AS (
+           |  SELECT user_id, event_type AS new_state, ord_us AS chg_us
+           |  FROM (
+           |    SELECT user_id, event_type, ord_us,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS rk
+           |    FROM p WHERE ord_us >= $SnapT1Us)
+           |  WHERE rk = 1),
+           |opn AS (SELECT * FROM dim WHERE valid_to_us = -1),
+           |closedh AS (
+           |  SELECT user_id, state, valid_from_us, valid_to_us FROM dim WHERE valid_to_us != -1),
+           |j AS (
+           |  SELECT coalesce(o.user_id, c.user_id) AS user_id,
+           |    o.state, o.valid_from_us, c.new_state, c.chg_us
+           |  FROM opn o FULL OUTER JOIN chg c ON o.user_id = c.user_id),
+           |res AS (
+           |  SELECT user_id, state, valid_from_us, valid_to_us FROM closedh
+           |  UNION ALL
+           |  SELECT user_id, state, valid_from_us, -1 FROM j
+           |  WHERE state IS NOT NULL AND (new_state IS NULL OR new_state = state)
+           |  UNION ALL
+           |  SELECT user_id, state, valid_from_us, chg_us FROM j
+           |  WHERE state IS NOT NULL AND new_state IS NOT NULL AND new_state != state
+           |  UNION ALL
+           |  SELECT user_id, new_state, chg_us, -1 FROM j
+           |  WHERE new_state IS NOT NULL AND (state IS NULL OR new_state != state))
+           |SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           |  CAST(valid_to_us AS BIGINT) AS valid_to_us,
+           |  CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+           |FROM res ORDER BY user_id, valid_from_us, state""".stripMargin,
       "w26_day_streaks" ->
         s"""WITH d AS (
            |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
@@ -5136,6 +5254,7 @@ object FeatureQueries {
     "f13_target_encoding" -> (targetEncoding(_, _)),
     "q16_user_journey" -> (userJourney(_, _)),
     "j10_scd2_lookup" -> (scd2Lookup(_, _)),
+    "j12_scd2_apply" -> (scd2Apply(_, _)),
     "w26_day_streaks" -> (dayStreaks(_, _)),
     "q17_rollup_merge" -> (rollupMerge(_, _)),
     "a15_ab_test" -> (abTest(_, _)),

@@ -409,6 +409,30 @@ object VectorQueries {
         IvfTrainPerCell)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** v16: filtered ANN — v3's IVF with a metadata constraint (same
+    * label) applied INSIDE the probe join, the vector-DB "filtered
+    * search" shape: one index serves every filter, the constraint is an
+    * extra equi-key next to the cell key (never a post-top-k re-query,
+    * which under-fills k; never a per-filter index rebuild). The oracle
+    * replays the whole IVF lifecycle with the same label join.
+    */
+  private val FilteredK = 3
+
+  def filteredAnn(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .ivfTopKFilteredAuto(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        "label",
+        IvfFloorCells,
+        IvfCapCells,
+        FilteredK,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
   /** v4: v3 with multi-probe — the query side fans out to its NProbe
     * nearest cells (recall at cell boundaries, the classic IVF nprobe
     * knob); probe cost stays bounded at nProbe * cellSize per query.
@@ -652,6 +676,7 @@ object VectorQueries {
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
     "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
     "v15_knn_graph" -> (knnGraph(_, _)),
+    "v16_filtered_ann" -> (filteredAnn(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
 
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
@@ -946,6 +971,21 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "v5_ivf_index_probe" -> ivfTop1Sql,
+    // v16: the identical IVF lifecycle with the label constraint as an
+    // extra equi-key inside the probe join (filtered search)
+    "v16_filtered_ann" ->
+      s"""WITH $ivfAssignedCtes,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS meta FROM embeddings),
+         |al AS (SELECT a.*, l.meta FROM assigned a JOIN lab l USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell, a.meta AS meta,
+         |    $cosineExpr AS cosine
+         |  FROM al a JOIN al b
+         |    ON a.cell = b.cell AND b.vec_id != a.vec_id AND a.meta = b.meta)
+         |SELECT query_id, vec_id, cell, meta, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $FilteredK ORDER BY query_id, rnk""".stripMargin,
     "v14_ivf_incremental" -> ivfIncrementalSql,
     "v6_ann_recall" ->
       s"""WITH $ivfAssignedCtes,

@@ -16,11 +16,13 @@ import java.nio.charset.StandardCharsets
   *     (`data/commit-v<N>-<uuid>/` — unique per attempt, so a crashed
   *     attempt's orphan directory never blocks the retry of the same
   *     version), then publishes `_manifests/v<N>.list` by writing `.tmp`
-  *     and RENAMING into place. Readers either see version N whole (the
-  *     manifest exists and every listed file is immutable) or not at
-  *     all; a crash mid-commit leaves a `.tmp` and unreferenced data
-  *     files — garbage for [[vacuum]], never a torn snapshot. Rename
-  *     refusing an existing destination is the concurrency check: two
+  *     and atomically claiming the destination (hard LINK on local
+  *     filesystems, where rename(2) would overwrite; exclusive RENAME on
+  *     HDFS-like stores — see `tryPublish`). Readers either see version
+  *     N whole (the manifest exists and every listed file is immutable)
+  *     or not at all; a crash mid-commit leaves a `.tmp` and
+  *     unreferenced data files — garbage for [[vacuum]], never a torn
+  *     snapshot. The exclusive publish is the concurrency check: two
   *     racing writers of the same version cannot both publish — the
   *     loser RE-READS the new latest and retries at the next version
   *     (append/overwrite never lose data to a race; read-modify-write
@@ -50,6 +52,7 @@ object Snapshots {
   private val StatsHeader = "#stats="
   private val BatchHeader = "#batch="
   private val OpHeader = "#op="
+  private val TsHeader = "#ts="
   private val HwmName = "_batch.hwm"
 
   /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
@@ -104,6 +107,35 @@ object Snapshots {
     manifestLines(spark, dir, version)
       .find(_.startsWith(OpHeader))
       .map(_.drop(OpHeader.length))
+
+  /** Publication wall-clock (epoch ms) of `version`, None for manifests
+    * published before timestamp headers existed.
+    */
+  def commitTimestampMs(spark: SparkSession, dir: String, version: Int): Option[Long] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(TsHeader))
+      .map(_.drop(TsHeader.length).toLong)
+
+  /** Time travel by TIMESTAMP — "the table as the pipeline saw it at
+    * time T": resolves to the HIGHEST surviving version whose commit
+    * timestamp is <= `tsMs` and reads it. The version number stays the
+    * ground truth (a writer clock stepping backwards cannot resurrect an
+    * older snapshot: among qualifying versions the max VERSION wins, the
+    * Delta convention); vacuumed versions are transparently skipped.
+    * Refuses a timestamp before the first surviving commit.
+    */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val latest = latestVersion(spark, dir)
+    val md = manifestDir(dir)
+    val f = fs(spark, md)
+    val v = (1 to latest).iterator
+      .filter(v => f.exists(new Path(md, s"v$v.list")))
+      .flatMap(v => commitTimestampMs(spark, dir, v).filter(_ <= tsMs).map(_ => v))
+      .foldLeft(0)(math.max)
+    require(v >= 1,
+      s"no surviving version of $dir was published at or before epoch-ms $tsMs")
+    readVersion(spark, dir, v)
+  }
 
   def manifest(
       spark: SparkSession,
@@ -326,10 +358,16 @@ object Snapshots {
     out.get
   }
 
-  /** Write the manifest to `.tmp` and RENAME into place — the atomic
-    * commit point: a failed rename (a concurrent writer already
-    * published this version) leaves the snapshot unborn, never torn.
-    * Returns whether the rename won.
+  /** Write the manifest to `.tmp` and publish it EXCLUSIVELY — the
+    * atomic commit point: a failed publish (a concurrent writer already
+    * owns this version) leaves the snapshot unborn, never torn. The
+    * exclusive primitive is store-dependent: on HDFS-like stores,
+    * rename-without-overwrite is enforced atomically server-side; on a
+    * LOCAL filesystem Hadoop's rename is check-then-act over POSIX
+    * rename(2), which silently OVERWRITES — two racing writers can both
+    * "win" (the r11 concurrency spec caught exactly this) — so the local
+    * path publishes via hard LINK (link(2) fails with EEXIST atomically,
+    * the classic lock-file primitive). Returns whether this writer won.
     */
   private def tryPublish(
       spark: SparkSession,
@@ -344,6 +382,7 @@ object Snapshots {
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.list.tmp-${java.util.UUID.randomUUID()}")
     val header = s"$OpHeader$op\n" +
+      s"$TsHeader${System.currentTimeMillis()}\n" +
       (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
       batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val body = entries.map { e =>
@@ -352,8 +391,19 @@ object Snapshots {
     val out = f.create(tmp, true)
     try out.write((header + body.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val won = f.rename(tmp, new Path(md, s"v$v.list"))
-    if (!won) f.delete(tmp, false)
+    val dst = new Path(md, s"v$v.list")
+    val won =
+      if (f.getScheme == "file") {
+        val srcP = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+        try {
+          java.nio.file.Files.createLink(dstP, srcP)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else f.rename(tmp, dst)
+    f.delete(tmp, false) // winner's hard link persists; loser's tmp is junk
     won
   }
 
