@@ -389,6 +389,28 @@ object FeatureQueries {
     */
   private val KmvK = 64
 
+  /** k1's DuckDB derivation — shared verbatim by k8 (the native-aggregate
+    * form must be bit-equal to the relational one).
+    */
+  private lazy val KmvOracleSql: String =
+    s"""WITH prep AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+       |h AS (
+       |  SELECT DISTINCT day,
+       |    CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+       |  FROM prep),
+       |rk AS (
+       |  SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS r FROM h),
+       |top AS (
+       |  SELECT day, count(*) AS m, max(hv) AS hk FROM rk WHERE r <= $KmvK GROUP BY 1),
+       |ex AS (SELECT day, count(DISTINCT user_id) AS exact_nd FROM prep GROUP BY 1)
+       |SELECT t.day, t.m, t.hk,
+       |  CASE WHEN t.m < $KmvK THEN t.m
+       |       ELSE (${(KmvK - 1).toLong * 4294967296L} // t.hk) END AS est_nd,
+       |  e.exact_nd
+       |FROM top t JOIN ex e ON t.day = e.day
+       |ORDER BY t.day""".stripMargin
+
   def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables
       .events(spark, sfDir)
@@ -400,6 +422,34 @@ object FeatureQueries {
       .select("day", "m", "hk", "est_nd", "exact_nd")
       .transform(orderedOutput(_, col("day")))
   }
+
+  /** k8: k1's KMV distinct sketch as a NATIVE Catalyst aggregate
+    * ([[graft.functions.KmvDistinctAgg]], a TypedImperativeAggregate) —
+    * the 100 TB form of the sketch: ONE hash-aggregate pass with
+    * map-side partials and O(k) state per group, where k1's
+    * window+rank derivation shuffles every (group, entity) hash and
+    * sorts per group. Same md5 draw, same (k−1)·2³²/hk estimator, same
+    * output columns — so the gate reuses k1's ORACLE verbatim, pinning
+    * that the imperative aggregate is bit-equal to the relational
+    * derivation under any partitioning (the k smallest DISTINCT values
+    * are order-independent — that is what makes an imperative aggregate
+    * oracle-able at all).
+    */
+  def kmvAggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(expr("ord_us div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        graft.functions.KmvDistinctAgg.kmvDistinct(col("user_id"), KmvK, "kmv").as("kmv"),
+        countDistinct(col("user_id")).as("exact_nd"))
+      .select(
+        col("day"),
+        col("kmv.m").as("m"),
+        col("kmv.hk").as("hk"),
+        col("kmv.est_nd").as("est_nd"),
+        col("exact_nd"))
+      .transform(orderedOutput(_, col("day")))
 
   /** k2: Count-Min heavy-hitter spend totals ([[Sketches.countMinSketch]],
     * depth 4 x width 256) — the frequency twin of k1's distinct sketch:
@@ -3958,24 +4008,10 @@ object FeatureQueries {
            |  quantile_cont(cents, 0.9) AS p90,
            |  quantile_cont(cents, 0.99) AS p99
            |FROM prep GROUP BY user_id ORDER BY user_id""".stripMargin,
-      "k1_kmv_distinct" ->
-        s"""WITH prep AS (
-           |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
-           |h AS (
-           |  SELECT DISTINCT day,
-           |    CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-           |  FROM prep),
-           |rk AS (
-           |  SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS r FROM h),
-           |top AS (
-           |  SELECT day, count(*) AS m, max(hv) AS hk FROM rk WHERE r <= $KmvK GROUP BY 1),
-           |ex AS (SELECT day, count(DISTINCT user_id) AS exact_nd FROM prep GROUP BY 1)
-           |SELECT t.day, t.m, t.hk,
-           |  CASE WHEN t.m < $KmvK THEN t.m
-           |       ELSE (${(KmvK - 1).toLong * 4294967296L} // t.hk) END AS est_nd,
-           |  e.exact_nd
-           |FROM top t JOIN ex e ON t.day = e.day
-           |ORDER BY t.day""".stripMargin,
+      "k1_kmv_distinct" -> KmvOracleSql,
+      // k8: the native-aggregate form is held to the SAME derivation —
+      // one oracle text gates both the relational and the imperative path
+      "k8_kmv_agg" -> KmvOracleSql,
       "s5_hash_split" ->
         """SELECT event_id, user_id, u8,
           |  CASE WHEN u8 < 'cc000000' THEN 'train'
@@ -5211,6 +5247,7 @@ object FeatureQueries {
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
     "s5_hash_split" -> (hashSplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
+    "k8_kmv_agg" -> (kmvAggDistinct(_, _)),
     "k2_countmin_spend" -> (countMinSpend(_, _)),
     "s8_group_sample" -> (groupSample(_, _)),
     "w8_tumbling_rollup" -> (tumblingRollup(_, _)),

@@ -62,6 +62,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ann.filter(col("rnk") =!= 1).count() == 0)
   }
 
+  test("KmvDistinctAgg: partitioning-independent, duplicate-blind, O(k) state") {
+    import spark.implicits._
+    import graft.functions.KmvDistinctAgg.kmvDistinct
+    val rows = (1L to 5000L).map(i => (i % 7, i % 911)) // dups per group
+    def run(parts: Int) = rows
+      .toDF("g", "v")
+      .repartition(parts)
+      .groupBy(col("g"))
+      .agg(kmvDistinct(col("v"), 64, "kmv").as("kmv"))
+      .select(col("g"), col("kmv.m"), col("kmv.hk"), col("kmv.est_nd"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    val one = run(1)
+    assert(one == run(13) && one == run(32),
+      "the k smallest distinct hashes are order- and partitioning-independent")
+    // duplicate-blind: every group saw 911 distinct values at most — the
+    // sketch saturates at k=64 and the estimate is within KMV's relative
+    // error of the truth (deterministic given the fixed md5 draw)
+    one.foreach { case (_, m, _, est) =>
+      assert(m == 64L)
+      assert(est > 500 && est < 1500, s"estimate $est wildly off 911")
+    }
+    // serialized partial state is bounded by k, never by the data
+    val agg = graft.functions.KmvDistinctAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), 64, "kmv")
+    val buf = agg.createAggregationBuffer()
+    (1L to 100000L).foreach(i => buf.add(i))
+    assert(agg.serialize(buf).length == 4 + 8 * 64)
+    // an empty group evaluates to NULL, not a zero-struct
+    assert(agg.eval(agg.createAggregationBuffer()) == null)
+  }
+
   test("k-means seeding is density-free: sparse ids still yield nCells seeds") {
     import graft.operators.Similarity
     val sf = "/root/testdata/sf0.001"
