@@ -3325,6 +3325,57 @@ object FeatureQueries {
     * corpus pass into a ≤9-row agg; everything after is broadcast
     * arithmetic.
     */
+  /** a30: Wald–Wolfowitz runs test on the daily spend series — the
+    * randomness screen next to a11's autocorrelation (a trend or
+    * regime-switch shows up as too FEW runs of above/below-median days;
+    * over-alternation as too many). Exact integers end to end (the a20
+    * discipline): the lower MEDIAN is an exact order statistic (rank
+    * (n+1) div 2 — never an interpolated percentile), median-equal days
+    * drop (the test's convention), and the 2σ decision is the
+    * cross-multiplied inequality diff²·(n−1) > 4·(2·n1·n2)·(2·n1·n2−n)
+    * where diff = R·n − n − 2·n1·n2 — z² = 4 exactly, no sqrt, no float
+    * division anywhere. Windows run over the |days|-row daily rollup
+    * (the a11 whitelist justification), never raw events.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = prepared(spark, sfDir)
+      .groupBy(expr("ord_us div 86400000000").as("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val wRank = Window.orderBy(col("day_cents"), col("day"))
+    val med = daily
+      .withColumn("r", row_number().over(wRank))
+      .withColumn(
+        "nn",
+        count(lit(1)).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(expr("r = (nn + 1) div 2"))
+      .select(col("day_cents").as("med_cents"))
+    val signed = daily
+      .crossJoin(broadcast(med))
+      .filter(col("day_cents") =!= col("med_cents"))
+      .withColumn("sgn", when(col("day_cents") > col("med_cents"), 1L).otherwise(0L))
+      .withColumn("prev_sgn", lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+    signed
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("sgn")).as("n_above"),
+        (count(lit(1)) - sum(col("sgn"))).as("n_below"),
+        (lit(1L) + sum(
+          when(col("prev_sgn").isNotNull && col("prev_sgn") =!= col("sgn"), 1L)
+            .otherwise(0L))).as("n_runs"))
+      .withColumn(
+        "diff_num",
+        col("n_runs") * col("n_days") - col("n_days") - lit(2L) * col("n_above") * col("n_below"))
+      .withColumn(
+        "nonrandom_2sigma",
+        when(
+          col("diff_num") * col("diff_num") * (col("n_days") - 1L) >
+            lit(4L) * (lit(2L) * col("n_above") * col("n_below")) *
+              (lit(2L) * col("n_above") * col("n_below") - col("n_days")),
+          1L).otherwise(0L))
+  }
+
   def benfordScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val benford = Seq(
@@ -4008,6 +4059,38 @@ object FeatureQueries {
            |  quantile_cont(cents, 0.9) AS p90,
            |  quantile_cont(cents, 0.99) AS p99
            |FROM prep GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // a30: same daily rollup, same exact lower median, same lag-run
+      // count, same cross-multiplied 2-sigma inequality
+      "a30_runs_test" ->
+        s"""WITH prep AS ($prep),
+           |daily AS (
+           |  SELECT ord_us // 86400000000 AS day, CAST(sum(cents) AS BIGINT) AS day_cents
+           |  FROM prep GROUP BY 1),
+           |rk AS (
+           |  SELECT day, day_cents,
+           |    row_number() OVER (ORDER BY day_cents, day) AS r,
+           |    count(*) OVER () AS nn
+           |  FROM daily),
+           |med AS (SELECT day_cents AS med_cents FROM rk WHERE r = (nn + 1) // 2),
+           |sg AS (
+           |  SELECT day, CASE WHEN day_cents > med_cents THEN 1 ELSE 0 END AS sgn,
+           |    lag(CASE WHEN day_cents > med_cents THEN 1 ELSE 0 END) OVER (ORDER BY day)
+           |      AS prev_sgn
+           |  FROM daily CROSS JOIN med WHERE day_cents != med_cents),
+           |ag AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(sgn) AS BIGINT) AS n_above,
+           |    CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
+           |    CAST(1 + sum(CASE WHEN prev_sgn IS NOT NULL AND prev_sgn != sgn
+           |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+           |  FROM sg)
+           |SELECT n_days, n_above, n_below, n_runs,
+           |  CAST(n_runs * n_days - n_days - 2 * n_above * n_below AS BIGINT) AS diff_num,
+           |  CAST(CASE WHEN (n_runs * n_days - n_days - 2 * n_above * n_below)
+           |             * (n_runs * n_days - n_days - 2 * n_above * n_below) * (n_days - 1)
+           |           > 4 * (2 * n_above * n_below) * (2 * n_above * n_below - n_days)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS nonrandom_2sigma
+           |FROM ag""".stripMargin,
       "k1_kmv_distinct" -> KmvOracleSql,
       // k8: the native-aggregate form is held to the SAME derivation —
       // one oracle text gates both the relational and the imperative path
@@ -5248,6 +5331,7 @@ object FeatureQueries {
     "s5_hash_split" -> (hashSplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
     "k8_kmv_agg" -> (kmvAggDistinct(_, _)),
+    "a30_runs_test" -> (runsTest(_, _)),
     "k2_countmin_spend" -> (countMinSpend(_, _)),
     "s8_group_sample" -> (groupSample(_, _)),
     "w8_tumbling_rollup" -> (tumblingRollup(_, _)),

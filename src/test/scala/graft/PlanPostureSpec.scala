@@ -533,7 +533,8 @@ class PlanPostureSpec extends AnyFunSuite {
       "w20_concurrency" -> "global prefix over the per-bin net-delta frame (corpus span / bin width rows)",
       "a10_chi_square" -> "grand-total window over the <= |event types| * 7 contingency-cell frame",
       "a22_cramers_v" -> "same contingency-cell frame as a10 (<= |types| * 7 rows)",
-      "a11_spend_autocorr" -> "lag window over the daily rollup (#days rows, never raw events)")
+      "a11_spend_autocorr" -> "lag window over the daily rollup (#days rows, never raw events)",
+      "a30_runs_test" -> "rank/lag windows over the same daily rollup as a11 (#days rows)")
     val unknown = whitelist.keySet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"whitelist names that are not gates: ${unknown.mkString(", ")}")
     // operators/Ranks' two-pass scan carries ONE unpartitioned window by
