@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CusumProcessor, SessionProcessor, SessionTimerProcessor, StreamingSketch, TrailingAggProcessor}
+import graft.streaming.{CusumProcessor, DecayProcessor, SessionProcessor, SessionTimerProcessor, StreamingSketch, TrailingAggProcessor}
 import graft.streaming.StreamingAgg.StreamEvent
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -134,7 +134,7 @@ object StreamScaleBench {
   def main(args: Array[String]): Unit = {
     val smallKeys = if (args.length > 0) args(0).toLong else 10000L
     val reps = if (args.length > 1) args(1).toInt else 3
-    val outPath = if (args.length > 2) args(2) else "/root/repo/STREAM_SCALE_r10.json"
+    val outPath = if (args.length > 2) args(2) else "/root/repo/STREAM_SCALE_r11.json"
     val largeKeys = smallKeys * 10L
     val spark = Sessions.local()
     spark.conf.set(
@@ -153,6 +153,8 @@ object StreamScaleBench {
       Seq(
         ("trailing", "append", s => TrailingAggProcessor.trailingAgg(s.toDS()).toDF()),
         ("cusum", "append", s => CusumProcessor.cusum(s.toDS(), mu0 = 100L, slack = 10L).toDF()),
+        // r11: the EWMA feature — O(window) day buckets per key
+        ("decay", "append", s => DecayProcessor.decay(s.toDS()).toDF()),
         ("sessions", "append", s => SessionProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
         ("sessions_timer", "append", s =>
           SessionTimerProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
