@@ -262,6 +262,37 @@ object Snapshots {
   def sink(dir: String, statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
     (df, batchId) => { commitAppendExactlyOnce(df, dir, batchId, statsCols); () }
 
+  /** [[sink]] with commit-time constraint enforcement: a micro-batch
+    * violating any declared predicate FAILS THE QUERY (the exception
+    * propagates out of foreachBatch, the checkpoint does not advance,
+    * nothing is published) — the Delta-constraints streaming behavior: a
+    * poisoned batch stops the pipeline for the operator to fix rather
+    * than landing silently. The replay SKIP runs BEFORE validation: a
+    * batch id the table already holds no-ops without re-validating, so
+    * the recovery path works end to end — the query dies on the poison,
+    * the operator lands the CORRECTED batch out-of-band under the same
+    * batch id ([[commitAppendExactlyOnce]]), and the restarted query's
+    * replay of that id skips cleanly and the stream proceeds; nothing
+    * before or after the poison is lost. The violation profile costs one
+    * aggregate pass per micro-batch (all constraints in one job).
+    */
+  def checkedSink(
+      dir: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      if (!lastBatchId(df.sparkSession, dir).exists(_ >= batchId)) {
+        val bad = constraintViolations(df, constraints)
+          .filter(col("n_violations") > 0L)
+          .collect()
+        require(bad.isEmpty,
+          s"micro-batch $batchId refused by $dir: constraint violations — " +
+            bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
+        commitAppendExactlyOnce(df, dir, batchId, statsCols)
+        ()
+      }
+    }
+
   /** Zone maps for freshly staged files: one narrow read of ONLY the
     * staged batch computes each file's per-column min/max (at real
     * cluster scale this would come from the parquet footers the write

@@ -111,4 +111,67 @@ class SnapshotsStreamSpec extends AnyFunSuite {
     // and history below the restart is untouched
     assert(emitsOf(dir, 2) == live(1))
   }
+
+  test("checked sink: a poisoned micro-batch fails the query; a clean restart loses nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snap_stream_chk").toString
+    val dir = s"$root/table"
+    val cons = Seq("cents_pos" -> (col("cents") > 0L))
+
+    val source = MemoryStream[StreamEvent]
+    def startQuery() = source
+      .toDS()
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(Snapshots.checkedSink(dir, cons))
+      .start()
+
+    val q = startQuery()
+    val failed =
+      try {
+        source.addData(Seq(StreamEvent(1L, 1L, 100L)))
+        q.processAllAvailable()
+        assert(Snapshots.latestVersion(spark, dir) == 1)
+        // the poisoned batch: the query must FAIL, not land it silently
+        source.addData(Seq(StreamEvent(2L, 2L, -5L), StreamEvent(3L, 3L, 30L)))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        true
+      } finally q.stop()
+    assert(failed)
+    assert(Snapshots.latestVersion(spark, dir) == 1,
+      "a refused micro-batch must publish nothing")
+    assert(Snapshots.readLatest(spark, dir).count() == 1)
+
+    // a blind restart replays the SAME poisoned batch and fails AGAIN —
+    // the poison can never sneak in through the replay path
+    val q2 = startQuery()
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 1)
+
+    // recovery: the operator lands the CORRECTED batch out-of-band under
+    // the same batch id...
+    assert(Snapshots.commitAppendExactlyOnce(
+      Seq((2L, 2L, 5L), (3L, 3L, 30L)).toDF("userId", "ordUs", "cents"), dir, 1L))
+    // ...and the restarted query's replay of that id SKIPS cleanly (the
+    // skip runs before validation — the still-poisoned replay rows no
+    // longer matter) and the stream proceeds; nothing was lost
+    val q3 = startQuery()
+    try {
+      q3.processAllAvailable()
+      source.addData(Seq(StreamEvent(4L, 4L, 40L)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(Snapshots.latestVersion(spark, dir) == 3,
+      "post-recovery batches must keep accreting versions")
+    assert(Snapshots.readLatest(spark, dir).count() == 4,
+      "survivors + corrected batch + post-recovery batch, nothing lost or doubled")
+  }
 }
