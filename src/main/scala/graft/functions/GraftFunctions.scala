@@ -18,6 +18,16 @@ object GraftFunctions {
     LongDotProduct(exprs(0), exprs(1))
   }
 
+  private def buildKmvDistinct(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "kmv_distinct(entity, k, seed)")
+    (exprs(1), exprs(2)) match {
+      case (Literal(k: Int, _), Literal(seed, _)) =>
+        KmvDistinctAgg(exprs(0), k, seed.toString).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct k and seed must be literals, got $other")
+    }
+  }
+
   private def buildWordShingles(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "word_shingles(text, n)")
     val n = exprs(1) match {
@@ -33,6 +43,7 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("long_dot", buildLongDot, "scala_udf")
     registry.createOrReplaceTempFunction("word_shingles", buildWordShingles, "scala_udf")
+    registry.createOrReplaceTempFunction("kmv_distinct", buildKmvDistinct, "scala_udf")
   }
 }
 
@@ -50,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(n: Int, _) => WordShingles(exprs(0), n)
         case other => throw new IllegalArgumentException(
           s"word_shingles n must be an integer literal, got $other")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (Literal(k: Int, _), Literal(seed, _)) =>
+          KmvDistinctAgg(exprs(0), k, seed.toString).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct k and seed must be literals, got $other")
       }))
   }
 }

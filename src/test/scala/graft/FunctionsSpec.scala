@@ -18,6 +18,18 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(sh == Seq("a b c", "b c d"))
     assert(spark.sql("SELECT word_shingles('a b', 3) AS s").as[Seq[String]].head().isEmpty)
+    // the custom AGGREGATE registers too: SQL form == Column form
+    (1L to 500L).map(i => (i % 3, i % 97)).toDF("g", "v").createOrReplaceTempView("kv")
+    val viaSql = spark
+      .sql("SELECT g, kmv_distinct(v, 64, 'kmv').est_nd AS e FROM kv GROUP BY g")
+      .as[(Long, Long)].collect().toSet
+    val viaCol = Seq((1L to 500L).map(i => (i % 3, i % 97)): _*)
+      .toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(graft.functions.KmvDistinctAgg.kmvDistinct(col("v"), 64, "kmv").as("k"))
+      .select(col("g"), col("k.est_nd"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
   test("word_shingles matches the composable HOF form on edge cases") {
