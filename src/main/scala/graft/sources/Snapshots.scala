@@ -89,13 +89,42 @@ object Snapshots {
     * maps — and the entries). Public so specs and metadata harnesses can
     * audit manifests without a data read.
     */
+  private val CrcHeader = "#crc="
+
+  private def crc32Of(s: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(s.getBytes(StandardCharsets.UTF_8))
+    c.getValue
+  }
+
+  /** Manifest lines, INTEGRITY-CHECKED: manifests publish with a leading
+    * `#crc=` line (CRC32 of everything after it), and every read
+    * re-verifies — a flipped bit in the commit metadata surfaces as a
+    * loud refusal naming the version, never as a silently wrong file
+    * list (a corrupted path or zone-map bound would otherwise read the
+    * wrong data or prune wrongly — the metadata is the one place the
+    * format cannot lean on parquet's own checksums). Pre-CRC manifests
+    * (no header) read unchecked, so the check is backwards-compatible.
+    */
   private def manifestLines(spark: SparkSession, dir: String, version: Int): List[String] = {
     val mf = new Path(manifestDir(dir), s"v$version.list")
     val f = fs(spark, mf)
     require(f.exists(mf), s"snapshot v$version does not exist under $dir")
     val in = f.open(mf)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val body =
+      if (content.startsWith(CrcHeader)) {
+        val nl = content.indexOf('\n')
+        val declared = content.substring(CrcHeader.length, nl).toLong
+        val rest = content.substring(nl + 1)
+        require(crc32Of(rest) == declared,
+          s"manifest v$version of $dir is CORRUPT (crc mismatch): refusing to read a " +
+            "damaged file list — restore the manifest or time-travel to another version")
+        rest
+      } else content
+    body.linesIterator.filter(_.nonEmpty).toList
   }
 
   /** The commit operation that produced `version` (`append`, `overwrite`,
@@ -419,8 +448,9 @@ object Snapshots {
     val body = entries.map { e =>
       (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))).mkString("\t")
     }
+    val payload = header + body.mkString("", "\n", "\n")
     val out = f.create(tmp, true)
-    try out.write((header + body.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(md, s"v$v.list")
     val won =

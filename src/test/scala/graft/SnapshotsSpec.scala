@@ -589,6 +589,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readAsOfTimestamp(spark, dir, t2).count() == 2)
   }
 
+  test("a corrupted manifest refuses loudly; pre-CRC manifests read unchecked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_crc").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    val mf = java.nio.file.Paths.get(dir, "_manifests", "v1.list")
+    val original = java.nio.file.Files.readString(mf)
+    assert(original.startsWith("#crc="), "every published manifest must carry its checksum")
+    // flip one byte in the body: the read must refuse with a clear
+    // message, never hand the scan a silently wrong file list
+    java.nio.file.Files.writeString(mf, original.replaceFirst("parquet", "parqueX"))
+    val e = intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 1))
+    assert(e.getMessage.contains("CORRUPT"), e.getMessage)
+    // restore: reads work again
+    java.nio.file.Files.writeString(mf, original)
+    assert(Snapshots.readVersion(spark, dir, 1).count() == 2)
+    // a pre-CRC manifest (no header) still reads — the check is
+    // backwards-compatible, not a format break
+    java.nio.file.Files.writeString(mf, original.substring(original.indexOf('\n') + 1))
+    assert(Snapshots.readVersion(spark, dir, 1).count() == 2)
+  }
+
   test("reads push filters into the snapshot's parquet scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_pushdown").toString
