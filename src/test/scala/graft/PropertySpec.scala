@@ -42,6 +42,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV buffer: any partitioning and merge order yields the k smallest distinct hashes") {
+    import graft.functions.{KmvBuffer, KmvDistinctAgg}
+    val agg = KmvDistinctAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(0L)), 16, "kmv")
+    (1 to 25).foreach { seed =>
+      val rnd = new Random(seed)
+      // heavy duplication + skew: the bounded set must stay exact anyway
+      val hvs = List.fill(400)(rnd.nextInt(120).toLong)
+      val truth = hvs.distinct.sorted.take(16)
+      // random partitioning, each chunk its own partial buffer
+      val chunks = rnd.shuffle(hvs).grouped(1 + rnd.nextInt(50)).toList
+      val partials = chunks.map { c =>
+        val b = new KmvBuffer(16)
+        c.foreach(b.add)
+        // serde round-trip every partial — the shuffle path
+        agg.deserialize(agg.serialize(b))
+      }
+      // merge in shuffled order (the reduce tree is nondeterministic)
+      val merged = rnd.shuffle(partials).reduce { (a, b) => agg.merge(a, b); a }
+      assert(merged.hashes.size == truth.size, s"seed $seed: size")
+      assert(merged.hashes.toArray.toSeq.map(_.asInstanceOf[Long]).sorted == truth,
+        s"seed $seed: contents")
+    }
+  }
+
   test("store last-write-wins equals max-by-event-time over any put log") {
     (1 to 30).foreach { seed =>
       val rnd = new Random(seed)
