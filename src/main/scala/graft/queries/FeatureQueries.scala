@@ -2427,6 +2427,38 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("row_key")))
   }
 
+  /** x16: NAMED REFS (tags) as retention roots ([[graft.sources
+    * .Snapshots.tag]]) — the reproducibility handle: v1 (thirds ≡ 0) is
+    * overwritten, v2 appends thirds ≡ 1, the tag `training` pins v2,
+    * v3 overwrites to thirds ≡ 2, and a vacuum down to keepFrom=3 runs.
+    * The gate reads the TAG and the LATEST after the vacuum: the tagged
+    * snapshot must still read bit-identically (the tag pinned its
+    * manifest and files below the retention line) while latest shows
+    * only v3's rows. A vacuum that ignored tags would delete v2's
+    * manifest and the read would throw; one that under-deleted shows up
+    * in x7's coverage. Write-once races, drop-then-reclaim, and CRC
+    * tamper refusal are pinned by SnapshotsSpec. Runs in the reclaimed
+    * [[sandboxed]] sandbox.
+    */
+  def snapshotTagsScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
+    Snapshots.tag(spark, dir, "training", 2)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    Snapshots.vacuum(spark, dir, keepFrom = 3)
+    def aggOf(df: DataFrame, ref: String): DataFrame = df
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(ref).as("ref"), col("n_events"), col("n_users"), col("sum_cents"))
+    aggOf(Snapshots.readTag(spark, dir, "training"), "training")
+      .unionByName(aggOf(Snapshots.readLatest(spark, dir), "latest"))
+      .transform(orderedOutput(_, col("ref")))
+  }
+
   /** j12: SCD2 dimension MAINTENANCE — the apply-changes half of the
     * type-2 dimension lifecycle (w18 builds history, j10 reads it; this
     * is the nightly job that MUTATES it): the dimension holds each
@@ -4919,6 +4951,18 @@ object FeatureQueries {
            |    ELSE (SELECT sum(cents) FROM prep WHERE event_id % 2 = 0)
            |       + (SELECT sum(cents) FROM odd) END AS BIGINT))
            |ORDER BY row_key""".stripMargin,
+      // x16: the tagged snapshot (v2 = thirds 0+1) must survive the
+      // vacuum below keepFrom; latest is v3's thirds = 2
+      "x16_snapshot_tags" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 'training' AS ref, user_id, cents FROM prep WHERE event_id % 3 IN (0, 1)
+           |  UNION ALL
+           |  SELECT 'latest', user_id, cents FROM prep WHERE event_id % 3 = 2)
+           |SELECT ref, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
       "x14_change_feed" ->
         s"""WITH prep AS ($prep),
            |ch AS (
@@ -5409,6 +5453,7 @@ object FeatureQueries {
     "x13_restore" -> (restoreScan(_, _)),
     "x14_change_feed" -> (changeFeedScan(_, _)),
     "x15_checked_commit" -> (checkedCommitScan(_, _)),
+    "x16_snapshot_tags" -> (snapshotTagsScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -1241,6 +1241,28 @@ object RelationalQueries {
     */
   private val LpaRounds = 3
 
+  /** g13's oracle lifecycle through the converged label frame
+    * `l$LpaRounds` (co-occurrence edges, undirected closure, identity
+    * seed, LpaRounds argmax rounds) — shared by g13 and g16.
+    */
+  private lazy val lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT src AS node, label FROM (
+         |    SELECT u.src, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM und u JOIN l${r - 1} l ON u.dst = l.node
+         |    GROUP BY u.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$rounds""".stripMargin
+  }
+
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
     labelPropagation(spark, sfDir, eagerRelease = false)
 
@@ -1255,6 +1277,22 @@ object RelationalQueries {
     * same memory-vs-latency dial g12's per-round localCheckpoint turns.
     */
   def labelPropagation(spark: SparkSession, sfDir: String, eagerRelease: Boolean): DataFrame = {
+    val (_, labels) = lpaLabelFrames(spark, sfDir, eagerRelease)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .transform(orderedOutput(_, col("node")))
+  }
+
+  /** The g13 LPA loop through its converged label frame: (persisted
+    * undirected edge frame, node → label). Shared by g13 (which adds
+    * community sizes) and g16 (which scores the partition's modularity).
+    */
+  private def lpaLabelFrames(
+      spark: SparkSession,
+      sfDir: String,
+      eagerRelease: Boolean): (DataFrame, DataFrame) = {
     val e = coOccurrenceEdges(spark, sfDir)
     val und = e
       .select(col("a").as("src"), col("b").as("dst"))
@@ -1280,11 +1318,52 @@ object RelationalQueries {
       }
       r += 1
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
-    labels
-      .join(sizes, Seq("label"))
-      .select(col("node"), col("label").as("community"), col("community_size"))
-      .transform(orderedOutput(_, col("node")))
+    (und, labels)
+  }
+
+  /** g16: MODULARITY of the g13 communities (Newman & Girvan 2004) — the
+    * quality score a community-detection pass is judged by, and the
+    * number a curation pipeline thresholds before trusting per-community
+    * dedup/sampling decisions downstream. Q = Σ_c [ L_c/m − (D_c/2m)² ]
+    * over communities c, with m = |undirected edges|, L_c = intra-community
+    * edges, D_c = degree mass — all three computed EXACTLY as BIGINTs
+    * (the contribution is the row's one double division, the g11
+    * discipline). Plan: the intra count is the edge frame joined to the
+    * label frame on BOTH endpoints (two keyed equi-joins, no windows);
+    * m arrives via the q30 shape — a 1-row agg crossJoin(broadcast)ed,
+    * never a driver collect.
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (und, labels) = lpaLabelFrames(spark, sfDir, eagerRelease = false)
+    val e = und.filter(col("src") < col("dst")).select(col("src").as("a"), col("dst").as("b"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val lab = labels
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dsum = und
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .join(lab, "node")
+      .groupBy(col("label"))
+      .agg(sum(col("d")).cast("long").as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val joined = dsum
+      .join(intra, Seq("label"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+    val frac = col("degree_sum").cast("double") / (lit(2.0) * col("m").cast("double"))
+    joined
+      .select(
+        col("label").as("community"),
+        col("n_nodes"),
+        col("intra_edges"),
+        col("degree_sum"),
+        (col("intra_edges").cast("double") / col("m").cast("double") - frac * frac)
+          .as("contribution"))
+      .transform(orderedOutput(_, col("community")))
   }
 
   /** g14: HITS hubs & authorities (Kleinberg 1999, "Authoritative
@@ -1500,6 +1579,7 @@ object RelationalQueries {
     "g11_assortativity" -> (degreeAssortativity(_, _)),
     "g12_kcore" -> (kCore(_, _)),
     "g13_label_propagation" -> (labelPropagation(_, _)),
+    "g16_modularity" -> (modularity(_, _)),
     "g14_hits" -> (hits(_, _)),
     "g15_random_walks" -> (randomWalks(_, _)),
     "q21_volume_shipping" -> (volumeShipping(_, _)),
@@ -1770,29 +1850,36 @@ object RelationalQueries {
     // the oracle derives each round's argmax via row_number over the
     // grouped counts — a different derivation than Spark's
     // max(struct(count, -label)) combine
-    "g13_label_propagation" -> {
-      val rounds = (1 to LpaRounds).map { r =>
-        s"""l$r AS MATERIALIZED (
-           |  SELECT src AS node, label FROM (
-           |    SELECT u.src, l.label, count(*) AS c,
-           |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS rn
-           |    FROM und u JOIN l${r - 1} l ON u.dst = l.node
-           |    GROUP BY u.src, l.label)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-         |e AS MATERIALIZED (
-         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
-         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und),
-         |$rounds
+    "g13_label_propagation" ->
+      s"""WITH $lpaCtes
          |SELECT f.node, CAST(f.label AS BIGINT) AS community,
          |  CAST(s.community_size AS BIGINT) AS community_size
          |FROM l$LpaRounds f
          |JOIN (SELECT label, count(*) AS community_size FROM l$LpaRounds GROUP BY 1) s
          |  ON f.label = s.label
-         |ORDER BY f.node""".stripMargin
-    },
+         |ORDER BY f.node""".stripMargin,
+    // g16: Newman-Girvan modularity of the g13 partition — exact BIGINT
+    // edge/degree masses per community; the contribution is the row's
+    // one double expression, written identically on both engines
+    "g16_modularity" ->
+      s"""WITH $lpaCtes,
+         |mm AS (SELECT count(*) AS m FROM e),
+         |lab AS (SELECT node, label FROM l$LpaRounds),
+         |intra AS (
+         |  SELECT la.label, count(*) AS intra_edges
+         |  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+         |dsum AS (
+         |  SELECT l.label, CAST(sum(d.d) AS BIGINT) AS degree_sum, count(*) AS n_nodes
+         |  FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1)
+         |SELECT CAST(d.label AS BIGINT) AS community, CAST(d.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges, d.degree_sum,
+         |  CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         |    - (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+         |      * (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) AS contribution
+         |FROM dsum d LEFT JOIN intra i ON i.label = d.label CROSS JOIN mm
+         |ORDER BY community""".stripMargin,
     "g11_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b

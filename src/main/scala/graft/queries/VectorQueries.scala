@@ -330,7 +330,13 @@ object VectorQueries {
   private val KnnGraphK = 5
   private val KgTables = 4
 
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The v15 pipeline through its ranked edge set: (prepared+persisted
+    * base, cand0 = the directed co-bucket candidate pairs, g1 = per-src
+    * top-[[KnnGraphK]] edges with cosine and rnk). Shared by v15 (which
+    * adds the mutuality flag) and v17 (which walks the graph as a search
+    * structure and seeds from cand0's co-bucket pairs).
+    */
+  private def knnGraphParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, sfDir)
     val bits = Similarity.autoBits(emb.count(), BlockTargetBucket, BlockFloorBits)
     val tables = math.max(1, math.min(KgTables, EmbedDim / bits))
@@ -372,6 +378,11 @@ object VectorQueries {
       .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
     val g1 = topK(verified(cand0.unionAll(cand1).distinct()))
+    (base, cand0, g1)
+  }
+
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, g1) = knnGraphParts(spark, sfDir)
     g1.join(
         g1.select(col("dst").as("src"), col("src").as("dst"), lit(1L).as("mut")).distinct(),
         Seq("src", "dst"),
@@ -380,6 +391,105 @@ object VectorQueries {
         col("src").as("vec_id"), col("rnk"), col("dst").as("nbr_id"), col("cosine"),
         coalesce(col("mut"), lit(0L)).as("mutual"))
       .transform(orderedOutput(_, col("vec_id"), col("rnk")))
+  }
+
+  /** v17: GRAPH-ANN beam search — the v15 kNN graph used as a SEARCH
+    * structure (the single-layer NSW shape behind HNSW, Malkov & Yashunin
+    * 2016): each query seeds from its own LSH co-bucket members (v15's
+    * cand0 pairs — the query's neighborhood guess) plus [[GannSeeds]]
+    * fixed md5-rank global entry points (so an empty/capped bucket still
+    * searches), then [[GannRounds]] greedy rounds each expand the current
+    * per-query top-[[GannBeam]] beam through the undirected graph's
+    * neighbor lists, score the new candidates exactly, and fold them into
+    * the scored set. Result: per-query top-[[GannTopK]]. The graph rounds
+    * are what recover the neighbors LSH blocking missed — the hybrid
+    * beats bucket-only search wherever the true neighbor shares no bucket
+    * with the query (GraphAnnSpec pins that margin).
+    *
+    * Why this scales where IVF probing plateaus: per round the work is
+    * |queries|·beam·k candidate rows — INDEPENDENT of corpus size — and
+    * every step is a keyed join against the bounded edge frame (frontier
+    * and candidate sides broadcast; the corpus-sized `base` side is only
+    * ever probe-joined on vec_id, never re-partitioned). Determinism:
+    * entry points are a pure md5 function of the id (the kmseed
+    * discipline) plus the capped co-bucket pairs, beams tie-break on
+    * (cosine DESC, vec_id), and re-scored duplicates collapse by DISTINCT
+    * on bit-identical integer cosines — so the oracle replays the whole
+    * search in SQL, rounds unrolled as CTEs.
+    */
+  private val GannQueries = 32
+  private val GannSeeds = 4
+  private val GannBeam = 16
+  private val GannRounds = 2
+  private val GannTopK = 5
+
+  def graphAnn(spark: SparkSession, sfDir: String): DataFrame =
+    graphAnnRounds(spark, sfDir, GannRounds)
+
+  /** The v17 search with an explicit round count — rounds=0 is the
+    * seed-only (LSH-bucket + global entry points) baseline GraphAnnSpec
+    * measures the graph navigation's recall margin against.
+    */
+  private[graft] def graphAnnRounds(spark: SparkSession, sfDir: String, nRounds: Int): DataFrame = {
+    val (base, cand0, g1) = knnGraphParts(spark, sfDir)
+    val fwd = g1.select(col("src"), col("dst"))
+    val und = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // O(1) entry points: smallest md5-rank ids (TakeOrdered, no global
+    // window), the kmseed draw with its own salt
+    val seeds = base
+      .select(
+        col("vec_id"),
+        substring(md5(concat(lit("gannseed|"), col("vec_id").cast("string"))), 1, 8).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(GannSeeds)
+      .select(col("vec_id"))
+    def score(cand: DataFrame): DataFrame = base
+      .select(col("vec_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+      .join(broadcast(cand), "vec_id")
+      .join(
+        broadcast(base
+          .filter(col("vec_id") < GannQueries)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))),
+        "query_id")
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        Similarity
+          .cosine(Similarity.dot(col("q_qv"), col("c_qv")), col("q_nrm"), col("c_nrm"))
+          .as("cosine"))
+    val globalPairs = base
+      .filter(col("vec_id") < GannQueries)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(seeds))
+    val bucketPairs = cand0
+      .filter(col("src") < GannQueries)
+      .select(col("src").as("query_id"), col("dst").as("vec_id"))
+    val sc0 = score(
+      globalPairs
+        .unionAll(bucketPairs)
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct())
+    val beamW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val scored = (1 to nRounds).foldLeft(sc0) { (sc, _) =>
+      val frontier = sc
+        .withColumn("frnk", row_number().over(beamW))
+        .filter(col("frnk") <= GannBeam)
+        .select(col("query_id"), col("vec_id"))
+      val cands = und
+        .join(broadcast(frontier), und("src") === frontier("vec_id"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct()
+      sc.unionAll(score(cands)).distinct()
+    }
+    scored
+      .withColumn("rnk", row_number().over(beamW).cast("long"))
+      .filter(col("rnk") <= GannTopK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
   /** v3 IVF sizing: cells = clamp(sqrt(n), 16, 65536) (n=500 at the gate
@@ -677,6 +787,7 @@ object VectorQueries {
     "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
     "v15_knn_graph" -> (knnGraph(_, _)),
     "v16_filtered_ann" -> (filteredAnn(_, _)),
+    "v17_graph_ann" -> (graphAnn(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
 
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
@@ -922,6 +1033,102 @@ object VectorQueries {
     * assignment, hot-cell cap. Mirrors [[Similarity.semDedup]] /
     * [[Similarity.ivfTopKAuto]] stage for stage.
     */
+  /** The v15 kNN-graph lifecycle through its ranked edge set `g1`
+    * (derived bits, capped buckets, directed candidates, init top-k, one
+    * NN-descent neighbor-of-neighbor expansion, final top-k) — shared by
+    * the v15 gate (adds mutuality) and the v17 graph-ANN gate (walks the
+    * graph).
+    */
+  private lazy val knnGraphCtes: String =
+    s"""$prep,
+       |params AS (
+       |  SELECT b, greatest(1, least($KgTables, $EmbedDim // b)) AS t FROM (
+       |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
+       |    FROM (SELECT count(*) AS cnt FROM embeddings))),
+       |slots AS (
+       |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
+       |  FROM base CROSS JOIN params),
+       |bucketed AS (
+       |  SELECT vec_id,
+       |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
+       |      CASE WHEN qv[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM slots),
+       |cool AS (
+       |  SELECT vec_id, bucket FROM bucketed
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
+       |cand0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |v0 AS (
+       |  SELECT c.src, c.dst, $cosineExpr AS cosine
+       |  FROM cand0 c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+       |g0 AS (
+       |  SELECT src, dst FROM v0
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM g0 UNION ALL SELECT dst, src FROM g0)),
+       |cand1 AS (
+       |  SELECT DISTINCT e1.src, e2.dst FROM und e1 JOIN und e2 ON e1.dst = e2.src
+       |  WHERE e1.src <> e2.dst),
+       |allc AS (SELECT src, dst FROM cand0 UNION SELECT src, dst FROM cand1),
+       |v1 AS (
+       |  SELECT c.src, c.dst, $cosineExpr AS cosine
+       |  FROM allc c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+       |g1 AS MATERIALIZED (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+       |  FROM v1
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK)""".stripMargin
+
+  /** v17's oracle: the beam search replayed in SQL — seeds by the
+    * gannseed md5 draw, then [[GannRounds]] unrolled (frontier → graph
+    * expansion → exact score → DISTINCT fold) CTE blocks over g1's
+    * undirected closure.
+    */
+  private lazy val graphAnnSql: String = {
+    val rounds = (1 to GannRounds)
+      .map { r =>
+        val prev = s"sc${r - 1}"
+        s"""fr$r AS (
+           |  SELECT query_id, vec_id FROM $prev
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= $GannBeam),
+           |cd$r AS (
+           |  SELECT DISTINCT f.query_id, u.dst AS vec_id
+           |  FROM fr$r f JOIN und2 u ON u.src = f.vec_id
+           |  WHERE u.dst <> f.query_id),
+           |nw$r AS (
+           |  SELECT c.query_id, c.vec_id, $cosineExpr AS cosine
+           |  FROM cd$r c JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id),
+           |sc$r AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, vec_id, cosine FROM (
+           |    SELECT * FROM $prev UNION ALL SELECT * FROM nw$r))""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |und2 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM g1 UNION ALL SELECT dst, src FROM g1)),
+       |seeds AS (
+       |  SELECT vec_id FROM base
+       |  ORDER BY substr(md5('gannseed|' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+       |  LIMIT $GannSeeds),
+       |sd0 AS (
+       |  SELECT a.vec_id AS query_id, s.vec_id FROM base a CROSS JOIN seeds s
+       |  WHERE a.vec_id < $GannQueries
+       |  UNION
+       |  SELECT src AS query_id, dst AS vec_id FROM cand0 WHERE src < $GannQueries),
+       |sc0 AS (
+       |  SELECT c.query_id, c.vec_id, $cosineExpr AS cosine
+       |  FROM (SELECT * FROM sd0 WHERE vec_id <> query_id) c
+       |  JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id),
+       |$rounds
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM sc$GannRounds)
+       |WHERE rnk <= $GannTopK ORDER BY query_id, rnk""".stripMargin
+  }
+
   private lazy val ivfAssignedCtes: String =
     s"""$prep,
        |params AS (
@@ -1276,51 +1483,17 @@ object VectorQueries {
     // buckets, directed candidates, init top-k, one NN-descent
     // neighbor-of-neighbor expansion, final top-k, mutuality
     "v15_knn_graph" ->
-      s"""WITH $prep,
-         |params AS (
-         |  SELECT b, greatest(1, least($KgTables, $EmbedDim // b)) AS t FROM (
-         |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
-         |    FROM (SELECT count(*) AS cnt FROM embeddings))),
-         |slots AS (
-         |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
-         |  FROM base CROSS JOIN params),
-         |bucketed AS (
-         |  SELECT vec_id,
-         |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
-         |      CASE WHEN qv[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM slots),
-         |cool AS (
-         |  SELECT vec_id, bucket FROM bucketed
-         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $MaxBucket),
-         |cand0 AS MATERIALIZED (
-         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-         |v0 AS (
-         |  SELECT c.src, c.dst, $cosineExpr AS cosine
-         |  FROM cand0 c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
-         |g0 AS (
-         |  SELECT src, dst FROM v0
-         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM
-         |    (SELECT src, dst FROM g0 UNION ALL SELECT dst, src FROM g0)),
-         |cand1 AS (
-         |  SELECT DISTINCT e1.src, e2.dst FROM und e1 JOIN und e2 ON e1.dst = e2.src
-         |  WHERE e1.src <> e2.dst),
-         |allc AS (SELECT src, dst FROM cand0 UNION SELECT src, dst FROM cand1),
-         |v1 AS (
-         |  SELECT c.src, c.dst, $cosineExpr AS cosine
-         |  FROM allc c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
-         |g1 AS MATERIALIZED (
-         |  SELECT src, dst, cosine,
-         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
-         |  FROM v1
-         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK)
+      s"""WITH $knnGraphCtes
          |SELECT g.src AS vec_id, CAST(g.rnk AS BIGINT) AS rnk, g.dst AS nbr_id, g.cosine,
          |  CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
          |FROM g1 g LEFT JOIN (SELECT DISTINCT dst AS src, src AS dst FROM g1) r
          |  ON g.src = r.src AND g.dst = r.dst
          |ORDER BY vec_id, rnk""".stripMargin,
+    // v17: v15's graph walked as a search structure — md5-rank entry
+    // points, then GannRounds beam expansions unrolled as CTE blocks,
+    // each folding newly-scored candidates into the scored set by
+    // DISTINCT on bit-identical integer-cosine doubles
+    "v17_graph_ann" -> graphAnnSql,
     "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
       s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
       HiThreshold),

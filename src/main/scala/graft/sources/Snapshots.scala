@@ -453,20 +453,28 @@ object Snapshots {
     try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(md, s"v$v.list")
-    val won =
-      if (f.getScheme == "file") {
-        val srcP = java.nio.file.Paths.get(tmp.toUri.getPath)
-        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
-        try {
-          java.nio.file.Files.createLink(dstP, srcP)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else f.rename(tmp, dst)
+    val won = claimExclusive(f, tmp, dst)
     f.delete(tmp, false) // winner's hard link persists; loser's tmp is junk
     won
   }
+
+  /** Atomically claim `dst` from `tmp` — hard LINK on local filesystems
+    * (link(2) fails with EEXIST atomically; Hadoop's local rename is
+    * check-then-act and silently overwrites), exclusive RENAME on
+    * HDFS-like stores. The one publish primitive manifests, tags, and
+    * the batch high-water mark all go through.
+    */
+  private def claimExclusive(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      val srcP = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstP, srcP)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, dst)
 
   /** require-or-throw publish for the read-modify-write commits: their
     * staged rows were derived from a snapshot that a lost race proves is
@@ -894,7 +902,11 @@ object Snapshots {
   def vacuum(spark: SparkSession, dir: String, keepFrom: Int, retainMs: Long = 0L): Int = {
     val latest = latestVersion(spark, dir)
     require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
-    val referenced = (keepFrom to latest)
+    // tagged versions are RETENTION ROOTS: a named ref pins its manifest
+    // and files below keepFrom — "the snapshot the production model was
+    // trained on" survives routine retention until the tag is dropped
+    val pinned = tags(spark, dir).values.filter(_ < keepFrom).toSet
+    val referenced = ((keepFrom to latest) ++ pinned)
       .flatMap(v => manifest(spark, dir, v)._2.map(e => fileKey(e.path)))
       .toSet
     val cutoffMs = System.currentTimeMillis() - retainMs
@@ -939,7 +951,8 @@ object Snapshots {
         } finally pool.shutdown()
       }
     }
-    (1 until keepFrom).foreach(v => f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
+    (1 until keepFrom).filterNot(pinned).foreach(v =>
+      f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
     // change-feed hygiene: an expired version's change record is no longer
     // reachable (the feed refuses ranges that cross vacuumed history), and
     // a lost-race commit's orphaned change stage is never resolved by any
@@ -947,7 +960,7 @@ object Snapshots {
     // retention guard as data orphans
     val chRoot = new Path(dir, "changes")
     if (f.exists(chRoot)) {
-      (1 until keepFrom).foreach(v => f.delete(new Path(chRoot, s"v$v"), true))
+      (1 until keepFrom).filterNot(pinned).foreach(v => f.delete(new Path(chRoot, s"v$v"), true))
       f.listStatus(chRoot).foreach { st =>
         if (st.getPath.getName.startsWith("stage-") && st.getModificationTime <= cutoffMs)
           f.delete(st.getPath, true)
@@ -955,6 +968,103 @@ object Snapshots {
     }
     deleted
   }
+
+  // ---- Named refs (tags) -------------------------------------------------
+
+  private def tagsDir(dir: String) = new Path(dir, "_tags")
+  private val TagFileRe = "(.+)\\.ref".r
+  private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$"
+
+  /** Pin `version` under a stable NAME (the Iceberg/Delta tag idea):
+    * "published", "train-2026q3" — the handle a reproducible pipeline
+    * passes around instead of a raw version number. Tags are WRITE-ONCE
+    * (published via the same exclusive-claim primitive as manifests —
+    * two racing taggers of one name cannot both win; the loser gets a
+    * clear refusal, never a silently moved ref); [[retag]] moves one
+    * explicitly. A tagged version is a retention root: [[vacuum]] keeps
+    * its manifest and files even below keepFrom, so routine retention
+    * cannot erase the snapshot a tag promises to reproduce. Tag files
+    * carry the manifest CRC discipline — a flipped bit reads as a loud
+    * refusal, not a wrong version.
+    */
+  def tag(spark: SparkSession, dir: String, name: String, version: Int): Unit = {
+    require(name.matches(TagNameRe), s"invalid tag name '$name'")
+    val latest = latestVersion(spark, dir)
+    require(version >= 1 && version <= latest,
+      s"cannot tag v$version: table at $dir has versions [1, $latest]")
+    // the manifest must still exist (not vacuumed away)
+    manifest(spark, dir, version)
+    val td = tagsDir(dir)
+    val f = fs(spark, td)
+    f.mkdirs(td)
+    val payload = s"$version\n"
+    val tmp = new Path(td, s"$name.ref.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val won = claimExclusive(f, tmp, new Path(td, s"$name.ref"))
+    f.delete(tmp, false)
+    require(won, s"tag '$name' already exists on $dir (tags are write-once; use retag to move one)")
+  }
+
+  /** Move an existing tag to `version` — an explicit drop+tag (the
+    * caller owns the race window, the documented single-writer contract
+    * for ref moves).
+    */
+  def retag(spark: SparkSession, dir: String, name: String, version: Int): Unit = {
+    dropTag(spark, dir, name)
+    tag(spark, dir, name, version)
+  }
+
+  /** Remove a tag. The version it pinned becomes ordinary history —
+    * reclaimable by the next [[vacuum]] below keepFrom.
+    */
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(tagsDir(dir), s"$name.ref")
+    val f = fs(spark, p)
+    require(f.exists(p), s"tag '$name' does not exist on $dir")
+    f.delete(p, false)
+    ()
+  }
+
+  /** All tags: name → pinned version (CRC-checked on read). */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val td = tagsDir(dir)
+    val f = fs(spark, td)
+    if (!f.exists(td)) Map.empty
+    else
+      f.listStatus(td)
+        .flatMap { st =>
+          st.getPath.getName match {
+            // full-match: a crashed attempt's `<name>.ref.tmp-<uuid>`
+            // never parses as a tag
+            case TagFileRe(name) =>
+              val in = f.open(st.getPath)
+              val content =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              require(content.startsWith(CrcHeader), s"tag '$name' on $dir is malformed")
+              val nl = content.indexOf('\n')
+              val declared = content.substring(CrcHeader.length, nl).toLong
+              val body = content.substring(nl + 1)
+              require(crc32Of(body) == declared,
+                s"tag '$name' on $dir failed its CRC check: metadata corruption")
+              Some(name -> body.trim.toInt)
+            case _ => None
+          }
+        }
+        .toMap
+  }
+
+  /** Resolve a tag to its version. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Int =
+    tags(spark, dir).getOrElse(
+      name,
+      throw new IllegalArgumentException(s"tag '$name' does not exist on $dir"))
+
+  /** Read the snapshot a tag pins — [[readVersion]] by name. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    readVersion(spark, dir, tagVersion(spark, dir, name))
 
   /** Read the table exactly as of `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import graft.queries.VectorQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** v17 graph-ANN contract: the beam search must RECOVER neighbors the LSH
+  * seed buckets missed (otherwise the graph rounds are dead weight and
+  * the operator is just d6 blocking with extra steps), and its output
+  * must be a well-formed per-query top-k. Recall floors are pinned at
+  * values measured on this fixture — a regression in the graph build or
+  * the beam fold shows up as a floor breach, not a silent drift.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val nQueries = 32
+
+  private def top1Hits(df: org.apache.spark.sql.DataFrame): Int = {
+    val exact = Similarity
+      .bruteForceTopK(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") < nQueries, 1)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    df.filter("rnk = 1")
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect()
+      .count { case (q, v) => exact.get(q).contains(v) }
+  }
+
+  test("graph rounds add recall over the seed-only baseline; floors hold") {
+    val seedOnly = top1Hits(VectorQueries.graphAnnRounds(spark, sf, 0))
+    val full = top1Hits(VectorQueries.graphAnnRounds(spark, sf, 2))
+    assert(full > seedOnly,
+      s"beam rounds must recover neighbors LSH missed (seed-only $seedOnly, full $full of $nQueries)")
+    // measured on this fixture: seed-only 17/32, full 25/32 (sf0.01:
+    // 18/32 -> 25/32) — floor a few below so an unrelated tie-break
+    // change doesn't flap the suite
+    assert(full >= 21, s"recall@1 floor: $full/$nQueries < 21")
+  }
+
+  test("output is a well-formed per-query top-k: 5 rows each, cosine non-increasing") {
+    val out = VectorQueries.graphAnnRounds(spark, sf, 2)
+      .select("query_id", "rnk", "vec_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == nQueries && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "cosine must be non-increasing in rnk")
+      assert(sorted.map(_._2).toSeq == (1L to 5L), "ranks must be 1..5")
+    }
+  }
+}

@@ -624,4 +624,55 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
       s"snapshot read must stay an ordinary pushdown-capable parquet scan:\n$plan")
   }
+
+  test("tags: write-once refs that pin versions through vacuum; drop releases them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_tags").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
+    Snapshots.commitOverwrite(Seq((9L, 90L)).toDF("id", "x"), dir)
+    Snapshots.tag(spark, dir, "training", 2)
+    val v2Rows = Snapshots.readTag(spark, dir, "training").as[(Long, Long)].collect().toSet
+    assert(v2Rows == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // write-once: a second tagger of the same name loses loudly
+    val dup = intercept[IllegalArgumentException](Snapshots.tag(spark, dir, "training", 3))
+    assert(dup.getMessage.contains("write-once"), dup.getMessage)
+
+    // the tag is a retention root: vacuum to keepFrom=3 keeps v2 whole
+    // (manifest AND files) while untagged v1 expires
+    Snapshots.vacuum(spark, dir, keepFrom = 3)
+    assert(Snapshots.readTag(spark, dir, "training").as[(Long, Long)].collect().toSet == v2Rows,
+      "the tagged snapshot must read bit-identically through a vacuum below keepFrom")
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 1))
+
+    // retag moves the ref; drop releases the pin and the NEXT vacuum
+    // reclaims the now-ordinary version
+    Snapshots.retag(spark, dir, "training", 3)
+    assert(Snapshots.tagVersion(spark, dir, "training") == 3)
+    Snapshots.retag(spark, dir, "training", 2)
+    Snapshots.dropTag(spark, dir, "training")
+    intercept[IllegalArgumentException](Snapshots.readTag(spark, dir, "training"))
+    Snapshots.vacuum(spark, dir, keepFrom = 3)
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, dir, 2))
+    assert(Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet == Set((9L, 90L)))
+  }
+
+  test("tags: a corrupted ref refuses loudly; tmp debris never parses as a tag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_tagcrc").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L)).toDF("id", "x"), dir)
+    Snapshots.tag(spark, dir, "rel", 1)
+    val ref = java.nio.file.Paths.get(dir, "_tags", "rel.ref")
+    val original = java.nio.file.Files.readString(ref)
+    assert(original.startsWith("#crc="))
+    java.nio.file.Files.writeString(ref, original.replaceFirst("1", "2"))
+    val e = intercept[IllegalArgumentException](Snapshots.tagVersion(spark, dir, "rel"))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    java.nio.file.Files.writeString(ref, original)
+    // a crashed tagger's tmp file is invisible to the listing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_tags", "rel.ref.tmp-debris"), "junk")
+    assert(Snapshots.tags(spark, dir) == Map("rel" -> 1))
+  }
 }
