@@ -124,7 +124,14 @@ object ScaleBench {
     // 10x events, measured 1.70x)
     "g15_random_walks",
     "v15_knn_graph",
-    "x14_change_feed")
+    "x14_change_feed",
+    // r11 late additions: the beam-search walk over the kNN graph (v17 —
+    // the v15 build plus |queries|·beam-bounded search rounds, so the
+    // ratio should track v15's build term), and the modularity rollup
+    // over the LPA partition (g16 — g13's rounds plus two label-keyed
+    // join+agg passes over the edge frame)
+    "v17_graph_ann",
+    "g16_modularity")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -84,6 +84,35 @@ object VectorIndex {
     Bucketed.append(assigned, table, "cell", buckets)
   }
 
+  /** Sync the bucketed index from a SNAPSHOT TABLE's append history —
+    * the production ingestion architecture for a vector index at scale:
+    * the stream lands in the versioned table through the exactly-once
+    * sink (durable, replay-safe, auditable), and the index follows the
+    * table's APPEND DIFF ([[graft.sources.Snapshots.readChangesSince]] —
+    * one manifest diff, only the new files read) rather than consuming
+    * the stream directly. The version number is the sync cursor: feed
+    * the returned high-water back as the next call's `fromVersion` and
+    * every appended vector is assigned exactly once, no matter how the
+    * micro-batches were replayed upstream (the sink already collapsed
+    * those). A delete/overwrite/OPTIMIZE in the range makes the diff
+    * ill-posed — readChangesSince refuses — which is the rebuild signal,
+    * same as a recall-monitor breach.
+    */
+  def syncFromSnapshots(
+      spark: SparkSession,
+      tableDir: String,
+      table: String,
+      idCol: String,
+      embCol: String,
+      fromVersion: Int): Int = {
+    val to = graft.sources.Snapshots.latestVersion(spark, tableDir)
+    if (to > fromVersion) {
+      val added = graft.sources.Snapshots.readChangesSince(spark, tableDir, fromVersion, to)
+      if (!added.isEmpty) append(spark, table, added, idCol, embCol)
+    }
+    to
+  }
+
   /** Top-k cosine probe of a query batch against persisted index frames.
     * Exposed frame-first so callers (and the spec's unbucketed control)
     * can supply any assignment source; [[topK]] is the catalog form.

@@ -1163,6 +1163,64 @@ object DocQueries {
       .transform(orderedOutput(_, col("source")))
   }
 
+  /** s15: UNIGRAM-TEMPERATURE domain mixture (α = 0.5) — s13's quota
+    * machinery with the weights derived from the EMPIRICAL distribution
+    * instead of a fixed recipe: each domain's sampling weight is
+    * n_docs^α, the exponentiated-smoothing rule multilingual/multi-domain
+    * LLM recipes use (XLM-R's temperature sampling; Conneau et al. 2020)
+    * to lift rare domains without letting the head domains starve them.
+    * α = 0.5 makes the exponent a SQRT — the one float op, correctly
+    * rounded per IEEE-754 on both engines — and the weight quantizes to
+    * an integer (floor(sqrt(n)·1000)) before any cross-domain sum, so no
+    * order-dependent double accumulation exists anywhere (Σ√n as a raw
+    * double sum would diverge between engines). Budget = 1× corpus: the
+    * temperature REDISTRIBUTES the epoch, it doesn't grow it. Quota
+    * arithmetic headroom: weight ≤ 1000·√n, so weight·budget ≤ 1000·n^1.5
+    * — inside int64 past n = 10⁹ docs (~100 TB of 100 KB docs). Same
+    * epochs+md5-ranked-remainder resolution as s13; same scale posture
+    * (two grouped aggs, broadcast 1-row totals, one domain-catalog-sized
+    * window).
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        md5(concat(lit("tmix|"), col("doc_id").cast("string"))).as("draw"))
+    val per = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn(
+        "weight",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000.0)).cast("long"))
+    val tot = per.agg(sum(col("n_docs")).as("budget"), sum(col("weight")).as("sum_w"))
+    val quotas = per
+      .crossJoin(broadcast(tot))
+      // non-negative operands: Spark `div` (truncate) == DuckDB `//` (floor)
+      .withColumn("quota", expr("(weight * budget) div sum_w"))
+      .withColumn("full_epochs", expr("quota div n_docs"))
+      .withColumn("n_extra", expr("quota % n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    val extra = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas.select(col("source"), col("n_extra"))), Seq("source"))
+      .filter(col("rk") <= col("n_extra"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("extra_chars"))
+    quotas
+      .join(extra, Seq("source"), "left")
+      .withColumn(
+        "total_chars",
+        col("full_epochs") * col("sum_chars") + coalesce(col("extra_chars"), lit(0L)))
+      .select(
+        "source", "weight", "n_docs", "sum_chars", "quota",
+        "full_epochs", "n_extra", "total_chars")
+      .transform(orderedOutput(_, col("source")))
+  }
+
   /** t28: PII detection + redaction — the scrub pass a training-data
     * pipeline runs before release: count and mask emails, phone numbers
     * and IPv4 addresses. The synthetic corpus carries no PII, so the
@@ -2146,6 +2204,7 @@ object DocQueries {
     "s6_epoch_shuffle" -> (epochShuffle(_, _)),
     "s7_weighted_sample" -> (weightedSample(_, _)),
     "s13_domain_mix" -> (domainMix(_, _)),
+    "s15_temperature_mix" -> (temperatureMix(_, _)),
     "t28_pii_redaction" -> (piiRedaction(_, _)),
     "t31_html_extract" -> (htmlExtract(_, _)),
     "t29_length_batching" -> (lengthBatching(_, _)),
@@ -3132,6 +3191,38 @@ object DocQueries {
         |  FROM rk JOIN q ON rk.source = q.source AND rk.rk <= q.n_extra
         |  GROUP BY 1)
         |SELECT q.source, CAST(weight AS BIGINT) AS weight,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+        |  CAST(quota AS BIGINT) AS quota, CAST(full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(n_extra AS BIGINT) AS n_extra,
+        |  CAST(full_epochs * sum_chars + COALESCE(extra_chars, 0) AS BIGINT) AS total_chars
+        |FROM q LEFT JOIN extra ON q.source = extra.source
+        |ORDER BY 1""".stripMargin,
+    // s15: s13's machinery with empirical α=0.5 weights — the sqrt is
+    // per-row (correctly rounded), quantized to int BEFORE any sum
+    "s15_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('tmix|' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000.0) AS BIGINT) AS weight
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS budget, sum(weight) AS sum_w FROM per),
+        |q AS (
+        |  SELECT per.*, (weight * budget) // sum_w AS quota,
+        |    ((weight * budget) // sum_w) // n_docs AS full_epochs,
+        |    ((weight * budget) // sum_w) % n_docs AS n_extra
+        |  FROM per CROSS JOIN tot),
+        |rk AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rk
+        |  FROM d),
+        |extra AS (
+        |  SELECT rk.source, sum(rk.n_chars) AS extra_chars
+        |  FROM rk JOIN q ON rk.source = q.source AND rk.rk <= q.n_extra
+        |  GROUP BY 1)
+        |SELECT q.source, q.weight,
         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
         |  CAST(quota AS BIGINT) AS quota, CAST(full_epochs AS BIGINT) AS full_epochs,
         |  CAST(n_extra AS BIGINT) AS n_extra,
