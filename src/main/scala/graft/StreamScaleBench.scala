@@ -23,6 +23,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     the depth·width counter frame — touched slots grow toward the cap
   *     as keys grow, never past it, and never with events (that is the
   *     entire point of sketching a stream);
+  *   - kmv       (StreamingKmv complete-mode agg): per-GROUP state is the
+  *     O(k) hash lattice — state rows equal the (fixed, 100) group count
+  *     at both scales while the entities per group grow 10×, the
+  *     distinct-count analogue of the sketch cell's cap;
   *   - sessions  (SessionProcessor, ValueState): exactly one open-session
   *     row per key; the 30 s gap sits below the 60 s event spacing so
   *     EVERY arrival closes-and-emits — the emission-heavy path, where a
@@ -160,7 +164,14 @@ object StreamScaleBench {
           SessionTimerProcessor.sessions(s.toDS(), gapUs = 30L * 1000000L).toDF()),
         ("sketch", "complete", s =>
           StreamingSketch.countMinStream(
-            s.toDS().toDF(), col("userId"), col("cents"), depth = 5, width = 2048, seed = "ss")))
+            s.toDS().toDF(), col("userId"), col("cents"), depth = 5, width = 2048, seed = "ss")),
+        // r11: the per-key KMV distinct monitor — O(k) hashes per group,
+        // grouped to keys/100 so each sketch actually accumulates
+        ("kmv", "complete", s =>
+          graft.streaming.StreamingKmv.kmvDistinctStream(
+            s.toDS().toDF(),
+            org.apache.spark.sql.functions.pmod(col("userId"), org.apache.spark.sql.functions.lit(100L)),
+            col("cents"), k = 32, seed = "kmvscale")))
 
     val cellsJson = ops.map { case (name, mode, build) =>
       val smallEvs = events(smallKeys)
