@@ -131,6 +131,9 @@ object ScaleBench {
     // over the LPA partition (g16 — g13's rounds plus two label-keyed
     // join+agg passes over the edge frame)
     "v17_graph_ann",
+    // v18's timed rep includes the index-table writes (the v5/v14
+    // lifecycle-gate convention)
+    "v18_graph_index_probe",
     "g16_modularity")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */

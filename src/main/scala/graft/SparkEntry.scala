@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFingerprint, AudioFixtures, ImagePhash, ImageQuality, MediaFixtures, VideoFixtures}
+import graft.multimodal.{AudioFingerprint, AudioFixtures, ImagePhash, ImageQuality, ImageResample, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,7 +37,10 @@ object SparkEntry {
       (ImageQuality.queries, ImageQuality.oracle),
       // m7: audio near-dup via the energy-profile fingerprint (the m5
       // twin for the audio plane)
-      (AudioFingerprint.queries, AudioFingerprint.oracle)
+      (AudioFingerprint.queries, AudioFingerprint.oracle),
+      // m10: the resize stage — nearest-neighbor thumbnails over the
+      // decoded-fixture plane, hash-pinned against truth-tuple resamples
+      (ImageResample.queries, ImageResample.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -42,6 +42,15 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(full >= 21, s"recall@1 floor: $full/$nQueries < 21")
   }
 
+  test("persisted graph index probes bit-identically to the in-memory search") {
+    val inMemory = VectorQueries.graphAnn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaIndex = VectorQueries.graphIndexProbe(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex == inMemory,
+      "reloaded-index beam search must be bit-identical to the from-scratch run")
+  }
+
   test("output is a well-formed per-query top-k: 5 rows each, cosine non-increasing") {
     val out = VectorQueries.graphAnnRounds(spark, sf, 2)
       .select("query_id", "rnk", "vec_id", "cosine")
