@@ -85,6 +85,73 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_a"), col("doc_b")))
   }
 
+  /** d19: threshold-driven LSH banding AUTOTUNE — pick (bands b, rows r),
+    * b·r = [[MinhashK]], whose S-curve threshold t* = (1/b)^(1/r) is the
+    * LARGEST that stays ≤ the dedup threshold (the conservative,
+    * recall-side rule: banding must not start missing pairs ABOVE the
+    * threshold the verify stage keeps), then run the banding at the
+    * chosen shape and verify exactly. All selection arithmetic is EXACT
+    * INTEGERS, no float pow anywhere: with t = p/q, t* ≤ t ⟺ q^r ≤ b·p^r
+    * (cross-multiplied), and t* ORDERING uses the common-exponent key
+    * b^(L/r) with L = lcm of the candidate r's (t*_i > t*_j ⟺ key_i <
+    * key_j) — so both engines derive feasibility AND the argmax from
+    * integer comparisons (the SQL side's power() calls stay below 2^53,
+    * where doubles are exact). At t = 1/2 over a 6-hash budget the tuner
+    * picks width-1 banding (t* = 1/6) — looser than d3's fixed width-2
+    * (whose t* ≈ 0.577 sits ABOVE the threshold, i.e. d3's default
+    * banding can drop true pairs just over 0.5; the selection table
+    * shows exactly why). Output: the full selection table plus the
+    * chosen shape's candidate/verified-pair counts.
+    */
+  private val AutoCombos = Seq((6, 1), (3, 2), (2, 3), (1, 6))
+
+  /** (b, r, q^r, b·p^r, feasible, sel_key, chosen) at t = 1/2, L = 6. */
+  private def autoSelection: Seq[(Int, Int, Long, Long, Long, Long, Long)] = {
+    val rows = AutoCombos.map { case (b, r) =>
+      val qr = BigInt(2).pow(r).toLong
+      val bpr = b.toLong * BigInt(1).pow(r).toLong
+      val feasible = if (qr <= bpr) 1L else 0L
+      val key = BigInt(b).pow(6 / r).toLong
+      (b, r, qr, bpr, feasible, key)
+    }
+    val chosenKey = rows.filter(_._5 == 1L).map(_._6).min
+    rows.map { case (b, r, qr, bpr, feas, key) =>
+      (b, r, qr, bpr, feas, key, if (feas == 1L && key == chosenKey) 1L else 0L)
+    }
+  }
+
+  def lshAutotune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = materializedShingles(Tables.documents(spark, sfDir))
+    // the chosen shape at this (budget, threshold): width-1 banding
+    val bands = Dedup.minhashBands1(sh, MinhashK)
+    val cands = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val verified = cands
+      .join(Dedup.jaccardForCandidates(cands, sh), Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val counts = cands
+      .agg(count(lit(1)).as("nc"))
+      .crossJoin(verified.agg(count(lit(1)).as("np")))
+    autoSelection
+      .toDF("bands", "rows_per_band", "q_pow_r", "b_p_pow_r", "feasible", "sel_key", "chosen")
+      .crossJoin(broadcast(counts))
+      .select(
+        col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("q_pow_r"), col("b_p_pow_r"), col("feasible"), col("sel_key"), col("chosen"),
+        when(col("chosen") === 1L, col("nc")).otherwise(0L).as("n_candidates"),
+        when(col("chosen") === 1L, col("np")).otherwise(0L).as("n_pairs"))
+      .transform(orderedOutput(_, col("bands").desc))
+  }
+
   /** t6: benchmark decontamination ([[Dedup.contaminationCounts]]) — every
     * 17th document plays the held-out eval set; each remaining corpus doc
     * reports how many of its distinct 3-gram shingles appear anywhere in
@@ -2184,6 +2251,7 @@ object DocQueries {
     "d2_jaccard_neardup" -> (jaccardNearDup(_, _)),
     "d2c_jaccard_capped" -> (jaccardNearDupCapped(_, _)),
     "d3_minhash_lsh" -> (minhashLsh(_, _)),
+    "d19_lsh_autotune" -> (lshAutotune(_, _)),
     "d4_simhash" -> (simhash(_, _)),
     "d10_dedup_clusters" -> (dedupClusters(_, _)),
     "s14_cluster_split" -> (clusterSplit(_, _)),
@@ -2824,6 +2892,53 @@ object DocQueries {
          |SELECT c.doc_a, c.doc_b, c.n_shared_bands, j.jaccard
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+    // d19: the SQL side derives feasibility (q^r <= b*p^r) and the
+    // argmax key (b^(6/r)) independently via power() — exact below 2^53
+    "d19_lsh_autotune" -> {
+      val sigCols = (0 until MinhashK)
+        .map(i => s"list_min(list_transform(sh_set, s -> substr(md5('0|' || s), ${i * 5 + 1}, 5))) AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until MinhashK)
+        .map(i => s"SELECT doc_id, $i AS band_idx, m$i AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shinglePairs,
+         |t AS (SELECT doc_id, list_distinct($shingles3) AS sh_set
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM t),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM bands a
+         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |              AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT
+         |  (SELECT count(*) FROM cand) AS nc,
+         |  (SELECT count(*) FROM cand c JOIN jac j
+         |     ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b AND j.jaccard >= 0.5) AS np),
+         |combos(b, r) AS (VALUES (6, 1), (3, 2), (2, 3), (1, 6)),
+         |sel AS (
+         |  SELECT b, r,
+         |    CAST(power(2, r) AS BIGINT) AS q_pow_r,
+         |    CAST(b * power(1, r) AS BIGINT) AS b_p_pow_r,
+         |    CASE WHEN CAST(power(2, r) AS BIGINT) <= b * CAST(power(1, r) AS BIGINT)
+         |         THEN 1 ELSE 0 END AS feasible,
+         |    CAST(power(b, 6 // r) AS BIGINT) AS sel_key
+         |  FROM combos),
+         |ch AS (SELECT min(sel_key) AS ck FROM sel WHERE feasible = 1)
+         |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+         |  q_pow_r, b_p_pow_r, CAST(feasible AS BIGINT) AS feasible, sel_key,
+         |  CAST(CASE WHEN feasible = 1 AND sel_key = ch.ck THEN 1 ELSE 0 END AS BIGINT) AS chosen,
+         |  CAST(CASE WHEN feasible = 1 AND sel_key = ch.ck THEN counts.nc ELSE 0 END AS BIGINT)
+         |    AS n_candidates,
+         |  CAST(CASE WHEN feasible = 1 AND sel_key = ch.ck THEN counts.np ELSE 0 END AS BIGINT)
+         |    AS n_pairs
+         |FROM sel CROSS JOIN ch CROSS JOIN counts
+         |ORDER BY bands DESC""".stripMargin
     },
     "d18_incremental_neardup" -> incrNearDupSql(
       (0 until MinhashK / 2)

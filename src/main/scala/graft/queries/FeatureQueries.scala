@@ -2382,6 +2382,70 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version"), col("change_type")))
   }
 
+  /** x17: INCREMENTAL VIEW MAINTENANCE from the change feed — the
+    * aggregate-table half of the CDF story: a per-bucket (user_id mod
+    * 16) count/sum view is checkpointed at v1, the table then mutates
+    * through merge (updates + inserts), a range delete, and an append,
+    * and the view is brought current by applying ONLY the feed's signed
+    * delta (insert/update_postimage +1, delete/update_preimage −1) —
+    * one keyed join against a |buckets|-sized frame, never a rescan of
+    * the table. At 100 TB this is the difference between a view refresh
+    * that costs O(changes) and one that costs O(table). The gate emits
+    * the incrementally-maintained view NEXT TO the direct recompute
+    * under a `method` key; the oracle derives ONE truth for both rows,
+    * so drift in either path (a missed preimage, a double-counted
+    * append) diverges the hash. Runs in the reclaimed [[sandboxed]]
+    * sandbox.
+    */
+  def incrementalAggScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("event_id")),
+      dir,
+      Seq("event_id", "cents"))
+    // the checkpointed view: reads v1 — immutable, so the frame stays
+    // valid however the table mutates afterwards
+    def viewOf(df: DataFrame): DataFrame = df
+      .groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val checkpoint = viewOf(Snapshots.readVersion(spark, dir, 1))
+    val updates = base
+      .filter(pmod(col("event_id"), lit(7L)) === 0L)
+      .withColumn("cents", col("cents") + lit(MergeShift))
+    val inserts = base
+      .filter(pmod(col("event_id"), lit(11L)) === 0L)
+      .withColumn("event_id", col("event_id") + lit(CdfInsertOffset))
+    Snapshots.commitMerge(spark, dir, updates.unionByName(inserts), "event_id")
+    Snapshots.commitDelete(spark, dir, "cents", 1000L, 4999L)
+    Snapshots.commitAppend(
+      base.filter(pmod(col("event_id"), lit(3L)) === 2L && pmod(col("event_id"), lit(7L)) =!= 0L),
+      dir,
+      Seq("event_id", "cents"))
+    // fromVersion is exclusive: the feed carries the changes of v2..v4
+    // (merge, delete, append) — everything since the v1 checkpoint
+    val delta = Snapshots
+      .readChangeFeed(spark, dir, 1, 4)
+      .withColumn(
+        "sign",
+        when(col(Snapshots.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+      .agg(sum(col("sign")).as("d_n"), sum(col("sign") * col("cents")).as("d_cents"))
+    val incremental = checkpoint
+      .join(delta, Seq("bucket"), "full")
+      .select(
+        col("bucket"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_events"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L))).as("sum_cents"))
+    val direct = viewOf(Snapshots.readLatest(spark, dir))
+    direct
+      .select(lit("direct").as("method"), col("bucket"), col("n_events"), col("sum_cents"))
+      .unionByName(incremental
+        .select(lit("incremental").as("method"), col("bucket"), col("n_events"), col("sum_cents")))
+      .transform(orderedOutput(_, col("method"), col("bucket")))
+  }
+
   /** x15: commit-time CHECK constraints ([[graft.sources.Snapshots
     * .commitAppendChecked]]) — the Delta-constraints/expectations shape:
     * a table declares invariants and the COMMIT enforces them, so
@@ -4963,6 +5027,32 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
+      // x17: one derivation of the post-mutation table feeds BOTH method
+      // rows — the incremental path must land exactly on the direct one
+      "x17_incremental_agg" ->
+        s"""WITH prep AS ($prep),
+           |rows_v3 AS (
+           |  SELECT user_id, cents FROM (
+           |    SELECT user_id,
+           |      cents + CASE WHEN event_id % 7 = 0 THEN 1000000000 ELSE 0 END AS cents
+           |    FROM prep WHERE event_id % 3 <> 2
+           |    UNION ALL
+           |    SELECT user_id, cents + 1000000000 FROM prep
+           |    WHERE event_id % 7 = 0 AND event_id % 3 = 2
+           |    UNION ALL
+           |    SELECT user_id, cents FROM prep WHERE event_id % 11 = 0)
+           |  WHERE cents NOT BETWEEN 1000 AND 4999),
+           |final AS (
+           |  SELECT user_id, cents FROM rows_v3
+           |  UNION ALL
+           |  SELECT user_id, cents FROM prep
+           |  WHERE event_id % 3 = 2 AND event_id % 7 <> 0),
+           |m AS (SELECT unnest(['direct', 'incremental']) AS method)
+           |SELECT m.method, CAST(user_id % 16 AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM m CROSS JOIN final
+           |GROUP BY 1, 2 ORDER BY method, bucket""".stripMargin,
       "x14_change_feed" ->
         s"""WITH prep AS ($prep),
            |ch AS (
@@ -5454,6 +5544,7 @@ object FeatureQueries {
     "x14_change_feed" -> (changeFeedScan(_, _)),
     "x15_checked_commit" -> (checkedCommitScan(_, _)),
     "x16_snapshot_tags" -> (snapshotTagsScan(_, _)),
+    "x17_incremental_agg" -> (incrementalAggScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),
