@@ -42,6 +42,21 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(full >= 21, s"recall@1 floor: $full/$nQueries < 21")
   }
 
+  test("beam rounds only improve: per-query top-1 cosine is non-decreasing in rounds") {
+    def top1(rounds: Int): Map[Long, Double] = VectorQueries
+      .graphAnnRounds(spark, sf, rounds)
+      .filter("rnk = 1")
+      .select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    val byRound = Seq(top1(0), top1(1), top1(2))
+    byRound.sliding(2).foreach { case Seq(prev, next) =>
+      prev.keySet.foreach { q =>
+        assert(next(q) >= prev(q),
+          s"query $q regressed: the scored set only grows, so top-1 cannot fall")
+      }
+    }
+  }
+
   test("persisted graph index probes bit-identically to the in-memory search") {
     val inMemory = VectorQueries.graphAnn(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
