@@ -2523,6 +2523,95 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("ref")))
   }
 
+  /** x18: METADATA-ONLY aggregation ([[graft.sources.Snapshots
+    * .metadataRowCount]] / [[graft.sources.Snapshots.metadataRangeCount]])
+    * — the Iceberg/Delta metadata-query shape: every manifest carries
+    * per-file ROW COUNTS (from the zone-map aggregate or the parquet
+    * footer — never a data scan), so COUNT(*) at any version is one
+    * manifest read, exact MIN/MAX of a zone-mapped column is a fold over
+    * the per-file bounds, and a range COUNT splits into
+    * contained-files-from-metadata + a residual scan of only the
+    * boundary files. At 100 TB that turns "how many rows landed
+    * yesterday" from a table scan into a metadata lookup. The lifecycle:
+    * v1 range-clusters thirds 0+1 on cents (tight zone maps), v2 appends
+    * third 2, v3 DELETEs a cents range — and every count the gate emits
+    * comes from the metadata path, so a stale per-file count (e.g. a
+    * delete that rewrote rows but carried the old count) diverges the
+    * hash. The zero-data-read contract itself is pinned by SnapshotsSpec
+    * (the count survives physical removal of the data files). Runs in
+    * the reclaimed [[sandboxed]] sandbox.
+    */
+  def metadataAggScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("cents")),
+      dir,
+      Seq("cents"))
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir, Seq("cents"))
+    Snapshots.commitDelete(spark, dir, "cents", 1000L, 4999L)
+    val totalV1 = Snapshots.metadataRowCount(spark, dir, 1)
+    val totalV2 = Snapshots.metadataRowCount(spark, dir, 2)
+    val totalV3 = Snapshots.metadataRowCount(spark, dir, 3)
+    val inRange = Snapshots.metadataRangeCount(spark, dir, 2, "cents", 5000L, 99999L).count
+    val (mn, mx) = Snapshots.metadataMinMax(spark, dir, 3, "cents")
+    spark
+      .createDataFrame(Seq(
+        ("total_v1", totalV1),
+        ("total_v2", totalV2),
+        ("total_v3", totalV3),
+        ("rows_in_range_v2", inRange),
+        ("min_cents_v3", mn),
+        ("max_cents_v3", mx)))
+      .toDF("metric", "value")
+      .transform(orderedOutput(_, col("metric")))
+  }
+
+  /** x19: SHALLOW CLONE ([[graft.sources.Snapshots.cloneTable]]) — the
+    * zero-copy branch: the clone's v1 manifest references the SOURCE
+    * version's data files (no bytes move, instant at any table size),
+    * after which the two tables are fully independent — a COW delete on
+    * the clone rewrites its view of the shared files into CLONE-local
+    * storage (the source's copy untouched), and a later source append
+    * never shows up in the clone. The gate reads THREE surfaces after
+    * both sides mutate: the source's latest (must still contain the
+    * cents range the clone deleted, plus its own appended rows), the
+    * clone's latest (the delete applied, the source append absent), and
+    * the clone's v1 (the frozen source snapshot, bit-stable through
+    * everything). Any isolation leak — the clone's delete damaging a
+    * shared file, the source append bleeding into the clone — diverges a
+    * row. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def shallowCloneScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    val src = s"$dir/src"
+    val dst = s"$dir/clone"
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("cents")),
+      src,
+      Seq("cents"))
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), src, Seq("cents"))
+    Snapshots.cloneTable(spark, src, 2, dst)
+    Snapshots.commitDelete(spark, dst, "cents", 1000L, 4999L)
+    Snapshots.commitAppend(
+      base
+        .filter(pmod(col("event_id"), lit(11L)) === 0L)
+        .withColumn("event_id", col("event_id") + lit(CdfInsertOffset)),
+      src,
+      Seq("cents"))
+    def aggOf(df: DataFrame, ref: String): DataFrame = df
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(ref).as("ref"), col("n_events"), col("n_users"), col("sum_cents"))
+    aggOf(Snapshots.readLatest(spark, src), "src_latest")
+      .unionByName(aggOf(Snapshots.readLatest(spark, dst), "clone_latest"))
+      .unionByName(aggOf(Snapshots.readVersion(spark, dst, 1), "clone_v1"))
+      .transform(orderedOutput(_, col("ref")))
+  }
+
   /** j12: SCD2 dimension MAINTENANCE — the apply-changes half of the
     * type-2 dimension lifecycle (w18 builds history, j10 reads it; this
     * is the nightly job that MUTATES it): the dimension holds each
@@ -5029,6 +5118,41 @@ object FeatureQueries {
            |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
       // x17: one derivation of the post-mutation table feeds BOTH method
       // rows — the incremental path must land exactly on the direct one
+      // x18: every emitted value rides the METADATA path in the engine;
+      // the oracle derives each from the raw table, so a stale per-file
+      // row count or a loose zone-map bound diverges the hash
+      "x18_metadata_agg" ->
+        s"""WITH prep AS ($prep),
+           |v3 AS (SELECT cents FROM prep WHERE cents NOT BETWEEN 1000 AND 4999)
+           |SELECT metric, value FROM (
+           |  SELECT 'total_v1' AS metric, CAST(count(*) AS BIGINT) AS value
+           |  FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL SELECT 'total_v2', CAST(count(*) AS BIGINT) FROM prep
+           |  UNION ALL SELECT 'total_v3', CAST(count(*) AS BIGINT) FROM v3
+           |  UNION ALL SELECT 'rows_in_range_v2', CAST(count(*) AS BIGINT)
+           |  FROM prep WHERE cents BETWEEN 5000 AND 99999
+           |  UNION ALL SELECT 'min_cents_v3', CAST(min(cents) AS BIGINT) FROM v3
+           |  UNION ALL SELECT 'max_cents_v3', CAST(max(cents) AS BIGINT) FROM v3)
+           |ORDER BY metric""".stripMargin,
+      // x19: three surfaces, one truth each — the source keeps the
+      // clone-deleted cents range plus its own appended keys, the clone
+      // applies the delete but never sees the source append, and the
+      // clone's v1 stays the frozen source snapshot
+      "x19_shallow_clone" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 'src_latest' AS ref, user_id, cents FROM prep
+           |  UNION ALL
+           |  SELECT 'src_latest', user_id, cents FROM prep WHERE event_id % 11 = 0
+           |  UNION ALL
+           |  SELECT 'clone_latest', user_id, cents FROM prep
+           |  WHERE cents NOT BETWEEN 1000 AND 4999
+           |  UNION ALL
+           |  SELECT 'clone_v1', user_id, cents FROM prep)
+           |SELECT ref, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
       "x17_incremental_agg" ->
         s"""WITH prep AS ($prep),
            |rows_v3 AS (
@@ -5545,6 +5669,8 @@ object FeatureQueries {
     "x15_checked_commit" -> (checkedCommitScan(_, _)),
     "x16_snapshot_tags" -> (snapshotTagsScan(_, _)),
     "x17_incremental_agg" -> (incrementalAggScan(_, _)),
+    "x18_metadata_agg" -> (metadataAggScan(_, _)),
+    "x19_shallow_clone" -> (shallowCloneScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -53,6 +53,7 @@ object Snapshots {
   private val BatchHeader = "#batch="
   private val OpHeader = "#op="
   private val TsHeader = "#ts="
+  private val RowsHeader = "#rows="
   private val HwmName = "_batch.hwm"
 
   /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
@@ -81,9 +82,13 @@ object Snapshots {
 
   /** One manifest entry: a data file plus its zone maps — one [[ColStats]]
     * per commit-declared stats column, in declaration order (empty when
-    * the snapshot carries none).
+    * the snapshot carries none) — and the file's ROW COUNT. Every
+    * manifest published since the `#rows=` header exists carries counts
+    * (`None` only when parsing a pre-rows manifest), which is what lets
+    * [[metadataRowCount]] / [[metadataRangeCount]] answer aggregates
+    * without touching data files.
     */
-  final case class ManifestEntry(path: String, stats: Seq[ColStats])
+  final case class ManifestEntry(path: String, stats: Seq[ColStats], rows: Option[Long] = None)
 
   /** (declared stats columns — empty when the snapshot carries no zone
     * maps — and the entries). Public so specs and metadata harnesses can
@@ -175,14 +180,20 @@ object Snapshots {
       .find(_.startsWith(StatsHeader))
       .map(_.drop(StatsHeader.length).split(',').toSeq)
       .getOrElse(Nil)
+    // `#rows=1` flags that every entry line carries a trailing row count
+    // (all manifests published since the header exists do; its absence
+    // means a pre-rows manifest, whose entries parse with rows = None)
+    val hasRows = lines.exists(_.startsWith(RowsHeader))
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val parts = line.split('\t')
-      require(parts.length == 1 + 2 * statsCols.length,
-        s"bad manifest line (expected ${statsCols.length} zone-map column pairs): $line")
+      val expected = 1 + 2 * statsCols.length + (if (hasRows) 1 else 0)
+      require(parts.length == expected,
+        s"bad manifest line (expected ${statsCols.length} zone-map column pairs" +
+          s"${if (hasRows) " + row count" else ""}): $line")
       val stats = statsCols.indices.map { i =>
         ColStats(parts(1 + 2 * i).toLong, parts(2 + 2 * i).toLong)
       }
-      ManifestEntry(parts(0), stats)
+      ManifestEntry(parts(0), stats, if (hasRows) Some(parts.last.toLong) else None)
     }
     (statsCols, entries)
   }
@@ -342,7 +353,8 @@ object Snapshots {
         s"zone-map column $c must be integral, got $dt")
     }
     val aggs = statsCols.flatMap(c =>
-      Seq(fMin(col(c)).cast("long").as(s"mn_$c"), fMax(col(c)).cast("long").as(s"mx_$c")))
+      Seq(fMin(col(c)).cast("long").as(s"mn_$c"), fMax(col(c)).cast("long").as(s"mx_$c"))) :+
+      org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
     staged
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -354,10 +366,36 @@ object Snapshots {
               "commit refused (a null zone map cannot prune)")
           ColStats(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
         }
-        ManifestEntry(r.getString(0), stats)
+        ManifestEntry(r.getString(0), stats, Some(r.getLong(1 + 2 * statsCols.length)))
       }
       .sortBy(_.path)
       .toSeq
+  }
+
+  /** Stage-directory entries for a no-zone-map commit: list the staged
+    * parquet and take each file's row count from its FOOTER — metadata
+    * the writer already wrote, so counting costs one footer read per
+    * staged file, never a data scan (the same place Iceberg/Delta
+    * writers source their per-file stats).
+    */
+  private def listedEntries(spark: SparkSession, stage: Path): Seq[ManifestEntry] = {
+    val f = fs(spark, stage)
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(stage)
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => ManifestEntry(p.toString, Nil, Some(footerRowCount(conf, p))))
+      .sortBy(_.path)
+      .toSeq
+  }
+
+  private def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount
+    finally r.close()
   }
 
   /** Stage `df` once, then publish at the next free version — retrying
@@ -382,15 +420,7 @@ object Snapshots {
     df.write.mode("error").parquet(stage.toString)
     val staged: Seq[ManifestEntry] =
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
-      else {
-        val f = fs(spark, stage)
-        f.listStatus(stage)
-          .map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(p => ManifestEntry(p.toString, Nil))
-          .sortBy(_.path)
-          .toSeq
-      }
+      else listedEntries(spark, stage)
     var out: Option[Option[Int]] = None
     while (out.isEmpty) {
       if (batchId.exists(b => lastBatchId(spark, dir).exists(_ >= b))) {
@@ -440,13 +470,24 @@ object Snapshots {
     val md = manifestDir(dir)
     val f = fs(spark, md)
     f.mkdirs(md)
+    // every NEW manifest carries per-file row counts: entries missing one
+    // (carried from a pre-rows manifest) are filled from the parquet
+    // footer — one footer read per legacy file, once, after which the
+    // count rides the manifest chain forever
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counted = entries.map {
+      case e if e.rows.isDefined => e
+      case e                     => e.copy(rows = Some(footerRowCount(conf, new Path(e.path))))
+    }
     val tmp = new Path(md, s"v$v.list.tmp-${java.util.UUID.randomUUID()}")
     val header = s"$OpHeader$op\n" +
       s"$TsHeader${System.currentTimeMillis()}\n" +
       (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
+      s"${RowsHeader}1\n" +
       batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
-    val body = entries.map { e =>
-      (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))).mkString("\t")
+    val body = counted.map { e =>
+      (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))
+        :+ e.rows.get.toString).mkString("\t")
     }
     val payload = header + body.mkString("", "\n", "\n")
     val out = f.create(tmp, true)
@@ -635,15 +676,7 @@ object Snapshots {
     }
     val staged =
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
-      else {
-        val f = fs(spark, stage)
-        f.listStatus(stage)
-          .map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(p => ManifestEntry(p.toString, Nil))
-          .sortBy(_.path)
-          .toSeq
-      }
+      else listedEntries(spark, stage)
     publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge")
     publishChanges(spark, dir, chStage, v)
     v
@@ -695,15 +728,7 @@ object Snapshots {
     packed.write.mode("error").parquet(stage.toString)
     val staged =
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
-      else {
-        val fsS = fs(spark, stage)
-        fsS.listStatus(stage)
-          .map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(p => ManifestEntry(p.toString, Nil))
-          .sortBy(_.path)
-          .toSeq
-      }
+      else listedEntries(spark, stage)
     val v = prev + 1
     publishOrAbort(spark, dir, v, statsCols, staged, "optimize")
     v
@@ -1159,4 +1184,119 @@ object Snapshots {
   /** Read the latest published snapshot. */
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(manifest(spark, dir, latestVersion(spark, dir))._2.map(_.path): _*)
+
+  // ---- Metadata-only aggregation ------------------------------------------
+
+  private def countedEntries(
+      spark: SparkSession,
+      dir: String,
+      version: Int): (Seq[String], Seq[ManifestEntry]) = {
+    val (statsCols, entries) = manifest(spark, dir, version)
+    require(entries.forall(_.rows.isDefined),
+      s"snapshot v$version of $dir predates per-file row counts; " +
+        "re-commit (any append/OPTIMIZE republishes with counts) to enable metadata aggregation")
+    (statsCols, entries)
+  }
+
+  /** COUNT(*) at `version` answered ENTIRELY from commit metadata — the
+    * Iceberg/Delta metadata-only query: the manifest's per-file row
+    * counts sum to the table count without opening a single data file.
+    * At 100 TB this is the difference between a count that costs one
+    * small manifest read and one that scans (or at best footer-walks)
+    * every file of the table. SnapshotsSpec proves the zero-data-read
+    * claim the hard way: the answer survives the data files being
+    * physically removed.
+    */
+  def metadataRowCount(spark: SparkSession, dir: String, version: Int): Long =
+    countedEntries(spark, dir, version)._2.map(_.rows.get).sum
+
+  /** Exact global (min, max) of a zone-mapped column at `version`, from
+    * metadata alone: the per-file zone maps are exact min/max, so their
+    * fold is the table's. Same zero-data-read contract as
+    * [[metadataRowCount]].
+    */
+  def metadataMinMax(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      column: String): (Long, Long) = {
+    val (statsCols, entries) = countedEntries(spark, dir, version)
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"snapshot v$version of $dir carries no zone map on $column (declared: $statsCols)")
+    require(entries.nonEmpty, s"snapshot v$version of $dir is empty")
+    (entries.map(_.stats(ci).min).min, entries.map(_.stats(ci).max).max)
+  }
+
+  /** Diagnostics of a [[metadataRangeCount]]: how much of the answer came
+    * from metadata vs a residual scan.
+    */
+  final case class RangeCount(
+      count: Long,
+      filesFromMetadata: Int,
+      filesScanned: Int,
+      filesTotal: Int)
+
+  /** COUNT of rows with `column BETWEEN lo AND hi`, split the way every
+    * manifest-based format splits it: files whose zone map is FULLY
+    * CONTAINED in [lo, hi] contribute their manifest row count (no
+    * read); files fully OUTSIDE contribute nothing (no read); only the
+    * boundary-overlapping files are scanned with the residual predicate.
+    * Against a range-clustered (or OPTIMIZEd) table the scan touches
+    * O(boundary) files regardless of table size.
+    */
+  def metadataRangeCount(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      column: String,
+      lo: Long,
+      hi: Long): RangeCount = {
+    val (statsCols, entries) = countedEntries(spark, dir, version)
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0,
+      s"snapshot v$version of $dir carries no zone map on $column (declared: $statsCols)")
+    val overlapping = entries.filter(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)
+    val (contained, boundary) =
+      overlapping.partition(e => e.stats(ci).min >= lo && e.stats(ci).max <= hi)
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else
+        spark.read
+          .parquet(boundary.map(_.path): _*)
+          .filter(col(column).between(lo, hi))
+          .count()
+    RangeCount(
+      contained.map(_.rows.get).sum + scanned,
+      contained.size,
+      boundary.size,
+      entries.size)
+  }
+
+  // ---- Shallow clone -------------------------------------------------------
+
+  /** SHALLOW CLONE — a new table at `dstDir` whose v1 manifest lists
+    * `srcVersion`'s data files BY REFERENCE (the Delta CLONE shape):
+    * zero bytes move, the clone materializes instantly at any table
+    * size, and it inherits the source's zone maps and row counts. From
+    * then on the tables are INDEPENDENT: commits against the clone stage
+    * files under the CLONE's own `data/`, so the source never observes
+    * them (and vice versa) — copy-on-write against shared files (a
+    * delete/merge on the clone rewrites its view of a shared file into
+    * clone-local storage, the source's copy untouched). [[vacuum]] on
+    * the clone is safe by construction (it only deletes under the
+    * clone's `data/`, and shared files live under the source); vacuum on
+    * the SOURCE does not know about clones — expiring the source
+    * versions that reference shared files can break the clone, the same
+    * documented caveat every shallow-clone implementation carries (pin
+    * the cloned source version with a [[tag]] to make it a retention
+    * root). Publishes the clone's v1 and returns 1.
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, srcVersion: Int, dstDir: String): Int = {
+    val (statsCols, entries) = manifest(spark, srcDir, srcVersion)
+    require(latestVersion(spark, dstDir) == 0,
+      s"clone target $dstDir already has published snapshots")
+    publishOrAbort(spark, dstDir, 1, statsCols, entries, "clone")
+    1
+  }
 }

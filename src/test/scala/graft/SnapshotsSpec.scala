@@ -675,4 +675,86 @@ class SnapshotsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "_tags", "rel.ref.tmp-debris"), "junk")
     assert(Snapshots.tags(spark, dir) == Map("rel" -> 1))
   }
+
+  test("metadata aggregation answers from the manifest alone — data files may be gone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_meta").toString
+    val rows = (1L to 4000L).map(i => (i, i % 97))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
+    assert(Snapshots.metadataRowCount(spark, dir, 1) == 4000L)
+    assert(Snapshots.metadataMinMax(spark, dir, 1, "id") == ((1L, 4000L)))
+    // interior files count from metadata; at most the two boundary files
+    // (the one holding 100, the one holding 3900) pay a residual scan
+    val rc = Snapshots.metadataRangeCount(spark, dir, 1, "id", 100L, 3900L)
+    assert(rc.count == 3801L)
+    assert(rc.filesTotal == 8 && rc.filesFromMetadata >= 1 && rc.filesScanned <= 2,
+      s"expected contained-from-metadata + <=2 boundary scans, got $rc")
+    // the hard proof of zero data reads: physically remove every data
+    // file — the metadata paths still answer; a scan path cannot
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    val s = java.nio.file.Files.walk(dataDir)
+    try s.filter(p => p.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally s.close()
+    assert(Snapshots.metadataRowCount(spark, dir, 1) == 4000L)
+    assert(Snapshots.metadataMinMax(spark, dir, 1, "id") == ((1L, 4000L)))
+    val all = Snapshots.metadataRangeCount(spark, dir, 1, "id", 1L, 4000L)
+    assert(all.count == 4000L && all.filesScanned == 0,
+      s"a range containing every zone map must scan nothing, got $all")
+  }
+
+  test("shallow clone: zero-copy birth, independent mutation, safe clone-side vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_clone").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val rows = (1L to 2000L).map(i => (i, i % 7))
+    Snapshots.commitOverwrite(
+      rows.toDF("id", "x").repartitionByRange(4, col("id")), src, Seq("id"))
+    Snapshots.cloneTable(spark, src, 1, dst)
+    // birth moved zero bytes: the clone owns no data directory, its v1
+    // manifest references the source's files verbatim
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "data")),
+      "clone must not copy data at birth")
+    assert(Snapshots.manifest(spark, dst, 1)._2.map(_.path)
+      == Snapshots.manifest(spark, src, 1)._2.map(_.path))
+    assert(Snapshots.readLatest(spark, dst).count() == 2000L)
+    // COW delete on the clone rewrites into CLONE-local storage; the
+    // source's copy of the shared files is untouched
+    Snapshots.commitDelete(spark, dst, "id", 1L, 500L)
+    assert(Snapshots.readLatest(spark, dst).count() == 1500L)
+    assert(Snapshots.readLatest(spark, src).count() == 2000L,
+      "the clone's delete must never damage the source")
+    // a source append never shows up in the clone
+    Snapshots.commitAppend(Seq((9999L, 1L)).toDF("id", "x"), src, Seq("id"))
+    assert(Snapshots.readLatest(spark, dst).count() == 1500L)
+    // vacuuming the clone only walks the CLONE's data/ — shared files
+    // under the source survive by construction
+    Snapshots.vacuum(spark, dst, keepFrom = 2)
+    assert(Snapshots.readLatest(spark, dst).count() == 1500L)
+    assert(Snapshots.readLatest(spark, src).count() == 2001L)
+    // a clone refuses a target that already has snapshots
+    intercept[IllegalArgumentException](Snapshots.cloneTable(spark, src, 1, dst))
+  }
+
+  test("pre-rows manifests refuse metadata counts; the next commit backfills them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_prerows").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    // rewrite v1 as a pre-rows manifest: no #crc (pre-CRC manifests read
+    // unchecked), no #rows header, entries without trailing counts
+    val mf = java.nio.file.Paths.get(dir, "_manifests", "v1.list")
+    val legacy = java.nio.file.Files.readString(mf).linesIterator
+      .filterNot(l => l.startsWith("#crc=") || l.startsWith("#rows="))
+      .map(l => if (l.startsWith("#")) l else l.split('\t').head)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(mf, legacy)
+    val e = intercept[IllegalArgumentException](Snapshots.metadataRowCount(spark, dir, 1))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // any commit republishes the carried entries WITH counts (one footer
+    // read per legacy file, once) — metadata queries work from then on
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
+    assert(Snapshots.metadataRowCount(spark, dir, 2) == 3L)
+  }
 }
