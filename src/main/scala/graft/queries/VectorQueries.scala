@@ -231,6 +231,35 @@ object VectorQueries {
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
+  /** v19: binary-quantization ANN ([[Similarity.binaryRerankTopK]]) —
+    * 62-bit packed sign signatures scanned by Hamming distance, a
+    * 4k-deep shortlist, exact integer-cosine rescoring of the shortlist
+    * only. The production pattern for "scan everything cheaply, rescore
+    * a sliver exactly": the Hamming pass reads 16 bytes/vector (vs 256
+    * for the d=64 float row), so the full-corpus scan costs ~1/16 of v1
+    * and the exact math touches |queries|·shortlist rows total. Planes
+    * are md5-derived pure functions of (seed, i); the oracle embeds the
+    * identical literals and reproduces signatures, Hamming ranks, and
+    * the rescored top-k bit-for-bit.
+    */
+  private val BqSeed = 7L
+  private val BqBits = 62
+  private val BqShortlist = 20
+  private val BqNQueries = 16
+
+  def binaryRerank(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .binaryRerankTopK(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") < BqNQueries,
+        Similarity.hyperplanes(BqSeed, BqBits, EmbedDim),
+        BqBits,
+        BqShortlist,
+        TopK)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
@@ -828,6 +857,7 @@ object VectorQueries {
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
+    "v19_binary_rerank" -> (binaryRerank(_, _)),
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
@@ -1554,6 +1584,38 @@ object VectorQueries {
     "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
       s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
       HiThreshold),
+    "v19_binary_rerank" -> {
+      // the identical ±1 planes the Scala path packs (pure function of
+      // (BqSeed, i)); bit i-1 (1-based list index i) contributes
+      // 2^(i-1) to the signature exactly as the engine's 1L << i
+      val planes = Similarity.hyperplanes(BqSeed, BqBits, EmbedDim)
+      val planesLit = planes
+        .map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""WITH $prep,
+         |pls AS (SELECT $planesLit AS pl),
+         |sigs AS (
+         |  SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, $BqBits), i ->
+         |    CASE WHEN CAST(list_sum(list_transform(list_zip(qv, pl[i]), p -> p[1] * p[2])) AS BIGINT) >= 0
+         |         THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM base CROSS JOIN pls),
+         |short AS (
+         |  SELECT query_id, vec_id, hamming FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |      CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS hrnk
+         |    FROM sigs q JOIN sigs c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < $BqNQueries)
+         |  WHERE hrnk <= $BqShortlist),
+         |scored AS (
+         |  SELECT s.query_id, s.vec_id, s.hamming, $cosineExpr AS cosine
+         |  FROM short s JOIN base a ON s.query_id = a.vec_id JOIN base b ON s.vec_id = b.vec_id)
+         |SELECT query_id, vec_id, rnk, hamming, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+    },
     "d8_embed_neardup_rp" -> {
       // The IDENTICAL ±1 planes the Scala path derives (pure function of
       // (RpSeed, k, j)), embedded as a flat list-of-lists literal; bucket

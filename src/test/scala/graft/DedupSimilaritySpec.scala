@@ -89,6 +89,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("binary rerank: planted twin wins at hamming 0; output shape and order law hold") {
+    // a duplicated vector signs identically under EVERY hyperplane, so
+    // the twin sits at hamming 0, survives any shortlist, and the exact
+    // rescore puts it at rank 1 with cosine 1.0 — the BQ contract that
+    // quantization can attenuate recall but never lose an exact match
+    val base = Tables.embeddings(spark, sf).limit(200)
+    val twin = base
+      .filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val planes = Similarity.hyperplanes(7L, 62, 64)
+    val res = Similarity
+      .binaryRerankTopK(
+        base.unionByName(twin), "vec_id", "embedding",
+        col("vec_id") < 4, planes, 62, 20, 5)
+      .collect()
+    val perQuery = res.groupBy(_.getLong(0))
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L))
+    perQuery.foreach { case (q, rows) =>
+      val top = rows.minBy(_.getLong(2))
+      assert(top.getLong(1) == q + 100000L, s"query $q must retrieve its planted twin first")
+      assert(top.getLong(3) == 0L, "an identical vector must sit at hamming 0")
+      assert(math.abs(top.getDouble(4) - 1.0) < 1e-12)
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 5L))
+      val cosines = sorted.map(_.getDouble(4)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
   test("sign-LSH ANN cap: a degenerate all-positive corpus yields zero candidates, not Θ(n²)") {
     // Every all-positive vector shares the ONE 8-bit bucket; with the cap
     // below the corpus size the bucket is dropped wholesale, so the probe
