@@ -798,6 +798,53 @@ object FeatureQueries {
         when(col("u8") < "c0000000", lit("train")).otherwise(lit("test")))
       .transform(orderedOutput(_, col("event_id")))
 
+  /** s16: entity-safe K-FOLD cross-validation assignment — the CV
+    * counterpart of s9: folds are hashed on the USER (first hex digit of
+    * md5, mod 4 — uniform because 4 divides 16), so every event of a
+    * user lands in exactly one fold and no fold's validation set shares
+    * an entity with its training set (row-hashed folds leak a user's
+    * history across the boundary, the same classic bug s9 guards).
+    * Scale shape: ONE aggregation pass over the corpus (groupBy fold);
+    * each fold's TRAIN aggregates are derived by subtraction from the
+    * total over the 4-row per-fold frame — never K scans of the data —
+    * which is only correct BECAUSE the entity partition is disjoint
+    * (user sets never straddle folds), i.e. the arithmetic itself
+    * re-proves the leakage-safety the operator promises.
+    */
+  private val KFolds = 4L
+
+  def kfoldSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val perFold = prepared(spark, sfDir)
+      .withColumn(
+        "fold",
+        pmod(
+          conv(substring(Sampling.hashUniformHex("kfold", col("user_id")), 1, 1), 16, 10)
+            .cast("long"),
+          lit(KFolds)))
+      .groupBy(col("fold"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+    val total = broadcast(perFold.agg(
+      sum(col("n_events")).as("t_events"),
+      sum(col("n_users")).as("t_users"),
+      sum(col("sum_cents")).as("t_cents")))
+    val valRows = perFold.select(
+      col("fold"), lit("val").as("role"),
+      col("n_events"), col("n_users"), col("sum_cents"))
+    val trainRows = perFold
+      .crossJoin(total)
+      .select(
+        col("fold"), lit("train").as("role"),
+        (col("t_events") - col("n_events")).as("n_events"),
+        (col("t_users") - col("n_users")).as("n_users"),
+        (col("t_cents") - col("sum_cents")).as("sum_cents"))
+    valRows
+      .unionByName(trainRows)
+      .transform(orderedOutput(_, col("fold"), col("role")))
+  }
+
   /** j5: anti-join blocklist filtering — the "remove every event of a
     * banned entity" operator as a real LEFT ANTI join against a DERIVED
     * blocklist frame (every 13th user), not a rewritten predicate: the
@@ -3561,6 +3608,53 @@ object FeatureQueries {
           1L).otherwise(0L))
   }
 
+  /** a31: Mann–Kendall trend test (Mann 1945; Kendall's S) over the daily
+    * spend series — the nonparametric monotone-trend screen next to a30's
+    * randomness screen and a9's parametric slope: S = Σ_{i<j}
+    * sign(x_j − x_i), with the tie-corrected variance 18·Var(S) =
+    * n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the 2σ verdict as the
+    * cross-multiplied continuity-corrected inequality 18·(|S|−1)² >
+    * 4·Var18 — integers end to end, no sqrt crosses the gate (the
+    * t23/a30 discipline). Scale shape: the pairwise frame is over the
+    * DAILY ROLLUP, whose size is bounded by the calendar (≤366 rows at
+    * any corpus size), broadcast on one arm — corpus-size-independent by
+    * construction, like every a-plane day-series statistic.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = prepared(spark, sfDir)
+      .groupBy(expr("ord_us div 86400000000").as("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val s = daily
+      .as("a")
+      .join(broadcast(daily.as("b")), col("a.day") < col("b.day"))
+      .agg(
+        sum(
+          when(col("b.day_cents") > col("a.day_cents"), 1L)
+            .when(col("b.day_cents") < col("a.day_cents"), -1L)
+            .otherwise(0L)).as("s_stat"))
+    val ties = daily
+      .groupBy(col("day_cents"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(
+        sum(when(col("t") > 1L, col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .otherwise(0L)),
+        lit(0L)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(broadcast(s))
+      .crossJoin(broadcast(ties))
+      .withColumn(
+        "var18",
+        col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L) - col("tie_term"))
+      .withColumn(
+        "trend_2sigma",
+        when(
+          lit(18L) * when(abs(col("s_stat")) >= 1L,
+            (abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L)).otherwise(0L)
+            > lit(4L) * col("var18"),
+          1L).otherwise(0L))
+      .select("n_days", "s_stat", "var18", "tie_term", "trend_2sigma")
+  }
+
   def benfordScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val benford = Seq(
@@ -4246,6 +4340,52 @@ object FeatureQueries {
            |FROM prep GROUP BY user_id ORDER BY user_id""".stripMargin,
       // a30: same daily rollup, same exact lower median, same lag-run
       // count, same cross-multiplied 2-sigma inequality
+      // a31: S, the tie term, and the 2-sigma verdict all derive in
+      // integers from the same bounded daily rollup
+      "a31_mann_kendall" ->
+        s"""WITH prep AS ($prep),
+           |daily AS (
+           |  SELECT ord_us // 86400000000 AS day, CAST(sum(cents) AS BIGINT) AS day_cents
+           |  FROM prep GROUP BY 1),
+           |p AS (
+           |  SELECT CAST(sum(CASE WHEN b.day_cents > a.day_cents THEN 1
+           |                       WHEN b.day_cents < a.day_cents THEN -1
+           |                       ELSE 0 END) AS BIGINT) AS s_stat
+           |  FROM daily a JOIN daily b ON a.day < b.day),
+           |t AS (
+           |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+           |  FROM (SELECT count(*) AS t FROM daily GROUP BY day_cents) WHERE t > 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+           |SELECT n_days, s_stat,
+           |  n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+           |  tie_term,
+           |  CAST(CASE WHEN 18 * (CASE WHEN abs(s_stat) >= 1
+           |                            THEN (abs(s_stat) - 1) * (abs(s_stat) - 1)
+           |                            ELSE 0 END)
+           |            > 4 * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS trend_2sigma
+           |FROM nn CROSS JOIN p CROSS JOIN t""".stripMargin,
+      // s16: fold = first md5 hex digit of the USER mod 4; train rows
+      // derive by subtraction from the fold-disjoint totals
+      "s16_kfold" ->
+        s"""WITH prep AS ($prep),
+           |f AS (
+           |  SELECT event_id, user_id, cents,
+           |    CAST((strpos('0123456789abcdef',
+           |      substr(md5('kfold|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 4 AS BIGINT) AS fold
+           |  FROM prep),
+           |per AS (
+           |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+           |    CAST(sum(cents) AS BIGINT) AS c
+           |  FROM f GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(u) AS BIGINT) AS tu,
+           |               CAST(sum(c) AS BIGINT) AS tc FROM per)
+           |SELECT fold, role, n_events, n_users, sum_cents FROM (
+           |  SELECT fold, 'val' AS role, n AS n_events, u AS n_users, c AS sum_cents FROM per
+           |  UNION ALL
+           |  SELECT fold, 'train', tn - n, tu - u, tc - c FROM per CROSS JOIN tot)
+           |ORDER BY fold, role""".stripMargin,
       "a30_runs_test" ->
         s"""WITH prep AS ($prep),
            |daily AS (
@@ -5590,6 +5730,7 @@ object FeatureQueries {
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
     "k8_kmv_agg" -> (kmvAggDistinct(_, _)),
     "a30_runs_test" -> (runsTest(_, _)),
+    "a31_mann_kendall" -> (mannKendall(_, _)),
     "k2_countmin_spend" -> (countMinSpend(_, _)),
     "s8_group_sample" -> (groupSample(_, _)),
     "w8_tumbling_rollup" -> (tumblingRollup(_, _)),
@@ -5603,6 +5744,7 @@ object FeatureQueries {
     "a4_value_histogram" -> (valueHistogram(_, _)),
     "w12_gap_fill_daily" -> (gapFillDaily(_, _)),
     "s9_entity_split" -> (entitySplit(_, _)),
+    "s16_kfold" -> (kfoldSplit(_, _)),
     "j5_anti_blocklist" -> (antiJoinBlocklist(_, _)),
     "q8_user_set_ops" -> (userSetOps(_, _)),
     "a5_spend_hour_corr" -> (spendHourCorr(_, _)),
