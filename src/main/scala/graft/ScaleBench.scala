@@ -134,7 +134,14 @@ object ScaleBench {
     // v18's timed rep includes the index-table writes (the v5/v14
     // lifecycle-gate convention)
     "v18_graph_index_probe",
-    "g16_modularity")
+    "g16_modularity",
+    // round-11 session-2 additions: the (source, node)-keyed multi-source
+    // BFS (g17 — cost should track g5's frontier term times the fixed
+    // source count), and the binary-quantization scan + shortlist rescore
+    // (v19 — the Hamming pass is linear in n at 16 bytes/row, the rescore
+    // is |queries|·shortlist-bounded)
+    "g17_closeness",
+    "v19_binary_rerank")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -25,6 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** Multi-source variant: (source, node, hop) for every (source, node)
+    * pair within `rounds` hops — the state the centrality family
+    * (closeness/harmonic, Brandes-style counting) runs on. Same frontier
+    * discipline as [[hops]] with the key widened to (source, node), so
+    * total work is O(|sources| · Σ out-deg(reached)) and every round is
+    * still two equi-joins + a distinct; the source dimension rides the
+    * shuffle key, never a loop over sources (|sources| sequential BFS
+    * runs would pay |sources| full job launches and re-reads).
+    */
+  def multiHops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst")).persist()
+    var dist = sources
+      .select(col("source"))
+      .distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = dist
+    var k = 0
+    while (k < rounds && !frontier.isEmpty) {
+      k += 1
+      val discovered = e
+        .join(frontier.select(col("source"), col("node").as("src")), "src")
+        .select(col("source"), col("dst").as("node"))
+        .distinct()
+        .join(dist.select("source", "node"), Seq("source", "node"), "left_anti")
+        .withColumn("hop", lit(k.toLong))
+        .select(col("source"), col("node"), col("hop"))
+        .localCheckpoint()
+      dist = dist.unionAll(discovered).localCheckpoint()
+      frontier = discovered
+    }
+    dist
+  }
+
   /** (node, hop) for every node within `rounds` hops of a seed; hop is
     * the BFS shortest-path hop count (seeds at 0).
     */

@@ -369,6 +369,49 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g17: bounded-radius closeness/harmonic centrality — multi-source
+    * frontier BFS ([[graft.operators.Bfs.multiHops]]) from the 8
+    * lowest-id part nodes over the g5 part↔supplier co-supply graph,
+    * 4 rounds, then per source: nodes reached, total hops (classic
+    * closeness denominator), and the HARMONIC numerator Σ 1/d — emitted
+    * as the exact integer Σ 12/d (12 = lcm(1..4), so every reciprocal is
+    * integral; Boldi & Vigna's preferred form since it handles
+    * unreachable nodes without a convention). Scale shape: one BFS whose
+    * shuffle key is (source, node) — the source dimension rides the key,
+    * never a per-source job loop — with work O(|sources| · reached
+    * subgraph); |sources| and the radius are fixed constants, so the
+    * frame never exceeds |sources|·|nodes|.
+    */
+  private val CloseSources = 8
+  private val CloseRounds = 4
+  private val HarmLcm = 12L
+
+  def closeness(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    val edges = pairs
+      .select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+    val sources = pairs
+      .select(col("p").as("source"))
+      .distinct()
+      .orderBy(col("source"))
+      .limit(CloseSources)
+    graft.operators.Bfs
+      .multiHops(edges, sources, CloseRounds)
+      .filter(col("hop") > 0L)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("hop")).as("sum_hops"),
+        sum(expr(s"$HarmLcm div hop")).as("harm12"))
+      .transform(orderedOutput(_, col("source")))
+  }
+
   /** g6: per-edge neighborhood-overlap similarity (link-prediction
     * Jaccard) over the order-co-occurrence part graph (g4's edges):
     * common = triangles through the edge via the degree-oriented wedge
@@ -1593,6 +1636,7 @@ object RelationalQueries {
     "g4_triangles" -> (triangleCounts(_, _)),
     "g7_degree_hist" -> (degreeHistogram(_, _)),
     "g5_khop_reach" -> (khopReach(_, _)),
+    "g17_closeness" -> (closeness(_, _)),
     "g6_edge_jaccard" -> (edgeJaccard(_, _)),
     "q11_star_revenue" -> (starRevenue(_, _)),
     "q1_pricing_agg" -> (pricingAgg(_, _)),
@@ -1669,6 +1713,34 @@ object RelationalQueries {
   /** g5 oracle: the same [[BfsRounds]] rounds unrolled as min-agg CTEs
     * (min over all ≤k-hop paths == frontier BFS shortest hop).
     */
+  /** g17's oracle: the khop CTE unrolling with the SOURCE dimension
+    * carried through every min-agg round, then the three per-source
+    * centrality aggregates (12 // hop keeps the harmonic sum integral).
+    */
+  private def closenessSql: String = {
+    val rounds = (1 to CloseRounds)
+      .map { k =>
+        s"""d$k AS (SELECT source, node, min(hop) AS hop FROM (
+           |  SELECT source, node, hop FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT d.source, e.dst AS node, d.hop + 1 AS hop
+           |  FROM edges e JOIN d${k - 1} d ON e.src = d.node) GROUP BY 1, 2)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+       |edges AS (SELECT p AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |srcs AS (SELECT DISTINCT p AS source FROM pairs ORDER BY 1 LIMIT $CloseSources),
+       |d0 AS (SELECT source, source AS node, 0 AS hop FROM srcs),
+       |$rounds
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_reached,
+       |  CAST(sum(hop) AS BIGINT) AS sum_hops,
+       |  CAST(sum($HarmLcm // hop) AS BIGINT) AS harm12
+       |FROM d$CloseRounds WHERE hop > 0
+       |GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   private def khopSql: String = {
     val rounds = (1 to BfsRounds)
       .map { k =>
@@ -2059,6 +2131,7 @@ object RelationalQueries {
          |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "g3_pagerank" -> pagerankSql,
     "g5_khop_reach" -> khopSql,
+    "g17_closeness" -> closenessSql,
     "g6_edge_jaccard" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
