@@ -171,7 +171,13 @@ object StreamScaleBench {
           graft.streaming.StreamingKmv.kmvDistinctStream(
             s.toDS().toDF(),
             org.apache.spark.sql.functions.pmod(col("userId"), org.apache.spark.sql.functions.lit(100L)),
-            col("cents"), k = 32, seed = "kmvscale")))
+            col("cents"), k = 32, seed = "kmvscale")),
+        // r11 session 2: the Misra–Gries heavy-hitter monitor — O(capacity)
+        // counters per shard, so state is FLAT in both stream length and
+        // item-universe size (64 shards × 16 counters at any key count)
+        ("heavy_hitters", "append", s =>
+          graft.streaming.HeavyHittersProcessor
+            .monitor(s.toDS(), shards = 64L, capacity = 16).toDF()))
 
     val cellsJson = ops.map { case (name, mode, build) =>
       val smallEvs = events(smallKeys)
