@@ -1655,6 +1655,46 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** f16: OUT-OF-FOLD target encoding — the leakage-free production form
+    * of f13/f15: each row's category rate is computed from the OTHER
+    * entity folds only (s16's user-hashed folds), so no row's own
+    * fold — in particular no row's own user — contributes to its
+    * encoding; the standard CV-encoding trick that keeps a high-cardinality
+    * categorical feature from memorizing the training target. Scale
+    * shape: ONE aggregation pass builds the (event_type × fold) frame
+    * (|types|·K rows, broadcast), per-type totals fold over it, and each
+    * row's out-of-fold numerator/denominator derive by SUBTRACTION
+    * (total minus own fold) — never K scans and never a window over the
+    * corpus.
+    */
+  def oofTargetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = prepared(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("cents"),
+        pmod(
+          conv(substring(Sampling.hashUniformHex("kfold", col("user_id")), 1, 1), 16, 10)
+            .cast("long"),
+          lit(KFolds)).as("fold"))
+    val perFold = rows
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val perType = perFold
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_f")).as("n_t"), sum(col("s_f")).as("s_t"))
+    rows
+      .join(broadcast(perFold.join(perType, Seq("event_type"))), Seq("event_type", "fold"))
+      .select(
+        col("event_id"),
+        col("fold"),
+        (col("s_t") - col("s_f")).as("oof_num"),
+        (col("n_t") - col("n_f")).as("oof_den"),
+        when(col("n_t") - col("n_f") > 0L,
+          (col("s_t") - col("s_f")) / (col("n_t") - col("n_f"))).as("oof_mean"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** w27: distribution-position features — percent_rank, cume_dist and
     * ntile(10) of each user's spend total within their event type, the
     * standard "where does this entity sit in its cohort" feature trio.
@@ -4365,6 +4405,30 @@ object FeatureQueries {
            |            > 4 * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
            |       THEN 1 ELSE 0 END AS BIGINT) AS trend_2sigma
            |FROM nn CROSS JOIN p CROSS JOIN t""".stripMargin,
+      // f16: one (type x fold) rollup, out-of-fold rates by subtraction
+      // from the per-type totals — the oracle derives the identical
+      // frame, so a leak (a row's own fold contributing) diverges
+      "f16_oof_encoding" ->
+        s"""WITH f AS (
+           |  SELECT event_id, event_type,
+           |    CAST(round(value * 100) AS BIGINT) AS cents,
+           |    CAST((strpos('0123456789abcdef',
+           |      substr(md5('kfold|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 4 AS BIGINT) AS fold
+           |  FROM events),
+           |pf AS (
+           |  SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_f,
+           |    CAST(sum(cents) AS BIGINT) AS s_f
+           |  FROM f GROUP BY 1, 2),
+           |tt AS (
+           |  SELECT event_type, CAST(sum(n_f) AS BIGINT) AS n_t,
+           |    CAST(sum(s_f) AS BIGINT) AS s_t
+           |  FROM pf GROUP BY 1)
+           |SELECT event_id, fold,
+           |  s_t - s_f AS oof_num, n_t - n_f AS oof_den,
+           |  CASE WHEN n_t - n_f > 0
+           |       THEN CAST(s_t - s_f AS DOUBLE) / CAST(n_t - n_f AS DOUBLE) END AS oof_mean
+           |FROM f JOIN pf USING (event_type, fold) JOIN tt USING (event_type)
+           |ORDER BY event_id""".stripMargin,
       // s16: fold = first md5 hex digit of the USER mod 4; train rows
       // derive by subtraction from the fold-disjoint totals
       "s16_kfold" ->
@@ -5773,6 +5837,7 @@ object FeatureQueries {
     "q15_grouping_sets" -> (groupingSetsSpend(_, _)),
     "a14_benford" -> (benfordDigits(_, _)),
     "f13_target_encoding" -> (targetEncoding(_, _)),
+    "f16_oof_encoding" -> (oofTargetEncoding(_, _)),
     "q16_user_journey" -> (userJourney(_, _)),
     "j10_scd2_lookup" -> (scd2Lookup(_, _)),
     "j12_scd2_apply" -> (scd2Apply(_, _)),

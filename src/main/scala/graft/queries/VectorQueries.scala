@@ -260,6 +260,33 @@ object VectorQueries {
         TopK)
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
 
+  /** v20: binary-quantization quality monitor — recall@1 of the v19
+    * Hamming-shortlist path against the exact integer-cosine top-1 over
+    * the same query set (the v6/v11/v13 continuous-monitoring pattern,
+    * for the BQ plane): hits and totals gate as exact integers, recall
+    * is their one division. This is the number a production BQ deployment
+    * watches to decide the shortlist depth.
+    */
+  def bqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < BqNQueries, 1)
+      .select(col("query_id"), col("vec_id").as("true_nn"))
+    val approx = Similarity
+      .binaryRerankTopK(
+        emb, "vec_id", "embedding",
+        col("vec_id") < BqNQueries,
+        Similarity.hyperplanes(BqSeed, BqBits, EmbedDim),
+        BqBits, BqShortlist, 1)
+      .select(col("query_id"), col("vec_id").as("ann_nn"))
+    exact
+      .join(approx, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_queries").cast("double"))
+  }
+
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
@@ -858,6 +885,7 @@ object VectorQueries {
     "v8_sq8_topk" -> (sq8TopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
     "v19_binary_rerank" -> (binaryRerank(_, _)),
+    "v20_bq_recall" -> (bqRecall(_, _)),
     "v3_ann_ivf" -> (annIvf(_, _)),
     "d5_embed_neardup" -> (embedNearDup(_, _)),
     "d6_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
@@ -1584,6 +1612,52 @@ object VectorQueries {
     "d7_embed_neardup_lsh_hi" -> blockedNearDupSql(
       s"params AS (SELECT $HiBits AS b, $HiTables AS t)",
       HiThreshold),
+    "v20_bq_recall" -> {
+      // same signature/shortlist CTEs as v19 at top-1, judged against
+      // the exact top-1 (the v6 recall-monitor shape)
+      val planes = Similarity.hyperplanes(BqSeed, BqBits, EmbedDim)
+      val planesLit = planes
+        .map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""WITH $prep,
+         |pls AS (SELECT $planesLit AS pl),
+         |sigs AS (
+         |  SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, $BqBits), i ->
+         |    CASE WHEN CAST(list_sum(list_transform(list_zip(qv, pl[i]), p -> p[1] * p[2])) AS BIGINT) >= 0
+         |         THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM base CROSS JOIN pls),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS hrnk
+         |    FROM sigs q JOIN sigs c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < $BqNQueries)
+         |  WHERE hrnk <= $BqShortlist),
+         |approx AS (
+         |  SELECT query_id, vec_id AS ann_nn FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT s.query_id, s.vec_id, $cosineExpr AS cosine
+         |      FROM short s JOIN base a ON s.query_id = a.vec_id JOIN base b ON s.vec_id = b.vec_id))
+         |  WHERE rnk = 1),
+         |exact AS (
+         |  SELECT query_id, vec_id AS true_nn FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosineExpr AS cosine
+         |      FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < $BqNQueries))
+         |  WHERE rnk = 1)
+         |SELECT n_queries, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_queries AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx USING (query_id))""".stripMargin
+    },
     "v19_binary_rerank" -> {
       // the identical ±1 planes the Scala path packs (pure function of
       // (BqSeed, i)); bit i-1 (1-based list index i) contributes
