@@ -233,8 +233,9 @@ object VectorQueries {
 
   /** v19: binary-quantization ANN ([[Similarity.binaryRerankTopK]]) —
     * 62-bit packed sign signatures scanned by Hamming distance, a
-    * 4k-deep shortlist, exact integer-cosine rescoring of the shortlist
-    * only. The production pattern for "scan everything cheaply, rescore
+    * 64-deep shortlist (~13x the k, the usual BQ oversampling band),
+    * exact integer-cosine rescoring of the shortlist only. The
+    * production pattern for "scan everything cheaply, rescore
     * a sliver exactly": the Hamming pass reads 16 bytes/vector (vs 256
     * for the d=64 float row), so the full-corpus scan costs ~1/16 of v1
     * and the exact math touches |queries|·shortlist rows total. Planes
@@ -244,7 +245,7 @@ object VectorQueries {
     */
   private val BqSeed = 7L
   private val BqBits = 62
-  private val BqShortlist = 20
+  private val BqShortlist = 64
   private val BqNQueries = 16
 
   def binaryRerank(spark: SparkSession, sfDir: String): DataFrame =
