@@ -141,7 +141,11 @@ object ScaleBench {
     // (v19 — the Hamming pass is linear in n at 16 bytes/row, the rescore
     // is |queries|·shortlist-bounded)
     "g17_closeness",
-    "v19_binary_rerank")
+    "v19_binary_rerank",
+    // g18 = TrussRounds+1 runs of g4's oriented wedge join over a
+    // shrinking edge set; the survivor counters below make a quenched
+    // corpus visible (the g12 lesson)
+    "g18_ktruss")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
@@ -335,6 +339,13 @@ object ScaleBench {
         } catch { case _: Throwable => Seq.empty[Long] }
       s""""$tag":${counts.mkString("[", ",", "]")}"""
     }
+    val g18Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
+      val counts =
+        try CacheScope.scoped(spark) {
+          queries.RelationalQueries.kTrussRoundSurvivors(spark, dir).map(_._2)
+        } catch { case _: Throwable => Seq.empty[Long] }
+      s""""$tag":${counts.mkString("[", ",", "]")}"""
+    }
     val line =
       s"""{"metric":"scale_ratio_10x","small":"$smallDir","large":"$largeDir",""" +
         s""""reps":$reps,"quiesce_wait_sec":$quiesceSec,"load_avg_start":$loadStart,""" +
@@ -342,6 +353,7 @@ object ScaleBench {
         s""""corpus":${corpus.mkString("{", ",", "}")},""" +
         s"""$snapMeta,""" +
         s""""g12_round_survivors":${g12Rounds.mkString("{", ",", "}")},""" +
+        s""""g18_round_survivors":${g18Rounds.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -1244,6 +1244,60 @@ object RelationalQueries {
     (und, alive)
   }
 
+  /** g18: k-truss peeling — the EDGE analog of g12's k-core and the
+    * stronger cohesion filter (every edge of a k-truss closes ≥ k−2
+    * triangles INSIDE the surviving subgraph, so a k-truss is always
+    * within the (k−1)-core but not vice versa): [[TrussRounds]] rounds
+    * of "drop every edge with induced support < [[TrussSupport]]", where
+    * each round's support is one run of the degree-oriented wedge join
+    * ([[graft.operators.Triangles.commonNeighbors]], O(m^1.5) skew-proof
+    * — the accepted per-round cost of every distributed truss
+    * decomposition). The evolving state is the EDGE set, pruned by a
+    * (a, b)-keyed semi-join and lineage-cut per round (the g12
+    * convention); at the sf0.01 gate corpus the rounds do real work
+    * (115.7k → 69.6k → 22.3k → 2.6k edges, strictly shrinking, with a
+    * 2.1k-row final truss). Output: the surviving edges with their
+    * induced support.
+    */
+  private val TrussSupport = 10L
+  private val TrussRounds = 3
+
+  /** The g18 peeling loop, shared by the gate and the scale probe (the
+    * kCorePeel twin): `onRound` observes each round's surviving edges.
+    */
+  private def kTrussPeel(spark: SparkSession, sfDir: String)(
+      onRound: (Int, DataFrame) => Unit): DataFrame = {
+    var e = coOccurrenceEdges(spark, sfDir).select(col("a"), col("b")).localCheckpoint()
+    var r = 0
+    while (r < TrussRounds) {
+      val keep = graft.operators.Triangles
+        .commonNeighbors(e)
+        .filter(col("common") >= TrussSupport)
+        .select(col("a"), col("b"))
+      e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+      r += 1
+      onRound(r, e)
+    }
+    e
+  }
+
+  def kTruss(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = kTrussPeel(spark, sfDir)((_, _) => ())
+    graft.operators.Triangles
+      .commonNeighbors(e)
+      .transform(orderedOutput(_, col("a"), col("b")))
+  }
+
+  /** g18 scale probe: per-round surviving-edge counts (the g12 counter
+    * convention — a quenched corpus prices only round 1's wedge join,
+    * and the counters make that visible in the artifact).
+    */
+  def kTrussRoundSurvivors(spark: SparkSession, sfDir: String): Seq[(Int, Long)] = {
+    val counts = scala.collection.mutable.ListBuffer.empty[(Int, Long)]
+    kTrussPeel(spark, sfDir)((r, e) => counts += ((r, e.count())))
+    counts.toList
+  }
+
   def kCore(spark: SparkSession, sfDir: String): DataFrame = {
     val (und, alive) = kCorePeel(spark, sfDir)((_, _) => ())
     und
@@ -1621,6 +1675,7 @@ object RelationalQueries {
     "g10_personalized_pagerank" -> (personalizedPagerank(_, _)),
     "g11_assortativity" -> (degreeAssortativity(_, _)),
     "g12_kcore" -> (kCore(_, _)),
+    "g18_ktruss" -> (kTruss(_, _)),
     "g13_label_propagation" -> (labelPropagation(_, _)),
     "g16_modularity" -> (modularity(_, _)),
     "g14_hits" -> (hits(_, _)),
@@ -1852,6 +1907,27 @@ object RelationalQueries {
     // its predecessor three times, so inlined CTEs would re-evaluate the
     // co-occurrence self-join 3^rounds times (the t26 plan lesson, on the
     // DuckDB side)
+    // g18: unrolled peeling rounds, each with the SQL wedge recount of
+    // induced support; the final SELECT recounts within the survivors
+    "g18_ktruss" -> {
+      val rounds = (1 to TrussRounds).map { r =>
+        val prev = s"e${r - 1}"
+        s"""u$r AS (SELECT a AS p, b AS w FROM $prev UNION ALL SELECT b, a FROM $prev),
+           |s$r AS MATERIALIZED (
+           |  SELECT e.a, e.b, count(*) AS sup FROM $prev e
+           |  JOIN u$r x ON x.p = e.a JOIN u$r y ON y.p = e.b AND y.w = x.w
+           |  GROUP BY e.a, e.b),
+           |e$r AS MATERIALIZED (SELECT a, b FROM s$r WHERE sup >= $TrussSupport)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         |$rounds,
+         |uf AS (SELECT a AS p, b AS w FROM e$TrussRounds UNION ALL SELECT b, a FROM e$TrussRounds)
+         |SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS common
+         |FROM e$TrussRounds e JOIN uf x ON x.p = e.a JOIN uf y ON y.p = e.b AND y.w = x.w
+         |GROUP BY e.a, e.b ORDER BY a, b""".stripMargin
+    },
     "g12_kcore" -> {
       val rounds = (1 to KCoreRounds).map { r =>
         val prev = s"e${r - 1}"
