@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFingerprint, AudioFixtures, ImagePhash, ImageQuality, ImageResample, MediaFixtures, VideoFixtures}
+import graft.multimodal.{AudioFingerprint, AudioFixtures, AudioResample, ImagePhash, ImageQuality, ImageResample, MediaFixtures, VideoFixtures}
 import graft.queries.{DocQueries, FeatureQueries, RelationalQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -40,7 +40,10 @@ object SparkEntry {
       (AudioFingerprint.queries, AudioFingerprint.oracle),
       // m10: the resize stage — nearest-neighbor thumbnails over the
       // decoded-fixture plane, hash-pinned against truth-tuple resamples
-      (ImageResample.queries, ImageResample.oracle)
+      (ImageResample.queries, ImageResample.oracle),
+      // m11: the audio twin of m10 — integer frame decimation over the
+      // decoded WAV plane, hash-pinned against truth-tuple decimations
+      (AudioResample.queries, AudioResample.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
