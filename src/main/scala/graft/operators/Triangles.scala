@@ -35,10 +35,17 @@ object Triangles {
     * [[graft.CacheScope]], which reclaims the block (the PageRank
     * contract).
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame, share: Boolean = true): DataFrame = {
     // callers hand in a persisted/cheap edge frame (it is scanned ~3
     // times building the orientation); the expensive intermediates below
-    // persist here
+    // persist here WHEN SHARED (g4/g6/g8 consume one enumeration many
+    // times inside a batch). `share = false` is the iterate-and-shrink
+    // caller's mode (g18's truss rounds): each round consumes its
+    // support frame exactly once, and persisting one triangle list PER
+    // ROUND held them all live inside the batch's CacheScope — the
+    // measured heap blow-up at the 10x corpus. Unshared, the oriented
+    // frame recomputes ~3x per round (cheap keyed joins) and nothing
+    // outlives the round.
     val e = edges.select(col("a"), col("b"))
     val ends = e
       .select(col("a").as("node"))
@@ -55,13 +62,14 @@ object Triangles {
         col("b"),
         (col("deg_a") * OrdBase + col("a")).as("ka"),
         (col("deg_b") * OrdBase + col("b")).as("kb"))
-    // persisted: the wedge and closure joins below scan it three times
-    val oriented = withB
+    // persisted when shared: the wedge and closure joins below scan it
+    // three times
+    val orientedBase = withB
       .select(
         when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ka"), col("kb")).as("kdst"))
-      .persist()
+    val oriented = if (share) orientedBase.persist() else orientedBase
 
     // wedges from each pivot's out-neighborhood (outdeg ≤ O(√m)), closed
     // by the oriented (v, w) edge — kdst ordering de-duplicates the pair
@@ -71,10 +79,10 @@ object Triangles {
       .join(o2, Seq("src"))
       .filter(col("kv") < col("kw"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    wedges
+    val tris = wedges
       .join(closing, Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))
-      .persist()
+    if (share) tris.persist() else tris
   }
 
   /** Per-node triangle participation counts over an undirected edge list
@@ -95,8 +103,8 @@ object Triangles {
     * in no triangle are the caller's to restore (left join + coalesce 0)
     * so the expensive path stays triangles-only.
     */
-  def commonNeighbors(edges: DataFrame): DataFrame =
-    triangles(edges)
+  def commonNeighbors(edges: DataFrame, share: Boolean = true): DataFrame =
+    triangles(edges, share)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),

@@ -1417,6 +1417,67 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** t32's canonicalization table, applied AFTER lowercasing (so only
+    * lowercase accent forms need rows) and BEFORE whitespace collapse
+    * (so the NBSP→space mapping feeds the collapse): typographic
+    * punctuation → ASCII, zero-width marks stripped, the common Latin-1
+    * accents folded. Literal (non-regex) replaces on both engines, in
+    * this exact order.
+    */
+  private val NormPairs: Seq[(String, String)] = Seq(
+    "’" -> "'", "‘" -> "'", "“" -> "\"", "”" -> "\"",
+    "—" -> "-", "–" -> "-", " " -> " ",
+    "​" -> "", "﻿" -> "",
+    "é" -> "e", "è" -> "e", "ê" -> "e", "à" -> "a",
+    "â" -> "a", "ü" -> "u", "ö" -> "o", "ñ" -> "n",
+    "ç" -> "c", "ï" -> "i")
+
+  /** The three deterministic dirt strings t32 injects (mod 3/5/7 of the
+    * doc id): typographic punctuation + accents, zero-width marks +
+    * whitespace runs, mixed ASCII case + an ASCII apostrophe. Lowercase
+    * accents only — uppercase accent folding depends on each engine's
+    * Unicode case tables, which is exactly the dependency the gate
+    * avoids (ASCII case is the portable part of lower()).
+    */
+  private val DirtA = " Café—Zürich’s “naïve” test case"
+  private val DirtB = " ZERO​WIDTH﻿mark  and \t multiple   spaces "
+  private val DirtC = " MIXED Case c'est déjà vu – OK"
+
+  /** t32: text normalization/canonicalization — the cleaning stage every
+    * corpus pipeline runs before dedup and tokenization (the CCNet/
+    * fastText preprocessing shape): typographic punctuation to ASCII,
+    * zero-width marks stripped, NBSP to space, common accents folded,
+    * ASCII lowercased, whitespace runs collapsed. Documents are
+    * deterministically DIRTIED first (the t28/t31 augmentation
+    * convention) so the stage provably has work to do on every matched
+    * row; the normalized text is md5-pinned, so one wrong mapping or a
+    * collapse that ate a real character diverges the gate. All literal
+    * replaces + one anchored regex — row-local, codegen'd, shuffle-free.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = Tables
+      .documents(spark, sfDir)
+      .withColumn(
+        "aug",
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, lit(DirtA)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0L, lit(DirtB)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0L, lit(DirtC)).otherwise(lit(""))))
+    val folded = NormPairs.foldLeft(lower(col("aug"))) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    val norm = trim(regexp_replace(folded, "[ \t\n\r]+", " "))
+    aug
+      .select(
+        col("doc_id"),
+        length(col("aug")).cast("long").as("n_raw"),
+        length(norm).cast("long").as("n_norm"),
+        (col("aug") =!= norm).cast("long").as("changed"),
+        md5(norm).as("norm_md5"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   /** t29: length-bucketed dynamic batching — the batch-composition step
     * a training loader runs so sequences of similar length share a batch
     * and padding waste stays low (the t8 sequence-packing companion:
@@ -2275,6 +2336,7 @@ object DocQueries {
     "s15_temperature_mix" -> (temperatureMix(_, _)),
     "t28_pii_redaction" -> (piiRedaction(_, _)),
     "t31_html_extract" -> (htmlExtract(_, _)),
+    "t32_text_normalize" -> (textNormalize(_, _)),
     "t29_length_batching" -> (lengthBatching(_, _)),
     "t30_line_dedup" -> (lineDedup(_, _)),
     "t3_lang_id" -> (langId(_, _)),
@@ -3220,6 +3282,29 @@ object DocQueries {
     // t31: the identical synthetic page built in SQL, the identical
     // extraction chain ((?s) spans, tag strip, entity decode with &amp;
     // last, explicit whitespace class) — the md5 pins every character
+    "t32_text_normalize" -> {
+      // identical dirt strings and fold table, escaped into SQL literals
+      // from the SAME Scala constants the engine uses
+      def q(s: String) = s.replace("'", "''")
+      val folds = NormPairs.foldLeft("lower(aug)") {
+        case (e, (f, t)) => s"replace($e, '${q(f)}', '${q(t)}')"
+      }
+      s"""WITH a AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN '${q(DirtA)}' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN '${q(DirtB)}' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN '${q(DirtC)}' ELSE '' END AS aug
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, aug,
+         |    trim(regexp_replace($folds, '[ \t\n\r]+', ' ', 'g')) AS norm
+         |  FROM a)
+         |SELECT doc_id, CAST(length(aug) AS BIGINT) AS n_raw,
+         |  CAST(length(norm) AS BIGINT) AS n_norm,
+         |  CAST(CASE WHEN aug <> norm THEN 1 ELSE 0 END AS BIGINT) AS changed,
+         |  md5(norm) AS norm_md5
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
     "t31_html_extract" ->
       """WITH h AS (
         |  SELECT doc_id,

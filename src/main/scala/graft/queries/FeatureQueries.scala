@@ -2699,6 +2699,48 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("ref")))
   }
 
+  /** x20: COPY INTO — file-level idempotent ingest ([[graft.sources
+    * .Snapshots.copyInto]]), the landing-zone loop: producers drop
+    * parquet files, the ingest job re-runs blindly, each file lands in
+    * the table EXACTLY ONCE (the Delta COPY INTO / Auto Loader shape).
+    * Ingest is zero-copy (staged files become table data by reference,
+    * zone maps + row counts computed at ingest) and the ingested-file
+    * set rides the commit's own manifest header, so recording is atomic
+    * with publication — no crash window can double-count or lose a
+    * file. The lifecycle: thirds 0+1 land as 4 files (→ v1), the SAME
+    * ingest re-runs (→ no-op, no version), third 2 lands as 2 more
+    * files beside them (→ v2 ingests only the new ones). The gate reads
+    * v1 and latest; a re-ingested file or a missed one diverges a row.
+    * Rerun/no-op and race behavior are spec-pinned. Runs in the
+    * reclaimed [[sandboxed]] sandbox.
+    */
+  def copyIntoScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    val table = s"$dir/table"
+    val landing = s"$dir/landing"
+    base
+      .filter(pmod(col("event_id"), lit(3L)) =!= 2L)
+      .repartition(4)
+      .write.mode("overwrite").parquet(landing)
+    Snapshots.copyInto(spark, table, landing)
+    Snapshots.copyInto(spark, table, landing) // rerun: must be a no-op
+    base
+      .filter(pmod(col("event_id"), lit(3L)) === 2L)
+      .repartition(2)
+      .write.mode("append").parquet(landing)
+    Snapshots.copyInto(spark, table, landing) // only the 2 new files
+    def aggOf(df: DataFrame, ref: String): DataFrame = df
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(ref).as("ref"), col("n_events"), col("n_users"), col("sum_cents"))
+    aggOf(Snapshots.readVersion(spark, table, 1), "v1")
+      .unionByName(aggOf(Snapshots.readLatest(spark, table), "latest"))
+      .transform(orderedOutput(_, col("ref")))
+  }
+
   /** j12: SCD2 dimension MAINTENANCE — the apply-changes half of the
     * type-2 dimension lifecycle (w18 builds history, j10 reads it; this
     * is the nightly job that MUTATES it): the dimension holds each
@@ -5357,6 +5399,18 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
+      // x20: v1 = the first landing (thirds 0+1); latest = everything —
+      // a double-ingested file inflates a count, a missed one deflates
+      "x20_copy_into" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 'v1' AS ref, user_id, cents FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL
+           |  SELECT 'latest', user_id, cents FROM prep)
+           |SELECT ref, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1 ORDER BY ref""".stripMargin,
       "x17_incremental_agg" ->
         s"""WITH prep AS ($prep),
            |rows_v3 AS (
@@ -5878,6 +5932,7 @@ object FeatureQueries {
     "x17_incremental_agg" -> (incrementalAggScan(_, _)),
     "x18_metadata_agg" -> (metadataAggScan(_, _)),
     "x19_shallow_clone" -> (shallowCloneScan(_, _)),
+    "x20_copy_into" -> (copyIntoScan(_, _)),
     "z1_zorder_layout" -> (zorderLayout(_, _)),
     "a2_spend_quantiles" -> (spendQuantiles(_, _)),
     "a3_sampled_quantiles" -> (sampledQuantiles(_, _)),

@@ -1270,8 +1270,11 @@ object RelationalQueries {
     var e = coOccurrenceEdges(spark, sfDir).select(col("a"), col("b")).localCheckpoint()
     var r = 0
     while (r < TrussRounds) {
+      // share = false: each round consumes its support frame exactly
+      // once, and a persisted triangle list PER ROUND would stay live
+      // for the whole CacheScope batch (the 10x-corpus heap blow-up)
       val keep = graft.operators.Triangles
-        .commonNeighbors(e)
+        .commonNeighbors(e, share = false)
         .filter(col("common") >= TrussSupport)
         .select(col("a"), col("b"))
       e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
@@ -1284,7 +1287,7 @@ object RelationalQueries {
   def kTruss(spark: SparkSession, sfDir: String): DataFrame = {
     val e = kTrussPeel(spark, sfDir)((_, _) => ())
     graft.operators.Triangles
-      .commonNeighbors(e)
+      .commonNeighbors(e, share = false)
       .transform(orderedOutput(_, col("a"), col("b")))
   }
 

@@ -54,6 +54,7 @@ object Snapshots {
   private val OpHeader = "#op="
   private val TsHeader = "#ts="
   private val RowsHeader = "#rows="
+  private val CopiedHeader = "#copied="
   private val HwmName = "_batch.hwm"
 
   /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
@@ -345,8 +346,14 @@ object Snapshots {
   private def zoneEntries(
       spark: SparkSession,
       stage: Path,
+      statsCols: Seq[String]): Seq[ManifestEntry] =
+    zoneEntriesOf(spark, Seq(stage.toString), statsCols)
+
+  private def zoneEntriesOf(
+      spark: SparkSession,
+      paths: Seq[String],
       statsCols: Seq[String]): Seq[ManifestEntry] = {
-    val staged = spark.read.parquet(stage.toString)
+    val staged = spark.read.parquet(paths: _*)
     statsCols.foreach { c =>
       val dt = staged.schema(c).dataType
       require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
@@ -466,7 +473,8 @@ object Snapshots {
       statsCols: Seq[String],
       entries: Seq[ManifestEntry],
       batchId: Option[Long],
-      op: String): Boolean = {
+      op: String,
+      extraHeader: String = ""): Boolean = {
     val md = manifestDir(dir)
     val f = fs(spark, md)
     f.mkdirs(md)
@@ -484,6 +492,7 @@ object Snapshots {
       s"$TsHeader${System.currentTimeMillis()}\n" +
       (if (statsCols.nonEmpty) s"$StatsHeader${statsCols.mkString(",")}\n" else "") +
       s"${RowsHeader}1\n" +
+      extraHeader +
       batchId.map(b => s"$BatchHeader$b\n").getOrElse("")
     val body = counted.map { e =>
       (Seq(e.path) ++ e.stats.flatMap(s => Seq(s.min.toString, s.max.toString))
@@ -1273,7 +1282,82 @@ object Snapshots {
       entries.size)
   }
 
-  // ---- Shallow clone -------------------------------------------------------
+  // ---- COPY INTO (file-level idempotent ingest) ----------------------------
+
+  /** Source basenames already ingested by [[copyInto]] commits among the
+    * SURVIVING versions — the union of their `#copied=` headers. Riding
+    * the manifest makes the ingested-set update ATOMIC with the commit
+    * (a crash can never record an ingest that did not publish, nor
+    * publish one it did not record); the cost is one small read per
+    * surviving manifest, and the caveat every loaded-file tracker has:
+    * vacuuming the versions that ingested a file forgets it was loaded.
+    */
+  def ingestedSources(spark: SparkSession, dir: String): Set[String] = {
+    val latest = latestVersion(spark, dir)
+    val md = manifestDir(dir)
+    val f = fs(spark, md)
+    (1 to latest).iterator
+      .filter(v => f.exists(new Path(md, s"v$v.list")))
+      .flatMap(v =>
+        manifestLines(spark, dir, v)
+          .find(_.startsWith(CopiedHeader))
+          .toSeq
+          .flatMap(_.drop(CopiedHeader.length).split(',').filter(_.nonEmpty)))
+      .toSet
+  }
+
+  /** COPY INTO — idempotent FILE-level ingest (the Delta COPY INTO /
+    * Auto Loader shape): every parquet file in `stagingDir` whose
+    * basename has not been ingested before is added to the table BY
+    * REFERENCE (zero copy — the staged file becomes table data in
+    * place, with zone maps and row counts computed at ingest), and the
+    * ingested basenames ride the commit's own manifest header, so
+    * re-running after ANY crash or partial delivery ingests each file
+    * exactly once. The loop a landing zone needs: producers drop files,
+    * the ingest job re-runs blindly, the table never double-counts.
+    * Returns (version, filesIngested) — (0, 0) when nothing new. Lost
+    * publish races re-check the ingested set and retry, so concurrent
+    * ingest jobs cannot double-ingest a file.
+    */
+  def copyInto(
+      spark: SparkSession,
+      dir: String,
+      stagingDir: String,
+      statsCols: Seq[String] = Nil): (Int, Int) = {
+    val staging = new Path(stagingDir)
+    val f = fs(spark, staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var out: Option[(Int, Int)] = None
+    while (out.isEmpty) {
+      val done = ingestedSources(spark, dir)
+      val fresh = f
+        .listStatus(staging)
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !done(p.getName))
+        .sortBy(_.getName)
+        .toSeq
+      if (fresh.isEmpty) out = Some((0, 0))
+      else {
+        val staged: Seq[ManifestEntry] =
+          if (statsCols.nonEmpty) zoneEntriesOf(spark, fresh.map(_.toString), statsCols)
+          else fresh.map(p => ManifestEntry(p.toString, Nil, Some(footerRowCount(conf, p))))
+        val v = latestVersion(spark, dir) + 1
+        val carried =
+          if (v > 1) {
+            val (prevCols, prev) = manifest(spark, dir, v - 1)
+            require(prevCols == statsCols,
+              s"copyInto stats columns $statsCols must match the carried snapshot's $prevCols")
+            prev
+          } else Nil
+        if (tryPublish(spark, dir, v, statsCols, carried ++ staged, None, "copyinto",
+            s"$CopiedHeader${fresh.map(_.getName).mkString(",")}\n"))
+          out = Some((v, fresh.size))
+        // else: lost the race — loop re-reads the ingested set (the
+        // winner may have ingested some of our files) and retries
+      }
+    }
+    out.get
+  }
 
   /** SHALLOW CLONE — a new table at `dstDir` whose v1 manifest lists
     * `srcVersion`'s data files BY REFERENCE (the Delta CLONE shape):

@@ -738,6 +738,34 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.cloneTable(spark, src, 1, dst))
   }
 
+  test("COPY INTO ingests each landed file exactly once, by reference") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_copyinto").toString
+    val table = s"$root/table"
+    val landing = s"$root/landing"
+    (1L to 100L).map(i => (i, i % 5)).toDF("id", "x")
+      .repartition(2).write.mode("overwrite").parquet(landing)
+    assert(Snapshots.copyInto(spark, table, landing, Seq("id")) == ((1, 2)))
+    // blind rerun: nothing new, NO version published
+    assert(Snapshots.copyInto(spark, table, landing, Seq("id")) == ((0, 0)))
+    assert(Snapshots.latestVersion(spark, table) == 1)
+    // a new file lands beside the old ones: only it is ingested
+    (101L to 120L).map(i => (i, i % 5)).toDF("id", "x")
+      .repartition(1).write.mode("append").parquet(landing)
+    assert(Snapshots.copyInto(spark, table, landing, Seq("id")) == ((2, 1)))
+    assert(Snapshots.readLatest(spark, table).count() == 120L)
+    assert(Snapshots.readVersion(spark, table, 1).count() == 100L)
+    // zero-copy: the table never wrote data of its own, and zone maps
+    // ride the referenced files (metadata aggregation works)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table, "data")),
+      "copyInto must reference landed files, not copy them")
+    assert(Snapshots.metadataRowCount(spark, table, 2) == 120L)
+    assert(Snapshots.metadataMinMax(spark, table, 2, "id") == ((1L, 120L)))
+    // the recorded set is exactly the landed basenames
+    val f = new java.io.File(landing).listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(Snapshots.ingestedSources(spark, table) == f.toSet)
+  }
+
   test("pre-rows manifests refuse metadata counts; the next commit backfills them") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_prerows").toString
