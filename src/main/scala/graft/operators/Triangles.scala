@@ -40,12 +40,26 @@ object Triangles {
     // times building the orientation); the expensive intermediates below
     // persist here WHEN SHARED (g4/g6/g8 consume one enumeration many
     // times inside a batch). `share = false` is the iterate-and-shrink
-    // caller's mode (g18's truss rounds): each round consumes its
-    // support frame exactly once, and persisting one triangle list PER
-    // ROUND held them all live inside the batch's CacheScope — the
-    // measured heap blow-up at the 10x corpus. Unshared, the oriented
-    // frame recomputes ~3x per round (cheap keyed joins) and nothing
-    // outlives the round.
+    // caller's mode: nothing persists and nothing outlives the call —
+    // the caller that needs a per-round persisted orientation with an
+    // EAGER release (g18's truss rounds, where per-round frames kept
+    // alive for the whole CacheScope batch were the measured 10x-corpus
+    // heap blow-up) manages it explicitly via [[orient]] +
+    // [[trianglesOf]].
+    val oriented0 = orient(edges)
+    val oriented = if (share) oriented0.persist() else oriented0
+    val tris = trianglesOf(oriented)
+    if (share) tris.persist() else tris
+  }
+
+  /** The degree orientation of an undirected edge list (`a` < `b`,
+    * distinct): (src, dst, kdst) with every edge pointed from its
+    * lower-(deg, id) endpoint. The wedge/closure joins in [[trianglesOf]]
+    * scan this frame three times — callers that iterate (peel a round,
+    * re-orient, repeat) should persist the round's orientation and
+    * unpersist it as soon as the round's output is materialized.
+    */
+  def orient(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     val ends = e
       .select(col("a").as("node"))
@@ -62,27 +76,36 @@ object Triangles {
         col("b"),
         (col("deg_a") * OrdBase + col("a")).as("ka"),
         (col("deg_b") * OrdBase + col("b")).as("kb"))
-    // persisted when shared: the wedge and closure joins below scan it
-    // three times
-    val orientedBase = withB
+    withB
       .select(
         when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ka"), col("kb")).as("kdst"))
-    val oriented = if (share) orientedBase.persist() else orientedBase
+  }
 
-    // wedges from each pivot's out-neighborhood (outdeg ≤ O(√m)), closed
-    // by the oriented (v, w) edge — kdst ordering de-duplicates the pair
+  /** Triangle enumeration over an [[orient]]ed frame: wedges from each
+    * pivot's out-neighborhood (outdeg ≤ O(√m)), closed by the oriented
+    * (v, w) edge — kdst ordering de-duplicates the pair.
+    *
+    * The closure join is hinted shuffle_hash: the streamed side is the
+    * Σ outdeg² wedge frame (~34× |edges| on the gate corpus — 41 M
+    * wedges from 1.2 M edges at sf0.1), and sort-merge would SORT that
+    * whole stream; hashing instead builds per-partition tables of the
+    * |edges|-sized closing side (edges/partitions rows each — bounded by
+    * the shuffle partitioning, and Spark's SHJ spills if a partition
+    * still overflows). Measured 6.5 s → 2.2 s for the enumeration at
+    * sf0.1.
+    */
+  def trianglesOf(oriented: DataFrame): DataFrame = {
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("kdst").as("kv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("kdst").as("kw"))
     val wedges = o1
       .join(o2, Seq("src"))
       .filter(col("kv") < col("kw"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges
-      .join(closing, Seq("v", "w"))
+    wedges
+      .join(closing.hint("shuffle_hash"), Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))
-    if (share) tris.persist() else tris
   }
 
   /** Per-node triangle participation counts over an undirected edge list
@@ -104,7 +127,15 @@ object Triangles {
     * so the expensive path stays triangles-only.
     */
   def commonNeighbors(edges: DataFrame, share: Boolean = true): DataFrame =
-    triangles(edges, share)
+    supportFrom(triangles(edges, share))
+
+  /** Per-edge support aggregation over a triangle list: each triangle
+    * (u,v,w) credits its three canonical edges once. Exposed so an
+    * iterating caller can feed [[trianglesOf]] of a persisted
+    * orientation directly.
+    */
+  def supportFrom(tris: DataFrame): DataFrame =
+    tris
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),

@@ -925,6 +925,153 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** w30: contiguous event-pattern detection — the MATCH_RECOGNIZE / CEP
+    * shape (SQL:2016 row-pattern recognition; Flink's CEP operator is
+    * the streaming twin): every occurrence of view → click → purchase as
+    * three CONSECUTIVE events of one user, each hop at most
+    * [[PatternGapUs]] apart. One user-partitioned window pass (two
+    * lead() columns off the same sort — Spark fuses them into a single
+    * Window operator), then a row-local predicate: no self-joins, no
+    * per-pattern-step shuffles, and the state per partition is the
+    * 3-row lookahead — the plan scales with |events|, not
+    * |events|·|pattern|. Output: one row per match with its span;
+    * overlapping matches all emit (the ALL ROWS PER MATCH discipline),
+    * which keeps the operator a pure filter over the windowed frame.
+    */
+  private val PatternGapUs = 86400000000L // 24 hours per hop
+
+  def eventPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ord_us"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("u1", lead(col("ord_us"), 1).over(w))
+      .withColumn("u2", lead(col("ord_us"), 2).over(w))
+      .withColumn("end_id", lead(col("event_id"), 2).over(w))
+      .filter(
+        col("event_type") === "view" && col("t1") === "click" && col("t2") === "purchase" &&
+          col("u1") - col("ord_us") <= PatternGapUs && col("u2") - col("u1") <= PatternGapUs)
+      .select(
+        col("user_id"),
+        col("event_id").as("start_id"),
+        col("end_id"),
+        col("ord_us").as("start_us"),
+        col("u2").as("end_us"),
+        (col("u2") - col("ord_us")).as("span_us"))
+      .transform(orderedOutput(_, col("user_id"), col("start_id")))
+  }
+
+  /** a32: one-way ANOVA cells — spend (cents) by event_type, the k-arm
+    * generalization of a15's two-arm Welch test and the screening stat
+    * behind "does this categorical feature move the target at all".
+    * One hash aggregation produces each group's exact (n, Σy, Σy²); the
+    * grand totals ride a window over the ≤|types| group frame (a10's
+    * convention — never a second corpus pass). Each group's
+    * between-group contribution n_g·(ȳ_g − ȳ)² and within-group sum of
+    * squares Σy² − (Σy)²/n_g are per-row doubles derived from exact
+    * decimals by the identical formula in both engines; the F STATISTIC
+    * (a float sum over groups) is deliberately left to the caller,
+    * because summing doubles is order-dependent and the group frame is
+    * tiny (the a10 chi-square discipline). Grand totals come from a
+    * 1-row aggregate broadcast-crossed onto the group frame (the q30
+    * shape) rather than an unpartitioned window, keeping the sweep's
+    * whitelist closed.
+    */
+  def anovaCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = prepared(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum(col("cents")).as("s_g"),
+        sum(col("cents") * col("cents")).as("q_g"))
+    val totals = broadcast(g.agg(
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("s_g")).cast(d38).as("s")))
+    g.crossJoin(totals)
+      .withColumn(
+        "ssb_g",
+        (col("s_g").cast(d38).cast("double") / col("n_g").cast("double") -
+          col("s").cast("double") / col("n").cast("double")) *
+          (col("s_g").cast(d38).cast("double") / col("n_g").cast("double") -
+            col("s").cast("double") / col("n").cast("double")) * col("n_g").cast("double"))
+      .withColumn(
+        "ssw_g",
+        (col("q_g").cast(d38) * col("n_g").cast(d38) - col("s_g").cast(d38) * col("s_g").cast(d38))
+          .cast("double") / col("n_g").cast("double"))
+      // exact 128-bit intermediates export as digit strings (a8's
+      // convention — the one representation both engines print
+      // identically at HUGEINT width)
+      .select(col("event_type"), col("n_g"), col("s_g").cast(d38).cast("string").as("s_g"),
+        col("q_g").cast(d38).cast("string").as("q_g"), col("n"), col("ssb_g"), col("ssw_g"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
+  /** a33: two-feature linear regression via the normal equations —
+    * spend ~ hour-of-day + day-of-week per event_type, the distributed
+    * "fit a small OLS model in one pass" shape (sufficient statistics →
+    * closed-form solve; the same pattern scales to any p where the p×p
+    * Gramian fits the driver — here p=2 so even the solve stays in the
+    * plan). One hash aggregation yields the exact integer moment sums;
+    * the centered second moments Sxx = n·Σx² − (Σx)² etc. are exact
+    * decimal(38) values (DuckDB computes them in HUGEINT — bit-equal),
+    * and Cramer's rule gives each coefficient as ONE double division of
+    * exact decimals: β_x = (Sxy·Szz − Szy·Sxz) / (Sxx·Szz − Sxz²). The
+    * magnitudes stay far inside decimal(38) at any tested SF (bounded by
+    * n²·max(x²)·max(z²)·max(y) ≈ 1e26 at sf0.1); a singular design
+    * (det = 0) yields NULL in both engines.
+    */
+  def multiRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def c(name: String) = col(name).cast(d38)
+    prepared(spark, sfDir)
+      .select(
+        col("event_type"),
+        expr("(ord_us div 3600000000) % 24").as("x"),
+        expr("(ord_us div 86400000000) % 7").as("z"),
+        col("cents").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("z")).as("sz"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("z") * col("z")).as("szz0"),
+        sum(col("x") * col("z")).as("sxz0"),
+        sum(col("x") * col("y")).as("sxy0"),
+        sum(col("z") * col("y")).as("szy0"))
+      .withColumn("cxx", c("n") * c("sxx0") - c("sx") * c("sx"))
+      .withColumn("czz", c("n") * c("szz0") - c("sz") * c("sz"))
+      .withColumn("cxz", c("n") * c("sxz0") - c("sx") * c("sz"))
+      .withColumn("cxy", c("n") * c("sxy0") - c("sx") * c("sy"))
+      .withColumn("czy", c("n") * c("szy0") - c("sz") * c("sy"))
+      .withColumn("det", col("cxx") * col("czz") - col("cxz") * col("cxz"))
+      .withColumn(
+        "beta_x",
+        when(col("det") =!= 0,
+          (col("cxy") * col("czz") - col("czy") * col("cxz")).cast("double") / col("det").cast("double")))
+      .withColumn(
+        "beta_z",
+        when(col("det") =!= 0,
+          (col("czy") * col("cxx") - col("cxy") * col("cxz")).cast("double") / col("det").cast("double")))
+      // exact 128-bit moments export as digit strings (a8's convention)
+      .select(
+        col("event_type"),
+        col("n"),
+        col("cxx").cast("string").as("cxx"),
+        col("czz").cast("string").as("czz"),
+        col("cxz").cast("string").as("cxz"),
+        col("cxy").cast("string").as("cxy"),
+        col("czy").cast("string").as("czy"),
+        col("beta_x"),
+        col("beta_z"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
   /** w13: exponential-decay (EWMA-style) recency features — per-user
     * spend where each day's contribution halves per day of age, the
     * classic recency weighting — computed EXACTLY: the half-life weight
@@ -2344,6 +2491,53 @@ object FeatureQueries {
         col("n_events"), col("n_users"), col("sum_cents"))
     v1.unionByName(v2)
       .transform(orderedOutput(_, col("version"), col("channel")))
+  }
+
+  /** x21: metadata-only COLUMN RENAME ([[graft.sources.Snapshots
+    * .commitRename]]) — the Delta/Iceberg column-mapping lifecycle: v1
+    * writes two thirds of the corpus under the legacy physical name
+    * `amount_cents`; v2 renames it to `cents` WITHOUT rewriting a file
+    * (an op=rename manifest with the identical file list plus a scoped
+    * `_schema/` mapping entry); v3 appends the last third, physically
+    * written under the new name. The gate reads v1 through the
+    * rename-aware reader and still sees `amount_cents` (schema time
+    * travel — a pre-rename snapshot keeps its schema forever), then
+    * reads v3 where BOTH physical generations unify under `cents`,
+    * rolled up by generation (event_id thirds) so a file whose mapping
+    * was dropped or misapplied diverges its generation's row. The
+    * oracle derives every row from the base table — it never sees the
+    * rename, so only a correct mapping reproduces it. Runs in the
+    * reclaimed [[sandboxed]] lifecycle sandbox (timed reps include the
+    * writes). Metadata-only-ness and the validation/race contracts are
+    * pinned by SnapshotsSpec.
+    */
+  def columnRenameScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).withColumnRenamed("cents", "amount_cents"),
+      dir)
+    Snapshots.commitRename(spark, dir, "amount_cents", "cents")
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val v1 = Snapshots
+      .readVersionRenamed(spark, dir, 1)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("amount_cents")).as("sum_cents"))
+      .select(lit(1L).as("version"), lit(-1L).as("third"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    val v3 = Snapshots
+      .readVersionRenamed(spark, dir, 3)
+      .groupBy(pmod(col("event_id"), lit(3L)).as("third"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(3L).as("version"), col("third"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    v1.unionByName(v3)
+      .transform(orderedOutput(_, col("version"), col("third")))
   }
 
   /** x12: incremental read / append diff ([[graft.sources.Snapshots
@@ -4783,6 +4977,57 @@ object FeatureQueries {
            |UNION ALL
            |SELECT user_id, 'last_only' FROM (SELECT user_id FROM lw EXCEPT SELECT user_id FROM fw)
            |ORDER BY user_id, cohort""".stripMargin,
+      "w30_event_pattern" ->
+        s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ord_us, event_type FROM events),
+           |b AS (SELECT user_id, event_id, ord_us, event_type,
+           |        lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+           |        lead(ord_us, 1) OVER w AS u1, lead(ord_us, 2) OVER w AS u2,
+           |        lead(event_id, 2) OVER w AS end_id
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ord_us, event_id))
+           |SELECT user_id, event_id AS start_id, end_id, ord_us AS start_us, u2 AS end_us,
+           |  u2 - ord_us AS span_us
+           |FROM b
+           |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+           |  AND u1 - ord_us <= $PatternGapUs AND u2 - u1 <= $PatternGapUs
+           |ORDER BY user_id, start_id""".stripMargin,
+      "a32_anova" ->
+        """WITH g AS (
+          |  SELECT event_type, count(*) AS n_g,
+          |    sum(CAST(round(value * 100) AS BIGINT)) AS s_g,
+          |    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS q_g
+          |  FROM events GROUP BY event_type),
+          |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s FROM g)
+          |SELECT event_type, n_g, CAST(s_g AS VARCHAR) AS s_g, CAST(q_g AS VARCHAR) AS q_g, n,
+          |  (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * CAST(n_g AS DOUBLE) AS ssb_g,
+          |  CAST(q_g * n_g - s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS ssw_g
+          |FROM g CROSS JOIN t ORDER BY event_type""".stripMargin,
+      "a33_multireg" ->
+        """WITH e AS (
+          |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS x,
+          |    (epoch_us(ts) // 86400000000) % 7 AS z,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type, count(*) AS n,
+          |    sum(x) AS sx, sum(z) AS sz, sum(y) AS sy,
+          |    sum(x * x) AS sxx0, sum(z * z) AS szz0, sum(x * z) AS sxz0,
+          |    sum(x * y) AS sxy0, sum(z * y) AS szy0
+          |  FROM e GROUP BY event_type),
+          |m AS (
+          |  SELECT event_type, n,
+          |    n * sxx0 - sx * sx AS cxx, n * szz0 - sz * sz AS czz,
+          |    n * sxz0 - sx * sz AS cxz, n * sxy0 - sx * sy AS cxy,
+          |    n * szy0 - sz * sy AS czy
+          |  FROM g)
+          |SELECT event_type, n, CAST(cxx AS VARCHAR) AS cxx, CAST(czz AS VARCHAR) AS czz,
+          |  CAST(cxz AS VARCHAR) AS cxz, CAST(cxy AS VARCHAR) AS cxy, CAST(czy AS VARCHAR) AS czy,
+          |  CASE WHEN cxx * czz - cxz * cxz <> 0 THEN
+          |    CAST(cxy * czz - czy * cxz AS DOUBLE) / CAST(cxx * czz - cxz * cxz AS DOUBLE) END AS beta_x,
+          |  CASE WHEN cxx * czz - cxz * cxz <> 0 THEN
+          |    CAST(czy * cxx - cxy * cxz AS DOUBLE) / CAST(cxx * czz - cxz * cxz AS DOUBLE) END AS beta_z
+          |FROM m ORDER BY event_type""".stripMargin,
       "a5_spend_hour_corr" ->
         """SELECT event_type, n, sx, sy, sxy, sxx, syy,
           |  CAST(n * sxy - sx * sy AS DOUBLE) /
@@ -5477,6 +5722,18 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "x21_column_rename" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 1 AS version, -1 AS third, user_id, cents
+           |  FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL
+           |  SELECT 3, event_id % 3, user_id, cents FROM prep)
+           |SELECT CAST(version AS BIGINT) AS version, CAST(third AS BIGINT) AS third,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // LEFT join from the dim spine (the x12 convention): a dimension
       // matching zero rows at a tiny SF must still emit its zero row,
       // exactly as the Spark side's whole-frame agg does
@@ -5866,6 +6123,9 @@ object FeatureQueries {
     "j5_anti_blocklist" -> (antiJoinBlocklist(_, _)),
     "q8_user_set_ops" -> (userSetOps(_, _)),
     "a5_spend_hour_corr" -> (spendHourCorr(_, _)),
+    "w30_event_pattern" -> (eventPattern(_, _)),
+    "a32_anova" -> (anovaCells(_, _)),
+    "a33_multireg" -> (multiRegression(_, _)),
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "q9_user_type_profile" -> (userTypeProfile(_, _)),
@@ -5924,6 +6184,7 @@ object FeatureQueries {
     "x9_optimize" -> (optimizeScan(_, _)),
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
+    "x21_column_rename" -> (columnRenameScan(_, _)),
     "x12_incremental_read" -> (incrementalReadScan(_, _)),
     "x13_restore" -> (restoreScan(_, _)),
     "x14_change_feed" -> (changeFeedScan(_, _)),

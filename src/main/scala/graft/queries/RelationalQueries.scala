@@ -1248,48 +1248,119 @@ object RelationalQueries {
     * stronger cohesion filter (every edge of a k-truss closes ≥ k−2
     * triangles INSIDE the surviving subgraph, so a k-truss is always
     * within the (k−1)-core but not vice versa): [[TrussRounds]] rounds
-    * of "drop every edge with induced support < [[TrussSupport]]", where
-    * each round's support is one run of the degree-oriented wedge join
-    * ([[graft.operators.Triangles.commonNeighbors]], O(m^1.5) skew-proof
-    * — the accepted per-round cost of every distributed truss
-    * decomposition). The evolving state is the EDGE set, pruned by a
-    * (a, b)-keyed semi-join and lineage-cut per round (the g12
-    * convention); at the sf0.01 gate corpus the rounds do real work
-    * (115.7k → 69.6k → 22.3k → 2.6k edges, strictly shrinking, with a
-    * 2.1k-row final truss). Output: the surviving edges with their
-    * induced support.
+    * of "drop every edge with induced support < [[TrussSupport]]". The
+    * degree-oriented wedge join ([[graft.operators.Triangles]],
+    * O(m^1.5) skew-proof) runs ONCE, on the full graph; every round's
+    * induced support is then three semi-joins of the persisted
+    * canonical-edge triangle list against the alive set plus one hash
+    * re-aggregation (see [[kTrussPeel]]). The evolving state is the
+    * EDGE set, pruned by a (a, b)-keyed semi-join and lineage-cut per
+    * round (the g12 convention); at the sf0.01 gate corpus the rounds
+    * do real work (115.7k → 69.6k → 22.3k → 2.6k edges, strictly
+    * shrinking, with a 2.1k-row final truss). Output: the surviving
+    * edges with their induced support.
     */
   private val TrussSupport = 10L
   private val TrussRounds = 3
 
   /** The g18 peeling loop, shared by the gate and the scale probe (the
     * kCorePeel twin): `onRound` observes each round's surviving edges.
+    *
+    * Enumerate-once design: the O(m^1.5) degree-oriented wedge join runs
+    * EXACTLY ONCE, on the full graph — a triangle of the induced
+    * subgraph is precisely an original triangle whose three edges all
+    * survive, so each round's induced support is three (u,v)/(u,w)/(v,w)
+    * semi-joins of the persisted triangle list against the alive-edge
+    * set plus one hash re-aggregation, never a re-enumeration. (The
+    * earlier per-round wedge join re-paid the full O(m^1.5) every round
+    * even after 97.5% of edges had died — measured 12.6 s at sf0.1; this
+    * shape runs the same rounds in ~5 s.) The triangle list persists at
+    * MEMORY_AND_DISK (it can exceed |edges|; spill beats recompute) and
+    * both persisted frames release EAGERLY once the last round's alive
+    * set is materialized — nothing outlives the call (the 10x-corpus
+    * CacheScope heap lesson).
     */
+  /** Broadcast the alive-edge side of the per-round semi-joins up to
+    * this many edges (~64 MB of packed longs — safe well past the 190k+
+    * survivor counts measured at the 10x corpus); a larger alive set
+    * falls back to shuffle semi-joins, so the operator never wedges a
+    * too-big broadcast at scale.
+    */
+  private val TrussBcastAliveMax = 4000000L
+
   private def kTrussPeel(spark: SparkSession, sfDir: String)(
       onRound: (Int, DataFrame) => Unit): DataFrame = {
-    var e = coOccurrenceEdges(spark, sfDir).select(col("a"), col("b")).localCheckpoint()
+    val e0 = coOccurrenceEdges(spark, sfDir)
+    val oriented = graft.operators.Triangles.orient(e0).persist()
+    // each triangle stored as its three CANONICAL (a < b) edges, each
+    // PACKED into one long: (a << 32) | b — bit ops, so no ANSI
+    // overflow semantics, bijective for node ids < 2^32 (the Triangles
+    // ordkey headroom contract). Packing halves the persisted frame and
+    // makes every per-round semi-join and the support aggregation a
+    // single-long-key operation.
+    def pack(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      shiftleft(least(x, y), 32).bitwiseOR(greatest(x, y))
+    val tris = graft.operators.Triangles
+      .trianglesOf(oriented)
+      .select(
+        pack(col("u"), col("v")).as("e1"),
+        pack(col("u"), col("w")).as("e2"),
+        pack(col("v"), col("w")).as("e3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a triangle of the induced subgraph = an original triangle whose
+    // three edges are all alive: three equi-semi-joins against the
+    // alive set — broadcast when it is small (it collapses to 2.4% of
+    // |edges| after round 1 here), shuffled when not
+    def aliveTriangles(alive: DataFrame, nAlive: Long): DataFrame = {
+      def side(k: String) = {
+        val f = alive.select(col("e").as(k))
+        if (nAlive <= TrussBcastAliveMax) broadcast(f) else f
+      }
+      tris
+        .join(side("e1"), Seq("e1"), "left_semi")
+        .join(side("e2"), Seq("e2"), "left_semi")
+        .join(side("e3"), Seq("e3"), "left_semi")
+    }
+    // per-edge induced support: each surviving triangle credits its
+    // three packed edges once
+    def supportOf(surviving: DataFrame): DataFrame =
+      surviving
+        .select(explode(array(col("e1"), col("e2"), col("e3"))).as("e"))
+        .groupBy(col("e"))
+        .agg(count(lit(1)).as("common"))
+    // the survivors of round r are EXACTLY the support-filtered edges —
+    // every edge of a surviving triangle is alive by construction, so no
+    // extra semi-join against the previous alive set is needed; edges in
+    // no surviving triangle have support 0 and vanish from the frame
+    var alive: DataFrame = null
+    var nAlive = 0L
     var r = 0
     while (r < TrussRounds) {
-      // share = false: each round consumes its support frame exactly
-      // once, and a persisted triangle list PER ROUND would stay live
-      // for the whole CacheScope batch (the 10x-corpus heap blow-up)
-      val keep = graft.operators.Triangles
-        .commonNeighbors(e, share = false)
+      // round 1's alive set is the full edge list, so its support comes
+      // straight off the enumeration (no semi-joins to apply yet)
+      val supported = if (r == 0) tris else aliveTriangles(alive, nAlive)
+      alive = supportOf(supported)
         .filter(col("common") >= TrussSupport)
-        .select(col("a"), col("b"))
-      e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+        .select(col("e"))
+        .localCheckpoint()
+      nAlive = alive.count()
       r += 1
-      onRound(r, e)
+      onRound(r, alive)
     }
-    e
+    val support = supportOf(aliveTriangles(alive, nAlive))
+      .select(
+        shiftrightunsigned(col("e"), 32).as("a"),
+        col("e").bitwiseAND(lit(4294967295L)).as("b"),
+        col("common"))
+      .localCheckpoint()
+    tris.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    support
   }
 
-  def kTruss(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = kTrussPeel(spark, sfDir)((_, _) => ())
-    graft.operators.Triangles
-      .commonNeighbors(e, share = false)
+  def kTruss(spark: SparkSession, sfDir: String): DataFrame =
+    kTrussPeel(spark, sfDir)((_, _) => ())
       .transform(orderedOutput(_, col("a"), col("b")))
-  }
 
   /** g18 scale probe: per-round surviving-edge counts (the g12 counter
     * convention — a quenched corpus prices only round 1's wedge join,

@@ -1005,6 +1005,148 @@ object Snapshots {
 
   // ---- Named refs (tags) -------------------------------------------------
 
+  // ---- Column rename (metadata-only schema mapping) -----------------------
+
+  private def schemaDir(dir: String) = new Path(dir, "_schema")
+  private val RenameFileRe = "rename-(\\d+)\\.list".r
+
+  /** One recorded rename: applied at table `version`, mapping physical
+    * column `from` (as written in the files staged BEFORE the rename) to
+    * logical name `to`, scoped to exactly `fileKeys` — the files that
+    * carried the old physical name when the rename committed. Scoping by
+    * explicit file set (not "every file in manifests ≤ version") keeps
+    * the mapping correct after later OPTIMIZE/MERGE rewrites drop some
+    * of those files, and survives vacuuming of the rename-era manifests.
+    */
+  final case class ColumnRename(seq: Int, version: Int, from: String, to: String, fileKeys: Set[String])
+
+  /** Metadata-only COLUMN RENAME — the Delta/Iceberg column-mapping
+    * idea in file-set form: no data file is rewritten; a rename entry
+    * (old name, new name, the CURRENT snapshot's file set) publishes
+    * atomically under `_schema/`, and [[readVersionRenamed]] applies it
+    * at read time to exactly those files. Files staged AFTER the rename
+    * are written with the new logical name and need no mapping; a read
+    * of a version BEFORE the rename sees the old name, forever — schema
+    * time travel, the x11 discipline. Renames chain (a→b then b→c
+    * resolves through both). Returns the rename's table version (the
+    * version whose readers first see the new name).
+    *
+    * Contract notes: zone-map declarations keep the PHYSICAL name (the
+    * manifest's stats header is untouched — range reads address the
+    * declared name); the read-modify-write commits (delete/merge/
+    * OPTIMIZE) read physical schemas, so on a table whose live files
+    * straddle a rename, run them via the renamed read's materialization
+    * or OPTIMIZE before renaming — the same "unify physical schemas
+    * first" caveat Delta documents for tables without field-id mapping.
+    */
+  def commitRename(spark: SparkSession, dir: String, from: String, to: String): Int = {
+    require(from != to, s"rename of '$from' onto itself")
+    val v0 = latestVersion(spark, dir)
+    require(v0 >= 1, s"cannot rename a column of an empty table at $dir")
+    // validate against the current LOGICAL schema (prior renames applied)
+    val cur = readVersionRenamed(spark, dir, v0).schema.fieldNames.toSet
+    require(cur.contains(from), s"column '$from' does not exist in snapshot v$v0 of $dir (have: $cur)")
+    require(!cur.contains(to), s"column '$to' already exists in snapshot v$v0 of $dir")
+    // the rename IS a table version (op=rename, identical file list):
+    // readers of versions BELOW it keep the old name forever (schema
+    // time travel), and the table history shows the schema change. A
+    // lost publish race aborts (the snapshot we validated against is no
+    // longer latest) — rerun against the new latest.
+    val (statsCols0, entries0) = manifest(spark, dir, v0)
+    val v = v0 + 1
+    publishOrAbort(spark, dir, v, statsCols0, entries0, "rename")
+    val files = entries0.map(e => fileKey(e.path))
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    f.mkdirs(sd)
+    var seq = renameLog(spark, dir).map(_.seq).foldLeft(0)(math.max) + 1
+    var done = false
+    while (!done) {
+      val payload = s"#version=$v\n#from=$from\n#to=$to\n" + files.mkString("", "\n", "\n")
+      val tmp = new Path(sd, s"rename-$seq.list.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = claimExclusive(f, tmp, new Path(sd, s"rename-$seq.list"))
+      f.delete(tmp, false)
+      if (won) done = true
+      else seq += 1 // lost a race to a concurrent rename: take the next slot
+    }
+    v
+  }
+
+  /** The recorded renames in application order (CRC-checked). */
+  def renameLog(spark: SparkSession, dir: String): Seq[ColumnRename] = {
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    if (!f.exists(sd)) Nil
+    else
+      f.listStatus(sd)
+        .flatMap { st =>
+          st.getPath.getName match {
+            case RenameFileRe(seq) =>
+              val in = f.open(st.getPath)
+              val content =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              require(content.startsWith(CrcHeader), s"rename entry $seq on $dir is malformed")
+              val nl = content.indexOf('\n')
+              val declared = content.substring(CrcHeader.length, nl).toLong
+              val body = content.substring(nl + 1)
+              require(crc32Of(body) == declared,
+                s"rename entry $seq on $dir failed its CRC check: metadata corruption")
+              val lines = body.linesIterator.toList
+              def hdr(k: String) =
+                lines.find(_.startsWith(s"#$k=")).map(_.drop(k.length + 2)).getOrElse(
+                  throw new IllegalArgumentException(s"rename entry $seq on $dir lacks #$k="))
+              Some(ColumnRename(
+                seq.toInt,
+                hdr("version").toInt,
+                hdr("from"),
+                hdr("to"),
+                lines.filterNot(_.startsWith("#")).toSet))
+            case _ => None
+          }
+        }
+        .sortBy(_.seq)
+        .toSeq
+  }
+
+  /** Read `version` with the recorded column renames applied — the
+    * rename-aware twin of [[readVersion]]. Files are grouped by WHICH
+    * renames apply to them (a handful of generations, never O(files)
+    * groups in practice — each rename splits the set once), each group
+    * scans with its chain of `withColumnRenamed` (plan-only — the
+    * parquet scan and its pruning/pushdown are untouched), and the
+    * groups union BY NAME, so post-rename readers see one coherent
+    * logical schema over physically mixed files. Renames recorded at a
+    * version AFTER the one being read do not apply — reading v1 of a
+    * table renamed at v2 still sees the old name (schema time travel).
+    */
+  def readVersionRenamed(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val renames = renameLog(spark, dir).filter(_.version <= version)
+    val files = manifest(spark, dir, version)._2.map(_.path)
+    if (renames.isEmpty) spark.read.parquet(files: _*)
+    else {
+      val groups = files.groupBy(p => renames.map(r => r.fileKeys.contains(fileKey(p))))
+      groups.values.toSeq
+        .map { fsGroup =>
+          val base = spark.read.parquet(fsGroup: _*)
+          val sig = renames.map(r => r.fileKeys.contains(fileKey(fsGroup.head)))
+          renames.zip(sig).foldLeft(base) {
+            case (df, (r, applies)) if applies && df.columns.contains(r.from) =>
+              df.withColumnRenamed(r.from, r.to)
+            case (df, _) => df
+          }
+        }
+        .reduce(_.unionByName(_))
+    }
+  }
+
+  /** Read the latest snapshot with renames applied. */
+  def readLatestRenamed(spark: SparkSession, dir: String): DataFrame =
+    readVersionRenamed(spark, dir, latestVersion(spark, dir))
+
   private def tagsDir(dir: String) = new Path(dir, "_tags")
   private val TagFileRe = "(.+)\\.ref".r
   private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$"

@@ -785,4 +785,41 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), dir)
     assert(Snapshots.metadataRowCount(spark, dir, 2) == 3L)
   }
+
+  test("column rename: metadata-only, schema time travel, generations unify by name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rename").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "amount"), dir)
+    val rv = Snapshots.commitRename(spark, dir, "amount", "cents")
+    assert(rv == 2 && Snapshots.commitOp(spark, dir, 2).contains("rename"))
+    // metadata-only: the rename version lists EXACTLY v1's files
+    val f1 = Snapshots.manifest(spark, dir, 1)._2.map(_.path).toSet
+    assert(Snapshots.manifest(spark, dir, 2)._2.map(_.path).toSet == f1,
+      "a rename must not stage or drop a single data file")
+    // schema time travel: v1 keeps the old name forever; v2 sees the new
+    assert(Snapshots.readVersionRenamed(spark, dir, 1).columns.toSeq == Seq("id", "amount"))
+    assert(Snapshots.readVersionRenamed(spark, dir, 2).columns.toSeq == Seq("id", "cents"))
+    // an append written under the NEW name: both physical generations
+    // unify under `cents`, values intact on each side
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "cents"), dir)
+    val got = Snapshots.readLatestRenamed(spark, dir).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"got $got")
+  }
+
+  test("column rename: validation refuses missing sources and name collisions; renames chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rename2").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L)).toDF("id", "a"), dir)
+    intercept[IllegalArgumentException](Snapshots.commitRename(spark, dir, "nope", "b"))
+    intercept[IllegalArgumentException](Snapshots.commitRename(spark, dir, "a", "id"))
+    intercept[IllegalArgumentException](Snapshots.commitRename(spark, dir, "a", "a"))
+    Snapshots.commitRename(spark, dir, "a", "b")
+    Snapshots.commitRename(spark, dir, "b", "c")
+    // a -> b -> c resolves through both entries on the ORIGINAL files
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSeq == Seq("id", "c"))
+    assert(Snapshots.readLatestRenamed(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L)))
+    // and the pre-rename version still reads as born
+    assert(Snapshots.readVersionRenamed(spark, dir, 1).columns.toSeq == Seq("id", "a"))
+  }
 }

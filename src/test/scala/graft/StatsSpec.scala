@@ -94,6 +94,83 @@ class StatsSpec extends AnyFunSuite {
     assert(ks(Seq(1, 2, 3), Seq(10, 11, 12)) == 1.0)
   }
 
+  /** Events fixture for the sfDir-shaped gates: write (event_id, ts from
+    * epoch micros, user_id, event_type, value, props) to a per-test temp
+    * dir so the PRODUCTION query (not a re-derived formula) runs on
+    * known-answer data.
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_fix").toString
+    rows
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(
+        col("event_id"),
+        timestamp_micros(col("us")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        lit("{}").as("props"))
+      .write
+      .parquet(dir + "/events.parquet")
+    dir
+  }
+
+  test("a33 normal equations: a perfect planar fit y = 3x + 5z + c recovers both betas EXACTLY") {
+    // 14 days x 24 hours, cents = 3*hour + 5*dow + 17: for an exact fit
+    // the Cramer numerators are exactly 3*det and 5*det, every quantity
+    // is far below 2^53, so the one double division is exact
+    val rows = for { d <- 0 until 14; h <- 0 until 24 } yield (
+      (d * 24 + h).toLong,
+      d.toLong * 86400000000L + h.toLong * 3600000000L,
+      1L,
+      "purchase",
+      (3 * h + 5 * (d % 7) + 17) / 100.0)
+    val r = queries.FeatureQueries.queries("a33_multireg")(spark, eventsDir(rows)).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("beta_x") == 3.0, s"beta_x: ${r(0).getAs[Double]("beta_x")}")
+    assert(r(0).getAs[Double]("beta_z") == 5.0, s"beta_z: ${r(0).getAs[Double]("beta_z")}")
+  }
+
+  test("a32 ANOVA cells: equal group means give ssb exactly 0; within-SS matches the closed form") {
+    // group a: (10, 20) cents, group b: (15, 15) -> both means 15 = grand
+    // mean, so every between-group cell is exactly 0.0; ssw_a = 50, ssw_b = 0
+    val rows = Seq(
+      (1L, 1000000L, 1L, "a", 0.10),
+      (2L, 2000000L, 1L, "a", 0.20),
+      (3L, 3000000L, 2L, "b", 0.15),
+      (4L, 4000000L, 2L, "b", 0.15))
+    val r = queries.FeatureQueries
+      .queries("a32_anova")(spark, eventsDir(rows))
+      .collect()
+      .map(x => x.getAs[String]("event_type") -> x)
+      .toMap
+    assert(r("a").getAs[Double]("ssb_g") == 0.0 && r("b").getAs[Double]("ssb_g") == 0.0)
+    assert(r("a").getAs[Double]("ssw_g") == 50.0, s"ssw_a: ${r("a").getAs[Double]("ssw_g")}")
+    assert(r("b").getAs[Double]("ssw_g") == 0.0)
+  }
+
+  test("w30 pattern match: contiguity and the per-hop gap bound both gate a match") {
+    val H = 3600000000L
+    val rows = Seq(
+      // user 1: view -> click -> purchase inside the gap: ONE match
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 1 * H, 1L, "click", 1.0),
+      (3L, 2 * H, 1L, "purchase", 1.0),
+      // user 2: second hop exceeds 24h: no match
+      (4L, 0L, 2L, "view", 1.0),
+      (5L, 1 * H, 2L, "click", 1.0),
+      (6L, 26 * H, 2L, "purchase", 1.0),
+      // user 3: an interleaved error breaks contiguity: no match
+      (7L, 0L, 3L, "view", 1.0),
+      (8L, 1 * H, 3L, "error", 1.0),
+      (9L, 2 * H, 3L, "click", 1.0),
+      (10L, 3 * H, 3L, "purchase", 1.0))
+    val r = queries.FeatureQueries.queries("w30_event_pattern")(spark, eventsDir(rows)).collect()
+    assert(r.length == 1, s"expected exactly user 1's match, got ${r.mkString("; ")}")
+    assert(r(0).getAs[Long]("user_id") == 1L && r(0).getAs[Long]("start_id") == 1L &&
+      r(0).getAs[Long]("end_id") == 3L && r(0).getAs[Long]("span_us") == 2 * H)
+  }
+
   test("Poisson bootstrap weights: thresholds reproduce Poisson(1) pmf mass on the 32-bit scale") {
     // P(0)=e^-1: threshold/2^32 must sit within 1e-6 of e^-1, and the
     // four cumulative thresholds must be increasing and < 2^32
