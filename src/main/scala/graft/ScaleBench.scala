@@ -142,10 +142,14 @@ object ScaleBench {
     // is |queries|·shortlist-bounded)
     "g17_closeness",
     "v19_binary_rerank",
-    // g18 = TrussRounds+1 runs of g4's oriented wedge join over a
-    // shrinking edge set; the survivor counters below make a quenched
-    // corpus visible (the g12 lesson)
-    "g18_ktruss")
+    // g18 = ONE oriented wedge join + per-round alive-set semi-joins
+    // over the persisted packed triangle list; the survivor counters
+    // below make a quenched corpus visible (the g12 lesson)
+    "g18_ktruss",
+    // round-11 session-3: the tombstoned-delete probe (v21 — v5's
+    // build + an O(ids) delete write + the live probe whose anti-join
+    // broadcasts the tombstone set; should track v5's build term)
+    "v21_ann_tombstones")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

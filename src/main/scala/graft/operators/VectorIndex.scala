@@ -113,6 +113,75 @@ object VectorIndex {
     to
   }
 
+  /** Tombstoned DELETE — the FAISS IDSelector / Milvus delta-delete
+    * pattern: removing vectors from a 100 TB bucketed index must not
+    * rewrite it, so deletes append ids into a side table
+    * (`<table>_tombstones`) and [[topKLive]] anti-joins them out at
+    * probe time. O(ids) metadata write per delete, index files
+    * untouched; [[vacuumDeletes]] folds the tombstones into the layout
+    * once the set grows past what a probe-side broadcast should carry.
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame, idCol: String): Unit = {
+    val t = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val name = s"${table}_tombstones"
+    if (spark.catalog.tableExists(name))
+      t.write.mode("append").format("parquet").saveAsTable(name)
+    else Bucketed.writePlain(t, name)
+  }
+
+  /** The current tombstone rows (empty frame when none recorded). May
+    * contain duplicates across delete batches — harmless to the
+    * anti-join (existence semantics), and deduping here would put a
+    * shuffle under every probe's broadcast for nothing.
+    */
+  def tombstones(spark: SparkSession, table: String): DataFrame = {
+    val name = s"${table}_tombstones"
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** [[topK]] over the LIVE index rows: the bucketed assignment minus
+    * the tombstone set, anti-joined via broadcast — no exchange lands on
+    * the index side (broadcast joins preserve the bucketed layout, so
+    * the probe's cell join stays exchange-free; VectorIndexSpec asserts
+    * it). The broadcast is the deliberate trade: tombstone sets are a
+    * small fraction of a served index by construction — past that, run
+    * [[vacuumDeletes]] (the signal is the same operational dial as the
+    * recall monitor's rebuild).
+    */
+  def topKLive(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nProbe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame = {
+    val live = spark
+      .table(table)
+      .join(broadcast(tombstones(spark, table)), Seq("vec_id"), "left_anti")
+    probeFrames(
+      live, spark.table(s"${table}_centroids"), queries, idCol, embCol, k, nProbe, excludeSelf)
+  }
+
+  /** Fold the tombstones into the layout: rewrite the bucketed
+    * assignment WITHOUT the dead rows (same bucket spec — downstream
+    * probes stay exchange-free), then drop the tombstone table. The
+    * compaction a deployment schedules when the delete fraction makes
+    * the per-probe anti-join broadcast non-trivial; between runs,
+    * correctness never depends on it.
+    */
+  def vacuumDeletes(spark: SparkSession, table: String, buckets: Int = 32): Unit = {
+    val live = spark
+      .table(table)
+      .join(broadcast(tombstones(spark, table)), Seq("vec_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the overwrite drops its source
+    Bucketed.write(live, table, "cell", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
+    ()
+  }
+
   /** Top-k cosine probe of a query batch against persisted index frames.
     * Exposed frame-first so callers (and the spec's unbucketed control)
     * can supply any assignment source; [[topK]] is the catalog form.

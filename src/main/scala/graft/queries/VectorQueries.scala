@@ -747,6 +747,36 @@ object VectorQueries {
       .transform(orderedOutput(_, col("query_id"), col("rnk")))
   }
 
+  /** v21: tombstoned DELETE on the persisted index
+    * ([[VectorIndex.delete]]/[[VectorIndex.topKLive]]) — the missing
+    * third of the index lifecycle beside v5's build→probe and v14's
+    * append: build on the full corpus, tombstone a deterministic slice
+    * (vec_id % 7 == 3 — O(ids) metadata write, not one index file
+    * rewritten), then probe the LIVE vectors. Deleted vectors must
+    * vanish BOTH ways: no deleted query ids, and no deleted vector
+    * surfaces as anyone's neighbor — the second half is the part a
+    * filter-after-topk serving bug gets wrong (a dead top-1 must yield
+    * its rank to the best live neighbor, which the oracle's live×live
+    * join pins). The anti-join rides a broadcast above the bucketed
+    * scan, so the probe stays exchange-free (VectorIndexSpec). Timed
+    * reps include the build+delete writes (lifecycle-gate convention).
+    */
+  private val TombTable = "graft_ivf_tomb"
+
+  def ivfTombstoneProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorIndex.build(
+      emb, "vec_id", "embedding", TombTable,
+      IvfFloorCells, IvfCapCells, LloydIters, MaxCell, IvfTrainPerCell)
+    VectorIndex.delete(
+      spark, TombTable, emb.filter(pmod(col("vec_id"), lit(7)) === 3), "vec_id")
+    VectorIndex
+      .topKLive(
+        spark, TombTable, emb.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+        "vec_id", "embedding", 1, 1, excludeSelf = true)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   /** v6: ANN quality evaluation — recall@1 of the IVF path (v3) against
     * the brute-force ground truth (v1) over the fixed query set, AS A
     * GATED QUERY: the measurement operator a production ANN deployment
@@ -896,6 +926,7 @@ object VectorQueries {
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
     "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
+    "v21_ann_tombstones" -> (ivfTombstoneProbe(_, _)),
     "v15_knn_graph" -> (knnGraph(_, _)),
     "v16_filtered_ann" -> (filteredAnn(_, _)),
     "v17_graph_ann" -> (graphAnn(_, _)),
@@ -1306,6 +1337,20 @@ object VectorQueries {
          |  FROM scored)
          |WHERE rnk <= $FilteredK ORDER BY query_id, rnk""".stripMargin,
     "v14_ivf_incremental" -> ivfIncrementalSql,
+    // v21: v5's lifecycle with the tombstoned slice dropped from BOTH
+    // sides of the probe join (the quantizer still derives from the
+    // full build corpus — deletes must not perturb it)
+    "v21_ann_tombstones" ->
+      s"""WITH $ivfAssignedCtes,
+         |live AS (SELECT * FROM assigned WHERE vec_id % 7 != 3),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, a.cell AS cell,
+         |    $cosineExpr AS cosine
+         |  FROM live a JOIN live b ON a.cell = b.cell AND b.vec_id != a.vec_id)
+         |SELECT query_id, vec_id, cell, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin,
     "v6_ann_recall" ->
       s"""WITH $ivfAssignedCtes,
          |exact AS (

@@ -120,4 +120,54 @@ class VectorIndexSpec extends AnyFunSuite {
     one.unpersist()
     ()
   }
+
+  test("tombstoned delete: dead vectors vanish both ways; probe stays exchange-free; vacuum folds") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndex.build(emb, "vec_id", "embedding", "ivf_tomb_spec", 16, 65536, 2)
+    val dead = emb.filter(pmod(col("vec_id"), lit(5)) === 2L)
+    val deadIds = dead.select("vec_id").as[Long].collect().toSet
+    VectorIndex.delete(spark, "ivf_tomb_spec", dead, "vec_id")
+    val liveQueries = emb.filter(pmod(col("vec_id"), lit(5)) =!= 2L)
+    val probed = VectorIndex
+      .topKLive(spark, "ivf_tomb_spec", liveQueries, "vec_id", "embedding", 3, 1,
+        excludeSelf = true)
+    val got = probed.select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // both directions: no dead query, and — the filter-after-topk bug —
+    // no dead vector surfaces as anyone's neighbor
+    assert(got.forall { case (q, v) => !deadIds.contains(q) && !deadIds.contains(v) })
+    // a dead former neighbor yields its rank: every live query still has
+    // neighbors if its cell has >= 2 live members (spot check: the probe
+    // returns rank-1 rows for live queries)
+    assert(probed.filter(col("rnk") === 1).count() > 0)
+    // plan posture: the tombstone anti-join is a broadcast ABOVE the
+    // bucketed scan (explicit hint — it survives autoBroadcast=-1), so
+    // the live probe pays no more exchanges than the plain probe. The
+    // comparison runs with auto-broadcast off (the suite's pattern):
+    // otherwise AQE broadcasts the tiny sf0.001 index side and the two
+    // plans differ for reasons unrelated to the claim.
+    withNoBroadcast {
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val live = exchanges(VectorIndex
+        .topKLive(spark, "ivf_tomb_spec", liveQueries, "vec_id", "embedding", 3, 1,
+          excludeSelf = true))
+      val plain = exchanges(VectorIndex
+        .topK(spark, "ivf_tomb_spec", liveQueries, "vec_id", "embedding", 3, 1,
+          excludeSelf = true))
+      assert(live == plain, s"tombstone filtering must not add an exchange ($live vs $plain)")
+    }
+    // vacuum: folds the tombstones into the layout; the probe result is
+    // unchanged and the tombstone table is gone
+    val before = got.toSet
+    VectorIndex.vacuumDeletes(spark, "ivf_tomb_spec")
+    assert(!spark.catalog.tableExists("ivf_tomb_spec_tombstones"))
+    val after = VectorIndex
+      .topKLive(spark, "ivf_tomb_spec", liveQueries, "vec_id", "embedding", 3, 1,
+        excludeSelf = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(after == before, "vacuumed index must probe identically to the tombstoned one")
+  }
 }
