@@ -148,8 +148,11 @@ object ScaleBench {
     "g18_ktruss",
     // round-11 session-3: the tombstoned-delete probe (v21 — v5's
     // build + an O(ids) delete write + the live probe whose anti-join
-    // broadcasts the tombstone set; should track v5's build term)
-    "v21_ann_tombstones")
+    // broadcasts the tombstone set; should track v5's build term), and
+    // Luby MIS (g19 — per-round semi-join+min over the pre-partitioned
+    // undirected frame, the g12 shape; winner counters below)
+    "v21_ann_tombstones",
+    "g19_mis")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
@@ -350,6 +353,19 @@ object ScaleBench {
         } catch { case _: Throwable => Seq.empty[Long] }
       s""""$tag":${counts.mkString("[", ",", "]")}"""
     }
+    // g19: per-round adopted-winner counts, read off the gate's own
+    // (node, round) output — a quenched corpus (empty later rounds)
+    // must be visible in the artifact (the g12/g18 counter convention)
+    val g19Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
+      val counts =
+        try CacheScope.scoped(spark) {
+          queries.RelationalQueries
+            .maximalIndependentSet(spark, dir)
+            .groupBy("round").count().orderBy("round")
+            .collect().map(_.getLong(1)).toSeq
+        } catch { case _: Throwable => Seq.empty[Long] }
+      s""""$tag":${counts.mkString("[", ",", "]")}"""
+    }
     val line =
       s"""{"metric":"scale_ratio_10x","small":"$smallDir","large":"$largeDir",""" +
         s""""reps":$reps,"quiesce_wait_sec":$quiesceSec,"load_avg_start":$loadStart,""" +
@@ -358,6 +374,7 @@ object ScaleBench {
         s"""$snapMeta,""" +
         s""""g12_round_survivors":${g12Rounds.mkString("{", ",", "}")},""" +
         s""""g18_round_survivors":${g18Rounds.mkString("{", ",", "}")},""" +
+        s""""g19_round_winners":${g19Rounds.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -1072,6 +1072,47 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** a34: Theil–Sen slope estimator — the robust (breakdown-point 29%)
+    * alternative to a9's least-squares trend: the MEDIAN of all pairwise
+    * slopes of the daily spend series. The pair frame is CALENDAR-
+    * BOUNDED (≤ days² /2 rows at any corpus size — the a11/a30
+    * argument), built by one broadcast inequality self-join of the daily
+    * rollup; the median element is selected by the distributed top-k
+    * pattern (orderBy + limit((n+1)/2) + 1-row max — TakeOrdered, never
+    * a global single-partition window, so the sweep's whitelist stays
+    * closed). The lower median with the (slope, d1, d2) total order is
+    * fully deterministic; slope doubles divide identically in both
+    * engines from exact integer (dy, dx). The pair count is collected
+    * once on the driver — a calendar-bounded scalar, the kTruss/BPE
+    * convention.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = prepared(spark, sfDir)
+      .groupBy(expr("ord_us div 86400000000").as("day"))
+      .agg(sum(col("cents")).as("s"))
+    val pairs = daily
+      .as("x")
+      .join(broadcast(daily.as("y")), col("x.day") < col("y.day"))
+      .select(
+        col("x.day").as("d1"),
+        col("y.day").as("d2"),
+        (col("y.s") - col("x.s")).as("dy"),
+        (col("y.day") - col("x.day")).as("dx"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val n = pairs.count()
+    pairs
+      .orderBy(col("slope"), col("d1"), col("d2"))
+      .limit(((n + 1L) / 2L).toInt)
+      .agg(max(struct(col("slope"), col("d1"), col("d2"), col("dy"), col("dx"))).as("med"))
+      .select(
+        lit(n).as("n_pairs"),
+        col("med.slope").as("med_slope"),
+        col("med.d1").as("d1"),
+        col("med.d2").as("d2"),
+        col("med.dy").as("dy"),
+        col("med.dx").as("dx"))
+  }
+
   /** w13: exponential-decay (EWMA-style) recency features — per-user
     * spend where each day's contribution halves per day of age, the
     * classic recency weighting — computed EXACTLY: the half-life weight
@@ -5028,6 +5069,19 @@ object FeatureQueries {
           |  CASE WHEN cxx * czz - cxz * cxz <> 0 THEN
           |    CAST(czy * cxx - cxy * cxz AS DOUBLE) / CAST(cxx * czz - cxz * cxz AS DOUBLE) END AS beta_z
           |FROM m ORDER BY event_type""".stripMargin,
+      "a34_theil_sen" ->
+        s"""WITH prep AS ($prep),
+           |daily AS (SELECT ord_us // 86400000000 AS day,
+           |                 CAST(sum(cents) AS BIGINT) AS s
+           |          FROM prep GROUP BY 1),
+           |pairs AS (
+           |  SELECT x.day AS d1, y.day AS d2, y.s - x.s AS dy, y.day - x.day AS dx,
+           |    CAST(y.s - x.s AS DOUBLE) / CAST(y.day - x.day AS DOUBLE) AS slope
+           |  FROM daily x JOIN daily y ON x.day < y.day),
+           |o AS (SELECT *, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+           |        count(*) OVER () AS n FROM pairs)
+           |SELECT CAST(n AS BIGINT) AS n_pairs, slope AS med_slope, d1, d2, dy, dx
+           |FROM o WHERE rn = (n + 1) // 2""".stripMargin,
       "a5_spend_hour_corr" ->
         """SELECT event_type, n, sx, sy, sxy, sxx, syy,
           |  CAST(n * sxy - sx * sy AS DOUBLE) /
@@ -6126,6 +6180,7 @@ object FeatureQueries {
     "w30_event_pattern" -> (eventPattern(_, _)),
     "a32_anova" -> (anovaCells(_, _)),
     "a33_multireg" -> (multiRegression(_, _)),
+    "a34_theil_sen" -> (theilSen(_, _)),
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "q9_user_type_profile" -> (userTypeProfile(_, _)),

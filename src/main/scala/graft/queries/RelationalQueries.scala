@@ -1434,6 +1434,68 @@ object RelationalQueries {
        |$rounds""".stripMargin
   }
 
+  /** g19: maximal-independent-set rounds — Luby's algorithm (Luby 1986),
+    * THE distributed symmetry-breaking primitive (schedulers, graph
+    * coloring seeds, landmark selection all start here), in its
+    * deterministic md5-priority form so an oracle can pin it: each round,
+    * an undecided node joins the set iff its priority key is STRICTLY
+    * smaller than every undecided neighbor's (isolated undecided nodes
+    * join unconditionally), then winners and their neighbors leave the
+    * undecided set. The priority key is the md5 draw concatenated with
+    * the zero-padded node id, so ties are impossible and both engines
+    * sort identically. Winners of distinct rounds are independent by
+    * construction (a winner's whole neighborhood is removed with it).
+    * Per round: two alive-set semi-joins over the pre-partitioned
+    * undirected frame + one (src)-keyed min + one anti-join pair — the
+    * g12 shape, no windows, lineage cut per round. Output: (node,
+    * round) for every node adopted INTO the set within [[MisRounds]]
+    * rounds — 16/14/15 winners per round at the gate corpus (a dense
+    * graph keeps per-round independent sets small, which is exactly why
+    * Luby needs rounds at all); undecided residue past the bound is the
+    * documented bounded-round convention (g5/g12).
+    */
+  private val MisRounds = 3
+
+  def maximalIndependentSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coOccurrenceEdges(spark, sfDir)
+    val und = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pkey(c: org.apache.spark.sql.Column) =
+      concat(graft.operators.Sampling.hashUniformHex("mis", c), lpad(c.cast("string"), 12, "0"))
+    var undecided = und.select(col("src").as("node")).distinct().localCheckpoint()
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var r = 1
+    while (r <= MisRounds) {
+      val uE = und
+        .join(undecided.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(undecided.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      val minNbr = uE
+        .groupBy(col("src"))
+        .agg(min(pkey(col("dst"))).as("mn"))
+        .withColumnRenamed("src", "node")
+      val winners = undecided
+        .join(minNbr, Seq("node"), "left")
+        .filter(col("mn").isNull || pkey(col("node")) < col("mn"))
+        .select(col("node"))
+        .localCheckpoint()
+      rounds += winners.withColumn("round", lit(r.toLong))
+      val removed = und
+        .join(winners.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node"))
+      undecided = undecided
+        .join(winners, Seq("node"), "left_anti")
+        .join(removed, Seq("node"), "left_anti")
+        .localCheckpoint()
+      r += 1
+    }
+    rounds
+      .reduce(_ unionAll _)
+      .transform(orderedOutput(_, col("node")))
+  }
+
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
     labelPropagation(spark, sfDir, eagerRelease = false)
 
@@ -1751,6 +1813,7 @@ object RelationalQueries {
     "g12_kcore" -> (kCore(_, _)),
     "g18_ktruss" -> (kTruss(_, _)),
     "g13_label_propagation" -> (labelPropagation(_, _)),
+    "g19_mis" -> (maximalIndependentSet(_, _)),
     "g16_modularity" -> (modularity(_, _)),
     "g14_hits" -> (hits(_, _)),
     "g15_random_walks" -> (randomWalks(_, _)),
@@ -2067,6 +2130,39 @@ object RelationalQueries {
          |$steps
          |SELECT seed, CAST(wid AS BIGINT) AS walk_id, path, CAST(cur AS BIGINT) AS final_node
          |FROM f$WalkLen ORDER BY seed, walk_id""".stripMargin
+    },
+    // g19: Luby MIS — unrolled MATERIALIZED rounds; the oracle derives
+    // winners via NOT IN subqueries, a different spelling than Spark's
+    // anti-join pair
+    "g19_mis" -> {
+      def pk(c: String) =
+        s"substr(md5('mis|' || CAST($c AS VARCHAR)), 1, 8) || lpad(CAST($c AS VARCHAR), 12, '0')"
+      val rounds = (1 to MisRounds)
+        .map { r =>
+          s"""mn$r AS MATERIALIZED (
+             |  SELECT u.src AS node, min(${pk("u.dst")}) AS mn
+             |  FROM und u JOIN u${r - 1} a ON u.src = a.node JOIN u${r - 1} b ON u.dst = b.node
+             |  GROUP BY 1),
+             |w$r AS MATERIALIZED (
+             |  SELECT n.node FROM u${r - 1} n LEFT JOIN mn$r m ON n.node = m.node
+             |  WHERE m.mn IS NULL OR ${pk("n.node")} < m.mn),
+             |u$r AS MATERIALIZED (
+             |  SELECT node FROM u${r - 1}
+             |  WHERE node NOT IN (SELECT node FROM w$r)
+             |    AND node NOT IN (SELECT u.dst FROM und u JOIN w$r w ON u.src = w.node))"""
+            .stripMargin
+        }
+        .mkString(",\n")
+      val sel = (1 to MisRounds)
+        .map(r => s"SELECT node, $r AS round FROM w$r")
+        .mkString(" UNION ALL ")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |u0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+         |$rounds
+         |SELECT node, CAST(round AS BIGINT) AS round FROM ($sel) ORDER BY node""".stripMargin
     },
     // deterministic LPA: unrolled MATERIALIZED rounds (the g12 pattern);
     // the oracle derives each round's argmax via row_number over the

@@ -58,4 +58,26 @@ class RelationalQueriesSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("mx")) == r.getLong(r.fieldIndex("n")))
     }
   }
+
+  test("g19 MIS: the output is an independent set of the co-occurrence graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val winners = RelationalQueries.queries("g19_mis")(spark, sf)
+    val ids = winners.select("node").as[Long].collect().toSet
+    assert(ids.nonEmpty, "MIS must adopt at least one node")
+    assert(winners.count() == ids.size, "a node must be adopted in exactly one round")
+    // rebuild the same co-occurrence edges and assert NO edge joins two
+    // adopted nodes — the defining invariant, independent of rounds
+    val li = Tables
+      .lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val violations = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .filter(col("a").isin(ids.toSeq: _*) && col("b").isin(ids.toSeq: _*))
+      .count()
+    assert(violations == 0L, s"$violations edges connect two MIS members")
+  }
 }
