@@ -1113,6 +1113,35 @@ object FeatureQueries {
         col("med.dx").as("dx"))
   }
 
+  /** k9: distributed quantile estimation via the bottom-k payload
+    * sample ([[graft.functions.KmvSampleAgg]]) — the mergeable-sample
+    * answer to "quartiles per group at 100 TB": one hash-aggregate pass
+    * keeps the k smallest DISTINCT (md5-draw, value) pairs per group
+    * (O(k) state, map-side partials, no per-group sort anywhere) and
+    * reads the quartiles off the sample at rank ceil(p·m). a2 is the
+    * EXACT two-pass form, a3 the Bernoulli-sampled sort — this is the
+    * aggregation-operator form whose state is bounded no matter how
+    * skewed a group gets, and whose buffer is a merge lattice (property-
+    * tested), so the identical aggregate runs as a streaming
+    * complete-mode monitor with flat state (StreamingKmv pattern). The
+    * oracle re-derives the same sample and ranks in SQL — estimates are
+    * deterministic, so they gate bit-exactly, not within a band.
+    */
+  private val KmvSampleK = 64
+
+  def kmvQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSampleAgg
+        .kmvSampleQuantiles(col("event_id"), col("cents"), KmvSampleK, "kq").as("s"))
+      .select(
+        col("event_type"),
+        col("s.m").as("m"),
+        col("s.q25").as("q25"),
+        col("s.q50").as("q50"),
+        col("s.q75").as("q75"))
+      .transform(orderedOutput(_, col("event_type")))
+
   /** w13: exponential-decay (EWMA-style) recency features — per-user
     * spend where each day's contribution halves per day of age, the
     * classic recency weighting — computed EXACTLY: the half-life weight
@@ -5069,6 +5098,22 @@ object FeatureQueries {
           |  CASE WHEN cxx * czz - cxz * cxz <> 0 THEN
           |    CAST(czy * cxx - cxy * cxz AS DOUBLE) / CAST(cxx * czz - cxz * cxz AS DOUBLE) END AS beta_z
           |FROM m ORDER BY event_type""".stripMargin,
+      "k9_kmv_quantiles" ->
+        s"""WITH h AS (SELECT DISTINCT event_type,
+           |        CAST(('0x' || substr(md5('kq|' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+           |        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           |s AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY hv, cents) AS rn FROM h),
+           |smp AS (SELECT event_type, cents FROM s WHERE rn <= $KmvSampleK),
+           |r AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr,
+           |        count(*) OVER (PARTITION BY event_type) AS m
+           |      FROM smp)
+           |SELECT event_type, CAST(m AS BIGINT) AS m,
+           |  CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.25 * m) AS BIGINT), 1) THEN cents END) AS BIGINT) AS q25,
+           |  CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.50 * m) AS BIGINT), 1) THEN cents END) AS BIGINT) AS q50,
+           |  CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.75 * m) AS BIGINT), 1) THEN cents END) AS BIGINT) AS q75
+           |FROM r GROUP BY event_type, m ORDER BY event_type""".stripMargin,
       "a34_theil_sen" ->
         s"""WITH prep AS ($prep),
            |daily AS (SELECT ord_us // 86400000000 AS day,
@@ -6181,6 +6226,7 @@ object FeatureQueries {
     "a32_anova" -> (anovaCells(_, _)),
     "a33_multireg" -> (multiRegression(_, _)),
     "a34_theil_sen" -> (theilSen(_, _)),
+    "k9_kmv_quantiles" -> (kmvQuantiles(_, _)),
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
     "q9_user_type_profile" -> (userTypeProfile(_, _)),

@@ -36,4 +36,24 @@ object StreamingKmv {
     stream
       .groupBy(key.as("key"))
       .agg(KmvDistinctAgg.kmvDistinct(entity, k, seed).as("kmv"))
+
+  /** Streaming per-key QUANTILE monitor — [[graft.functions
+    * .KmvSampleAgg]] (k9's bottom-k payload sample) run as a streaming
+    * complete-mode aggregation: the (hash, value)-pair buffer is the
+    * same bounded merge lattice, so the maintained per-key quartile
+    * estimates are bit-identical to the batch aggregate over the rows
+    * seen so far under any micro-batching or replay (the distribution
+    *-drift dashboard a 100 TB ingest watches, at O(k) state per key,
+    * no watermark needed).
+    */
+  def kmvQuantilesStream(
+      stream: DataFrame,
+      key: Column,
+      id: Column,
+      value: Column,
+      k: Int,
+      seed: String): DataFrame =
+    stream
+      .groupBy(key.as("key"))
+      .agg(graft.functions.KmvSampleAgg.kmvSampleQuantiles(id, value, k, seed).as("s"))
 }

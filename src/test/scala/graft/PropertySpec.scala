@@ -67,6 +67,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sample buffer: any partitioning and merge order yields the k smallest distinct pairs") {
+    import graft.functions.{KmvSampleAgg, KmvSampleBuffer}
+    val agg = KmvSampleAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(0L)),
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(0L)), 16, "kq")
+    (1 to 25).foreach { seed =>
+      val rnd = new Random(seed)
+      // duplication, skew, AND colliding hashes with different payloads —
+      // the pair ordering must keep survival order-independent
+      val pairs = List.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(5).toLong))
+      val truth = pairs.distinct.sorted.take(16)
+      val chunks = rnd.shuffle(pairs).grouped(1 + rnd.nextInt(50)).toList
+      val partials = chunks.map { c =>
+        val b = new KmvSampleBuffer(16)
+        c.foreach { case (h, v) => b.add(h, v) }
+        agg.deserialize(agg.serialize(b)) // serde round-trip = shuffle path
+      }
+      val merged = rnd.shuffle(partials).reduce { (a, b) => agg.merge(a, b); a }
+      val got = {
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        merged.pairs.forEach(p => out += p)
+        out.toList
+      }
+      assert(got == truth, s"seed $seed: bottom-k pair set diverged")
+    }
+  }
+
   test("store last-write-wins equals max-by-event-time over any put log") {
     (1 to 30).foreach { seed =>
       val rnd = new Random(seed)

@@ -63,4 +63,54 @@ class StreamingKmvSpec extends AnyFunSuite {
       assert(streamed.size == 8 && streamed.forall(_._2 <= 32L))
     } finally q.stop()
   }
+
+  test("streaming per-key quantile monitor bit-equals the batch k9 aggregate; replays are no-ops") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val events = Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id").as("userId"), col("ord_us").as("ordUs"), col("cents"))
+      .as[StreamEvent]
+      .collect()
+      .toSeq
+    val source = MemoryStream[StreamEvent]
+    val sinkName = s"kq_out_${System.nanoTime()}"
+    // id: the event's (userId, ordUs) — unique per row; value: cents
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rid", concat(col("userId"), lit(":"), col("ordUs")))
+    val q = graft.streaming.StreamingKmv
+      .kmvQuantilesStream(
+        withId(source.toDS().toDF()),
+        pmod(col("userId"), lit(8L)), col("rid"), col("cents"), 32, "kqstream")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try {
+      val chunks = events.grouped((events.size / 3) + 1).toSeq
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+      source.addData(chunks(1)) // at-least-once replay: the lattice shrugs
+      q.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] = df
+        .select(col("key"), col("s.m"), col("s.q25"), col("s.q50"), col("s.q75"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val streamed = rows(spark.table(sinkName))
+      val batch = rows(
+        withId(events.toDF())
+          .groupBy(pmod(col("userId"), lit(8L)).as("key"))
+          .agg(graft.functions.KmvSampleAgg
+            .kmvSampleQuantiles(col("rid"), col("cents"), 32, "kqstream").as("s")))
+      assert(streamed == batch,
+        "maintained per-key quartiles must bit-equal the batch sample aggregate")
+      assert(streamed.size == 8 && streamed.forall(_._2 <= 32L))
+      // quartile sanity: ordered within every key's sample
+      assert(streamed.forall(r => r._3 <= r._4 && r._4 <= r._5))
+    } finally q.stop()
+  }
 }
