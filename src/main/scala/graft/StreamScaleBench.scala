@@ -177,7 +177,15 @@ object StreamScaleBench {
         // item-universe size (64 shards × 16 counters at any key count)
         ("heavy_hitters", "append", s =>
           graft.streaming.HeavyHittersProcessor
-            .monitor(s.toDS(), shards = 64L, capacity = 16).toDF()))
+            .monitor(s.toDS(), shards = 64L, capacity = 16).toDF()),
+        // r11 session 3: the bottom-k sample quantile monitor (k9's
+        // aggregate) — O(k) (hash, value) pairs per group, same grouping
+        // density as the kmv cell
+        ("kmv_quantiles", "complete", s =>
+          graft.streaming.StreamingKmv.kmvQuantilesStream(
+            s.toDS().toDF(),
+            org.apache.spark.sql.functions.pmod(col("userId"), org.apache.spark.sql.functions.lit(100L)),
+            col("ordUs"), col("cents"), k = 32, seed = "kqscale")))
 
     val cellsJson = ops.map { case (name, mode, build) =>
       val smallEvs = events(smallKeys)
