@@ -224,10 +224,20 @@ object ProductQuant {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("tdot")).as("approx_dot"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+    // the ADC scan scores the FULL corpus per query — the top-k cut is
+    // the bounded-heap bottom-k aggregate, not a query_id rank window
+    // (which would sort a corpus-sized run per query on |queries| tasks).
+    // approx_dot stays far below 2^53 (micros dots, Similarity contract),
+    // so the negated double key recovers the exact long.
     scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select("query_id", "vec_id", "rnk", "approx_dot")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg
+        .bottomK(negate(col("approx_dot").cast("double")), col("vec_id"), topK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(
+        col("query_id"),
+        col("e.id").as("vec_id"),
+        col("e.rnk").as("rnk"),
+        negate(col("e.key")).cast("long").as("approx_dot"))
   }
 }

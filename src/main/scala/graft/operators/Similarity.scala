@@ -120,7 +120,18 @@ object Similarity {
       .filter(col("__grp_sz") <= cap)
       .drop("__grp_sz")
 
-  /** Exact cosine top-k for a query subset (broadcast the small side). */
+  /** Exact cosine top-k for a query subset (broadcast the small side).
+    *
+    * The per-query top-k is a bounded-heap [[graft.functions.BottomKAgg]]
+    * on key (-cosine, vec_id), NOT a rank window: a window partitioned by
+    * query_id would shuffle the full |queries| x n scored frame onto
+    * |queries| partitions and sort a corpus-sized run in each — at 100x
+    * data that is a billions-of-rows sort on a handful of tasks. The
+    * aggregate reduces every input partition to <= k pairs per query
+    * map-side, shuffles O(|queries| * k) pairs, and sorts nothing. The
+    * negation is exact (IEEE sign flip), so ranks and the recovered
+    * cosine are bit-identical to the window form the DuckDB oracle runs.
+    */
   def bruteForceTopK(
       emb: DataFrame,
       idCol: String,
@@ -132,14 +143,17 @@ object Similarity {
       base
         .filter(queryPred)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm")))
-    val scored = base
+    base
       .join(queries, col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "rnk", "cosine")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg.bottomK(negate(col("cosine")), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(
+        col("query_id"),
+        col("e.id").as("vec_id"),
+        col("e.rnk").as("rnk"),
+        negate(col("e.key")).as("cosine"))
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
@@ -174,12 +188,20 @@ object Similarity {
       base
         .filter(queryPred)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm")))
-    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
-    val cand = base
+    // candidate cut via the bounded-heap bottom-k aggregate (the
+    // bruteForceTopK plan shape — map-side partials, no corpus-sized
+    // per-query sort), then one keyed join to re-attach (qv, nrm) to the
+    // |queries| * candK survivors (AQE broadcasts the tiny id side)
+    val candIds = base
       .join(queries, col("vec_id") =!= col("query_id"))
       .withColumn("rel", cosine(dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-      .withColumn("rk", row_number().over(wRel))
-      .filter(col("rk") <= candK)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg.bottomK(negate(col("rel")), col("vec_id"), candK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"), negate(col("e.key")).as("rel"))
+    val wRel = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = candIds
+      .join(base, "vec_id")
       .select(col("query_id"), col("vec_id"), col("rel"), col("qv"), col("nrm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = cand
@@ -340,15 +362,22 @@ object Similarity {
     val signed = base.select(col("vec_id"), sig.as("sig"))
     val qSigs = broadcast(
       signed.filter(queryPred).select(col("vec_id").as("query_id"), col("sig").as("q_sig")))
-    val wH = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("vec_id"))
+    // Hamming shortlist via the bounded-heap bottom-k aggregate
+    // ([[graft.functions.BottomKAgg]] — the Faiss IndexBinaryFlat heap
+    // scan): every scan partition reduces to <= shortlist pairs per query
+    // BEFORE the exchange, so the shuffle carries |queries| * shortlist
+    // pairs and no per-query sort exists. A query_id rank window here
+    // would funnel the FULL corpus-sized scan onto |queries| partitions —
+    // the plan this operator's 32-96x compression pitch forbids.
+    // Hamming <= 62 is exact in the aggregate's double key.
     val short = signed
       .join(qSigs, col("vec_id") =!= col("query_id"))
       .withColumn("hamming", expr("bit_count(sig ^ q_sig)").cast("long"))
-      .withColumn("hrnk", row_number().over(wH))
-      .filter(col("hrnk") <= shortlist)
-      .select(col("query_id"), col("vec_id"), col("hamming"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg
+        .bottomK(col("hamming").cast("double"), col("vec_id"), shortlist).as("sl"))
+      .select(col("query_id"), explode(col("sl")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"), col("e.key").cast("long").as("hamming"))
     val queries = broadcast(
       base
         .filter(queryPred)

@@ -982,12 +982,16 @@ object FeatureQueries {
     */
   def anovaCells(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
+    // the sums aggregate in decimal(38,0), not 64-bit longs: DuckDB's
+    // sum(BIGINT) promotes to exact HUGEINT, and a LongType Σcents² wraps
+    // silently (non-ANSI) once n·cents² crosses 2^63 — casting AFTER the
+    // aggregation (the r11 form) left the aggregation itself 64-bit
     val g = prepared(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_g"),
-        sum(col("cents")).as("s_g"),
-        sum(col("cents") * col("cents")).as("q_g"))
+        sum(col("cents").cast(d38)).as("s_g"),
+        sum(col("cents").cast(d38) * col("cents").cast(d38)).as("q_g"))
     val totals = broadcast(g.agg(
       sum(col("n_g")).cast("long").as("n"),
       sum(col("s_g")).cast(d38).as("s")))
@@ -1111,6 +1115,11 @@ object FeatureQueries {
         col("med.d2").as("d2"),
         col("med.dy").as("dy"),
         col("med.dx").as("dx"))
+      // degenerate corpus (< 2 distinct days => zero pairs): Spark's
+      // global agg over an empty frame emits one all-null row, while the
+      // oracle's `WHERE rn = (n+1)//2` emits zero rows — both must emit
+      // zero (the filter is driver-static: n is already counted)
+      .filter(col("n_pairs") > 0)
   }
 
   /** k9: distributed quantile estimation via the bottom-k payload

@@ -881,14 +881,23 @@ object VectorQueries {
     val probes = broadcast(
       q.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("q8").as("p8"), col("qv").as("p_qv"), col("nrm").as("p_nrm")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    // both top-k cuts over the corpus-sized scored scans run as the
+    // bounded-heap bottom-k aggregate (map-side partials, O(|q|*k)
+    // shuffle, no per-query sort) — the bruteForceTopK plan shape; the
+    // int8 dot (<= 127*127*64 ~ 1e6) is exact in the aggregate's double
+    // key, so the recovered long qdot is bit-identical to the window form
     val quantTop = q
       .join(probes, col("vec_id") =!= col("query_id"))
       .withColumn("qdot", Similarity.dot(col("p8"), col("q8")))
-      .withColumn("rnk", row_number().over(wq).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .select("query_id", "rnk", "vec_id", "qdot")
-    val wx = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg
+        .bottomK(negate(col("qdot").cast("double")), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(
+        col("query_id"),
+        col("e.rnk").as("rnk"),
+        col("e.id").as("vec_id"),
+        negate(col("e.key")).cast("long").as("qdot"))
     val exactTop = base
       .join(
         broadcast(base
@@ -896,9 +905,11 @@ object VectorQueries {
           .select(col("vec_id").as("query_id"), col("qv").as("e_qv"), col("nrm").as("e_nrm"))),
         col("vec_id") =!= col("query_id"))
       .withColumn("cosine", Similarity.cosine(Similarity.dot(col("e_qv"), col("qv")), col("e_nrm"), col("nrm")))
-      .withColumn("xrnk", row_number().over(wx))
-      .filter(col("xrnk") <= TopK)
-      .select(col("query_id"), col("vec_id"), lit(1L).as("in_exact"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKAgg
+        .bottomK(negate(col("cosine")), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"), lit(1L).as("in_exact"))
     quantTop
       .join(exactTop, Seq("query_id", "vec_id"), "left")
       .withColumn("in_exact", coalesce(col("in_exact"), lit(0L)))

@@ -579,4 +579,63 @@ class PlanPostureSpec extends AnyFunSuite {
       cartesians.isEmpty,
       s"CartesianProduct planned (broadcast the small side): ${cartesians.mkString(", ")}")
   }
+
+  /** The unpartitioned-window ban's sibling — the scale-killer r11 found:
+    * a rank window partitioned ONLY by query_id funnels its whole input
+    * onto |queries| partitions (32 at the gates) and sorts each run; over
+    * a corpus-sized scored frame that is a billions-of-rows sort on a
+    * handful of tasks at 100x. The fix is the bounded-heap bottom-k
+    * aggregate ([[graft.functions.BottomKAgg]] — map-side partials,
+    * O(|queries| * k) shuffle, no sort), now used by every corpus-sized
+    * top-k cut (v1/v8/v9/v10/v19 and the exact monitor sides). The
+    * whitelist names the only gates allowed to keep a query_id-only
+    * window, each justified by an input frame already bounded per query
+    * (cell-capped, bucket-capped, beam-bounded, or shortlist-sized —
+    * never corpus-sized); the test fails BOTH ways, like the sweep above.
+    */
+  test("sweep: no gated query rank-windows a corpus-sized frame by query_id alone") {
+    // gate -> why its query_id-partitioned window input is bounded per query
+    val whitelist: Map[String, String] = Map(
+      "v2_ann_signlsh" -> "in-bucket pairs: <= maxBucket rows per query (capBySize before the join)",
+      "v3_ann_ivf" -> "in-cell pairs: <= maxCell rows per query (capBySize before the probe join)",
+      "v4_ann_ivf_multiprobe" -> "nProbe * maxCell rows per query, cells capped",
+      "v5_ivf_index_probe" -> "probe join against the capped bucketed index: <= maxCell rows/query",
+      "v14_ivf_incremental" -> "same capped index probe as v5 over base+delta",
+      "v21_ann_tombstones" -> "same capped index probe as v5 minus tombstones",
+      "v16_filtered_ann" -> "cell-capped probe join with the meta equi-key: <= maxCell rows/query",
+      "v12_ivfpq_topk" -> "ADC scan restricted to nProbe capped cells: <= nProbe * maxCell rows/query",
+      "v17_graph_ann" -> "beam windows over rounds * beam * degree scored rows per query",
+      "v18_graph_index_probe" -> "beam search over the persisted bounded-degree graph (beam * degree rows)",
+      "v19_binary_rerank" -> "exact rerank window over the shortlist join: <= shortlist rows per query",
+      "v20_bq_recall" -> "same shortlist-sized rerank window as v19 (top-1)",
+      "v7_knn_classify" -> "vote argmax over <= |labels| rows per query",
+      "v9_mmr_diverse" -> "greedy rounds over the persisted <= candK-row candidate frame per query",
+      "v6_ann_recall" -> "approx side embeds v3's cell-capped probe window; exact side is bottom-k",
+      "v13_ivfpq_recall" -> "approx side embeds v12's nProbe*maxCell ADC window; exact side is bottom-k")
+    val unknown = whitelist.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"whitelist names that are not gates: ${unknown.mkString(", ")}")
+    def isQueryIdOnly(w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean =
+      w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(_.name == "query_id"))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val cleanWhitelisted = scala.collection.mutable.ListBuffer.empty[String]
+    CacheScope.scoped(spark) {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val qe = fn(spark, sf).queryExecution
+        val qidWindows = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window if isQueryIdOnly(w) => w
+        }
+        if (qidWindows.nonEmpty && !whitelist.contains(name)) offenders += name
+        if (qidWindows.isEmpty && whitelist.contains(name)) cleanWhitelisted += name
+      }
+    }
+    assert(
+      offenders.isEmpty,
+      s"query_id-only windows outside the whitelist (use BottomKAgg.bottomK for corpus-sized " +
+        s"top-k cuts, or justify a bounded input): ${offenders.mkString(", ")}")
+    assert(
+      cleanWhitelisted.isEmpty,
+      s"stale whitelist entries (gate no longer plans a query_id-only window): " +
+        cleanWhitelisted.mkString(", "))
+  }
 }

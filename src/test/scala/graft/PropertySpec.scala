@@ -94,6 +94,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k buffer: any partitioning and merge order yields the k smallest pairs, ranked") {
+    import graft.functions.{BottomKAgg, BottomKBuffer}
+    val agg = BottomKAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(0.0)),
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(0L)), 16)
+    (1 to 25).foreach { seed =>
+      val rnd = new Random(seed)
+      // duplicated keys with distinct ids (the ANN tie case), negative keys
+      // (descending ranks arrive negated), and -0.0/0.0 collisions
+      val pairs = List.fill(400)(
+        (if (rnd.nextInt(20) == 0) -0.0 else (rnd.nextInt(30) - 15).toDouble / 4.0,
+          rnd.nextInt(60).toLong))
+      val chunks = rnd.shuffle(pairs).grouped(1 + rnd.nextInt(50)).toList
+      val partials = chunks.map { c =>
+        val b = new BottomKBuffer(16)
+        c.foreach { case (k, id) => b.add(k, id) }
+        agg.deserialize(agg.serialize(b)) // serde round-trip = shuffle path
+      }
+      val merged = rnd.shuffle(partials).reduce { (a, b) => agg.merge(a, b); a }
+      val got = {
+        val out = scala.collection.mutable.ListBuffer.empty[(Double, Long)]
+        merged.pairs.forEach(p => out += p)
+        out.toList
+      }
+      // scala Ordering[Double] and Double.compare agree except on the
+      // -0.0/0.0 pair order among EQUAL ids — compare via java semantics
+      val truthJava = pairs.distinct
+        .sortWith((a, b) =>
+          if (a._1 != b._1 || java.lang.Double.compare(a._1, b._1) != 0)
+            java.lang.Double.compare(a._1, b._1) < 0
+          else a._2 < b._2)
+        .take(16)
+      assert(got == truthJava, s"seed $seed: bottom-k pair set diverged")
+      // eval emits 1-based ranks in buffer order
+      val arr = agg.eval(merged).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      assert(arr.numElements() == got.size, s"seed $seed: eval size")
+      (0 until arr.numElements()).foreach { i =>
+        val row = arr.get(i, agg.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        assert(row.getLong(0) == i + 1, s"seed $seed: rank at $i")
+        assert(row.getDouble(1) == got(i)._1 && row.getLong(2) == got(i)._2,
+          s"seed $seed: pair at $i")
+      }
+    }
+  }
+
   test("store last-write-wins equals max-by-event-time over any put log") {
     (1 to 30).foreach { seed =>
       val rnd = new Random(seed)

@@ -171,6 +171,24 @@ class StatsSpec extends AnyFunSuite {
       r(0).getAs[Long]("end_id") == 3L && r(0).getAs[Long]("span_us") == 2 * H)
   }
 
+  test("a34 Theil-Sen: a degenerate corpus (< 2 distinct days) emits ZERO rows, like the oracle") {
+    // one day's worth of events: the pairwise-slope frame is empty, and
+    // Spark's global agg over an empty frame would emit one all-null row
+    // where DuckDB's `WHERE rn = (n+1)//2` emits none — the gate guards it
+    val D = 86400000000L
+    val oneDay = Seq(
+      (1L, 1000L, 1L, "view", 2.0),
+      (2L, 2000L, 2L, "click", 3.0),
+      (3L, 3000L, 1L, "purchase", 4.0))
+    assert(queries.FeatureQueries.queries("a34_theil_sen")(spark, eventsDir(oneDay)).count() == 0,
+      "empty pair frame must yield zero rows, not one null row")
+    // two days: exactly one median row, slope = (day2 sum - day1 sum)/1
+    val twoDays = oneDay ++ Seq((4L, D + 1000L, 1L, "view", 9.0))
+    val r = queries.FeatureQueries.queries("a34_theil_sen")(spark, eventsDir(twoDays)).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_pairs") == 1L)
+    assert(r(0).getAs[Double]("med_slope") == (900.0 - 900.0))
+  }
+
   test("Poisson bootstrap weights: thresholds reproduce Poisson(1) pmf mass on the 32-bit scale") {
     // P(0)=e^-1: threshold/2^32 must sit within 1e-6 of e^-1, and the
     // four cumulative thresholds must be increasing and < 2^32
