@@ -166,18 +166,27 @@ object VectorIndex {
   }
 
   /** Fold the tombstones into the layout: rewrite the bucketed
-    * assignment WITHOUT the dead rows (same bucket spec — downstream
-    * probes stay exchange-free), then drop the tombstone table. The
-    * compaction a deployment schedules when the delete fraction makes
-    * the per-probe anti-join broadcast non-trivial; between runs,
+    * assignment WITHOUT the dead rows under the bucket spec READ FROM
+    * THE TABLE'S OWN CATALOG METADATA (a caller-supplied count could
+    * silently re-bucket an index built with a different one, breaking
+    * the exchange-free probe layout), then drop the tombstone table.
+    * The rewrite is [[graft.sources.Bucketed.replaceBucketed]]'s
+    * write-to-temp + rename swap — the live rows are fully durable in
+    * the replacement table before the original moves, so an executor or
+    * driver loss mid-vacuum can never destroy the index (the r11 shape
+    * — delete-then-rewrite from an unreplicated localCheckpoint — could).
+    * The compaction a deployment schedules when the delete fraction
+    * makes the per-probe anti-join broadcast non-trivial; between runs,
     * correctness never depends on it.
     */
-  def vacuumDeletes(spark: SparkSession, table: String, buckets: Int = 32): Unit = {
+  def vacuumDeletes(spark: SparkSession, table: String): Unit = {
+    val buckets = Bucketed.bucketCount(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table carries no bucket spec in the catalog: not a bucketed index"))
     val live = spark
       .table(table)
       .join(broadcast(tombstones(spark, table)), Seq("vec_id"), "left_anti")
-      .localCheckpoint() // materialize BEFORE the overwrite drops its source
-    Bucketed.write(live, table, "cell", buckets)
+    Bucketed.replaceBucketed(live, table, "cell", buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
     ()
   }

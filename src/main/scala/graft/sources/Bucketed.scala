@@ -125,6 +125,39 @@ object Bucketed {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** The table's bucket count from CATALOG metadata (None when the table
+    * is unbucketed) — what an index-maintenance rewrite must use instead
+    * of a caller-supplied count: re-bucketing an index built with a
+    * different count would silently break the exchange-free probe layout
+    * every consumer relies on.
+    */
+  def bucketCount(spark: SparkSession, table: String): Option[Int] =
+    spark
+      .sql(s"DESCRIBE FORMATTED `$table`")
+      .collect()
+      .find(_.getString(0).trim == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+
+  /** Rewrite a bucketed table FROM A DERIVATION OF ITSELF, crash-safely:
+    * `df` (which may read `table`) is fully written to `<table>__compact`
+    * BEFORE the original moves — never the r11 shape (delete the source
+    * files, then re-write from a localCheckpoint whose unreplicated
+    * blocks die with an executor). The swap is [[compact]]'s rename
+    * dance: the original survives under `<table>__old` until the rewrite
+    * holds the primary name, so a crash at ANY point leaves every row
+    * reachable under a well-known name; the original drops only last.
+    */
+  def replaceBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = table + "__compact"
+    val old = table + "__old"
+    dropWithLocation(spark, old)
+    write(df, tmp, key, buckets)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    dropWithLocation(spark, old)
+  }
+
   /** Compact a fragmented plain table to ~`targetFileBytes`-sized data
     * files — the small-files maintenance pass every micro-batch sink
     * eventually needs (a streaming foreachBatch upsert leaves one file

@@ -55,6 +55,7 @@ object Snapshots {
   private val TsHeader = "#ts="
   private val RowsHeader = "#rows="
   private val CopiedHeader = "#copied="
+  private val RenameSeqHeader = "#renameseq="
   private val HwmName = "_batch.hwm"
 
   /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
@@ -209,10 +210,24 @@ object Snapshots {
     * Without it, a long un-vacuumed history paid O(versions) small-file
     * reads per micro-batch — O(V^2) over a stream's lifetime.
     */
-  private def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
+  private def lastBatchId(spark: SparkSession, dir: String): Option[Long] =
+    lastBatchIdUpTo(spark, dir, latestVersion(spark, dir))
+
+  /** [[lastBatchId]] bounded to versions <= `upTo` — the form [[commit]]'s
+    * exactly-once check uses so the check and the version claim are
+    * LINEARIZED: the caller lists latest ONCE, checks batch ids within
+    * exactly that prefix, and then claims version latest+1 exclusively.
+    * Winning the claim proves no commit interleaved between the listing
+    * and the publish (it would have taken latest+1 and made us lose), so
+    * two zombie attempts of the SAME batch can never both land — the CAS
+    * the r11 docstring said the filesystem lacked was the version claim
+    * all along; the old code just re-listed latest AFTER the batch check,
+    * leaving a check-then-act gap.
+    */
+  private def lastBatchIdUpTo(spark: SparkSession, dir: String, upTo: Int): Option[Long] = {
     val hwm = readHwm(spark, dir)
     val floor = hwm.map(_._2).getOrElse(0)
-    val latest = latestVersion(spark, dir)
+    val latest = upTo
     val scanned = (latest to math.max(1, floor + 1) by -1).iterator
       .map { v =>
         val mf = new Path(manifestDir(dir), s"v$v.list")
@@ -281,14 +296,15 @@ object Snapshots {
     * but before the checkpoint commit replays a batch id ≤ the recorded
     * one and is SKIPPED. The skip check is re-evaluated after every lost
     * publish race, so a retry that loses the rename to its twin attempt
-    * sees the twin's batch header and skips. The residual assumption —
-    * shared with every file-system-only idempotent sink — is that two
-    * attempts of the SAME batch do not interleave within one
-    * check-then-rename window (Structured Streaming serializes a
-    * query's micro-batch retries; only a zombie driver racing its
-    * replacement violates this, and closing that needs a CAS the
-    * filesystem does not offer). Returns whether the batch was committed
-    * (false = already present).
+    * sees the twin's batch header and skips. Two attempts of the SAME
+    * batch interleaving arbitrarily (a zombie driver racing its
+    * replacement) cannot both land: each iteration lists latest ONCE,
+    * checks batch ids within that prefix, and claims EXACTLY latest+1
+    * exclusively — winning the claim proves no commit interleaved
+    * between check and publish, so the exclusive version claim is the
+    * CAS (the Delta txn-log discipline; SnapshotsSpec races real
+    * threads on one batch id to pin it). Returns whether the batch was
+    * committed (false = already present).
     */
   def commitAppendExactlyOnce(
       df: DataFrame,
@@ -430,13 +446,19 @@ object Snapshots {
       else listedEntries(spark, stage)
     var out: Option[Option[Int]] = None
     while (out.isEmpty) {
-      if (batchId.exists(b => lastBatchId(spark, dir).exists(_ >= b))) {
+      // ONE listing per iteration: the batch-id check runs over exactly
+      // the versions <= latest, and the publish claims exactly latest+1 —
+      // winning the exclusive claim proves nothing interleaved between
+      // check and commit (see lastBatchIdUpTo), closing the zombie-writer
+      // window where two attempts of the same batch id both landed
+      val latest = latestVersion(spark, dir)
+      if (batchId.exists(b => lastBatchIdUpTo(spark, dir, latest).exists(_ >= b))) {
         // a twin attempt of this batch won the race while we staged:
         // drop our orphan stage eagerly (it would only be vacuum fodder)
         fs(spark, stage).delete(stage, true)
         out = Some(None)
       } else {
-        val v = latestVersion(spark, dir) + 1
+        val v = latest + 1
         val carried =
           if (carryForward && v > 1) {
             val (prevCols, prev) = manifest(spark, dir, v - 1)
@@ -566,9 +588,43 @@ object Snapshots {
     * the retention/vacuum pass's job — same split as every
     * manifest-based format). Publishes and returns the new version.
     */
+  /** Renames whose mapping is still ACTIVE on `entries` — some live file
+    * was physically written under the old column name. The copy-on-write
+    * commits ([[commitDelete]], [[commitMerge]]) refuse while one is
+    * active: their raw parquet reads would pick one generation's footer
+    * and silently NULL the other's renamed column (data loss), and their
+    * staged rewrites escape the rename's fileKeys scope, resurrecting the
+    * old physical name for post-rename readers. [[commitOptimize]] is the
+    * fold: it reads THROUGH the rename mapping and rewrites every file
+    * under the new name, after which no mapping is active and the
+    * rewrite commits are legal again.
+    */
+  private def activeRenames(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry]): Seq[ColumnRename] =
+    renameLog(spark, dir).filter(r =>
+      r.version <= version && entries.exists(e => r.fileKeys.contains(fileKey(e.path))))
+
+  private def requireNoActiveRename(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry],
+      op: String): Unit = {
+    val active = activeRenames(spark, dir, version, entries)
+    require(active.isEmpty,
+      s"$op on $dir refused: column renames ${active.map(r => s"'${r.from}'->'${r.to}'").mkString(", ")} " +
+        "are still active on live files (a raw rewrite would silently NULL the renamed column " +
+        "across mixed physical schemas) — run commitOptimize first to fold the rename into a " +
+        "uniform physical schema")
+  }
+
   def commitDelete(spark: SparkSession, dir: String, column: String, lo: Long, hi: Long): Int = {
     val prev = latestVersion(spark, dir)
     val (statsCols, entries) = manifest(spark, dir, prev)
+    requireNoActiveRename(spark, dir, prev, entries, "DELETE")
     val ci = statsCols.indexOf(column)
     require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val (touched, untouched) =
@@ -621,6 +677,7 @@ object Snapshots {
     val prev = latestVersion(spark, dir)
     require(prev >= 1, s"cannot merge into an empty table at $dir")
     val (statsCols, entries) = manifest(spark, dir, prev)
+    requireNoActiveRename(spark, dir, prev, entries, "MERGE")
     val dupKeys = changes
       .groupBy(col(keyCol))
       .count()
@@ -718,13 +775,31 @@ object Snapshots {
     val f = fs(spark, new Path(entries.head.path))
     val totalBytes = entries.map(e => f.getFileStatus(new Path(e.path)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val all = spark.read.parquet(entries.map(_.path): _*)
+    // OPTIMIZE is the rename FOLD: when a column-rename mapping is still
+    // active on live files, the rewrite reads THROUGH the mapping (every
+    // group under its logical name — a raw multi-footer read would
+    // silently NULL the renamed column across mixed physical schemas) and
+    // stages every row under the NEW name. The staged files sit outside
+    // every rename's fileKeys scope, so after the fold no mapping applies
+    // and the table's physical schema is uniform again — the escape hatch
+    // commitDelete/commitMerge name in their refusal. Zone-map columns
+    // follow the mapping (the manifest's stats header addresses the
+    // file's physical names, which post-fold are the logical ones).
+    val renamed = activeRenames(spark, dir, prev, entries)
+    val foldedStats =
+      if (renamed.isEmpty) statsCols
+      else statsCols.map(c =>
+        renameLog(spark, dir).filter(_.version <= prev).foldLeft(c)((n, r) =>
+          if (r.from == n) r.to else n))
+    val all =
+      if (renamed.isEmpty) spark.read.parquet(entries.map(_.path): _*)
+      else readVersionRenamed(spark, dir, prev)
     // zOrder = true re-clusters on the Morton interleave of the first two
     // stats columns (low 16 bits each — the x10/z1 convention) so the
     // rewritten zone maps prune on EITHER dimension; the default
     // range-clusters on the leading column alone (tightest single-dim
     // pruning). Both are bit-identical rewrites — only the LAYOUT differs.
-    val packed = statsCols match {
+    val packed = foldedStats match {
       case Seq(c1, c2, _*) if zOrder =>
         val zk = graft.operators.ZOrder.interleaveCol(
           col(c1).bitwiseAND(lit(65535L)),
@@ -736,10 +811,10 @@ object Snapshots {
     val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
     packed.write.mode("error").parquet(stage.toString)
     val staged =
-      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+      if (foldedStats.nonEmpty) zoneEntries(spark, stage, foldedStats)
       else listedEntries(spark, stage)
     val v = prev + 1
-    publishOrAbort(spark, dir, v, statsCols, staged, "optimize")
+    publishOrAbort(spark, dir, v, foldedStats, staged, "optimize")
     v
   }
 
@@ -985,6 +1060,20 @@ object Snapshots {
         } finally pool.shutdown()
       }
     }
+    // PROVABLY dead rename entries (their claimed version's manifest
+    // exists and belongs to another commit) are reclaimed BEFORE the
+    // manifests proving them dead can be deleted below — after which a
+    // surviving entry with a missing manifest is always a validated one
+    // (the renameEntryLive contract). Entries whose version is still
+    // unpublished are left alone: an in-flight rename may be about to
+    // publish them (it rolls its own entry back on a lost race).
+    rawRenameEntries(spark, dir).foreach { r =>
+      val mf = new Path(manifestDir(dir), s"v${r.version}.list")
+      val provablyDead = r.version <= latest && f.exists(mf) &&
+        !(commitOp(spark, dir, r.version).contains("rename") &&
+          renameSeqOf(spark, dir, r.version).contains(r.seq))
+      if (provablyDead) f.delete(new Path(schemaDir(dir), s"rename-${r.seq}.list"), false)
+    }
     (1 until keepFrom).filterNot(pinned).foreach(v =>
       f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
     // change-feed hygiene: an expired version's change record is no longer
@@ -1032,12 +1121,15 @@ object Snapshots {
     * version whose readers first see the new name).
     *
     * Contract notes: zone-map declarations keep the PHYSICAL name (the
-    * manifest's stats header is untouched — range reads address the
-    * declared name); the read-modify-write commits (delete/merge/
-    * OPTIMIZE) read physical schemas, so on a table whose live files
-    * straddle a rename, run them via the renamed read's materialization
-    * or OPTIMIZE before renaming — the same "unify physical schemas
-    * first" caveat Delta documents for tables without field-id mapping.
+    * manifest's stats header addresses what is in the files — range
+    * reads use the declared name); the copy-on-write commits
+    * (delete/merge) REFUSE while a rename mapping is active on live
+    * files (enforced — a raw multi-footer read would silently NULL the
+    * renamed column), and [[commitOptimize]] is the FOLD: it reads
+    * through the mapping and rewrites every file under the new physical
+    * name, after which the rewrite commits are legal again — the same
+    * "unify physical schemas first" contract Delta documents for tables
+    * without field-id mapping, made loud instead of latent.
     */
   def commitRename(spark: SparkSession, dir: String, from: String, to: String): Int = {
     require(from != to, s"rename of '$from' onto itself")
@@ -1047,36 +1139,80 @@ object Snapshots {
     val cur = readVersionRenamed(spark, dir, v0).schema.fieldNames.toSet
     require(cur.contains(from), s"column '$from' does not exist in snapshot v$v0 of $dir (have: $cur)")
     require(!cur.contains(to), s"column '$to' already exists in snapshot v$v0 of $dir")
-    // the rename IS a table version (op=rename, identical file list):
-    // readers of versions BELOW it keep the old name forever (schema
-    // time travel), and the table history shows the schema change. A
-    // lost publish race aborts (the snapshot we validated against is no
-    // longer latest) — rerun against the new latest.
+    // ATOMICITY (the r11 two-step hazard): the mapping entry is claimed
+    // FIRST, but it is INERT until the op=rename manifest that names its
+    // seq publishes — renameLog only applies an entry whose version's
+    // manifest is op=rename with a matching #renameseq header, so the
+    // version and the mapping become visible in ONE atomic step (the
+    // manifest claim). A crash between the two steps leaves a dead entry
+    // no reader ever applies (an append landing at the same version makes
+    // it provably dead; vacuum reclaims dead entries before it deletes
+    // the manifests that prove them dead). A lost manifest publish rolls
+    // the claimed entry back and aborts — rerun against the new latest.
     val (statsCols0, entries0) = manifest(spark, dir, v0)
     val v = v0 + 1
-    publishOrAbort(spark, dir, v, statsCols0, entries0, "rename")
     val files = entries0.map(e => fileKey(e.path))
     val sd = schemaDir(dir)
     val f = fs(spark, sd)
     f.mkdirs(sd)
-    var seq = renameLog(spark, dir).map(_.seq).foldLeft(0)(math.max) + 1
-    var done = false
-    while (!done) {
+    var seq = rawRenameEntries(spark, dir).map(_.seq).foldLeft(0)(math.max) + 1
+    var claimed = false
+    while (!claimed) {
       val payload = s"#version=$v\n#from=$from\n#to=$to\n" + files.mkString("", "\n", "\n")
       val tmp = new Path(sd, s"rename-$seq.list.tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
       try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      val won = claimExclusive(f, tmp, new Path(sd, s"rename-$seq.list"))
+      claimed = claimExclusive(f, tmp, new Path(sd, s"rename-$seq.list"))
       f.delete(tmp, false)
-      if (won) done = true
-      else seq += 1 // lost a race to a concurrent rename: take the next slot
+      if (!claimed) seq += 1 // lost a race to a concurrent rename: take the next slot
+    }
+    // the rename IS a table version (op=rename, identical file list):
+    // readers of versions BELOW it keep the old name forever (schema
+    // time travel), and the table history shows the schema change
+    if (!tryPublish(spark, dir, v, statsCols0, entries0, None, "rename",
+        s"$RenameSeqHeader$seq\n")) {
+      f.delete(new Path(sd, s"rename-$seq.list"), false) // roll back the inert entry
+      throw new IllegalArgumentException(
+        s"commit of v$v lost the publish race to a concurrent writer; " +
+          "re-run the operation against the new latest snapshot")
     }
     v
   }
 
-  /** The recorded renames in application order (CRC-checked). */
-  def renameLog(spark: SparkSession, dir: String): Seq[ColumnRename] = {
+  /** The `#renameseq=` header of `version`'s manifest, None when absent. */
+  private def renameSeqOf(spark: SparkSession, dir: String, version: Int): Option[Int] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(RenameSeqHeader))
+      .map(_.drop(RenameSeqHeader.length).toInt)
+
+  /** Whether a recorded rename entry is LIVE — its version's manifest is
+    * an op=rename commit naming exactly this entry's seq. An entry whose
+    * version is not yet published is pending (a crashed rename's claim or
+    * an in-flight one) and must not apply; an entry whose version's
+    * manifest exists with a different op/seq is provably DEAD (the
+    * claimed version went to another commit). A validated entry whose
+    * manifest was later vacuumed stays live: [[vacuum]] deletes the dead
+    * entries FIRST, while the manifests proving them dead still exist, so
+    * a surviving entry with a missing manifest was necessarily validated.
+    */
+  private def renameEntryLive(spark: SparkSession, dir: String, r: ColumnRename): Boolean = {
+    if (r.version > latestVersion(spark, dir)) return false
+    val mf = new Path(manifestDir(dir), s"v${r.version}.list")
+    if (!fs(spark, mf).exists(mf)) return true // vacuumed after validation
+    commitOp(spark, dir, r.version).contains("rename") &&
+    renameSeqOf(spark, dir, r.version).contains(r.seq)
+  }
+
+  /** The LIVE recorded renames in application order: raw entries filtered
+    * through [[renameEntryLive]] — a claimed-but-never-published (or
+    * published-to-another-commit) entry never reaches a reader.
+    */
+  def renameLog(spark: SparkSession, dir: String): Seq[ColumnRename] =
+    rawRenameEntries(spark, dir).filter(renameEntryLive(spark, dir, _))
+
+  /** Every parseable rename entry, live or not (CRC-checked). */
+  private def rawRenameEntries(spark: SparkSession, dir: String): Seq[ColumnRename] = {
     val sd = schemaDir(dir)
     val f = fs(spark, sd)
     if (!f.exists(sd)) Nil

@@ -822,4 +822,109 @@ class SnapshotsSpec extends AnyFunSuite {
     // and the pre-rename version still reads as born
     assert(Snapshots.readVersionRenamed(spark, dir, 1).columns.toSeq == Seq("id", "a"))
   }
+
+  test("zombie writers: two interleaved attempts of ONE batch id land exactly once") {
+    import spark.implicits._
+    // the check-then-act window the r11 code documented: attempt A
+    // publishes between B's batch check and B's version claim. The fix
+    // linearizes both against one listing (claim latest+1 exclusively),
+    // so across repeated real-thread races exactly one attempt ever lands
+    (1 to 6).foreach { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"snap_zombie$i").toString
+      assert(Snapshots.commitAppendExactlyOnce(Seq((0L, 0L)).toDF("k", "v"), dir, 0L))
+      val rows = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val attempts = (1 to 2).map(_ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean = {
+              barrier.await()
+              Snapshots.commitAppendExactlyOnce(rows, dir, 1L)
+            }
+          }))
+        val landed = attempts.map(_.get()).count(identity)
+        assert(landed == 1, s"race $i: $landed attempts of batch 1 landed (must be exactly 1)")
+      } finally pool.shutdown()
+      assert(Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet
+        == Set((0L, 0L), (1L, 10L), (2L, 20L)),
+        s"race $i: duplicated or lost batch rows")
+    }
+  }
+
+  test("a claimed-but-never-published rename entry is inert; vacuum reclaims it once dead") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rename_crash").toString
+    Snapshots.commitOverwrite(Seq((1L, 10L)).toDF("id", "amount"), dir)
+    // simulate a rename that crashed between claiming its schema entry
+    // and publishing its manifest: hand-write the entry exactly as
+    // commitRename stages it, naming the UNPUBLISHED version 2
+    val fileKeys = Snapshots.manifest(spark, dir, 1)._2
+      .map(e => new org.apache.hadoop.fs.Path(e.path).toUri.getPath)
+    val payload = s"#version=2\n#from=amount\n#to=cents\n" + fileKeys.mkString("", "\n", "\n")
+    val crc = { val c = new java.util.zip.CRC32; c.update(payload.getBytes("UTF-8")); c.getValue }
+    val sd = new java.io.File(dir, "_schema"); sd.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sd.toString, "rename-1.list"), s"#crc=$crc\n$payload")
+    // pending (v2 unpublished): no reader applies it
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSeq == Seq("id", "amount"),
+      "an unpublished rename must not rename anything")
+    // an append lands at v2 — the entry is now PROVABLY dead and stays inert
+    Snapshots.commitAppend(Seq((2L, 20L)).toDF("id", "amount"), dir)
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSeq == Seq("id", "amount"),
+      "a version claimed by another commit must never activate a stale rename")
+    // vacuum purges the dead entry while the manifest proving it dead exists
+    Snapshots.vacuum(spark, dir, keepFrom = 1)
+    assert(!new java.io.File(sd, "rename-1.list").exists(),
+      "vacuum must reclaim provably dead rename entries")
+    // and a REAL rename still works afterwards
+    Snapshots.commitRename(spark, dir, "amount", "cents")
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSeq == Seq("id", "cents"))
+  }
+
+  test("rewrite commits refuse while a rename is active; OPTIMIZE folds it and unblocks them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rename_rewrite").toString
+    Snapshots.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("amount")),
+      dir, statsCols = Seq("id"))
+    Snapshots.commitRename(spark, dir, "amount", "cents")
+    // delete/merge would read mixed physical schemas (or stage files that
+    // escape the rename's fileKeys scope) — both refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commitDelete(spark, dir, "id", 10L, 20L))
+    assert(e1.getMessage.contains("commitOptimize"), s"refusal should name the fold: $e1")
+    intercept[IllegalArgumentException](
+      Snapshots.commitMerge(spark, dir, Seq((1L, 111L)).toDF("id", "cents"), "id"))
+    // OPTIMIZE reads THROUGH the mapping and rewrites under the new name
+    val v = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    val (statsCols, entries) = Snapshots.manifest(spark, dir, v)
+    assert(statsCols == Seq("id"))
+    // post-fold the PHYSICAL schema is uniform: a raw read shows `cents`
+    assert(spark.read.parquet(entries.map(_.path): _*).columns.toSet == Set("id", "cents"))
+    assert(Snapshots.readLatestRenamed(spark, dir)
+      .select(sum(col("cents"))).as[Long].head() == (0 until 100).map(_ * 10L).sum)
+    // and the rewrite commits are legal again
+    Snapshots.commitDelete(spark, dir, "id", 10L, 19L)
+    assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
+    Snapshots.commitMerge(spark, dir, Seq((1L, 111L)).toDF("id", "cents"), "id")
+    assert(Snapshots.readLatestRenamed(spark, dir)
+      .filter(col("id") === 1L).select(col("cents")).as[Long].head() == 111L)
+  }
+
+  test("OPTIMIZE folding a renamed STATS column carries the zone maps under the new name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_rename_stats").toString
+    Snapshots.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("amount")),
+      dir, statsCols = Seq("amount"))
+    Snapshots.commitRename(spark, dir, "amount", "cents")
+    val v = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    assert(Snapshots.manifest(spark, dir, v)._1 == Seq("cents"),
+      "the stats header must follow the fold (post-fold physical name = logical name)")
+    assert(Snapshots.readVersionRange(spark, dir, v, "cents", 100L, 200L).count() == 11L)
+    // and a zone-mapped delete on the folded column works
+    Snapshots.commitDelete(spark, dir, "cents", 0L, 90L)
+    assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
+  }
 }

@@ -170,4 +170,31 @@ class VectorIndexSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(after == before, "vacuumed index must probe identically to the tombstoned one")
   }
+
+  test("vacuumDeletes keeps the index's OWN bucket spec and never drops rows mid-rewrite") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    // build with a NON-default bucket count: the old buckets=32 default
+    // parameter would silently re-bucket this on vacuum, breaking the
+    // exchange-free probe layout — the count must come from the catalog
+    VectorIndex.build(emb, "vec_id", "embedding", "ivf_tomb_b8", 16, 65536, 2, buckets = 8)
+    assert(graft.sources.Bucketed.bucketCount(spark, "ivf_tomb_b8").contains(8))
+    val liveBefore = spark.table("ivf_tomb_b8").count()
+    val dead = emb.filter(pmod(col("vec_id"), lit(7)) === 1L)
+    VectorIndex.delete(spark, "ivf_tomb_b8", dead, "vec_id")
+    val deadInIndex = spark.table("ivf_tomb_b8")
+      .join(dead.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    VectorIndex.vacuumDeletes(spark, "ivf_tomb_b8")
+    assert(graft.sources.Bucketed.bucketCount(spark, "ivf_tomb_b8").contains(8),
+      "vacuum must rewrite under the table's own bucket spec, not a default")
+    assert(spark.table("ivf_tomb_b8").count() == liveBefore - deadInIndex,
+      "the swap-rewrite must carry every live row")
+    // the swap left no debris tables behind
+    assert(!spark.catalog.tableExists("ivf_tomb_b8__compact"))
+    assert(!spark.catalog.tableExists("ivf_tomb_b8__old"))
+    // an unbucketed table refuses (it is not an index)
+    graft.sources.Bucketed.writePlain(
+      emb.limit(10).select(col("vec_id")), "ivf_tomb_plain")
+    intercept[IllegalArgumentException](VectorIndex.vacuumDeletes(spark, "ivf_tomb_plain"))
+  }
 }
