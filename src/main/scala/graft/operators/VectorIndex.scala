@@ -107,8 +107,27 @@ object VectorIndex {
       fromVersion: Int): Int = {
     val to = graft.sources.Snapshots.latestVersion(spark, tableDir)
     if (to > fromVersion) {
-      val added = graft.sources.Snapshots.readChangesSince(spark, tableDir, fromVersion, to)
-      if (!added.isEmpty) append(spark, table, added, idCol, embCol)
+      // a real readStream tail of the table (Trigger.AvailableNow drains
+      // every version past the cursor, then stops): the hand-rolled diff
+      // loop this method used to carry is now the streaming source's
+      // getBatch — one machinery for ad-hoc sync and standing pipelines.
+      // The caller's version cursor plays the checkpoint's role across
+      // calls, so each invocation runs with a fresh transient checkpoint.
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_sync").toString
+      val q = spark.readStream
+        .format("graft.streaming.SnapshotsStreamSource")
+        .option("path", tableDir)
+        .option("startingVersion", fromVersion.toString)
+        .option("endingVersion", to.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) append(spark, table, batch, idCol, embCol)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
     }
     to
   }

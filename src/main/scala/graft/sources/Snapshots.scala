@@ -1407,7 +1407,28 @@ object Snapshots {
       toVersion: Int): DataFrame = {
     require(fromVersion >= 1 && toVersion >= fromVersion,
       s"need 1 <= fromVersion <= toVersion, got [$fromVersion, $toVersion]")
-    var prevKeys = manifest(spark, dir, fromVersion)._2.map(e => fileKey(e.path)).toSet
+    val added = addedFilesBetween(spark, dir, fromVersion, toVersion)
+    if (added.isEmpty) readVersion(spark, dir, toVersion).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
+  /** The data files ADDED between `fromVersion` (exclusive; 0 = before
+    * the table existed, so v1's files count as added) and `toVersion`
+    * (inclusive) — the manifest-diff core shared by [[readChangesSince]]
+    * and the streaming source ([[graft.streaming.SnapshotsStreamSource]]).
+    * Refuses a range containing any non-append version (files removed or
+    * rewritten), with the incremental-read contract's message.
+    */
+  def addedFilesBetween(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int): Seq[String] = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"need 0 <= fromVersion <= toVersion, got [$fromVersion, $toVersion]")
+    var prevKeys =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(spark, dir, fromVersion)._2.map(e => fileKey(e.path)).toSet
     val added = scala.collection.mutable.ListBuffer.empty[String]
     ((fromVersion + 1) to toVersion).foreach { v =>
       val cur = manifest(spark, dir, v)._2.map(_.path)
@@ -1419,8 +1440,7 @@ object Snapshots {
       added ++= cur.filter(p => !prevKeys.contains(fileKey(p)))
       prevKeys = curKeys
     }
-    if (added.isEmpty) readVersion(spark, dir, toVersion).limit(0)
-    else spark.read.parquet(added.toSeq: _*)
+    added.toSeq
   }
 
   /** Read `version` with SCHEMA MERGING across its file generations — the

@@ -174,4 +174,84 @@ class SnapshotsStreamSpec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, dir).count() == 4,
       "survivors + corrected batch + post-recovery batch, nothing lost or doubled")
   }
+
+  test("readStream tails the table: batch parity, checkpoint resume, rewrite refusal") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_src").toString
+    val dir = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("k", "v"), dir)
+    // foreachBatch accumulator (the memory sink refuses checkpoint
+    // recovery, and the restart half is exactly what this test pins)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+    def tail(ck: String) = spark.readStream
+      .format("graft.streaming.SnapshotsStreamSource")
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("k", "v").as[(Long, Long)].collect().foreach(seen.add)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    def rows = { import scala.jdk.CollectionConverters._; seen.asScala.toSet }
+    val q = tail(ckpt)
+    try {
+      q.processAllAvailable()
+      // the initial drain ≡ the batch incremental read from table birth
+      assert(rows == Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toSet)
+      // a new version lands while the query runs: delivered exactly once
+      Snapshots.commitAppend(Seq((4L, 40L)).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      assert(rows == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    } finally q.stop()
+    // versions land while the query is DOWN; the restarted query resumes
+    // from the checkpointed version cursor — it receives ONLY the
+    // unconsumed versions (batch parity with readChangesSince)
+    Snapshots.commitAppend(Seq((5L, 50L)).toDF("k", "v"), dir)
+    seen.clear()
+    val q2 = tail(ckpt)
+    try {
+      q2.processAllAvailable()
+      val expected = Snapshots.readChangesSince(spark, dir, 3, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(rows == expected && expected == Set((5L, 50L)),
+        "restart must consume exactly the versions after the checkpoint cursor")
+      // a history rewrite mid-tail FAILS the query with the incremental
+      // contract's refusal — never a silent wrong diff
+      Snapshots.commitOverwrite(Seq((9L, 90L)).toDF("k", "v"), dir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(20000)
+        ()
+      }
+      assert(e.getMessage.contains("append") ||
+        Option(e.getCause).exists(_.getMessage.contains("append")),
+        s"refusal should name the append-only contract: ${e.getMessage}")
+    } finally q2.stop()
+    // bounded replay: endingVersion clamps the drain (the table's latest
+    // is far past v2 by now)
+    seen.clear()
+    val q3 = spark.readStream
+      .format("graft.streaming.SnapshotsStreamSource")
+      .option("path", dir)
+      .option("startingVersion", "1")
+      .option("endingVersion", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("k", "v").as[(Long, Long)].collect().foreach(seen.add)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt3")
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(rows == Set((3L, 30L)),
+        "endingVersion must clamp the tail to exactly (start, end]")
+    } finally q3.stop()
+  }
 }
