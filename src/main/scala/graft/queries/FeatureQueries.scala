@@ -2361,6 +2361,39 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version")))
   }
 
+  /** x22: MERGE-ON-READ row-level delete ([[graft.sources.Snapshots
+    * .commitDeleteMor]]) — x6's erasure lifecycle on the deletion-vector
+    * path: v2 records the doomed positions in a sidecar and moves ZERO
+    * data files (SnapshotsSpec pins the identical file list), v3 is the
+    * OPTIMIZE that folds the vector into a clean rewrite. The gate reads
+    * all three versions under ONE oracle derivation shared with the COW
+    * path: v1 whole (time travel), v2 and v3 bit-identical to each other
+    * and to x6's post-delete state — the read-side contract that makes
+    * COW and MOR interchangeable to every consumer, while the write side
+    * trades rewrite amplification for a read-time anti-join.
+    */
+  def morDeleteScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
+    Snapshots.commitDeleteMor(spark, dir, "cents", 1000L, 4999L)
+    Snapshots.commitOptimize(spark, dir, targetFileBytes = 64L << 20)
+    val perVersion = (1 to 3).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("cents").between(1000L, 4999L), 1L).otherwise(0L)).as("n_in_range"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("sum_cents"), col("n_in_range"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
   /** x7: vacuum (retention) read — the erasure lifecycle COMPLETED: after
     * x6's copy-on-write delete, the doomed rows still exist physically in
     * the expired version's files; [[graft.sources.Snapshots.vacuum]]
@@ -5608,6 +5641,16 @@ object FeatureQueries {
            |FROM v JOIN prep p
            |  ON v.version = 1 OR p.cents NOT BETWEEN 1000 AND 4999
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x22_mor_delete" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(1, 3)) AS version)
+           |SELECT CAST(v.version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(CASE WHEN p.cents BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
+           |FROM v JOIN prep p
+           |  ON v.version = 1 OR p.cents NOT BETWEEN 1000 AND 4999
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "x7_vacuum_read" ->
         s"""WITH prep AS ($prep)
            |SELECT CAST(count(*) AS BIGINT) AS n_events,
@@ -6289,6 +6332,7 @@ object FeatureQueries {
     "x4_time_travel" -> (timeTravelScan(_, _)),
     "x5_zone_map_skip" -> (zoneMapScan(_, _)),
     "x6_row_delete" -> (rowDeleteScan(_, _)),
+    "x22_mor_delete" -> (morDeleteScan(_, _)),
     "x7_vacuum_read" -> (vacuumScan(_, _)),
     "x8_merge_upsert" -> (mergeUpsertScan(_, _)),
     "x9_optimize" -> (optimizeScan(_, _)),

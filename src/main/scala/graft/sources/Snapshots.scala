@@ -56,6 +56,8 @@ object Snapshots {
   private val RowsHeader = "#rows="
   private val CopiedHeader = "#copied="
   private val RenameSeqHeader = "#renameseq="
+  private val DvHeader = "#dv="
+  private val DvRowsHeader = "#dvrows="
   private val HwmName = "_batch.hwm"
 
   /** The change-feed columns appended to table rows by [[readChangeFeed]]. */
@@ -467,7 +469,11 @@ object Snapshots {
             prev
           } else Nil
         if (tryPublish(spark, dir, v, statsCols, carried ++ staged, batchId,
-            if (carryForward) "append" else "overwrite")) {
+            if (carryForward) "append" else "overwrite",
+            // an append carries the previous version's deletion vector
+            // (its dead rows stay dead); an overwrite replaces the
+            // content wholesale and drops it
+            if (carryForward && v > 1) dvCarryHeader(spark, dir, v - 1) else "")) {
           batchId.foreach(b => writeHwm(spark, dir, b, v))
           out = Some(Some(v))
         }
@@ -559,8 +565,9 @@ object Snapshots {
       v: Int,
       statsCols: Seq[String],
       entries: Seq[ManifestEntry],
-      op: String): Unit =
-    require(tryPublish(spark, dir, v, statsCols, entries, None, op),
+      op: String,
+      extraHeader: String = ""): Unit =
+    require(tryPublish(spark, dir, v, statsCols, entries, None, op, extraHeader),
       s"commit of v$v lost the publish race to a concurrent writer; " +
         "re-run the operation against the new latest snapshot")
 
@@ -635,8 +642,10 @@ object Snapshots {
       if (touched.isEmpty) Nil
       else {
         val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
-        spark.read
-          .parquet(touched.map(_.path): _*)
+        // both reads run under the live deletion vector: a raw read of a
+        // MOR-deleted table would resurrect its dead rows into the
+        // rewrite (and double-report them in the feed)
+        readFilesDv(spark, dir, prev, touched.map(_.path))
           .filter(!col(column).between(lo, hi))
           .write.mode("error").parquet(stage.toString)
         // change-feed record: the doomed rows, read from the same pruned
@@ -644,13 +653,15 @@ object Snapshots {
         // CDF-enabled format pays on DELETE (the feed row count is the
         // deleted row count, never the table's)
         chStage = Some(stageChanges(spark, dir,
-          spark.read
-            .parquet(touched.map(_.path): _*)
+          readFilesDv(spark, dir, prev, touched.map(_.path))
             .filter(col(column).between(lo, hi))
             .withColumn(ChangeTypeCol, lit("delete"))))
         zoneEntries(spark, stage, statsCols)
       }
-    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "delete")
+    // the carried vector still covers the UNTOUCHED files (its entries
+    // for the rewritten files key on paths no longer listed — inert)
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "delete",
+      dvCarryHeader(spark, dir, prev))
     chStage.foreach(publishChanges(spark, dir, _, v))
     v
   }
@@ -709,8 +720,7 @@ object Snapshots {
     val survivors =
       if (touched.isEmpty) changes
       else
-        spark.read
-          .parquet(touched.map(_.path): _*)
+        readFilesDv(spark, dir, prev, touched.map(_.path))
           .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
           .unionByName(changes)
     survivors.write.mode("error").parquet(stage.toString)
@@ -723,7 +733,7 @@ object Snapshots {
       val feed = touched match {
         case Seq() => changes.withColumn(ChangeTypeCol, lit("insert"))
         case _ =>
-          val baseTouched = spark.read.parquet(touched.map(_.path): _*)
+          val baseTouched = readFilesDv(spark, dir, prev, touched.map(_.path))
           val matchedKeys = baseTouched
             .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
             .select(col(keyCol))
@@ -743,7 +753,8 @@ object Snapshots {
     val staged =
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
       else listedEntries(spark, stage)
-    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge")
+    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge",
+      dvCarryHeader(spark, dir, prev))
     publishChanges(spark, dir, chStage, v)
     v
   }
@@ -791,8 +802,13 @@ object Snapshots {
       else statsCols.map(c =>
         renameLog(spark, dir).filter(_.version <= prev).foldLeft(c)((n, r) =>
           if (r.from == n) r.to else n))
+    // the rewrite reads through BOTH mappings: the rename chain (fold,
+    // above) and the deletion vector (readVersion anti-joins it) — the
+    // rewritten files hold only live rows under their logical names, so
+    // OPTIMIZE publishes with neither a #dv header nor an applicable
+    // rename, folding both kinds of read-time debt at once
     val all =
-      if (renamed.isEmpty) spark.read.parquet(entries.map(_.path): _*)
+      if (renamed.isEmpty) readVersion(spark, dir, prev)
       else readVersionRenamed(spark, dir, prev)
     // zOrder = true re-clusters on the Morton interleave of the first two
     // stats columns (low 16 bits each — the x10/z1 convention) so the
@@ -837,7 +853,10 @@ object Snapshots {
       s"cannot restore $dir to v$toVersion (latest is v$prev)")
     val (statsCols, entries) = manifest(spark, dir, toVersion)
     val v = prev + 1
-    publishOrAbort(spark, dir, v, statsCols, entries, "restore")
+    // the restored snapshot's deletion vector (if any) travels with its
+    // file list — restoring to a MOR-deleted state restores the deletes
+    publishOrAbort(spark, dir, v, statsCols, entries, "restore",
+      dvCarryHeader(spark, dir, toVersion))
     v
   }
 
@@ -1060,6 +1079,20 @@ object Snapshots {
         } finally pool.shutdown()
       }
     }
+    // deletion-vector sidecars referenced by NO surviving version are
+    // reclaimed like data files (same retention guard — an in-flight MOR
+    // delete's freshly staged vector is younger than the cutoff)
+    val dvReferenced = ((keepFrom to latest) ++ pinned).iterator
+      .filter(v => f.exists(new Path(manifestDir(dir), s"v$v.list")))
+      .flatMap(v => dvInfo(spark, dir, v).map(i => fileKey(i._1)))
+      .toSet
+    val dvRoot = new Path(dir, "dv")
+    if (f.exists(dvRoot))
+      f.listStatus(dvRoot).foreach { st =>
+        if (!dvReferenced.contains(fileKey(st.getPath.toString))
+          && st.getModificationTime <= cutoffMs)
+          f.delete(st.getPath, true)
+      }
     // PROVABLY dead rename entries (their claimed version's manifest
     // exists and belongs to another commit) are reclaimed BEFORE the
     // manifests proving them dead can be deleted below — after which a
@@ -1135,6 +1168,10 @@ object Snapshots {
     require(from != to, s"rename of '$from' onto itself")
     val v0 = latestVersion(spark, dir)
     require(v0 >= 1, s"cannot rename a column of an empty table at $dir")
+    // a live deletion vector and an active rename mapping must never
+    // coexist (the grouped rename read cannot also thread the DV
+    // anti-join) — fold deletes first, then rename
+    requireNoLiveDv(spark, dir, v0, "RENAME")
     // validate against the current LOGICAL schema (prior renames applied)
     val cur = readVersionRenamed(spark, dir, v0).schema.fieldNames.toSet
     require(cur.contains(from), s"column '$from' does not exist in snapshot v$v0 of $dir (have: $cur)")
@@ -1261,9 +1298,16 @@ object Snapshots {
     */
   def readVersionRenamed(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val renames = renameLog(spark, dir).filter(_.version <= version)
-    val files = manifest(spark, dir, version)._2.map(_.path)
-    if (renames.isEmpty) spark.read.parquet(files: _*)
+    val entries = manifest(spark, dir, version)._2
+    val files = entries.map(_.path)
+    // when no recorded rename touches any live file (none recorded, or
+    // all folded by OPTIMIZE), the renamed read IS the plain
+    // (deletion-vector-aware) read; the grouped path below never
+    // coexists with a live DV (commitRename/commitDeleteMor enforce it)
+    val applicable = renames.exists(r => files.exists(p => r.fileKeys.contains(fileKey(p))))
+    if (!applicable) readVersion(spark, dir, version)
     else {
+      requireNoLiveDv(spark, dir, version, "RENAMED READ")
       val groups = files.groupBy(p => renames.map(r => r.fileKeys.contains(fileKey(p))))
       groups.values.toSeq
         .map { fsGroup =>
@@ -1378,9 +1422,127 @@ object Snapshots {
   def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
     readVersion(spark, dir, tagVersion(spark, dir, name))
 
-  /** Read the table exactly as of `version`. */
+  // ---- Deletion vectors (merge-on-read delete) -----------------------------
+
+  /** The version's deletion-vector sidecar — (parquet dir of
+    * (__dv_file, __dv_pos) dead positions, cardinality) — None when every
+    * listed row is live. The sidecar is content-addressed (a unique
+    * `dv/dv-<uuid>` directory referenced by the manifest header), so it
+    * becomes visible atomically with the manifest publish and is shared
+    * by reference across the versions that carry it forward.
+    */
+  def dvInfo(spark: SparkSession, dir: String, version: Int): Option[(String, Long)] = {
+    val lines = manifestLines(spark, dir, version)
+    lines.find(_.startsWith(DvHeader)).map { l =>
+      val n = lines
+        .find(_.startsWith(DvRowsHeader))
+        .map(_.drop(DvRowsHeader.length).toLong)
+        .getOrElse(0L)
+      (l.drop(DvHeader.length), n)
+    }
+  }
+
+  /** The manifest-header fragment that carries `version`'s deletion
+    * vector into the next commit (appends, merges, COW deletes, restores
+    * and clones all carry; OPTIMIZE folds and drops it; overwrite
+    * replaces the content and drops it).
+    */
+  private def dvCarryHeader(spark: SparkSession, dir: String, version: Int): String =
+    if (version < 1) ""
+    else
+      dvInfo(spark, dir, version)
+        .map { case (p, n) => s"$DvHeader$p\n$DvRowsHeader$n\n" }
+        .getOrElse("")
+
+  private def requireNoLiveDv(spark: SparkSession, dir: String, version: Int, what: String): Unit =
+    require(dvInfo(spark, dir, version).isEmpty,
+      s"$what on $dir refused while v$version carries a deletion vector (its answer would " +
+        "silently include dead rows) — run commitOptimize to fold the deletes into the layout first")
+
+  /** Read `paths` under `version`'s deletion vector: dead (file, row)
+    * positions anti-join out via the parquet reader's `_metadata`
+    * columns, broadcast (a DV is small by contract — the tombstone-set
+    * discipline; OPTIMIZE folds it before it grows past broadcast size).
+    * The scan itself is the plain parquet scan — pruning and pushdown
+    * intact; the anti-join adds no exchange on the data side.
+    */
+  private def readFilesDv(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      paths: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val rd = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val base = rd.parquet(paths: _*)
+    dvInfo(spark, dir, version) match {
+      case None => base
+      case Some((dvPath, _)) =>
+        val cols = base.columns.map(col).toSeq
+        base
+          .withColumn("__dv_file", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(broadcast(spark.read.parquet(dvPath)), Seq("__dv_file", "__dv_pos"), "left_anti")
+          .select(cols: _*)
+    }
+  }
+
+  /** MERGE-ON-READ row-level DELETE — the deletion-vector twin of
+    * [[commitDelete]] (the Delta DV design): instead of rewriting every
+    * zone-overlapping file, the commit records the doomed rows' (file,
+    * row-index) positions in a sidecar and publishes the SAME file list
+    * with a `#dv=` header; reads anti-join the vector out. ZERO data
+    * files move — at streaming-upsert rates this kills the write
+    * amplification that makes copy-on-write the first operational cliff
+    * after compaction. The trade: every read pays the (broadcast-sized)
+    * anti-join until [[commitOptimize]] folds the vector into a clean
+    * rewrite. Deletes accumulate (the new vector = carried ∪ new
+    * positions); rows already dead never re-enter the vector or the
+    * change record. Same zone-map pruning as COW: only overlapping files
+    * are scanned for doomed positions. Publishes and returns the new
+    * version.
+    */
+  def commitDeleteMor(spark: SparkSession, dir: String, column: String, lo: Long, hi: Long): Int = {
+    val prev = latestVersion(spark, dir)
+    val (statsCols, entries) = manifest(spark, dir, prev)
+    requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
+    val ci = statsCols.indexOf(column)
+    require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
+    val touched = entries.filter(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)
+    val v = prev + 1
+    if (touched.isEmpty) {
+      publishOrAbort(spark, dir, v, statsCols, entries, "delete",
+        dvCarryHeader(spark, dir, prev))
+      v
+    } else {
+      val prevDv = dvInfo(spark, dir, prev)
+      val withPos = spark.read
+        .parquet(touched.map(_.path): _*)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      val liveTouched = prevDv.fold(withPos) { case (p, _) =>
+        withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
+      }
+      val doomed = liveTouched.filter(col(column).between(lo, hi))
+      val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
+      val newDv = prevDv.fold(doomed.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
+        spark.read.parquet(p).unionByName(doomed.select(col("__dv_file"), col("__dv_pos")))
+      }
+      newDv.write.mode("error").parquet(dvStage.toString)
+      val dvRows = spark.read.parquet(dvStage.toString).count()
+      // change-feed record: the newly dead rows, table columns only —
+      // sized by the change, exactly as on the COW path
+      val chStage = stageChanges(spark, dir,
+        doomed.drop("__dv_file", "__dv_pos").withColumn(ChangeTypeCol, lit("delete")))
+      publishOrAbort(spark, dir, v, statsCols, entries, "delete",
+        s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n")
+      publishChanges(spark, dir, chStage, v)
+      v
+    }
+  }
+
+  /** Read the table exactly as of `version` (deletion-vector-aware). */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
-    spark.read.parquet(manifest(spark, dir, version)._2.map(_.path): _*)
+    readFilesDv(spark, dir, version, manifest(spark, dir, version)._2.map(_.path))
 
   /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
     * (inclusive) — the incremental-consumption primitive a training
@@ -1429,12 +1591,22 @@ object Snapshots {
     var prevKeys =
       if (fromVersion == 0) Set.empty[String]
       else manifest(spark, dir, fromVersion)._2.map(e => fileKey(e.path)).toSet
+    var prevDv =
+      if (fromVersion == 0) None else dvInfo(spark, dir, fromVersion).map(_._1)
     val added = scala.collection.mutable.ListBuffer.empty[String]
     ((fromVersion + 1) to toVersion).foreach { v =>
       val cur = manifest(spark, dir, v)._2.map(_.path)
       val curKeys = cur.map(fileKey).toSet
       require(prevKeys.subsetOf(curKeys),
         s"v$v is not an append of v${v - 1} (files were removed/rewritten): " +
+          "incremental reads are only defined over append-only ranges — " +
+          "re-read the latest snapshot instead")
+      // a merge-on-read delete keeps the file set but changes the ROWS —
+      // equally not an append (a carried-forward, unchanged vector is
+      // fine: added files hold no dead positions by construction)
+      val curDv = dvInfo(spark, dir, v).map(_._1)
+      require(curDv == prevDv,
+        s"v$v changed the deletion vector (merge-on-read delete in range): " +
           "incremental reads are only defined over append-only ranges — " +
           "re-read the latest snapshot instead")
       added ++= cur.filter(p => !prevKeys.contains(fileKey(p)))
@@ -1456,9 +1628,8 @@ object Snapshots {
     * generation keep pruning across the evolution boundary.
     */
   def readVersionMerged(spark: SparkSession, dir: String, version: Int): DataFrame =
-    spark.read
-      .option("mergeSchema", "true")
-      .parquet(manifest(spark, dir, version)._2.map(_.path): _*)
+    readFilesDv(spark, dir, version, manifest(spark, dir, version)._2.map(_.path),
+      mergeSchema = true)
 
   /** Range read THROUGH the zone maps: only files whose [min, max] on
     * `column` overlaps [lo, hi] are handed to the scan (manifest-level
@@ -1485,12 +1656,12 @@ object Snapshots {
     // zone maps exclude every file: any one file's schema + an
     // always-false residual yields the same (empty) result
     val src = if (keep.nonEmpty) keep else entries.map(_.path).take(1)
-    spark.read.parquet(src: _*).filter(col(column).between(lo, hi))
+    readFilesDv(spark, dir, version, src).filter(col(column).between(lo, hi))
   }
 
   /** Read the latest published snapshot. */
   def readLatest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(manifest(spark, dir, latestVersion(spark, dir))._2.map(_.path): _*)
+    readVersion(spark, dir, latestVersion(spark, dir))
 
   // ---- Metadata-only aggregation ------------------------------------------
 
@@ -1515,7 +1686,10 @@ object Snapshots {
     * physically removed.
     */
   def metadataRowCount(spark: SparkSession, dir: String, version: Int): Long =
-    countedEntries(spark, dir, version)._2.map(_.rows.get).sum
+    countedEntries(spark, dir, version)._2.map(_.rows.get).sum -
+      // a live deletion vector's cardinality rides the manifest header,
+      // so the metadata-only count stays exact under MOR deletes
+      dvInfo(spark, dir, version).map(_._2).getOrElse(0L)
 
   /** Exact global (min, max) of a zone-mapped column at `version`, from
     * metadata alone: the per-file zone maps are exact min/max, so their
@@ -1527,6 +1701,9 @@ object Snapshots {
       dir: String,
       version: Int,
       column: String): (Long, Long) = {
+    // a dead row could hold the extreme value, making the zone-map fold
+    // an over-approximation — refuse rather than answer inexactly
+    requireNoLiveDv(spark, dir, version, "METADATA MIN/MAX")
     val (statsCols, entries) = countedEntries(spark, dir, version)
     val ci = statsCols.indexOf(column)
     require(ci >= 0,
@@ -1559,6 +1736,9 @@ object Snapshots {
       column: String,
       lo: Long,
       hi: Long): RangeCount = {
+    // fully-contained files answer from manifest counts, which include
+    // dead rows under a live vector — refuse rather than over-count
+    requireNoLiveDv(spark, dir, version, "METADATA RANGE COUNT")
     val (statsCols, entries) = countedEntries(spark, dir, version)
     val ci = statsCols.indexOf(column)
     require(ci >= 0,
@@ -1648,7 +1828,8 @@ object Snapshots {
             prev
           } else Nil
         if (tryPublish(spark, dir, v, statsCols, carried ++ staged, None, "copyinto",
-            s"$CopiedHeader${fresh.map(_.getName).mkString(",")}\n"))
+            s"$CopiedHeader${fresh.map(_.getName).mkString(",")}\n" +
+              (if (v > 1) dvCarryHeader(spark, dir, v - 1) else "")))
           out = Some((v, fresh.size))
         // else: lost the race — loop re-reads the ingested set (the
         // winner may have ingested some of our files) and retries
@@ -1678,7 +1859,10 @@ object Snapshots {
     val (statsCols, entries) = manifest(spark, srcDir, srcVersion)
     require(latestVersion(spark, dstDir) == 0,
       s"clone target $dstDir already has published snapshots")
-    publishOrAbort(spark, dstDir, 1, statsCols, entries, "clone")
+    // a clone of a MOR-deleted version shares the source's deletion
+    // vector by reference, exactly like the data files
+    publishOrAbort(spark, dstDir, 1, statsCols, entries, "clone",
+      dvCarryHeader(spark, srcDir, srcVersion))
     1
   }
 }

@@ -823,6 +823,58 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersionRenamed(spark, dir, 1).columns.toSeq == Seq("id", "a"))
   }
 
+  test("merge-on-read delete: zero rewrites, exact reads, carried by appends, folded by OPTIMIZE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_dv").toString
+    val base = spark.range(0, 2000).select(col("id"), (col("id") % 100).as("cents"))
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
+    val v1Files = Snapshots.manifest(spark, dir, 1)._2.map(_.path)
+    // v2: MOR delete of cents in [10, 29] — the manifest lists EXACTLY
+    // v1's files (the zero-rewrite contract), yet reads exclude the range
+    Snapshots.commitDeleteMor(spark, dir, "cents", 10L, 29L)
+    assert(Snapshots.manifest(spark, dir, 2)._2.map(_.path) == v1Files,
+      "a deletion-vector delete must move zero data files")
+    def cents(v: Int) = Snapshots.readVersion(spark, dir, v)
+      .select("cents").as[Long].collect()
+    assert(cents(1).length == 2000, "time travel across a MOR delete keeps v1 whole")
+    assert(cents(2).length == 2000 - 20 * 20 && cents(2).forall(c => c < 10 || c > 29))
+    // metadata count stays exact (cardinality rides the header); the
+    // zone-fold answers refuse rather than include dead rows
+    assert(Snapshots.metadataRowCount(spark, dir, 2) == 2000L - 400L)
+    intercept[IllegalArgumentException](Snapshots.metadataMinMax(spark, dir, 2, "cents"))
+    intercept[IllegalArgumentException](
+      Snapshots.metadataRangeCount(spark, dir, 2, "cents", 0L, 50L))
+    // zone-pruned range reads apply the vector too
+    assert(Snapshots.readVersionRange(spark, dir, 2, "cents", 0L, 39L).count()
+      == 2000L / 100L * 20L)
+    // incremental reads refuse across the vector change
+    intercept[IllegalArgumentException](Snapshots.readChangesSince(spark, dir, 1, 2))
+    // deletes ACCUMULATE: v3 kills another range; both stay dead
+    Snapshots.commitDeleteMor(spark, dir, "cents", 90L, 99L)
+    assert(cents(3).forall(c => (c < 10 || c > 29) && c < 90))
+    // an append CARRIES the vector: old dead rows stay dead, new rows live
+    Snapshots.commitAppend(
+      spark.range(5000, 5010).select(col("id"), lit(15L).as("cents")), dir, Seq("cents"))
+    assert(cents(4).count(_ == 15L) == 10L,
+      "appended rows are live even inside a previously deleted range")
+    assert(cents(4).length == cents(3).length + 10)
+    // the change feed carries the MOR-deleted rows, sized by the change
+    val feed = Snapshots.readChangeFeed(spark, dir, 1, 3)
+    assert(feed.filter(col(Snapshots.ChangeTypeCol) === "delete").count() == 400L + 200L)
+    // OPTIMIZE folds: no #dv header, rows bit-identical, rewrite is real
+    val v5 = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    assert(Snapshots.dvInfo(spark, dir, v5).isEmpty, "OPTIMIZE must fold the vector away")
+    assert(cents(v5).sorted.toSeq == cents(4).sorted.toSeq)
+    assert(Snapshots.metadataRangeCount(spark, dir, v5, "cents", 0L, 50L).count
+      == Snapshots.readVersion(spark, dir, v5).filter(col("cents").between(0, 50)).count())
+    // vacuum reclaims the now-unreferenced vector sidecars
+    Snapshots.vacuum(spark, dir, keepFrom = v5)
+    val dvRoot = new java.io.File(dir, "dv")
+    assert(!dvRoot.exists() || dvRoot.listFiles().isEmpty,
+      "no surviving version references a vector; vacuum must reclaim the sidecars")
+    assert(cents(v5).length == 2000 - 400 - 200 + 10)
+  }
+
   test("zombie writers: two interleaved attempts of ONE batch id land exactly once") {
     import spark.implicits._
     // the check-then-act window the r11 code documented: attempt A
