@@ -395,8 +395,13 @@ object VectorQueries {
     */
   private def knnGraphParts(
       spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(spark, sfDir)
+      sfDir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    knnGraphPartsOf(Tables.embeddings(spark, sfDir))
+
+  /** [[knnGraphParts]] over an explicit embedding frame — the build side
+    * of the incremental-maintenance path runs it on the BASE SLICE only.
+    */
+  private def knnGraphPartsOf(emb: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val bits = Similarity.autoBits(emb.count(), BlockTargetBucket, BlockFloorBits)
     val tables = math.max(1, math.min(KgTables, EmbedDim / bits))
     val base = Similarity
@@ -505,8 +510,11 @@ object VectorQueries {
       GannRounds)
   }
 
-  private[graft] def buildGraphIndex(spark: SparkSession, sfDir: String, table: String): Unit = {
-    val (base, cool, _, g1) = knnGraphParts(spark, sfDir)
+  private[graft] def buildGraphIndex(spark: SparkSession, sfDir: String, table: String): Unit =
+    buildGraphIndexOf(Tables.embeddings(spark, sfDir), table)
+
+  private[graft] def buildGraphIndexOf(emb: DataFrame, table: String): Unit = {
+    val (base, cool, _, g1) = knnGraphPartsOf(emb)
     val fwd = g1.select(col("src"), col("dst"))
     val und = fwd
       .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -516,12 +524,182 @@ object VectorQueries {
     graft.sources.Bucketed.writePlain(und, s"${table}_edges")
   }
 
+  /** One NN-descent round for a DELTA of new vectors against a standing
+    * graph: candidates are the delta's co-bucket members (under the
+    * STANDING quantizer — bits/tables fixed at build, the v14
+    * no-retrain convention) plus those members' one-hop neighborhoods
+    * through the standing edges, verified by exact cosine, top-
+    * [[KnnGraphK]] kept per delta vector. Returns the delta's directed
+    * edges; callers union both directions into the undirected edge set.
+    * Work is delta-sized: |delta|·cap·tables candidates expanded through
+    * bounded-degree adjacency — never a rebuild's corpus-wide blocking.
+    */
+  private def deltaGraphEdges(
+      dprep: DataFrame,
+      dbuckets: DataFrame,
+      allBuckets: DataFrame,
+      und1: DataFrame,
+      fullBase: DataFrame): DataFrame = {
+    val dcand0 = dbuckets
+      .as("d")
+      .join(allBuckets.as("o"),
+        col("d.bucket") === col("o.bucket") && col("d.vec_id") =!= col("o.vec_id"))
+      .select(col("d.vec_id").as("src"), col("o.vec_id").as("dst"))
+      .distinct()
+    val dcand1 = dcand0
+      .as("c")
+      .join(und1.as("u"), col("u.src") === col("c.dst"))
+      .select(col("c.src").as("src"), col("u.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val dall = dcand0.unionAll(dcand1).distinct()
+    val dv = dall
+      .join(fullBase.select(col("vec_id").as("src"), col("qv").as("qa"), col("nrm").as("na")), "src")
+      .join(fullBase.select(col("vec_id").as("dst"), col("qv").as("qb"), col("nrm").as("nb")), "dst")
+      .select(
+        col("src"),
+        col("dst"),
+        Similarity.cosine(Similarity.dot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+    // per-delta-vector top-K: the window partition is delta-sized and
+    // candidate-bounded (cap·tables + its one-hop fan-out), never corpus
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    dv.withColumn("rnk", row_number().over(wSrc))
+      .filter(col("rnk") <= KnnGraphK)
+      .select("src", "dst")
+  }
+
+  /** v22: graph-ANN INCREMENTAL MAINTENANCE — the v18 build-once index
+    * lifted to v14/v21 parity: build the graph on the base slice
+    * (vec_id % 5 != 4), APPEND the delta slice with [[deltaGraphEdges]]'s
+    * one NN-descent round (no rebuild, no re-derived quantizer),
+    * tombstone-DELETE a slice (vec_id % 11 == 7) by filtering vectors,
+    * buckets, and BOTH edge endpoints, then beam-probe the maintained
+    * structure. Every stage is a pure function of the ids (md5 seeds,
+    * integer cosines, total-order tiebreaks), so the DuckDB oracle
+    * replays build→append→delete→probe bit-for-bit. At 100 TB this is
+    * the lifecycle that makes the expensive half (the graph build)
+    * a one-time cost: appends touch |delta|·cap·degree rows, deletes are
+    * an id filter, and only the recall monitor decides when to rebuild.
+    */
+  private[graft] def maintainedGraphFrames(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val basePart = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val deltaPart = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    // the standing quantizer: derived at BUILD time from the base slice
+    val bits = Similarity.autoBits(basePart.count(), BlockTargetBucket, BlockFloorBits)
+    val tables = math.max(1, math.min(KgTables, EmbedDim / bits))
+    val (_, cool, _, g1) = knnGraphPartsOf(basePart)
+    val fwd = g1.select(col("src"), col("dst"))
+    val und1 = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fullBase = Similarity
+      .prepared(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dprep = Similarity.prepared(deltaPart, "vec_id", "embedding")
+    val dbuckets = dprep.select(
+      col("vec_id"),
+      explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket"))
+    val allBuckets = cool.unionAll(dbuckets)
+    val dg = deltaGraphEdges(dprep, dbuckets, allBuckets, und1, fullBase)
+    val undM = und1
+      .unionAll(dg)
+      .unionAll(dg.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    def live(df: DataFrame) = df.filter(pmod(col("vec_id"), lit(11)) =!= 7)
+    val liveEdges = undM.filter(
+      pmod(col("src"), lit(11)) =!= 7 && pmod(col("dst"), lit(11)) =!= 7)
+    (live(fullBase), live(allBuckets), liveEdges)
+  }
+
+  def gannIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, buckets, edges) = maintainedGraphFrames(spark, sfDir)
+    beamSearch(base, buckets, edges, GannRounds)
+  }
+
+  /** Persisted-index APPEND (the production form of [[maintainedGraphFrames]]'s
+    * delta half, against the catalog tables [[buildGraphIndexOf]] wrote):
+    * new vectors bucket under the standing quantizer — bits/tables parsed
+    * from the STORED bucket keys, so no side metadata and no accidental
+    * re-derivation — gain edges from one NN-descent round, and the three
+    * index tables append in place.
+    */
+  def graphIndexAppend(
+      spark: SparkSession,
+      table: String,
+      newVecs: DataFrame,
+      idCol: String,
+      embCol: String): Unit = {
+    val baseT = spark.table(s"${table}_base")
+    val coolT = spark.table(s"${table}_buckets")
+    val undT = spark.table(s"${table}_edges")
+    val sample = coolT.select(col("bucket")).limit(1).collect()
+    require(sample.nonEmpty, s"$table has an empty bucket map: rebuild the index")
+    val key = sample(0).getString(0)
+    val bits = key.length - key.indexOf(':') - 1
+    val tables = coolT
+      .select(org.apache.spark.sql.functions.max(
+        expr("CAST(split(bucket, ':')[0] AS INT)")).as("t"))
+      .collect()(0).getInt(0) + 1
+    val dprep = Similarity.prepared(newVecs, idCol, embCol)
+    val dbuckets = dprep.select(
+      col("vec_id"),
+      explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket"))
+    val allBuckets = coolT.unionAll(dbuckets)
+    val fullBase = baseT.unionByName(dprep)
+    val dg = deltaGraphEdges(dprep, dbuckets, allBuckets, undT, fullBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newEdges = dg
+      .unionAll(dg.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .join(undT, Seq("src", "dst"), "left_anti")
+    def appendTo(df: DataFrame, name: String): Unit =
+      df.write.mode("append").format("parquet").saveAsTable(name)
+    appendTo(newEdges, s"${table}_edges")
+    appendTo(dbuckets, s"${table}_buckets")
+    appendTo(dprep.select("vec_id", "qv", "nrm"), s"${table}_base")
+  }
+
+  /** Persisted-index tombstoned DELETE — [[VectorIndex.delete]]'s side
+    * table, shared convention (`<table>_tombstones`).
+    */
+  def graphIndexDelete(spark: SparkSession, table: String, ids: DataFrame, idCol: String): Unit =
+    graft.operators.VectorIndex.delete(spark, table, ids, idCol)
+
+  /** Probe the persisted graph index over its LIVE rows: vectors,
+    * buckets, and both edge endpoints anti-join the tombstone set
+    * (broadcast — the v21 discipline), then the standard beam search.
+    */
+  def graphIndexProbeLive(spark: SparkSession, table: String): DataFrame = {
+    val tomb = graft.operators.VectorIndex.tombstones(spark, table)
+    def liveIds(df: DataFrame) =
+      df.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val liveEdges = spark.table(s"${table}_edges")
+      .join(broadcast(tomb.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(tomb.select(col("vec_id").as("dst"))), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    beamSearch(
+      liveIds(spark.table(s"${table}_base")),
+      liveIds(spark.table(s"${table}_buckets")),
+      liveEdges,
+      GannRounds)
+  }
+
   /** The v17 search with an explicit round count — rounds=0 is the
     * seed-only (LSH-bucket + global entry points) baseline GraphAnnSpec
     * measures the graph navigation's recall margin against.
     */
-  private[graft] def graphAnnRounds(spark: SparkSession, sfDir: String, nRounds: Int): DataFrame = {
-    val (base, cool, _, g1) = knnGraphParts(spark, sfDir)
+  private[graft] def graphAnnRounds(spark: SparkSession, sfDir: String, nRounds: Int): DataFrame =
+    graphAnnRoundsOf(Tables.embeddings(spark, sfDir), nRounds)
+
+  /** [[graphAnnRounds]] over an explicit corpus — the full-rebuild
+    * baseline the maintenance recall bound compares against.
+    */
+  private[graft] def graphAnnRoundsOf(emb: DataFrame, nRounds: Int): DataFrame = {
+    val (base, cool, _, g1) = knnGraphPartsOf(emb)
     val fwd = g1.select(col("src"), col("dst"))
     val und = fwd
       .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -942,6 +1120,7 @@ object VectorQueries {
     "v16_filtered_ann" -> (filteredAnn(_, _)),
     "v17_graph_ann" -> (graphAnn(_, _)),
     "v18_graph_index_probe" -> (graphIndexProbe(_, _)),
+    "v22_gann_incremental" -> (gannIncremental(_, _)),
     "v6_ann_recall" -> (annRecall(_, _)))
 
   /** The v10 PQ lifecycle CTE chain (through `scored`), shared by the
@@ -1193,15 +1372,18 @@ object VectorQueries {
     * the v15 gate (adds mutuality) and the v17 graph-ANN gate (walks the
     * graph).
     */
-  private lazy val knnGraphCtes: String =
-    s"""$prep,
-       |params AS (
+  /** The kNN-graph build CTE chain (params..g1) over relation `rel` —
+    * parameterized so v15/v17/v18 run it on the full `base` and v22's
+    * incremental replay runs it on the base SLICE.
+    */
+  private def knnGraphCtesOn(rel: String): String =
+    s"""params AS (
        |  SELECT b, greatest(1, least($KgTables, $EmbedDim // b)) AS t FROM (
        |    SELECT ${autoBitsSql(BlockTargetBucket, BlockFloorBits)} AS b
-       |    FROM (SELECT count(*) AS cnt FROM embeddings))),
+       |    FROM (SELECT count(*) AS cnt FROM $rel))),
        |slots AS (
        |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
-       |  FROM base CROSS JOIN params),
+       |  FROM $rel CROSS JOIN params),
        |bucketed AS (
        |  SELECT vec_id,
        |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
@@ -1215,7 +1397,7 @@ object VectorQueries {
        |  FROM cool x JOIN cool y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |v0 AS (
        |  SELECT c.src, c.dst, $cosineExpr AS cosine
-       |  FROM cand0 c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+       |  FROM cand0 c JOIN $rel a ON c.src = a.vec_id JOIN $rel b ON c.dst = b.vec_id),
        |g0 AS (
        |  SELECT src, dst FROM v0
        |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK),
@@ -1228,20 +1410,25 @@ object VectorQueries {
        |allc AS (SELECT src, dst FROM cand0 UNION SELECT src, dst FROM cand1),
        |v1 AS (
        |  SELECT c.src, c.dst, $cosineExpr AS cosine
-       |  FROM allc c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+       |  FROM allc c JOIN $rel a ON c.src = a.vec_id JOIN $rel b ON c.dst = b.vec_id),
        |g1 AS MATERIALIZED (
        |  SELECT src, dst, cosine,
        |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
        |  FROM v1
        |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK)""".stripMargin
 
+  private lazy val knnGraphCtes: String = s"$prep,\n${knnGraphCtesOn("base")}"
+
   /** v17's oracle: the beam search replayed in SQL — seeds by the
     * gannseed md5 draw, then [[GannRounds]] unrolled (frontier → graph
     * expansion → exact score → DISTINCT fold) CTE blocks over g1's
     * undirected closure.
     */
-  private lazy val graphAnnSql: String = {
-    val rounds = (1 to GannRounds)
+  /** The unrolled beam-search round CTEs (fr/cd/nw/sc chains) over edge
+    * relation `undRel` scored against vector relation `baseRel`.
+    */
+  private def gannRoundsSql(baseRel: String, undRel: String): String =
+    (1 to GannRounds)
       .map { r =>
         val prev = s"sc${r - 1}"
         s"""fr$r AS (
@@ -1249,16 +1436,19 @@ object VectorQueries {
            |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= $GannBeam),
            |cd$r AS (
            |  SELECT DISTINCT f.query_id, u.dst AS vec_id
-           |  FROM fr$r f JOIN und2 u ON u.src = f.vec_id
+           |  FROM fr$r f JOIN $undRel u ON u.src = f.vec_id
            |  WHERE u.dst <> f.query_id),
            |nw$r AS (
            |  SELECT c.query_id, c.vec_id, $cosineExpr AS cosine
-           |  FROM cd$r c JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id),
+           |  FROM cd$r c JOIN $baseRel a ON a.vec_id = c.query_id JOIN $baseRel b ON b.vec_id = c.vec_id),
            |sc$r AS MATERIALIZED (
            |  SELECT DISTINCT query_id, vec_id, cosine FROM (
            |    SELECT * FROM $prev UNION ALL SELECT * FROM nw$r))""".stripMargin
       }
       .mkString(",\n")
+
+  private lazy val graphAnnSql: String = {
+    val rounds = gannRoundsSql("base", "und2")
     s"""WITH $knnGraphCtes,
        |und2 AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM
@@ -1276,6 +1466,74 @@ object VectorQueries {
        |  SELECT c.query_id, c.vec_id, $cosineExpr AS cosine
        |  FROM (SELECT * FROM sd0 WHERE vec_id <> query_id) c
        |  JOIN base a ON a.vec_id = c.query_id JOIN base b ON b.vec_id = c.vec_id),
+       |$rounds
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM sc$GannRounds)
+       |WHERE rnk <= $GannTopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v22's oracle: the maintained-index lifecycle replayed end to end —
+    * the kNN-graph build chain on the BASE SLICE, the delta's one
+    * NN-descent round under the standing quantizer, the tombstone
+    * filter on vectors/buckets/edges, then the beam search over the
+    * maintained structure.
+    */
+  private lazy val gannIncrementalSql: String = {
+    val rounds = gannRoundsSql("livebase", "und2")
+    s"""WITH $prep,
+       |baseS AS (SELECT * FROM base WHERE vec_id % 5 != 4),
+       |delta AS (SELECT * FROM base WHERE vec_id % 5 = 4),
+       |${knnGraphCtesOn("baseS")},
+       |und1 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM g1 UNION ALL SELECT dst, src FROM g1)),
+       |dslots AS (
+       |  SELECT vec_id, qv, b, unnest(generate_series(0, t - 1)) AS tt
+       |  FROM delta CROSS JOIN params),
+       |dbucketed AS (
+       |  SELECT vec_id,
+       |    CAST(tt AS VARCHAR) || ':' || array_to_string(list_transform(generate_series(1, b), i ->
+       |      CASE WHEN qv[tt * b + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM dslots),
+       |allbuckets AS (
+       |  SELECT vec_id, bucket FROM cool UNION ALL SELECT vec_id, bucket FROM dbucketed),
+       |dcand0 AS (
+       |  SELECT DISTINCT d.vec_id AS src, o.vec_id AS dst
+       |  FROM dbucketed d JOIN allbuckets o ON d.bucket = o.bucket AND d.vec_id <> o.vec_id),
+       |dcand1 AS (
+       |  SELECT DISTINCT c.src, u.dst FROM dcand0 c JOIN und1 u ON u.src = c.dst
+       |  WHERE u.dst <> c.src),
+       |dallc AS (SELECT src, dst FROM dcand0 UNION SELECT src, dst FROM dcand1),
+       |dv AS (
+       |  SELECT c.src, c.dst, $cosineExpr AS cosine
+       |  FROM dallc c JOIN base a ON c.src = a.vec_id JOIN base b ON c.dst = b.vec_id),
+       |dg AS (
+       |  SELECT src, dst FROM dv
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= $KnnGraphK),
+       |und2 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM und1
+       |    UNION ALL SELECT src, dst FROM dg
+       |    UNION ALL SELECT dst, src FROM dg)
+       |  WHERE src % 11 != 7 AND dst % 11 != 7),
+       |livebase AS (SELECT * FROM base WHERE vec_id % 11 != 7),
+       |livebuckets AS (SELECT vec_id, bucket FROM allbuckets WHERE vec_id % 11 != 7),
+       |seeds AS (
+       |  SELECT vec_id FROM livebase
+       |  ORDER BY substr(md5('gannseed|' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+       |  LIMIT $GannSeeds),
+       |sd0 AS (
+       |  SELECT a.vec_id AS query_id, s.vec_id FROM livebase a CROSS JOIN seeds s
+       |  WHERE a.vec_id < $GannQueries
+       |  UNION
+       |  SELECT q.vec_id AS query_id, o.vec_id
+       |  FROM livebuckets q JOIN livebuckets o ON q.bucket = o.bucket
+       |  WHERE q.vec_id < $GannQueries),
+       |sc0 AS (
+       |  SELECT c.query_id, c.vec_id, $cosineExpr AS cosine
+       |  FROM (SELECT * FROM sd0 WHERE vec_id <> query_id) c
+       |  JOIN livebase a ON a.vec_id = c.query_id JOIN livebase b ON b.vec_id = c.vec_id),
        |$rounds
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
@@ -1662,6 +1920,7 @@ object VectorQueries {
     // each folding newly-scored candidates into the scored set by
     // DISTINCT on bit-identical integer-cosine doubles
     "v17_graph_ann" -> graphAnnSql,
+    "v22_gann_incremental" -> gannIncrementalSql,
     // v18: the persisted-index probe's contract IS the from-scratch
     // search (exact integers round-trip parquet unchanged) — one SQL
     // derivation gates both lifecycles, the v5 convention

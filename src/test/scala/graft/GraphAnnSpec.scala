@@ -66,6 +66,57 @@ class GraphAnnSpec extends AnyFunSuite {
       "reloaded-index beam search must be bit-identical to the from-scratch run")
   }
 
+  test("persisted append+delete lifecycle probes bit-identically to the maintained math") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    // build on the base slice, append the delta, tombstone the dead slice
+    // — the v22 lifecycle, against CATALOG tables
+    VectorQueries.buildGraphIndexOf(emb.filter(pmod(col("vec_id"), lit(5)) =!= 4), "gann_mnt")
+    VectorQueries.graphIndexAppend(
+      spark, "gann_mnt", emb.filter(pmod(col("vec_id"), lit(5)) === 4), "vec_id", "embedding")
+    VectorQueries.graphIndexDelete(
+      spark, "gann_mnt", emb.filter(pmod(col("vec_id"), lit(11)) === 7), "vec_id")
+    val viaTables = VectorQueries.graphIndexProbeLive(spark, "gann_mnt")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inMemory = VectorQueries.gannIncremental(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaTables == inMemory,
+      "catalog-table append+tombstone probe must be bit-identical to the maintained frames")
+    // no tombstoned id anywhere in the result, either side of the probe
+    assert(viaTables.forall { case (q, _, v, _) => q % 11 != 7 && v % 11 != 7 })
+  }
+
+  test("maintained index holds recall: appends searchable, deletes == rebuild-without-ids") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val maintained = VectorQueries.gannIncremental(spark, sf)
+      .filter("rnk = 1").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    // exact top-1 over the LIVE corpus (the ground truth a v6-style
+    // monitor would compute)
+    val live = emb.filter(pmod(col("vec_id"), lit(11)) =!= 7)
+    val exact = Similarity
+      .bruteForceTopK(live, "vec_id", "embedding", col("vec_id") < nQueries, 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = maintained.count { case (q, v) => exact.get(q).contains(v) }
+    // measured on this fixture: maintained 23/29, full rebuild 24/29 —
+    // floors a few below so a tie-break change doesn't flap the suite
+    info(s"maintained recall@1: $hits/${exact.size}")
+    assert(maintained.size == exact.size,
+      s"every live query must answer (${maintained.size} vs ${exact.size})")
+    assert(hits >= 20, s"maintained-index recall@1 floor: $hits/${exact.size} < 20")
+    // the maintained index must not trail a FULL REBUILD on the live
+    // corpus by more than a couple of queries — the operational bound
+    // that decides when the rebuild is actually necessary
+    val rebuilt = VectorQueries.graphAnnRoundsOf(live, 2)
+      .filter("rnk = 1").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    val rebuiltHits = rebuilt.count { case (q, v) => exact.get(q).contains(v) }
+    info(s"full-rebuild recall@1: $rebuiltHits/${exact.size}")
+    assert(hits >= rebuiltHits - 2,
+      s"maintained recall $hits trails full-rebuild recall $rebuiltHits by more than 2")
+  }
+
   test("output is a well-formed per-query top-k: 5 rows each, cosine non-increasing") {
     val out = VectorQueries.graphAnnRounds(spark, sf, 2)
       .select("query_id", "rnk", "vec_id", "cosine")
