@@ -301,6 +301,32 @@ object Bench {
     }
   }
 
+  /** Fixed synthetic CALIBRATION KERNEL — the same work every round, no
+    * repo code under test: 8M generated rows, one hash-keyed
+    * shuffle-aggregate, one sort, consumed through the standard hasher.
+    * Timed at bench START and END (arrays published, warm-up rep
+    * excluded from the median), so cross-round per-gate comparisons can
+    * be quoted DRIFT-NORMALIZED — gate_rN/gate_rM divided by
+    * calib_rN/calib_rM — instead of argued from load stamps (the
+    * r9-r11 environment-drift problem: identical code re-measured
+    * ±6-13% across runs with nothing in the artifact to anchor it).
+    */
+  private def calibRuns(spark: SparkSession, reps: Int = 4): Seq[Double] = {
+    import org.apache.spark.sql.functions.{count => fCount, desc, pmod, sum}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      consume(
+        spark
+          .range(0, 8000000L, 1, 32)
+          .select(col("id"), pmod(xxhash64(struct(col("id"))), lit(100000L)).as("k"))
+          .groupBy(col("k"))
+          .agg(sum(col("id")).as("s"), fCount(lit(1)).as("c"))
+          .orderBy(desc("s"), col("k")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to reps).map(_ => once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -309,6 +335,8 @@ object Bench {
     // warmup runs the flagship slice at the smallest scale factor).
     try consume(SparkEntry.entry(spark))
     catch { case _: Throwable => () }
+    // calibration probe, START placement (fresh warmed JVM)
+    val calibStart = try calibRuns(spark) catch { case _: Throwable => Seq(-1.0) }
     // The three rate sections, shared by both placements below.
     def streamSection() =
       try streamRates(spark, sfDir, reps = 5)
@@ -439,6 +467,8 @@ object Bench {
       math.max(
         filteredSteadyMedian(pre._1, pre._2),
         filteredSteadyMedian(post._1, post._2)).round
+    // calibration probe, END placement (post-gate accumulated-state JVM)
+    val calibEnd = try calibRuns(spark) catch { case _: Throwable => Seq(-1.0) }
     val refHeadline = headline((refRates, refRateLoad), (refPostRuns, refPostLoad))
     val streamHeadline = headline((streamRateRuns, streamRateLoad), (streamPostRuns, streamPostLoad))
     val serveHeadline = headline((serveRateRuns, serveRateLoad), (servePostRuns, servePostLoad))
@@ -447,6 +477,10 @@ object Bench {
         s""""query_rep_start_ms":$startsJson,"query_rep_load":$loadsJson,""" +
         v5BuildSecs.map(b => s""""v5_build_secs":$b,""").getOrElse("") +
         s""""query_errors":$errs,"sf":"$sfDir","rate_load_ceiling":$RateLoadCeiling,""" +
+        s""""calib_secs":${steadyMedian(calibStart)},""" +
+        s""""calib_start_runs":${calibStart.mkString("[", ",", "]")},""" +
+        s""""calib_end_secs":${steadyMedian(calibEnd)},""" +
+        s""""calib_end_runs":${calibEnd.mkString("[", ",", "]")},""" +
         s""""ref_workload_rows_per_sec":$refHeadline,""" +
         s""""ref_rate_runs":${refRates.map(_.round).mkString("[", ",", "]")},""" +
         s""""ref_rate_load":${refRateLoad.mkString("[", ",", "]")},""" +

@@ -276,7 +276,7 @@ object RelationalQueries {
     * Triangles' enumeration over it is itself persisted and shared, so
     * the O(m^1.5) wedge join also runs once for both consumers.
     */
-  private def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def coOccurrenceEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -386,7 +386,14 @@ object RelationalQueries {
   private val CloseRounds = 4
   private val HarmLcm = 12L
 
-  def closeness(spark: SparkSession, sfDir: String): DataFrame = {
+  def closeness(spark: SparkSession, sfDir: String): DataFrame =
+    closenessRounds(spark, sfDir, CloseRounds)
+
+  /** [[closeness]] with an explicit radius — FixpointSpec runs a larger
+    * radius on the small corpus to prove (or measure) what the gate's
+    * bounded radius misses.
+    */
+  private[graft] def closenessRounds(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
     val pairs = Tables
       .lineitem(spark, sfDir)
       .select(
@@ -402,7 +409,7 @@ object RelationalQueries {
       .orderBy(col("source"))
       .limit(CloseSources)
     graft.operators.Bfs
-      .multiHops(edges, sources, CloseRounds)
+      .multiHops(edges, sources, rounds)
       .filter(col("hop") > 0L)
       .groupBy(col("source"))
       .agg(
@@ -1289,6 +1296,20 @@ object RelationalQueries {
   private val TrussBcastAliveMax = 4000000L
 
   private def kTrussPeel(spark: SparkSession, sfDir: String)(
+      onRound: (Int, DataFrame) => Unit): DataFrame =
+    kTrussPeelRounds(spark, sfDir, toFixpoint = false)(onRound)
+
+  /** The g18 peel with a FIXPOINT mode: keep peeling until the alive-edge
+    * count stops falling (alive sets are nested round over round —
+    * support only decreases — so an equal count IS an equal set). The
+    * gate stays the bounded-round form; FixpointSpec uses this to prove
+    * the bound's sufficiency on the small corpus.
+    */
+  private[graft] def kTrussPeelRounds(
+      spark: SparkSession,
+      sfDir: String,
+      toFixpoint: Boolean,
+      maxFixpointRounds: Int = 64)(
       onRound: (Int, DataFrame) => Unit): DataFrame = {
     val e0 = coOccurrenceEdges(spark, sfDir)
     val oriented = graft.operators.Triangles.orient(e0).persist()
@@ -1334,8 +1355,12 @@ object RelationalQueries {
     // no surviving triangle have support 0 and vanish from the frame
     var alive: DataFrame = null
     var nAlive = 0L
+    var prevAlive = -1L
     var r = 0
-    while (r < TrussRounds) {
+    while (
+      (!toFixpoint && r < TrussRounds) ||
+      (toFixpoint && nAlive != prevAlive && r < maxFixpointRounds)) {
+      prevAlive = nAlive
       // round 1's alive set is the full edge list, so its support comes
       // straight off the enumeration (no semi-joins to apply yet)
       val supported = if (r == 0) tris else aliveTriangles(alive, nAlive)
@@ -1456,7 +1481,21 @@ object RelationalQueries {
     */
   private val MisRounds = 3
 
-  def maximalIndependentSet(spark: SparkSession, sfDir: String): DataFrame = {
+  def maximalIndependentSet(spark: SparkSession, sfDir: String): DataFrame =
+    misWinners(spark, sfDir, MisRounds, toFixpoint = false)._1
+      .transform(orderedOutput(_, col("node")))
+
+  /** The Luby loop behind g19, with an explicit round budget and a
+    * FIXPOINT mode (run until the undecided set empties — one count per
+    * round, spec-only; the gate stays the bounded-round, action-free
+    * form). Returns (winners with round, rounds run, undecided left —
+    * -1 when not counted).
+    */
+  private[graft] def misWinners(
+      spark: SparkSession,
+      sfDir: String,
+      maxRounds: Int,
+      toFixpoint: Boolean): (DataFrame, Int, Long) = {
     val e = coOccurrenceEdges(spark, sfDir)
     val und = e
       .select(col("a").as("src"), col("b").as("dst"))
@@ -1466,9 +1505,11 @@ object RelationalQueries {
     def pkey(c: org.apache.spark.sql.Column) =
       concat(graft.operators.Sampling.hashUniformHex("mis", c), lpad(c.cast("string"), 12, "0"))
     var undecided = und.select(col("src").as("node")).distinct().localCheckpoint()
+    var undecidedLeft = if (toFixpoint) undecided.count() else -1L
     val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var r = 1
-    while (r <= MisRounds) {
+    var done = false
+    while (!done && r <= maxRounds) {
       val uE = und
         .join(undecided.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(undecided.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -1489,11 +1530,13 @@ object RelationalQueries {
         .join(winners, Seq("node"), "left_anti")
         .join(removed, Seq("node"), "left_anti")
         .localCheckpoint()
-      r += 1
+      if (toFixpoint) {
+        undecidedLeft = undecided.count()
+        done = undecidedLeft == 0L
+      }
+      if (!done) r += 1
     }
-    rounds
-      .reduce(_ unionAll _)
-      .transform(orderedOutput(_, col("node")))
+    (rounds.reduce(_ unionAll _), math.min(r, maxRounds), undecidedLeft)
   }
 
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
