@@ -152,7 +152,18 @@ object ScaleBench {
     // Luby MIS (g19 — per-round semi-join+min over the pre-partitioned
     // undirected frame, the g12 shape; winner counters below)
     "v21_ann_tombstones",
-    "g19_mis")
+    "g19_mis",
+    // round-12 additions: the maintained graph-ANN lifecycle (v22 —
+    // base-slice build + delta NN-descent round + tombstoned beam
+    // probe; should track v15's build term on the base slice), the
+    // deletion-vector delete lifecycle (x22 — overwrite + MOR delete +
+    // fold; the MOR commit is zone-pruned-scan-sized, the fold is the
+    // one rewrite), and the BQ shortlist after its bottom-k rewrite
+    // (v20 — the r11-weak corpus-sized window is gone; the monitor pays
+    // two Hamming scans + two bounded rescores)
+    "v22_gann_incremental",
+    "x22_mor_delete",
+    "v20_bq_recall")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
@@ -261,7 +272,7 @@ object ScaleBench {
     val smallDir = args(0)
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
-    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r11.json"
+    val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r12.json"
     val spark: SparkSession = Sessions.local()
     val gates = SparkEntry.queries.filter { case (k, _) => HeavyGates.contains(k) }
     val (quiesceSec, loadStart) = quiesce(below = 4.0, maxWaitSec = 300)

@@ -138,7 +138,7 @@ object StreamScaleBench {
   def main(args: Array[String]): Unit = {
     val smallKeys = if (args.length > 0) args(0).toLong else 10000L
     val reps = if (args.length > 1) args(1).toInt else 3
-    val outPath = if (args.length > 2) args(2) else "/root/repo/STREAM_SCALE_r11.json"
+    val outPath = if (args.length > 2) args(2) else "/root/repo/STREAM_SCALE_r12.json"
     val largeKeys = smallKeys * 10L
     val spark = Sessions.local()
     spark.conf.set(

@@ -2688,6 +2688,55 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("from_version")))
   }
 
+  /** x23: the STREAMING TABLE TAIL ([[graft.streaming.SnapshotsStreamSource]])
+    * — x12's incremental read consumed as a real Structured Streaming
+    * source: the same three-commit table, tailed with Trigger.AvailableNow
+    * from each version cursor (the offset IS the version), every drained
+    * micro-batch landed in a sandbox sink and aggregated. The oracle is
+    * x12's SQL VERBATIM: the stream must deliver exactly the batch
+    * append-diff, or the hash diverges — the stream ≡ batch contract as
+    * an oracle gate, not just a spec. Cursor 3 (nothing past it) must
+    * drain zero batches and aggregate to the x12 empty-diff row.
+    */
+  def streamTailScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.filter(pmod(col("event_id"), lit(3L)) === 0L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 1L), dir)
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val diffs = Seq(1, 2, 3).map { from =>
+      val sink = s"$dir/tail_$from"
+      val q = spark.readStream
+        .format("graft.streaming.SnapshotsStreamSource")
+        .option("path", dir)
+        .option("startingVersion", from.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ck_$from")
+        .start()
+      q.awaitTermination()
+      val drained =
+        if (new java.io.File(sink).exists()) spark.read.parquet(sink)
+        else base.limit(0)
+      drained
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+        .select(
+          lit(from.toLong).as("from_version"),
+          col("n_events"), col("n_users"), col("sum_cents"))
+    }
+    diffs
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("from_version")))
+  }
+
   /** x13: RESTORE as a commit ([[graft.sources.Snapshots.commitRestore]])
     * — the rollback lifecycle: v1 commits third 0, v2 appends third 1, v3
     * OVERWRITES with third 2 (the "bad deploy" that replaced the table),
@@ -5695,6 +5744,19 @@ object FeatureQueries {
            |  ON (f.from_version = 1 AND p.event_id % 3 IN (1, 2))
            |  OR (f.from_version = 2 AND p.event_id % 3 = 2)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // x23: the stream must deliver exactly the batch append-diff — the
+      // oracle is x12's derivation verbatim
+      "x23_stream_tail" ->
+        s"""WITH prep AS ($prep),
+           |f AS (SELECT unnest(generate_series(1, 3)) AS from_version)
+           |SELECT CAST(f.from_version AS BIGINT) AS from_version,
+           |  CAST(count(p.event_id) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           |  CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS sum_cents
+           |FROM f LEFT JOIN prep p
+           |  ON (f.from_version = 1 AND p.event_id % 3 IN (1, 2))
+           |  OR (f.from_version = 2 AND p.event_id % 3 = 2)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "x13_restore" ->
         s"""WITH prep AS ($prep),
            |v AS (SELECT unnest(generate_series(2, 4)) AS version)
@@ -6340,6 +6402,7 @@ object FeatureQueries {
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
     "x21_column_rename" -> (columnRenameScan(_, _)),
     "x12_incremental_read" -> (incrementalReadScan(_, _)),
+    "x23_stream_tail" -> (streamTailScan(_, _)),
     "x13_restore" -> (restoreScan(_, _)),
     "x14_change_feed" -> (changeFeedScan(_, _)),
     "x15_checked_commit" -> (checkedCommitScan(_, _)),
