@@ -606,6 +606,7 @@ class PlanPostureSpec extends AnyFunSuite {
       "v12_ivfpq_topk" -> "ADC scan restricted to nProbe capped cells: <= nProbe * maxCell rows/query",
       "v17_graph_ann" -> "beam windows over rounds * beam * degree scored rows per query",
       "v18_graph_index_probe" -> "beam search over the persisted bounded-degree graph (beam * degree rows)",
+      "v22_gann_incremental" -> "same beam windows as v17 over the maintained graph (rounds * beam * degree rows)",
       "v19_binary_rerank" -> "exact rerank window over the shortlist join: <= shortlist rows per query",
       "v20_bq_recall" -> "same shortlist-sized rerank window as v19 (top-1)",
       "v7_knn_classify" -> "vote argmax over <= |labels| rows per query",
