@@ -163,7 +163,18 @@ object ScaleBench {
     // two Hamming scans + two bounded rescores)
     "v22_gann_incremental",
     "x22_mor_delete",
-    "v20_bq_recall")
+    "v20_bq_recall",
+    // round-12 session-2: HashMin+compression connected components over
+    // the support-thresholded co-occurrence graph (g20 — per round one
+    // keyed min-join + one label-keyed pointer join, the g12 shape;
+    // delta counters below). The strong-tie threshold makes the edge
+    // frame SHRINK relative to the raw pair count, so the ratio prices
+    // the pair aggregation plus bounded rounds
+    "g20_components",
+    // the composed corpus-prep chain (e1 — d1 dedup + t2 scoring + t3
+    // lang-id + s5 split in one query): each stage is linear; the cell
+    // prices the composition's shared-scan behavior at 10x docs
+    "e1_corpus_pipeline")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
@@ -273,8 +284,14 @@ object ScaleBench {
     val largeDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 4
     val outPath = if (args.length > 3) args(3) else "/root/repo/SCALE_r12.json"
+    // optional 5th arg: comma-separated gate subset, for measuring a
+    // session's NEW heavies without re-running the whole matrix (merge
+    // the resulting cells into the round artifact)
+    val only: Option[Set[String]] = if (args.length > 4) Some(args(4).split(",").toSet) else None
     val spark: SparkSession = Sessions.local()
-    val gates = SparkEntry.queries.filter { case (k, _) => HeavyGates.contains(k) }
+    val gates = SparkEntry.queries.filter { case (k, _) =>
+      HeavyGates.contains(k) && only.forall(_.contains(k))
+    }
     val (quiesceSec, loadStart) = quiesce(below = 4.0, maxWaitSec = 300)
     // one warm pass at the small scale so codegen/parquet-reader init is
     // in nobody's rep 1 more than necessary
@@ -352,14 +369,16 @@ object ScaleBench {
     }
     val g12Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
       val counts =
-        try CacheScope.scoped(spark) {
+        if (!only.forall(_.contains("g12_kcore"))) Seq.empty[Long]
+        else try CacheScope.scoped(spark) {
           queries.RelationalQueries.kCoreRoundSurvivors(spark, dir).map(_._2)
         } catch { case _: Throwable => Seq.empty[Long] }
       s""""$tag":${counts.mkString("[", ",", "]")}"""
     }
     val g18Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
       val counts =
-        try CacheScope.scoped(spark) {
+        if (!only.forall(_.contains("g18_ktruss"))) Seq.empty[Long]
+        else try CacheScope.scoped(spark) {
           queries.RelationalQueries.kTrussRoundSurvivors(spark, dir).map(_._2)
         } catch { case _: Throwable => Seq.empty[Long] }
       s""""$tag":${counts.mkString("[", ",", "]")}"""
@@ -369,11 +388,23 @@ object ScaleBench {
     // must be visible in the artifact (the g12/g18 counter convention)
     val g19Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
       val counts =
-        try CacheScope.scoped(spark) {
+        if (!only.forall(_.contains("g19_mis"))) Seq.empty[Long]
+        else try CacheScope.scoped(spark) {
           queries.RelationalQueries
             .maximalIndependentSet(spark, dir)
             .groupBy("round").count().orderBy("round")
             .collect().map(_.getLong(1)).toSeq
+        } catch { case _: Throwable => Seq.empty[Long] }
+      s""""$tag":${counts.mkString("[", ",", "]")}"""
+    }
+    // g20: per-round changed-label counts from the fixpoint-mode loop —
+    // convergence inside the gate's 8-round budget must be visible at
+    // BOTH scales (trailing zero = the fixpoint witness round)
+    val g20Rounds = Seq("small" -> smallDir, "large" -> largeDir).map { case (tag, dir) =>
+      val counts =
+        if (!only.forall(_.contains("g20_components"))) Seq.empty[Long]
+        else try CacheScope.scoped(spark) {
+          queries.RelationalQueries.componentRoundDeltas(spark, dir)
         } catch { case _: Throwable => Seq.empty[Long] }
       s""""$tag":${counts.mkString("[", ",", "]")}"""
     }
@@ -386,6 +417,7 @@ object ScaleBench {
         s""""g12_round_survivors":${g12Rounds.mkString("{", ",", "}")},""" +
         s""""g18_round_survivors":${g18Rounds.mkString("{", ",", "}")},""" +
         s""""g19_round_winners":${g19Rounds.mkString("{", ",", "}")},""" +
+        s""""g20_round_deltas":${g20Rounds.mkString("{", ",", "}")},""" +
         s""""gates":${cells.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

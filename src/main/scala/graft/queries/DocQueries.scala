@@ -1629,6 +1629,44 @@ object DocQueries {
       .transform(orderedOutput(_, col("doc_id")))
   }
 
+  /** e1: the END-TO-END corpus-prep pipeline — the composition every
+    * training-data run actually executes, as ONE oracle-gated query:
+    * exact dedup (d1's canonical-survivor rule) → quality filter (t2's
+    * score ≥ 0.5 band) → language filter (t3's n-gram profile, keep
+    * 'en') → deterministic train/val split (s5's md5 draw). Each stage
+    * is individually gated elsewhere; THIS gate pins that the stages
+    * compose bit-exactly — filter ordering, join keying, and the
+    * survivor set all cross engines intact. Plan posture: every stage
+    * is one doc_id-keyed pass or semi-join over the corpus (the three
+    * token computations share one scan via the CacheManager's identical-
+    * subplan dedup); nothing here is new machinery, which is the point —
+    * a 100 TB curation run is exactly this chain with bigger inputs.
+    */
+  def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val canon = docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = docs
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(
+        scoredDocs(spark, sfDir).select(col("doc_id"), col("n_tokens"), col("quality_band")),
+        Seq("doc_id"))
+      .filter(col("quality_band") === "good")
+      .join(langId(spark, sfDir).select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      .filter(col("lang_pred") === "en")
+    kept
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        graft.operators.Sampling.hashUniformHex("corpus", col("doc_id")).as("u8"),
+        graft.operators.Sampling
+          .splitLabel("corpus", col("doc_id"), Seq("train" -> "e6000000"), default = "val")
+          .as("split"))
+      .transform(orderedOutput(_, col("doc_id")))
+  }
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val profiles = TextAnalysis.langProfiles
     val scored = Tables
@@ -1858,7 +1896,49 @@ object DocQueries {
     * a global top-k.
     */
   private val Bm25QueryTerms = Seq("join", "scan", "window")
-  private val Bm25TopK = 10
+  private[queries] val Bm25TopK = 10
+
+  /** t20's oracle lifecycle (DuckDB dialect) through the ranked relation
+    * `bm25 (rnk, doc_id, score, n_hit_terms)` — shared by the t20 gate
+    * and v23's hybrid fusion, which reuses the text ranking verbatim.
+    */
+  private[queries] lazy val bm25Ctes: String = {
+    val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (SELECT count(*) AS n FROM documents),
+       |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_total
+       |        FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf
+       |  FROM d WHERE token IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT doc_id, token, tf,
+       |    count(*) OVER (PARTITION BY token) AS df,
+       |    (dl * n * 1000) // t_total AS ratio_x1000,
+       |    n
+       |  FROM tf CROSS JOIN c CROSS JOIN tot),
+       |s2 AS (
+       |  SELECT doc_id, tf, df, n,
+       |    (1200 * (250 + (750 * ratio_x1000) // 1000)) // 1000 AS k_x1000
+       |  FROM s),
+       |s3 AS (
+       |  SELECT doc_id,
+       |    (n - df) * ((tf * 2200 * 1000) // (tf * 1000 + k_x1000)) AS score_t
+       |  FROM s2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score,
+       |         count(*) AS n_hit_terms
+       |  FROM s3 GROUP BY 1),
+       |bm25 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       |         doc_id, score, n_hit_terms
+       |  FROM agg
+       |  QUALIFY rnk <= $Bm25TopK)""".stripMargin
+  }
 
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2340,6 +2420,7 @@ object DocQueries {
     "t29_length_batching" -> (lengthBatching(_, _)),
     "t30_line_dedup" -> (lineDedup(_, _)),
     "t3_lang_id" -> (langId(_, _)),
+    "e1_corpus_pipeline" -> (corpusPipeline(_, _)),
     "t12_simpson_repetition" -> (simpsonRepetition(_, _)),
     "t13_bigram_topk" -> (bigramTopK(_, _)),
     "d13_tfidf_neardup" -> (tfidfNearDup(_, _)),
@@ -2873,43 +2954,9 @@ object DocQueries {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE greatest(n_common / sa.sz, n_common / sb.sz) >= $ContainmentThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "t20_bm25_rank" -> {
-      val termList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH d AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |         unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |c AS (SELECT count(*) AS n FROM documents),
-         |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_total
-         |        FROM documents),
-         |tf AS (
-         |  SELECT doc_id, dl, token, count(*) AS tf
-         |  FROM d WHERE token IN ($termList)
-         |  GROUP BY 1, 2, 3),
-         |s AS (
-         |  SELECT doc_id, token, tf,
-         |    count(*) OVER (PARTITION BY token) AS df,
-         |    (dl * n * 1000) // t_total AS ratio_x1000,
-         |    n
-         |  FROM tf CROSS JOIN c CROSS JOIN tot),
-         |s2 AS (
-         |  SELECT doc_id, tf, df, n,
-         |    (1200 * (250 + (750 * ratio_x1000) // 1000)) // 1000 AS k_x1000
-         |  FROM s),
-         |s3 AS (
-         |  SELECT doc_id,
-         |    (n - df) * ((tf * 2200 * 1000) // (tf * 1000 + k_x1000)) AS score_t
-         |  FROM s2),
-         |agg AS (
-         |  SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score,
-         |         count(*) AS n_hit_terms
-         |  FROM s3 GROUP BY 1)
-         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
-         |       doc_id, score, n_hit_terms
-         |FROM agg
-         |QUALIFY rnk <= $Bm25TopK
-         |ORDER BY rnk""".stripMargin
-    },
+    "t20_bm25_rank" ->
+      s"""WITH $bm25Ctes
+         |SELECT rnk, doc_id, score, n_hit_terms FROM bm25 ORDER BY rnk""".stripMargin,
     // d2 with the hot-shingle df cap applied before pairing AND sizes —
     // the QUALIFY mirrors Dedup.dropHotShingles exactly
     "d2c_jaccard_capped" ->
@@ -3063,6 +3110,42 @@ object DocQueries {
         |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // e1: the d1/t2/t3/s5 oracle snippets composed in one WITH chain —
+    // any drift in a stage's survivor set diverges the hash
+    "e1_corpus_pipeline" -> {
+      val scoreCols = TextAnalysis.langProfiles.map { case (langName, words) =>
+        val inList = words.map(w => s"'$w'").mkString(",")
+        s"len(list_filter(w, t -> t IN ($inList))) AS score_$langName"
+      }.mkString(",\n    ")
+      """WITH canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |sc AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    (len(list_filter(w, t -> t IN ('the','a','of','and','to','in'))) / len(w)) * 0.3
+        |      + least(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) / len(w) / 10.0, 1.0) * 0.3
+        |      + (len(list_distinct(w)) / len(w)) * 0.4 AS q
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |      WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |      WHEN score_de >= score_fr THEN 'de'
+        |      ELSE 'fr' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      SCORECOLS
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |kept AS (
+        |  SELECT c.doc_id, s.n_tokens
+        |  FROM canon c JOIN sc s USING (doc_id) JOIN lang l USING (doc_id)
+        |  WHERE s.q >= 0.5 AND l.lang_pred = 'en')
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  substr(md5('corpus|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8,
+        |  CASE WHEN substr(md5('corpus|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6000000'
+        |    THEN 'train' ELSE 'val' END AS split
+        |FROM kept ORDER BY doc_id""".stripMargin.replace("SCORECOLS", scoreCols)
+    },
     "t3_lang_id" -> {
       val scoreCols = TextAnalysis.langProfiles.map { case (langName, words) =>
         val inList = words.map(w => s"'$w'").mkString(",")

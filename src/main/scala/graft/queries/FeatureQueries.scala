@@ -1122,6 +1122,50 @@ object FeatureQueries {
       .filter(col("n_pairs") > 0)
   }
 
+  /** a35: Kendall tau-b rank correlation between two features of the
+    * daily series (event count vs spend) — the tie-corrected rank
+    * association every drift/feature-selection pass reaches for when
+    * Spearman's (a20's) distributional assumptions are in doubt.
+    * a31's Mann-Kendall is the TREND special case (one variable against
+    * time, no tie correction on time); this is the bivariate form:
+    * concordant/discordant/tied pair counts over the calendar-bounded
+    * daily pair frame (≤ days²/2 rows at ANY corpus size — the a34
+    * broadcast-pair shape, never a row-pair frame), all counts exact
+    * longs, tau-b their one double expression written identically on
+    * both engines (sqrt(n0−Tx)·sqrt(n0−Ty) — the factored form, not
+    * sqrt of the product). The heavy pass is the daily rollup, one
+    * map-side-combined aggregation over the corpus.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = prepared(spark, sfDir)
+      .groupBy(expr("ord_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("cents")).as("s"))
+    val pairs = daily
+      .as("x")
+      .join(broadcast(daily.as("y")), col("x.day") < col("y.day"))
+      .select(
+        (col("y.n_ev") - col("x.n_ev")).as("dn"),
+        (col("y.s") - col("x.s")).as("ds"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when((col("dn") > 0 && col("ds") > 0) || (col("dn") < 0 && col("ds") < 0), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("dn") > 0 && col("ds") < 0) || (col("dn") < 0 && col("ds") > 0), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("dn") === 0 && col("ds") =!= 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dn") =!= 0 && col("ds") === 0, 1L).otherwise(0L)).as("ty"),
+        sum(when(col("dn") === 0 && col("ds") === 0, 1L).otherwise(0L)).as("tb"))
+      .select(
+        col("n_pairs"), col("nc"), col("nd"), col("tx"), col("ty"), col("tb"),
+        ((col("nc") - col("nd")).cast("double") /
+          (sqrt((col("n_pairs") - col("tx") - col("tb")).cast("double")) *
+            sqrt((col("n_pairs") - col("ty") - col("tb")).cast("double")))).as("tau_b"))
+      // degenerate corpus (< 2 distinct days): zero pairs — emit zero
+      // rows on both engines (the a34 convention)
+      .filter(col("n_pairs") > 0)
+  }
+
   /** k9: distributed quantile estimation via the bottom-k payload
     * sample ([[graft.functions.KmvSampleAgg]]) — the mergeable-sample
     * answer to "quartiles per group at 100 TB": one hash-aggregate pass
@@ -2603,6 +2647,52 @@ object FeatureQueries {
         col("n_events"), col("n_users"), col("sum_cents"))
     v1.unionByName(v2)
       .transform(orderedOutput(_, col("version"), col("channel")))
+  }
+
+  /** x24: metadata-only TYPE WIDENING ([[graft.sources.Snapshots
+    * .commitWiden]]) — x21's rename lifecycle with the OTHER
+    * schema-evolution verb: v1 writes two thirds of the corpus with
+    * `cents` physically narrow (int — the legacy-producer schema); v2
+    * widens it to long WITHOUT rewriting a file (an op=widen manifest
+    * with the identical file list plus a scoped `_schema/` entry); v3
+    * appends the last third, physically wide natively. The gate reads
+    * v1 (narrow, schema time travel) and v3 (int and long generations
+    * unified by a read-time cast — a raw mixed-footer read would
+    * refuse) and aggregates both — values are cast-invariant, so the
+    * oracle is x21's SQL shape verbatim; the TYPE discipline (v1 int,
+    * v3 long, append natively wide, fold by OPTIMIZE, rewrite
+    * refusals) is pinned by SnapshotsSpec. Runs in the reclaimed
+    * [[sandboxed]] sandbox.
+    */
+  def typeWideningScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base
+        .filter(pmod(col("event_id"), lit(3L)) =!= 2L)
+        .withColumn("cents", col("cents").cast("int")),
+      dir)
+    Snapshots.commitWiden(spark, dir, "cents", "long")
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val v1 = Snapshots
+      .readVersionEvolved(spark, dir, 1)
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(1L).as("version"), lit(-1L).as("third"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    val v3 = Snapshots
+      .readVersionEvolved(spark, dir, 3)
+      .groupBy(pmod(col("event_id"), lit(3L)).as("third"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(3L).as("version"), col("third"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    v1.unionByName(v3)
+      .transform(orderedOutput(_, col("version"), col("third")))
   }
 
   /** x21: metadata-only COLUMN RENAME ([[graft.sources.Snapshots
@@ -5205,6 +5295,30 @@ object FeatureQueries {
            |  CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.50 * m) AS BIGINT), 1) THEN cents END) AS BIGINT) AS q50,
            |  CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.75 * m) AS BIGINT), 1) THEN cents END) AS BIGINT) AS q75
            |FROM r GROUP BY event_type, m ORDER BY event_type""".stripMargin,
+      // a35: the same calendar-bounded daily pair frame as a34; counts
+      // exact, tau-b the one double expression (factored sqrts)
+      "a35_kendall_tau" ->
+        s"""WITH prep AS ($prep),
+           |daily AS (SELECT ord_us // 86400000000 AS day,
+           |                 CAST(count(*) AS BIGINT) AS n_ev,
+           |                 CAST(sum(cents) AS BIGINT) AS s
+           |          FROM prep GROUP BY 1),
+           |pairs AS (
+           |  SELECT y.n_ev - x.n_ev AS dn, y.s - x.s AS ds
+           |  FROM daily x JOIN daily y ON x.day < y.day),
+           |agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(CASE WHEN (dn > 0 AND ds > 0) OR (dn < 0 AND ds < 0) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |    CAST(sum(CASE WHEN (dn > 0 AND ds < 0) OR (dn < 0 AND ds > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           |    CAST(sum(CASE WHEN dn = 0 AND ds <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+           |    CAST(sum(CASE WHEN dn <> 0 AND ds = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+           |    CAST(sum(CASE WHEN dn = 0 AND ds = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+           |  FROM pairs)
+           |SELECT n_pairs, nc, nd, tx, ty, tb,
+           |  CAST(nc - nd AS DOUBLE) /
+           |    (sqrt(CAST(n_pairs - tx - tb AS DOUBLE)) * sqrt(CAST(n_pairs - ty - tb AS DOUBLE)))
+           |    AS tau_b
+           |FROM agg WHERE n_pairs > 0""".stripMargin,
       "a34_theil_sen" ->
         s"""WITH prep AS ($prep),
            |daily AS (SELECT ord_us // 86400000000 AS day,
@@ -5947,6 +6061,21 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // x24: x21's SQL shape verbatim — a type widening is
+      // value-invariant by contract, so the same per-version aggregates
+      // pin the lifecycle; the TYPE discipline is SnapshotsSpec's job
+      "x24_type_widening" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 1 AS version, -1 AS third, user_id, cents
+           |  FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL
+           |  SELECT 3, event_id % 3, user_id, cents FROM prep)
+           |SELECT CAST(version AS BIGINT) AS version, CAST(third AS BIGINT) AS third,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // LEFT join from the dim spine (the x12 convention): a dimension
       // matching zero rows at a tiny SF must still emit its zero row,
       // exactly as the Spark side's whole-frame agg does
@@ -6340,6 +6469,7 @@ object FeatureQueries {
     "a32_anova" -> (anovaCells(_, _)),
     "a33_multireg" -> (multiRegression(_, _)),
     "a34_theil_sen" -> (theilSen(_, _)),
+    "a35_kendall_tau" -> (kendallTau(_, _)),
     "k9_kmv_quantiles" -> (kmvQuantiles(_, _)),
     "w13_decay_spend" -> (decaySpend(_, _)),
     "w14_spend_rank" -> (spendRankFeatures(_, _)),
@@ -6401,6 +6531,7 @@ object FeatureQueries {
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
     "x21_column_rename" -> (columnRenameScan(_, _)),
+    "x24_type_widening" -> (typeWideningScan(_, _)),
     "x12_incremental_read" -> (incrementalReadScan(_, _)),
     "x23_stream_tail" -> (streamTailScan(_, _)),
     "x13_restore" -> (restoreScan(_, _)),

@@ -288,6 +288,52 @@ object VectorQueries {
       .withColumn("recall", col("n_hits").cast("double") / col("n_queries").cast("double"))
   }
 
+  /** v23: HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack et al.
+    * 2009, the RRF every hybrid RAG stack runs) of a lexical and a
+    * dense ranking of the SAME corpus: the t20 BM25 top-10 (doc ids)
+    * and the exact integer-cosine top-10 for one query embedding
+    * (vec ids — the corpora share the id space). Each list contributes
+    * floor(1e6 / (60 + rank)) — the standard k=60 RRF discount in
+    * integer fixed-point, so both engines fuse in exact arithmetic
+    * (no float sums to order) — and items on one list only score that
+    * one term (a FULL OUTER join, nulls → 0). Scale posture: all the
+    * heavy lifting is inside the two constituent rankings (each already
+    * bounded: t20's distributed TakeOrdered, v1's BottomKAgg); the
+    * fusion itself joins two <= 10-row frames and mints ranks on <= 20
+    * survivors — O(k), never O(corpus).
+    */
+  private val HybridRrfK = 60L
+  private val HybridRrfScale = 1000000L
+  private val HybridQueryVec = 0L
+  private val HybridTopK = 10
+
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = DocQueries
+      .bm25Rank(spark, sfDir)
+      .select(col("doc_id").as("id"), col("rnk").as("rnk_text"))
+    val vec = Similarity
+      .bruteForceTopK(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") === HybridQueryVec,
+        DocQueries.Bm25TopK)
+      .select(col("vec_id").as("id"), col("rnk").as("rnk_vec"))
+    val w = Window.orderBy(col("rrf_x1m").desc, col("id"))
+    text
+      .join(vec, Seq("id"), "full_outer")
+      .withColumn(
+        "rrf_x1m",
+        coalesce(expr(s"${HybridRrfScale}L div (${HybridRrfK}L + rnk_text)"), lit(0L)) +
+          coalesce(expr(s"${HybridRrfScale}L div (${HybridRrfK}L + rnk_vec)"), lit(0L)))
+      .orderBy(col("rrf_x1m").desc, col("id"))
+      .limit(HybridTopK)
+      .repartition(1)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("id"), col("rrf_x1m"), col("rnk_text"), col("rnk_vec"))
+      .transform(orderedOutput(_, col("rnk")))
+  }
+
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
@@ -1101,6 +1147,7 @@ object VectorQueries {
     "v12_ivfpq_topk" -> (ivfPqTopKQuery(_, _)),
     "v13_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
+    "v23_hybrid_rrf" -> (hybridRrf(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
     "v2_ann_signlsh" -> (annSignLsh(_, _)),
@@ -1657,6 +1704,29 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    // v23: the t20 text CTE verbatim + a one-query exact cosine ranking,
+    // fused in integer fixed-point — floor(1e6/(60+rank)) per list,
+    // FULL OUTER so single-list items keep their one term
+    "v23_hybrid_rrf" ->
+      s"""WITH ${DocQueries.bm25Ctes},
+         |$prep,
+         |vscored AS (
+         |  SELECT b.vec_id, $cosineExpr AS cosine
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id = $HybridQueryVec),
+         |vtop AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk_vec
+         |  FROM vscored QUALIFY rnk_vec <= ${DocQueries.Bm25TopK}),
+         |txt AS (SELECT doc_id AS id, rnk AS rnk_text FROM bm25),
+         |fused AS (
+         |  SELECT coalesce(txt.id, v.vec_id) AS id, txt.rnk_text, v.rnk_vec,
+         |    coalesce($HybridRrfScale // ($HybridRrfK + txt.rnk_text), 0)
+         |      + coalesce($HybridRrfScale // ($HybridRrfK + v.rnk_vec), 0) AS rrf_x1m
+         |  FROM txt FULL OUTER JOIN vtop v ON txt.id = v.vec_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_x1m DESC, id) AS BIGINT) AS rnk,
+         |       id, rrf_x1m, rnk_text, rnk_vec
+         |FROM fused QUALIFY rnk <= $HybridTopK ORDER BY rnk""".stripMargin,
     // v10: the full PQ lifecycle in SQL — hash-sampled training set,
     // md5-rank seeds sliced into every subspace, two per-subspace Lloyd
     // rounds (integer-rounded means, the v3 discipline keyed by (sub,

@@ -56,6 +56,7 @@ object Snapshots {
   private val RowsHeader = "#rows="
   private val CopiedHeader = "#copied="
   private val RenameSeqHeader = "#renameseq="
+  private val WidenSeqHeader = "#widenseq="
   private val DvHeader = "#dv="
   private val DvRowsHeader = "#dvrows="
   private val HwmName = "_batch.hwm"
@@ -632,6 +633,7 @@ object Snapshots {
     val prev = latestVersion(spark, dir)
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "DELETE")
+    requireNoActiveWiden(spark, dir, prev, entries, "DELETE")
     val ci = statsCols.indexOf(column)
     require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val (touched, untouched) =
@@ -689,6 +691,7 @@ object Snapshots {
     require(prev >= 1, s"cannot merge into an empty table at $dir")
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "MERGE")
+    requireNoActiveWiden(spark, dir, prev, entries, "MERGE")
     val dupKeys = changes
       .groupBy(col(keyCol))
       .count()
@@ -797,19 +800,21 @@ object Snapshots {
     // follow the mapping (the manifest's stats header addresses the
     // file's physical names, which post-fold are the logical ones).
     val renamed = activeRenames(spark, dir, prev, entries)
+    val widened = activeWidens(spark, dir, prev, entries)
     val foldedStats =
       if (renamed.isEmpty) statsCols
       else statsCols.map(c =>
         renameLog(spark, dir).filter(_.version <= prev).foldLeft(c)((n, r) =>
           if (r.from == n) r.to else n))
-    // the rewrite reads through BOTH mappings: the rename chain (fold,
-    // above) and the deletion vector (readVersion anti-joins it) — the
-    // rewritten files hold only live rows under their logical names, so
-    // OPTIMIZE publishes with neither a #dv header nor an applicable
-    // rename, folding both kinds of read-time debt at once
+    // the rewrite reads through EVERY mapping: the rename chain (fold,
+    // above), active type widenings (the evolved read casts them — the
+    // staged files are physically wide, so the widen's fileKeys scope no
+    // longer applies), and the deletion vector (readVersion anti-joins
+    // it) — the rewritten files hold only live rows under their logical
+    // names and types, so OPTIMIZE publishes with no read-time debt
     val all =
-      if (renamed.isEmpty) readVersion(spark, dir, prev)
-      else readVersionRenamed(spark, dir, prev)
+      if (renamed.isEmpty && widened.isEmpty) readVersion(spark, dir, prev)
+      else readVersionEvolved(spark, dir, prev)
     // zOrder = true re-clusters on the Morton interleave of the first two
     // stats columns (low 16 bits each — the x10/z1 convention) so the
     // rewritten zone maps prune on EITHER dimension; the default
@@ -1107,6 +1112,14 @@ object Snapshots {
           renameSeqOf(spark, dir, r.version).contains(r.seq))
       if (provablyDead) f.delete(new Path(schemaDir(dir), s"rename-${r.seq}.list"), false)
     }
+    // widen entries follow the identical liveness protocol
+    rawWidenEntries(spark, dir).foreach { w =>
+      val mf = new Path(manifestDir(dir), s"v${w.version}.list")
+      val provablyDead = w.version <= latest && f.exists(mf) &&
+        !(commitOp(spark, dir, w.version).contains("widen") &&
+          widenSeqOf(spark, dir, w.version).contains(w.seq))
+      if (provablyDead) f.delete(new Path(schemaDir(dir), s"widen-${w.seq}.list"), false)
+    }
     (1 until keepFrom).filterNot(pinned).foreach(v =>
       f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
     // change-feed hygiene: an expired version's change record is no longer
@@ -1131,6 +1144,7 @@ object Snapshots {
 
   private def schemaDir(dir: String) = new Path(dir, "_schema")
   private val RenameFileRe = "rename-(\\d+)\\.list".r
+  private val WidenFileRe = "widen-(\\d+)\\.list".r
 
   /** One recorded rename: applied at table `version`, mapping physical
     * column `from` (as written in the files staged BEFORE the rename) to
@@ -1187,6 +1201,11 @@ object Snapshots {
     // the manifests that prove them dead). A lost manifest publish rolls
     // the claimed entry back and aborts — rerun against the new latest.
     val (statsCols0, entries0) = manifest(spark, dir, v0)
+    // a rename and a widening must not be simultaneously active on live
+    // files (the grouped read handles it, but the OPTIMIZE fold and the
+    // rewrite refusals reason about ONE mapping kind at a time) — fold
+    // first, then evolve again
+    requireNoActiveWiden(spark, dir, v0, entries0, "RENAME")
     val v = v0 + 1
     val files = entries0.map(e => fileKey(e.path))
     val sd = schemaDir(dir)
@@ -1296,26 +1315,56 @@ object Snapshots {
     * version AFTER the one being read do not apply — reading v1 of a
     * table renamed at v2 still sees the old name (schema time travel).
     */
-  def readVersionRenamed(spark: SparkSession, dir: String, version: Int): DataFrame = {
+  def readVersionRenamed(spark: SparkSession, dir: String, version: Int): DataFrame =
+    readVersionEvolved(spark, dir, version)
+
+  /** Read `version` with EVERY recorded metadata-only schema evolution
+    * applied — column renames AND type widenings. Files are grouped by
+    * WHICH evolution entries apply to them (a handful of generations,
+    * never O(files) groups — each entry splits the set once), each
+    * group scans with its chain of `withColumnRenamed` / `cast`
+    * (plan-only — the parquet scan and its pruning/pushdown are
+    * untouched; an int→long cast on top of the scan is a projection,
+    * not a rewrite), and the groups union BY NAME, so readers see one
+    * coherent logical schema over physically mixed files. Entries
+    * recorded at a version AFTER the one being read do not apply —
+    * reading v1 of a table widened at v2 still sees the narrow type
+    * (schema time travel, the x11/x21 discipline). The commit-time
+    * mutual refusal ([[commitRename]] vs [[commitWiden]]) guarantees no
+    * single version's file set carries BOTH mapping kinds, but the
+    * grouped read handles the general case anyway — it is the one read
+    * path for every evolved table.
+    */
+  def readVersionEvolved(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val renames = renameLog(spark, dir).filter(_.version <= version)
+    val widens = widenLog(spark, dir).filter(_.version <= version)
     val entries = manifest(spark, dir, version)._2
     val files = entries.map(_.path)
-    // when no recorded rename touches any live file (none recorded, or
-    // all folded by OPTIMIZE), the renamed read IS the plain
+    // when no recorded evolution touches any live file (none recorded,
+    // or all folded by OPTIMIZE), the evolved read IS the plain
     // (deletion-vector-aware) read; the grouped path below never
-    // coexists with a live DV (commitRename/commitDeleteMor enforce it)
-    val applicable = renames.exists(r => files.exists(p => r.fileKeys.contains(fileKey(p))))
+    // coexists with a live DV (the evolution commits enforce it)
+    val applicable =
+      renames.exists(r => files.exists(p => r.fileKeys.contains(fileKey(p)))) ||
+        widens.exists(w => files.exists(p => w.fileKeys.contains(fileKey(p))))
     if (!applicable) readVersion(spark, dir, version)
     else {
-      requireNoLiveDv(spark, dir, version, "RENAMED READ")
-      val groups = files.groupBy(p => renames.map(r => r.fileKeys.contains(fileKey(p))))
+      requireNoLiveDv(spark, dir, version, "EVOLVED READ")
+      val groups = files.groupBy(p =>
+        (renames.map(_.fileKeys.contains(fileKey(p))),
+          widens.map(_.fileKeys.contains(fileKey(p)))))
       groups.values.toSeq
         .map { fsGroup =>
           val base = spark.read.parquet(fsGroup: _*)
-          val sig = renames.map(r => r.fileKeys.contains(fileKey(fsGroup.head)))
-          renames.zip(sig).foldLeft(base) {
-            case (df, (r, applies)) if applies && df.columns.contains(r.from) =>
+          val key = fileKey(fsGroup.head)
+          val renamed = renames.foldLeft(base) {
+            case (df, r) if r.fileKeys.contains(key) && df.columns.contains(r.from) =>
               df.withColumnRenamed(r.from, r.to)
+            case (df, _) => df
+          }
+          widens.foldLeft(renamed) {
+            case (df, w) if w.fileKeys.contains(key) && df.columns.contains(w.column) =>
+              df.withColumn(w.column, col(w.column).cast(w.to))
             case (df, _) => df
           }
         }
@@ -1326,6 +1375,172 @@ object Snapshots {
   /** Read the latest snapshot with renames applied. */
   def readLatestRenamed(spark: SparkSession, dir: String): DataFrame =
     readVersionRenamed(spark, dir, latestVersion(spark, dir))
+
+  // ---- Type widening (metadata-only schema evolution) ---------------------
+
+  /** A recorded type widening: `column`'s physical type in `fileKeys`
+    * is `from`; readers of any version at/after `version` see it cast
+    * to `to`. Scoped to the file set exactly like [[ColumnRename]].
+    */
+  final case class ColumnWiden(
+      seq: Int, version: Int, column: String, from: String, to: String, fileKeys: Set[String])
+
+  /** The widenings this implementation admits: value-preserving casts
+    * whose wide type can also hold every future append (the
+    * Delta/Iceberg "type widening" whitelist, restricted to the types
+    * the engine's tables use).
+    */
+  private val AllowedWidenings = Set(("integer", "long"), ("float", "double"))
+
+  /** Metadata-only TYPE WIDENING — the second schema-evolution verb
+    * (Delta's `ALTER COLUMN ... TYPE`, Iceberg's type promotion) in the
+    * same file-set form as [[commitRename]]: no data file is rewritten;
+    * a widen entry (column, narrow type, wide type, the CURRENT
+    * snapshot's file set) publishes atomically under `_schema/`, and
+    * [[readVersionEvolved]] applies it at read time as a cast on
+    * exactly those files. Files staged AFTER the widen are written with
+    * the wide type natively and need no mapping; a read of a version
+    * BEFORE the widen sees the narrow type, forever (schema time
+    * travel). Returns the widen's table version.
+    *
+    * The same liveness protocol as renames makes the two-step commit
+    * atomic: the `_schema/widen-N.list` entry is claimed FIRST but is
+    * INERT until the op=widen manifest naming its seq publishes; a
+    * crash between the steps leaves a dead entry no reader applies, and
+    * [[vacuum]] reclaims provably dead ones. The copy-on-write commits
+    * (delete/merge/MOR delete) REFUSE while a widen mapping is active
+    * on live files — their raw multi-footer reads would fail (or
+    * silently coerce) across int/long generations — and
+    * [[commitOptimize]] is the FOLD: it reads through the mapping and
+    * rewrites every file under the wide type. Renames and widens
+    * mutually refuse while the other is active on live files; fold
+    * first, then evolve again.
+    */
+  def commitWiden(spark: SparkSession, dir: String, column: String, to: String): Int = {
+    val v0 = latestVersion(spark, dir)
+    require(v0 >= 1, s"cannot widen a column of an empty table at $dir")
+    requireNoLiveDv(spark, dir, v0, "WIDEN")
+    val (statsCols0, entries0) = manifest(spark, dir, v0)
+    requireNoActiveRename(spark, dir, v0, entries0, "WIDEN")
+    val cur = readVersionEvolved(spark, dir, v0).schema
+    val field = cur.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$column' does not exist in snapshot v$v0 of $dir " +
+          s"(have: ${cur.fieldNames.mkString(", ")})"))
+    val from = field.dataType.typeName
+    require(AllowedWidenings.contains((from, to)),
+      s"widening '$column' from $from to $to is not value-preserving " +
+        s"(allowed: ${AllowedWidenings.map { case (f, t) => s"$f->$t" }.mkString(", ")})")
+    val v = v0 + 1
+    val files = entries0.map(e => fileKey(e.path))
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    f.mkdirs(sd)
+    var seq = rawWidenEntries(spark, dir).map(_.seq).foldLeft(0)(math.max) + 1
+    var claimed = false
+    while (!claimed) {
+      val payload = s"#version=$v\n#column=$column\n#from=$from\n#to=$to\n" +
+        files.mkString("", "\n", "\n")
+      val tmp = new Path(sd, s"widen-$seq.list.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      claimed = claimExclusive(f, tmp, new Path(sd, s"widen-$seq.list"))
+      f.delete(tmp, false)
+      if (!claimed) seq += 1 // lost a race to a concurrent widen: take the next slot
+    }
+    if (!tryPublish(spark, dir, v, statsCols0, entries0, None, "widen",
+        s"$WidenSeqHeader$seq\n")) {
+      f.delete(new Path(sd, s"widen-$seq.list"), false) // roll back the inert entry
+      throw new IllegalArgumentException(
+        s"commit of v$v lost the publish race to a concurrent writer; " +
+          "re-run the operation against the new latest snapshot")
+    }
+    v
+  }
+
+  /** The `#widenseq=` header of `version`'s manifest, None when absent. */
+  private def widenSeqOf(spark: SparkSession, dir: String, version: Int): Option[Int] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(WidenSeqHeader))
+      .map(_.drop(WidenSeqHeader.length).toInt)
+
+  /** [[renameEntryLive]]'s widen twin — same claim/publish liveness. */
+  private def widenEntryLive(spark: SparkSession, dir: String, w: ColumnWiden): Boolean = {
+    if (w.version > latestVersion(spark, dir)) return false
+    val mf = new Path(manifestDir(dir), s"v${w.version}.list")
+    if (!fs(spark, mf).exists(mf)) return true // vacuumed after validation
+    commitOp(spark, dir, w.version).contains("widen") &&
+    widenSeqOf(spark, dir, w.version).contains(w.seq)
+  }
+
+  /** The LIVE recorded widenings in application order. */
+  def widenLog(spark: SparkSession, dir: String): Seq[ColumnWiden] =
+    rawWidenEntries(spark, dir).filter(widenEntryLive(spark, dir, _))
+
+  /** Every parseable widen entry, live or not (CRC-checked). */
+  private def rawWidenEntries(spark: SparkSession, dir: String): Seq[ColumnWiden] = {
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    if (!f.exists(sd)) Nil
+    else
+      f.listStatus(sd)
+        .flatMap { st =>
+          st.getPath.getName match {
+            case WidenFileRe(seq) =>
+              val in = f.open(st.getPath)
+              val content =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              require(content.startsWith(CrcHeader), s"widen entry $seq on $dir is malformed")
+              val nl = content.indexOf('\n')
+              val declared = content.substring(CrcHeader.length, nl).toLong
+              val body = content.substring(nl + 1)
+              require(crc32Of(body) == declared,
+                s"widen entry $seq on $dir failed its CRC check: metadata corruption")
+              val lines = body.linesIterator.toList
+              def hdr(k: String) =
+                lines.find(_.startsWith(s"#$k=")).map(_.drop(k.length + 2)).getOrElse(
+                  throw new IllegalArgumentException(s"widen entry $seq on $dir lacks #$k="))
+              Some(ColumnWiden(
+                seq.toInt,
+                hdr("version").toInt,
+                hdr("column"),
+                hdr("from"),
+                hdr("to"),
+                lines.filterNot(_.startsWith("#")).toSet))
+            case _ => None
+          }
+        }
+        .sortBy(_.seq)
+        .toSeq
+  }
+
+  /** Widenings whose mapping is still ACTIVE on `entries` — some live
+    * file is physically narrow. The rewrite commits and
+    * [[commitRename]] refuse while one is active (mirror of
+    * [[activeRenames]]).
+    */
+  private def activeWidens(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry]): Seq[ColumnWiden] =
+    widenLog(spark, dir).filter(w =>
+      w.version <= version && entries.exists(e => w.fileKeys.contains(fileKey(e.path))))
+
+  private def requireNoActiveWiden(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry],
+      op: String): Unit = {
+    val active = activeWidens(spark, dir, version, entries)
+    require(active.isEmpty,
+      s"$op on $dir refused: type widenings ${active.map(w => s"'${w.column}' ${w.from}->${w.to}").mkString(", ")} " +
+        "are still active on live files (a raw rewrite would read mixed physical types) — " +
+        "run commitOptimize first to fold the widening into a uniform physical schema")
+  }
 
   private def tagsDir(dir: String) = new Path(dir, "_tags")
   private val TagFileRe = "(.+)\\.ref".r
@@ -1505,6 +1720,7 @@ object Snapshots {
     val prev = latestVersion(spark, dir)
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
+    requireNoActiveWiden(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
     val ci = statsCols.indexOf(column)
     require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val touched = entries.filter(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)

@@ -33,6 +33,8 @@ import org.apache.spark.sql.types.StructType
   *     .option("path", tableDir)
   *     .option("startingVersion", "0")   // 0 = from table birth (default);
   *                                       // k = only versions AFTER k
+  *     .option("maxVersionsPerBatch", "8") // optional: bound each
+  *                                       // micro-batch's cursor advance
   *     .load()
   * }}}
   *
@@ -72,8 +74,15 @@ class SnapshotsStreamSource extends StreamSourceProvider with DataSourceRegister
     // cursor and be double-consumed on the next call)
     val end = parameters.get("endingVersion").map(_.toInt).getOrElse(Int.MaxValue)
     require(end >= start, s"endingVersion $end must be >= startingVersion $start")
+    // optional rate limit (the Delta maxFilesPerTrigger analog at the
+    // version granularity — a version is this source's atomic unit):
+    // each micro-batch advances the cursor by at most this many
+    // versions, so a consumer restarted against a long backlog drains
+    // it in bounded bites instead of one giant catch-up batch
+    val maxV = parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(Int.MaxValue)
+    require(maxV >= 1, s"maxVersionsPerBatch must be >= 1, got $maxV")
     val resolved = schema.getOrElse(Snapshots.readLatest(sqlContext.sparkSession, dir).schema)
-    new SnapshotsSource(sqlContext.sparkSession, dir, start, end, resolved)
+    new SnapshotsSource(sqlContext.sparkSession, dir, start, end, maxV, resolved)
   }
 }
 
@@ -86,6 +95,7 @@ class SnapshotsSource(
     dir: String,
     startingVersion: Int,
     endingVersion: Int,
+    maxVersionsPerBatch: Int,
     override val schema: StructType)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -103,13 +113,23 @@ class SnapshotsSource(
 
   /** Admission-control form of [[getOffset]] (SupportsTriggerAvailableNow
     * extends SupportsAdmissionControl; the FileStreamSource pattern).
-    * Read limits don't apply — a version is the atomic unit here.
+    * The engine's ReadLimit doesn't apply — a version is the atomic unit
+    * here — but the source's own `maxVersionsPerBatch` does: the cursor
+    * advances at most that many versions per micro-batch, so a backlog
+    * drains in bounded bites (under Trigger.AvailableNow the engine
+    * keeps calling until the armed cap is reached, one rate-limited
+    * batch at a time).
     */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(_.json.trim.toInt).getOrElse(startingVersion)
+    val latest = availableNowCap.getOrElse(
+      math.min(Snapshots.latestVersion(spark, dir), endingVersion))
+    val next = math.min(latest.toLong, from.toLong + maxVersionsPerBatch.toLong)
+    if (next > from) LongOffset(next) else null
+  }
 
   /** The newest published version (clamped to `endingVersion`, and to
     * the AvailableNow capture when one is armed), as the next offset —

@@ -82,4 +82,38 @@ class FixpointSpec extends AnyFunSuite {
       s"$truncated of ${atGate.size} sources still had unreached nodes past radius 4")
     assert(atGate == wider, "hop sums must be stable once reach is stable")
   }
+
+  test("g20 components: the 8-round budget IS the fixpoint; labels match union-find ground truth") {
+    val (labFix, roundsRun, changed) =
+      RelationalQueries.componentRounds(spark, sf, maxRounds = 64, toFixpoint = true)
+    info(s"fixpoint after $roundsRun rounds (last counted delta $changed)")
+    assert(changed == 0L, s"loop must converge (delta $changed after $roundsRun rounds)")
+    assert(roundsRun <= 8, s"gate's 8-round budget must cover the fixpoint ($roundsRun)")
+    val fix = labFix.select("node", "comp").as[(Long, Long)].collect().toMap
+    val gate = RelationalQueries
+      .queries("g20_components")(spark, sf)
+      .select("node", "comp").as[(Long, Long)].collect().toMap
+    assert(gate == fix, "bounded-round gate labels must equal the fixpoint labels")
+    // ground truth: driver-side union-find over the (tiny) strong-tie
+    // edge list — the gate's partition must be EXACTLY the connected
+    // components, with the min node id as each component's label
+    val edges = RelationalQueries
+      .strongCoEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    // canonicalize union-find roots to min-of-component (find() already
+    // unions toward the smaller root, so roots ARE component minima)
+    assert(gate == truth,
+      s"gate partition diverges from union-find (gate ${gate.size} nodes, truth ${truth.size})")
+    info(s"${gate.values.toSet.size} components over ${gate.size} nodes")
+  }
 }

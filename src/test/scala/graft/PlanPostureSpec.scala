@@ -529,6 +529,7 @@ class PlanPostureSpec extends AnyFunSuite {
     // gate -> why its unpartitioned window is value/dimension-bounded
     val whitelist: Map[String, String] = Map(
       "t20_bm25_rank" -> "rank minted AFTER limit(10): window input is <= 10 rows",
+      "v23_hybrid_rrf" -> "rank minted AFTER limit(10) on the fused <= 20-row frame",
       "t25_vocab_growth" -> "cumulative scan over the VocabBuckets-row bucket frame (O(buckets))",
       "w20_concurrency" -> "global prefix over the per-bin net-delta frame (corpus span / bin width rows)",
       "a10_chi_square" -> "grand-total window over the <= |event types| * 7 contingency-cell frame",

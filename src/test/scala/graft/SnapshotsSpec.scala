@@ -979,4 +979,76 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.commitDelete(spark, dir, "cents", 0L, 90L)
     assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
   }
+
+  test("type widening: metadata-only, schema time travel, generations unify by cast") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("snap_widen").toString
+    Snapshots.commitOverwrite(Seq((1L, 10), (2L, 20)).toDF("id", "amount"), dir)
+    assert(Snapshots.readLatest(spark, dir).schema("amount").dataType == IntegerType)
+    val wv = Snapshots.commitWiden(spark, dir, "amount", "long")
+    assert(wv == 2 && Snapshots.commitOp(spark, dir, 2).contains("widen"))
+    // metadata-only: the widen version lists EXACTLY v1's files
+    val f1 = Snapshots.manifest(spark, dir, 1)._2.map(_.path).toSet
+    assert(Snapshots.manifest(spark, dir, 2)._2.map(_.path).toSet == f1,
+      "a widening must not stage or drop a single data file")
+    // schema time travel: v1 keeps the narrow type forever; v2 is wide
+    assert(Snapshots.readVersionEvolved(spark, dir, 1).schema("amount").dataType == IntegerType)
+    assert(Snapshots.readVersionEvolved(spark, dir, 2).schema("amount").dataType == LongType)
+    // an append written natively wide: both physical generations unify
+    // under the wide type, values intact on each side
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "amount"), dir)
+    val latest = Snapshots.readVersionEvolved(spark, dir, 3)
+    assert(latest.schema("amount").dataType == LongType)
+    assert(latest.as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // validation: unknown column; a cast that is not value-preserving
+    intercept[IllegalArgumentException](Snapshots.commitWiden(spark, dir, "nope", "long"))
+    intercept[IllegalArgumentException](Snapshots.commitWiden(spark, dir, "amount", "int"))
+    intercept[IllegalArgumentException](Snapshots.commitWiden(spark, dir, "amount", "string"))
+  }
+
+  test("rewrite commits and renames refuse while a widening is active; OPTIMIZE folds it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val dir = java.nio.file.Files.createTempDirectory("snap_widen_rewrite").toString
+    Snapshots.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") * 10).cast("int").as("amount")),
+      dir, statsCols = Seq("id"))
+    Snapshots.commitWiden(spark, dir, "amount", "long")
+    // delete/merge/rename would read (or stage against) mixed physical
+    // types — all refuse loudly, naming the fold
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commitDelete(spark, dir, "id", 10L, 20L))
+    assert(e1.getMessage.contains("commitOptimize"), s"refusal should name the fold: $e1")
+    intercept[IllegalArgumentException](
+      Snapshots.commitMerge(spark, dir, Seq((1L, 111L)).toDF("id", "amount"), "id"))
+    intercept[IllegalArgumentException](
+      Snapshots.commitRename(spark, dir, "amount", "cents"))
+    // OPTIMIZE reads THROUGH the mapping and rewrites physically wide
+    val v = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    val entries = Snapshots.manifest(spark, dir, v)._2
+    assert(spark.read.parquet(entries.map(_.path): _*).schema("amount").dataType == LongType,
+      "post-fold the physical schema must be uniformly wide")
+    assert(Snapshots.readVersionEvolved(spark, dir, v)
+      .select(sum(col("amount"))).as[Long].head() == (0 until 100).map(_ * 10L).sum)
+    // and the previously refused commits are legal again
+    Snapshots.commitDelete(spark, dir, "id", 10L, 19L)
+    assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
+    Snapshots.commitRename(spark, dir, "amount", "cents")
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSet == Set("id", "cents"))
+  }
+
+  test("widen refuses while a rename is active (the mutual half)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_widen_mutual").toString
+    Snapshots.commitOverwrite(
+      Seq((1L, 10L, 5), (2L, 20L, 6)).toDF("id", "amount", "n"), dir)
+    Snapshots.commitRename(spark, dir, "amount", "cents")
+    val e = intercept[IllegalArgumentException](Snapshots.commitWiden(spark, dir, "n", "long"))
+    assert(e.getMessage.contains("commitOptimize"), s"refusal should name the fold: $e")
+    Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    Snapshots.commitWiden(spark, dir, "n", "long")
+    assert(Snapshots.readLatestRenamed(spark, dir).schema("n").dataType
+      == org.apache.spark.sql.types.LongType)
+  }
 }

@@ -254,4 +254,35 @@ class SnapshotsStreamSpec extends AnyFunSuite {
         "endingVersion must clamp the tail to exactly (start, end]")
     } finally q3.stop()
   }
+
+  test("maxVersionsPerBatch drains a backlog one version per micro-batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_src_rate").toString
+    val dir = s"$root/table"
+    (1 to 4).foreach(i => Snapshots.commitAppend(Seq((i.toLong, i * 10L)).toDF("k", "v"), dir))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val q = spark.readStream
+      .format("graft.streaming.SnapshotsStreamSource")
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select("k", "v").as[(Long, Long)].collect().toSet)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination(60000); () } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toList
+    // the 4-version backlog must arrive as FOUR bounded bites, each one
+    // version's append-diff in commit order — never one catch-up batch
+    assert(got.map(_.size) == List(1, 1, 1, 1),
+      s"expected 4 single-version batches, got ${got.map(_.size)}")
+    assert(got == (1 to 4).map(i => Set((i.toLong, i * 10L))).toList,
+      s"each micro-batch must be exactly its version's diff: $got")
+  }
 }
