@@ -380,6 +380,30 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_id")))
   }
 
+  /** s17: TEMPORAL-ENTITY split — per user, the chronologically FIRST
+    * 80% of events train, the rest test (rn·5 ≤ n·4 ⇔ rn ≤ 0.8n in
+    * exact integers). This is the leakage-safe split a sequence-model
+    * pipeline needs and neither s5 (hash — future events can land in
+    * train) nor s9 (whole entities held out — no per-entity history in
+    * test) provides: every user contributes history to train and ONLY
+    * strictly-later events to test. Two user-keyed windows over one
+    * exchange (rank + per-user count share the partitioning), ties
+    * broken by event_id — fully deterministic, distributed by user.
+    */
+  def temporalEntitySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ord_us"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    prepared(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ord_us"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_user", count(lit(1)).over(wAll))
+      .withColumn(
+        "split",
+        when(col("rn") * 5L <= col("n_user") * 4L, lit("train")).otherwise(lit("test")))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** k1: KMV distinct-users-per-day sketch ([[Sketches.kmvDistinct]],
     * k=64) next to the exact count. Days at the gate scale hold >64
     * distinct users, so the ESTIMATOR branch (not just the exact-m
@@ -2695,6 +2719,52 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version"), col("third")))
   }
 
+  /** x25: metadata-only DROP COLUMN ([[graft.sources.Snapshots
+    * .commitDropColumn]]) — the third schema-evolution verb next to
+    * x21's rename and x24's widen: v1 writes two thirds of the corpus
+    * WITH a legacy `tmp_flag` column; v2 drops it WITHOUT rewriting a
+    * file (an op=drop manifest + scoped `_schema/` entry); v3 appends
+    * the last third written without the column. The gate reads v1
+    * (column visible — schema time travel: the pre-drop generation
+    * aggregates BY the flag) and v3 (column projected away from the
+    * physically-mixed generations, aggregated by thirds); the oracle
+    * derives both from the base table. The TYPE/visibility discipline
+    * (v1 has it, v3 doesn't, rewrites refuse while active, OPTIMIZE
+    * folds) is pinned by SnapshotsSpec.
+    */
+  def dropColumnScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base
+        .filter(pmod(col("event_id"), lit(3L)) =!= 2L)
+        .withColumn("tmp_flag", pmod(col("event_id"), lit(2L))),
+      dir)
+    Snapshots.commitDropColumn(spark, dir, "tmp_flag")
+    Snapshots.commitAppend(base.filter(pmod(col("event_id"), lit(3L)) === 2L), dir)
+    val v1 = Snapshots
+      .readVersionEvolved(spark, dir, 1)
+      .groupBy(col("tmp_flag").as("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(1L).as("version"), col("key"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    val latest = Snapshots.readVersionEvolved(spark, dir, 3)
+    require(!latest.columns.contains("tmp_flag"), "dropped column must be invisible at v3")
+    val v3 = latest
+      .groupBy(pmod(col("event_id"), lit(3L)).as("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .select(lit(3L).as("version"), col("key"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+    v1.unionByName(v3)
+      .transform(orderedOutput(_, col("version"), col("key")))
+  }
+
   /** x21: metadata-only COLUMN RENAME ([[graft.sources.Snapshots
     * .commitRename]]) — the Delta/Iceberg column-mapping lifecycle: v1
     * writes two thirds of the corpus under the legacy physical name
@@ -4971,6 +5041,18 @@ object FeatureQueries {
       // k8: the native-aggregate form is held to the SAME derivation —
       // one oracle text gates both the relational and the imperative path
       "k8_kmv_agg" -> KmvOracleSql,
+      // s17: same two user-keyed windows in SQL; the 80% cut is exact
+      // integer arithmetic on both engines
+      "s17_temporal_split" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT event_id, user_id, ord_us,
+           |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ord_us, event_id) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+           |  FROM prep)
+           |SELECT event_id, user_id, ord_us, rn, n_user,
+           |  CASE WHEN rn * 5 <= n_user * 4 THEN 'train' ELSE 'test' END AS split
+           |FROM r ORDER BY event_id""".stripMargin,
       "s5_hash_split" ->
         """SELECT event_id, user_id, u8,
           |  CASE WHEN u8 < 'cc000000' THEN 'train'
@@ -6061,6 +6143,20 @@ object FeatureQueries {
            |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(sum(cents) AS BIGINT) AS sum_cents
            |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // x25: v1 groups by the legacy flag (pre-drop generation), v3 by
+      // thirds with the column gone — both derived from the base table
+      "x25_drop_column" ->
+        s"""WITH prep AS ($prep),
+           |r AS (
+           |  SELECT 1 AS version, event_id % 2 AS key, user_id, cents
+           |  FROM prep WHERE event_id % 3 <> 2
+           |  UNION ALL
+           |  SELECT 3, event_id % 3, user_id, cents FROM prep)
+           |SELECT CAST(version AS BIGINT) AS version, CAST(key AS BIGINT) AS key,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // x24: x21's SQL shape verbatim — a type widening is
       // value-invariant by contract, so the same per-version aggregates
       // pin the lifecycle; the TYPE discipline is SnapshotsSpec's job
@@ -6444,6 +6540,7 @@ object FeatureQueries {
     "w7_sessionize" -> (sessionize(_, _)),
     "s4_stratified_sample" -> (stratifiedSample(_, _)),
     "s5_hash_split" -> (hashSplit(_, _)),
+    "s17_temporal_split" -> (temporalEntitySplit(_, _)),
     "k1_kmv_distinct" -> (kmvDistinct(_, _)),
     "k8_kmv_agg" -> (kmvAggDistinct(_, _)),
     "a30_runs_test" -> (runsTest(_, _)),
@@ -6532,6 +6629,7 @@ object FeatureQueries {
     "x11_schema_travel" -> (schemaTravelScan(_, _)),
     "x21_column_rename" -> (columnRenameScan(_, _)),
     "x24_type_widening" -> (typeWideningScan(_, _)),
+    "x25_drop_column" -> (dropColumnScan(_, _)),
     "x12_incremental_read" -> (incrementalReadScan(_, _)),
     "x23_stream_tail" -> (streamTailScan(_, _)),
     "x13_restore" -> (restoreScan(_, _)),

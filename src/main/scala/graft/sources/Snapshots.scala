@@ -57,6 +57,7 @@ object Snapshots {
   private val CopiedHeader = "#copied="
   private val RenameSeqHeader = "#renameseq="
   private val WidenSeqHeader = "#widenseq="
+  private val DropSeqHeader = "#dropseq="
   private val DvHeader = "#dv="
   private val DvRowsHeader = "#dvrows="
   private val HwmName = "_batch.hwm"
@@ -634,6 +635,7 @@ object Snapshots {
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "DELETE")
     requireNoActiveWiden(spark, dir, prev, entries, "DELETE")
+    requireNoActiveDrop(spark, dir, prev, entries, "DELETE")
     val ci = statsCols.indexOf(column)
     require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val (touched, untouched) =
@@ -692,6 +694,7 @@ object Snapshots {
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "MERGE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE")
+    requireNoActiveDrop(spark, dir, prev, entries, "MERGE")
     val dupKeys = changes
       .groupBy(col(keyCol))
       .count()
@@ -801,6 +804,7 @@ object Snapshots {
     // file's physical names, which post-fold are the logical ones).
     val renamed = activeRenames(spark, dir, prev, entries)
     val widened = activeWidens(spark, dir, prev, entries)
+    val dropped = activeDrops(spark, dir, prev, entries)
     val foldedStats =
       if (renamed.isEmpty) statsCols
       else statsCols.map(c =>
@@ -813,7 +817,7 @@ object Snapshots {
     // it) — the rewritten files hold only live rows under their logical
     // names and types, so OPTIMIZE publishes with no read-time debt
     val all =
-      if (renamed.isEmpty && widened.isEmpty) readVersion(spark, dir, prev)
+      if (renamed.isEmpty && widened.isEmpty && dropped.isEmpty) readVersion(spark, dir, prev)
       else readVersionEvolved(spark, dir, prev)
     // zOrder = true re-clusters on the Morton interleave of the first two
     // stats columns (low 16 bits each — the x10/z1 convention) so the
@@ -1120,6 +1124,14 @@ object Snapshots {
           widenSeqOf(spark, dir, w.version).contains(w.seq))
       if (provablyDead) f.delete(new Path(schemaDir(dir), s"widen-${w.seq}.list"), false)
     }
+    // drop entries too
+    rawDropEntries(spark, dir).foreach { d =>
+      val mf = new Path(manifestDir(dir), s"v${d.version}.list")
+      val provablyDead = d.version <= latest && f.exists(mf) &&
+        !(commitOp(spark, dir, d.version).contains("drop") &&
+          dropSeqOf(spark, dir, d.version).contains(d.seq))
+      if (provablyDead) f.delete(new Path(schemaDir(dir), s"drop-${d.seq}.list"), false)
+    }
     (1 until keepFrom).filterNot(pinned).foreach(v =>
       f.delete(new Path(manifestDir(dir), s"v$v.list"), false))
     // change-feed hygiene: an expired version's change record is no longer
@@ -1145,6 +1157,7 @@ object Snapshots {
   private def schemaDir(dir: String) = new Path(dir, "_schema")
   private val RenameFileRe = "rename-(\\d+)\\.list".r
   private val WidenFileRe = "widen-(\\d+)\\.list".r
+  private val DropFileRe = "drop-(\\d+)\\.list".r
 
   /** One recorded rename: applied at table `version`, mapping physical
     * column `from` (as written in the files staged BEFORE the rename) to
@@ -1206,6 +1219,7 @@ object Snapshots {
     // rewrite refusals reason about ONE mapping kind at a time) — fold
     // first, then evolve again
     requireNoActiveWiden(spark, dir, v0, entries0, "RENAME")
+    requireNoActiveDrop(spark, dir, v0, entries0, "RENAME")
     val v = v0 + 1
     val files = entries0.map(e => fileKey(e.path))
     val sd = schemaDir(dir)
@@ -1338,6 +1352,7 @@ object Snapshots {
   def readVersionEvolved(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val renames = renameLog(spark, dir).filter(_.version <= version)
     val widens = widenLog(spark, dir).filter(_.version <= version)
+    val drops = dropLog(spark, dir).filter(_.version <= version)
     val entries = manifest(spark, dir, version)._2
     val files = entries.map(_.path)
     // when no recorded evolution touches any live file (none recorded,
@@ -1346,13 +1361,15 @@ object Snapshots {
     // coexists with a live DV (the evolution commits enforce it)
     val applicable =
       renames.exists(r => files.exists(p => r.fileKeys.contains(fileKey(p)))) ||
-        widens.exists(w => files.exists(p => w.fileKeys.contains(fileKey(p))))
+        widens.exists(w => files.exists(p => w.fileKeys.contains(fileKey(p)))) ||
+        drops.exists(d => files.exists(p => d.fileKeys.contains(fileKey(p))))
     if (!applicable) readVersion(spark, dir, version)
     else {
       requireNoLiveDv(spark, dir, version, "EVOLVED READ")
       val groups = files.groupBy(p =>
         (renames.map(_.fileKeys.contains(fileKey(p))),
-          widens.map(_.fileKeys.contains(fileKey(p)))))
+          widens.map(_.fileKeys.contains(fileKey(p))),
+          drops.map(_.fileKeys.contains(fileKey(p)))))
       groups.values.toSeq
         .map { fsGroup =>
           val base = spark.read.parquet(fsGroup: _*)
@@ -1362,9 +1379,14 @@ object Snapshots {
               df.withColumnRenamed(r.from, r.to)
             case (df, _) => df
           }
-          widens.foldLeft(renamed) {
+          val widened = widens.foldLeft(renamed) {
             case (df, w) if w.fileKeys.contains(key) && df.columns.contains(w.column) =>
               df.withColumn(w.column, col(w.column).cast(w.to))
+            case (df, _) => df
+          }
+          drops.foldLeft(widened) {
+            case (df, d) if d.fileKeys.contains(key) && df.columns.contains(d.column) =>
+              df.drop(d.column)
             case (df, _) => df
           }
         }
@@ -1422,6 +1444,7 @@ object Snapshots {
     requireNoLiveDv(spark, dir, v0, "WIDEN")
     val (statsCols0, entries0) = manifest(spark, dir, v0)
     requireNoActiveRename(spark, dir, v0, entries0, "WIDEN")
+    requireNoActiveDrop(spark, dir, v0, entries0, "WIDEN")
     val cur = readVersionEvolved(spark, dir, v0).schema
     val field = cur.fields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(
@@ -1540,6 +1563,153 @@ object Snapshots {
       s"$op on $dir refused: type widenings ${active.map(w => s"'${w.column}' ${w.from}->${w.to}").mkString(", ")} " +
         "are still active on live files (a raw rewrite would read mixed physical types) — " +
         "run commitOptimize first to fold the widening into a uniform physical schema")
+  }
+
+  // ---- Column drop (metadata-only schema evolution) -----------------------
+
+  /** A recorded column drop: `column` is physically present in
+    * `fileKeys` but invisible to readers of any version at/after
+    * `version`. Scoped to the file set exactly like [[ColumnRename]].
+    */
+  final case class ColumnDrop(seq: Int, version: Int, column: String, fileKeys: Set[String])
+
+  /** Metadata-only DROP COLUMN — the third schema-evolution verb
+    * (add = x3's append-time union, rename = x21, widen = x24) in the
+    * same file-set form: no data file is rewritten; a drop entry
+    * (column, the CURRENT snapshot's file set) publishes atomically
+    * under `_schema/`, and [[readVersionEvolved]] projects the column
+    * away from exactly those files at read time. Files staged AFTER the
+    * drop are written without the column; a read of a version BEFORE
+    * the drop still sees it (schema time travel — the dropped data is
+    * not erased until OPTIMIZE rewrites or vacuum expires the files,
+    * the same erasure split every manifest-based format documents).
+    * Returns the drop's table version.
+    *
+    * Same liveness protocol and refusal discipline as rename/widen: the
+    * entry is inert until the op=drop manifest naming its seq
+    * publishes; rewrite commits refuse while a drop is active on live
+    * files (a raw rewrite would resurrect the column as NULLs across
+    * mixed physical schemas); OPTIMIZE is the fold; drops, renames, and
+    * widenings mutually refuse while another kind is active. A zone-map
+    * stats column refuses to drop (the manifest's range metadata
+    * addresses it) — re-declare stats first.
+    */
+  def commitDropColumn(spark: SparkSession, dir: String, column: String): Int = {
+    val v0 = latestVersion(spark, dir)
+    require(v0 >= 1, s"cannot drop a column of an empty table at $dir")
+    requireNoLiveDv(spark, dir, v0, "DROP COLUMN")
+    val (statsCols0, entries0) = manifest(spark, dir, v0)
+    requireNoActiveRename(spark, dir, v0, entries0, "DROP COLUMN")
+    requireNoActiveWiden(spark, dir, v0, entries0, "DROP COLUMN")
+    require(!statsCols0.contains(column),
+      s"cannot drop zone-map stats column '$column' of $dir — its range metadata lives in " +
+        "every manifest entry; rewrite with different statsCols first")
+    val cur = readVersionEvolved(spark, dir, v0).schema.fieldNames.toSeq
+    require(cur.contains(column),
+      s"column '$column' does not exist in snapshot v$v0 of $dir (have: ${cur.mkString(", ")})")
+    require(cur.size >= 2, s"cannot drop the last column of $dir")
+    val v = v0 + 1
+    val files = entries0.map(e => fileKey(e.path))
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    f.mkdirs(sd)
+    var seq = rawDropEntries(spark, dir).map(_.seq).foldLeft(0)(math.max) + 1
+    var claimed = false
+    while (!claimed) {
+      val payload = s"#version=$v\n#column=$column\n" + files.mkString("", "\n", "\n")
+      val tmp = new Path(sd, s"drop-$seq.list.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write((s"$CrcHeader${crc32Of(payload)}\n" + payload).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      claimed = claimExclusive(f, tmp, new Path(sd, s"drop-$seq.list"))
+      f.delete(tmp, false)
+      if (!claimed) seq += 1
+    }
+    if (!tryPublish(spark, dir, v, statsCols0, entries0, None, "drop",
+        s"$DropSeqHeader$seq\n")) {
+      f.delete(new Path(sd, s"drop-$seq.list"), false) // roll back the inert entry
+      throw new IllegalArgumentException(
+        s"commit of v$v lost the publish race to a concurrent writer; " +
+          "re-run the operation against the new latest snapshot")
+    }
+    v
+  }
+
+  /** The `#dropseq=` header of `version`'s manifest, None when absent. */
+  private def dropSeqOf(spark: SparkSession, dir: String, version: Int): Option[Int] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(DropSeqHeader))
+      .map(_.drop(DropSeqHeader.length).toInt)
+
+  /** [[renameEntryLive]]'s drop twin — same claim/publish liveness. */
+  private def dropEntryLive(spark: SparkSession, dir: String, d: ColumnDrop): Boolean = {
+    if (d.version > latestVersion(spark, dir)) return false
+    val mf = new Path(manifestDir(dir), s"v${d.version}.list")
+    if (!fs(spark, mf).exists(mf)) return true // vacuumed after validation
+    commitOp(spark, dir, d.version).contains("drop") &&
+    dropSeqOf(spark, dir, d.version).contains(d.seq)
+  }
+
+  /** The LIVE recorded drops in application order. */
+  def dropLog(spark: SparkSession, dir: String): Seq[ColumnDrop] =
+    rawDropEntries(spark, dir).filter(dropEntryLive(spark, dir, _))
+
+  /** Every parseable drop entry, live or not (CRC-checked). */
+  private def rawDropEntries(spark: SparkSession, dir: String): Seq[ColumnDrop] = {
+    val sd = schemaDir(dir)
+    val f = fs(spark, sd)
+    if (!f.exists(sd)) Nil
+    else
+      f.listStatus(sd)
+        .flatMap { st =>
+          st.getPath.getName match {
+            case DropFileRe(seq) =>
+              val in = f.open(st.getPath)
+              val content =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              require(content.startsWith(CrcHeader), s"drop entry $seq on $dir is malformed")
+              val nl = content.indexOf('\n')
+              val declared = content.substring(CrcHeader.length, nl).toLong
+              val body = content.substring(nl + 1)
+              require(crc32Of(body) == declared,
+                s"drop entry $seq on $dir failed its CRC check: metadata corruption")
+              val lines = body.linesIterator.toList
+              def hdr(k: String) =
+                lines.find(_.startsWith(s"#$k=")).map(_.drop(k.length + 2)).getOrElse(
+                  throw new IllegalArgumentException(s"drop entry $seq on $dir lacks #$k="))
+              Some(ColumnDrop(
+                seq.toInt,
+                hdr("version").toInt,
+                hdr("column"),
+                lines.filterNot(_.startsWith("#")).toSet))
+            case _ => None
+          }
+        }
+        .sortBy(_.seq)
+        .toSeq
+  }
+
+  /** Drops whose column is still physically present in `entries`. */
+  private def activeDrops(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry]): Seq[ColumnDrop] =
+    dropLog(spark, dir).filter(d =>
+      d.version <= version && entries.exists(e => d.fileKeys.contains(fileKey(e.path))))
+
+  private def requireNoActiveDrop(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      entries: Seq[ManifestEntry],
+      op: String): Unit = {
+    val active = activeDrops(spark, dir, version, entries)
+    require(active.isEmpty,
+      s"$op on $dir refused: dropped columns ${active.map(d => s"'${d.column}'").mkString(", ")} " +
+        "are still physically present in live files (a raw rewrite would resurrect them as " +
+        "NULLs across mixed physical schemas) — run commitOptimize first to fold the drop")
   }
 
   private def tagsDir(dir: String) = new Path(dir, "_tags")
@@ -1721,6 +1891,7 @@ object Snapshots {
     val (statsCols, entries) = manifest(spark, dir, prev)
     requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
+    requireNoActiveDrop(spark, dir, prev, entries, "MERGE-ON-READ DELETE")
     val ci = statsCols.indexOf(column)
     require(ci >= 0, s"delete needs a zone map on $column; $dir declares $statsCols")
     val touched = entries.filter(e => e.stats(ci).max >= lo && e.stats(ci).min <= hi)

@@ -1038,6 +1038,58 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readLatestRenamed(spark, dir).columns.toSet == Set("id", "cents"))
   }
 
+  test("column drop: metadata-only, schema time travel, projection unifies generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_drop").toString
+    Snapshots.commitOverwrite(
+      Seq((1L, 10L, 7L), (2L, 20L, 8L)).toDF("id", "amount", "flag"), dir)
+    val dv = Snapshots.commitDropColumn(spark, dir, "flag")
+    assert(dv == 2 && Snapshots.commitOp(spark, dir, 2).contains("drop"))
+    // metadata-only: the drop version lists EXACTLY v1's files
+    val f1 = Snapshots.manifest(spark, dir, 1)._2.map(_.path).toSet
+    assert(Snapshots.manifest(spark, dir, 2)._2.map(_.path).toSet == f1,
+      "a drop must not stage or drop a single data file")
+    // schema time travel: v1 still sees the column; v2 does not
+    assert(Snapshots.readVersionEvolved(spark, dir, 1).columns.toSeq == Seq("id", "amount", "flag"))
+    assert(Snapshots.readVersionEvolved(spark, dir, 2).columns.toSeq == Seq("id", "amount"))
+    // an append written WITHOUT the column: mixed physical generations
+    // unify under the projected schema, values intact
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "amount"), dir)
+    assert(Snapshots.readVersionEvolved(spark, dir, 3).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // validation: unknown column; the last column refuses
+    intercept[IllegalArgumentException](Snapshots.commitDropColumn(spark, dir, "nope"))
+    Snapshots.commitDropColumn(spark, dir, "amount")
+    intercept[IllegalArgumentException](Snapshots.commitDropColumn(spark, dir, "id"))
+  }
+
+  test("rewrite commits refuse while a drop is active; OPTIMIZE folds it; stats columns refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_drop_rewrite").toString
+    Snapshots.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("amount"),
+        (col("id") % 2).as("flag")),
+      dir, statsCols = Seq("id"))
+    // a zone-map stats column refuses to drop outright
+    intercept[IllegalArgumentException](Snapshots.commitDropColumn(spark, dir, "id"))
+    Snapshots.commitDropColumn(spark, dir, "flag")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commitDelete(spark, dir, "id", 10L, 20L))
+    assert(e1.getMessage.contains("commitOptimize"), s"refusal should name the fold: $e1")
+    intercept[IllegalArgumentException](
+      Snapshots.commitRename(spark, dir, "amount", "cents"))
+    // OPTIMIZE folds: the rewritten files physically lack the column
+    val v = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    val entries = Snapshots.manifest(spark, dir, v)._2
+    assert(!spark.read.parquet(entries.map(_.path): _*).columns.contains("flag"),
+      "post-fold the dropped column must be physically gone")
+    assert(Snapshots.readVersionEvolved(spark, dir, v)
+      .select(sum(col("amount"))).as[Long].head() == (0 until 100).map(_ * 10L).sum)
+    // and the previously refused commits are legal again
+    Snapshots.commitDelete(spark, dir, "id", 10L, 19L)
+    assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
+  }
+
   test("widen refuses while a rename is active (the mutual half)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_widen_mutual").toString
