@@ -782,10 +782,17 @@ object Snapshots {
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L << 20,
-      zOrder: Boolean = false): Int = {
+      zOrder: Boolean = false,
+      statsColsOverride: Option[Seq[String]] = None): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val prev = latestVersion(spark, dir)
-    val (statsCols, entries) = manifest(spark, dir, prev)
+    val (statsCols0, entries) = manifest(spark, dir, prev)
+    // RE-DECLARE the zone-map columns as part of the rewrite — the one
+    // legal moment to change them (stats live per manifest entry, so a
+    // declaration change without a rewrite would lie about the files).
+    // This is also the remedy commitDropColumn's stats refusal names:
+    // OPTIMIZE with the column removed from the declaration, THEN drop.
+    val statsCols = statsColsOverride.getOrElse(statsCols0)
     require(entries.nonEmpty, s"cannot OPTIMIZE an empty snapshot at $dir")
     require(!zOrder || statsCols.size >= 2,
       s"Z-order OPTIMIZE interleaves the first TWO stats columns; $dir declares $statsCols")
@@ -805,8 +812,10 @@ object Snapshots {
     val renamed = activeRenames(spark, dir, prev, entries)
     val widened = activeWidens(spark, dir, prev, entries)
     val dropped = activeDrops(spark, dir, prev, entries)
+    // an explicit override is already in LOGICAL names — only carried
+    // declarations need the rename-chain fold
     val foldedStats =
-      if (renamed.isEmpty) statsCols
+      if (renamed.isEmpty || statsColsOverride.isDefined) statsCols
       else statsCols.map(c =>
         renameLog(spark, dir).filter(_.version <= prev).foldLeft(c)((n, r) =>
           if (r.from == n) r.to else n))
@@ -819,6 +828,10 @@ object Snapshots {
     val all =
       if (renamed.isEmpty && widened.isEmpty && dropped.isEmpty) readVersion(spark, dir, prev)
       else readVersionEvolved(spark, dir, prev)
+    statsColsOverride.foreach(_.foreach(c =>
+      require(all.columns.contains(c),
+        s"statsColsOverride names '$c', absent from $dir's logical schema " +
+          s"(have: ${all.columns.mkString(", ")})")))
     // zOrder = true re-clusters on the Morton interleave of the first two
     // stats columns (low 16 bits each — the x10/z1 convention) so the
     // rewritten zone maps prune on EITHER dimension; the default
@@ -1036,6 +1049,46 @@ object Snapshots {
     * `retainMs` above the longest plausible stage→publish latency
     * otherwise.
     */
+  /** DRY-RUN of [[vacuum]]'s data-file retention pass — the `VACUUM ...
+    * DRY RUN` every lakehouse exposes, because an operator wants to see
+    * the blast radius (file count + bytes reclaimed) before an
+    * irreversible delete. Same reachability computation as the real
+    * pass (tag-pinned versions are retention roots, the mtime guard
+    * applies), zero mutations. Returns (files that would be deleted,
+    * their total bytes).
+    */
+  def vacuumPlan(
+      spark: SparkSession,
+      dir: String,
+      keepFrom: Int,
+      retainMs: Long = 0L): (Int, Long) = {
+    val latest = latestVersion(spark, dir)
+    require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
+    val pinned = tags(spark, dir).values.filter(_ < keepFrom).toSet
+    val referenced = ((keepFrom to latest) ++ pinned)
+      .flatMap(v => manifest(spark, dir, v)._2.map(e => fileKey(e.path)))
+      .toSet
+    val cutoffMs = System.currentTimeMillis() - retainMs
+    val dataDir = new Path(dir, "data")
+    val f = fs(spark, dataDir)
+    if (!f.exists(dataDir)) return (0, 0L)
+    def walk(p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).iterator.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Iterator.single(st)
+      }
+    var n = 0
+    var bytes = 0L
+    walk(dataDir).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")
+        && !referenced.contains(fileKey(st.getPath.toString))
+        && st.getModificationTime <= cutoffMs) {
+        n += 1
+        bytes += st.getLen
+      }
+    }
+    (n, bytes)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepFrom: Int, retainMs: Long = 0L): Int = {
     val latest = latestVersion(spark, dir)
     require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")

@@ -30,6 +30,20 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() == 1000)
   }
 
+  test("q35 ROLLUP is ONE Expand over ONE scan — never a union of per-level scans") {
+    val qe = queries.RelationalQueries.rollupPricing(spark, sf).queryExecution
+    val expands = qe.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size == 1, s"expected exactly one Expand, got ${expands.size}")
+    val leaves = qe.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"all three grouping levels must share one lineitem scan, got ${leaves.size} leaves")
+    // the fan-out carries all three grouping sets (detail, subtotal, total)
+    assert(expands.head.projections.size == 3,
+      s"ROLLUP(a, b) expands to 3 grouping sets, got ${expands.head.projections.size}")
+  }
+
   test("blocked near-dup plans equi-joins only — no nested-loop/cartesian anywhere") {
     val plan = queries.VectorQueries.embedNearDupLsh(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1090,6 +1090,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readLatestRenamed(spark, dir).count() == 90L)
   }
 
+  test("OPTIMIZE re-declares zone-map stats; the freed column can then drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_stats_redecl").toString
+    Snapshots.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("amount"),
+        (col("id") % 2).as("flag")),
+      dir, statsCols = Seq("id"))
+    intercept[IllegalArgumentException](Snapshots.commitDropColumn(spark, dir, "id"))
+    // a bogus override refuses before anything publishes
+    intercept[IllegalArgumentException](Snapshots.commitOptimize(
+      spark, dir, targetFileBytes = 1L << 20, statsColsOverride = Some(Seq("nope"))))
+    val v = Snapshots.commitOptimize(
+      spark, dir, targetFileBytes = 1L << 20, statsColsOverride = Some(Seq("amount")))
+    assert(Snapshots.manifest(spark, dir, v)._1 == Seq("amount"),
+      "the rewrite must publish under the overridden declaration")
+    assert(Snapshots.readVersionRange(spark, dir, v, "amount", 100L, 200L).count() == 11L)
+    // the formerly-declared column is now droppable — the exact remedy
+    // commitDropColumn's refusal names
+    Snapshots.commitDropColumn(spark, dir, "id")
+    assert(Snapshots.readLatestRenamed(spark, dir).columns.toSeq == Seq("amount", "flag"))
+  }
+
+  test("vacuumPlan predicts exactly what vacuum deletes; post-vacuum it reads zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_vacplan").toString
+    Snapshots.commitOverwrite(spark.range(0, 1000).select(col("id"), col("id").as("v")), dir)
+    Snapshots.commitOverwrite(spark.range(0, 10).select(col("id"), col("id").as("v")), dir)
+    val (n, bytes) = Snapshots.vacuumPlan(spark, dir, keepFrom = 2)
+    assert(n > 0 && bytes > 0L, s"v1's orphaned files must be planned ($n files, $bytes bytes)")
+    val deleted = Snapshots.vacuum(spark, dir, keepFrom = 2)
+    assert(deleted == n, s"plan said $n, vacuum deleted $deleted")
+    assert(Snapshots.vacuumPlan(spark, dir, keepFrom = 2) == ((0, 0L)),
+      "after the vacuum the plan must be empty")
+    assert(Snapshots.readLatest(spark, dir).count() == 10L)
+  }
+
   test("widen refuses while a rename is active (the mutual half)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_widen_mutual").toString
