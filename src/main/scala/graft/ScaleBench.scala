@@ -174,7 +174,11 @@ object ScaleBench {
     // the composed corpus-prep chain (e1 — d1 dedup + t2 scoring + t3
     // lang-id + s5 split in one query): each stage is linear; the cell
     // prices the composition's shared-scan behavior at 10x docs
-    "e1_corpus_pipeline")
+    "e1_corpus_pipeline",
+    // the embedding-side composition (e2 — d9's cell-blocked SemDedup
+    // feeding the exact survivor retrieval): the heavy stage is the
+    // in-cell pair scan, cell-capped by MaxCell at any corpus size
+    "e2_embedding_pipeline")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -1046,6 +1046,34 @@ object VectorQueries {
         IvfTrainPerCell)
       .transform(orderedOutput(_, col("vec_id")))
 
+  /** e2: the EMBEDDING-side composed pipeline — d9's SemDedup stage
+    * feeding retrieval, as one oracle-gated query: cell-blocked
+    * semantic dedup marks every vector with a smaller-id near-neighbor
+    * (cosine ≥ threshold in its IVF cell), the SURVIVORS become the
+    * serving corpus, and the exact cosine top-k runs over survivors
+    * only. The composition is observable — a duplicate removed from the
+    * corpus vanishes from every neighbor list, so any drift in the
+    * dedup stage diverges the retrieval hash (the e1 cross-plane
+    * contract, vector side). All heavy stages are the already-gated
+    * bounded forms (cell-blocked pairs, BottomKAgg top-k).
+    */
+  private val E2Queries = 4L
+  private val E2TopK = 5
+
+  def embeddingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val survivors = Similarity
+      .semDedup(
+        emb, "vec_id", "embedding",
+        NearDupThreshold, IvfFloorCells, IvfCapCells, LloydIters, MaxCell, IvfTrainPerCell)
+      .filter(col("is_dup") === 0L)
+      .select(col("vec_id"))
+    val kept = emb.join(survivors, Seq("vec_id"), "left_semi")
+    Similarity
+      .bruteForceTopK(kept, "vec_id", "embedding", col("vec_id") < E2Queries, E2TopK)
+      .transform(orderedOutput(_, col("query_id"), col("rnk")))
+  }
+
   /** v7: kNN classification — majority label vote over the exact
     * cosine top-[[KnnK]] neighborhood of each probe (ties broken by the
     * smaller label, a total order both engines share). The probe set is
@@ -1159,6 +1187,7 @@ object VectorQueries {
     "d7_embed_neardup_lsh_hi" -> (embedNearDupLshHi(_, _)),
     "d8_embed_neardup_rp" -> (embedNearDupRp(_, _)),
     "d9_semdedup" -> (semDedup(_, _)),
+    "e2_embedding_pipeline" -> (embeddingPipeline(_, _)),
     "v4_ann_ivf_multiprobe" -> (annIvfMultiProbe(_, _)),
     "v5_ivf_index_probe" -> (ivfIndexProbe(_, _)),
     "v14_ivf_incremental" -> (ivfIncrementalProbe(_, _)),
@@ -1962,6 +1991,28 @@ object VectorQueries {
          |  CAST(CASE WHEN d.dup_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
          |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.dup_id
          |ORDER BY s.vec_id""".stripMargin,
+    // e2: d9's dedup chain verbatim, survivors feeding the v1-shaped
+    // exact retrieval — one WITH chain, any stage drift diverges the hash
+    "e2_embedding_pipeline" ->
+      s"""WITH $ivfAssignedCtes,
+         |pairs AS (
+         |  SELECT b.vec_id AS dup_id,
+         |    $cosineExpr AS cosine
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dups AS (SELECT DISTINCT dup_id FROM pairs WHERE cosine >= $NearDupThreshold),
+         |surv AS (
+         |  SELECT s.vec_id FROM assigned s LEFT JOIN dups d ON s.vec_id = d.dup_id
+         |  WHERE d.dup_id IS NULL),
+         |sbase AS (SELECT b.* FROM base b JOIN surv USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS cosine
+         |  FROM sbase a JOIN sbase b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $E2Queries)
+         |SELECT query_id, vec_id, rnk, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $E2TopK ORDER BY query_id, rnk""".stripMargin,
     "d5_embed_neardup" ->
       s"""WITH $prep
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
