@@ -2539,6 +2539,49 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version")))
   }
 
+  /** x26: MERGE-ON-READ keyed upsert ([[graft.sources.Snapshots
+    * .commitMergeMor]]) — x8's merge lifecycle on the deletion-vector
+    * path: v2 tombstones the matched base rows into the sidecar and
+    * lands the change batch as NEW files (zero existing files move —
+    * SnapshotsSpec pins the identical carried file list), v3 is the
+    * OPTIMIZE that folds the vector into a clean rewrite. The gate reads
+    * all three versions under ONE oracle derivation shared with the COW
+    * path: v1 untouched (time travel across the merge), v2 and v3
+    * bit-identical to each other and to x8's post-merge state — the
+    * read-side contract that makes COW and MOR merges interchangeable to
+    * every consumer, while the write side trades rewrite amplification
+    * for a read-time anti-join. Runs in the reclaimed [[sandboxed]]
+    * lifecycle sandbox.
+    */
+  def mergeMorScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(
+      base.filter(pmod(col("event_id"), lit(3L)) =!= 2L).repartitionByRange(8, col("event_id")),
+      dir,
+      Seq("event_id"))
+    val changes = base
+      .filter(pmod(col("event_id"), lit(5L)) === 0L || pmod(col("event_id"), lit(3L)) === 2L)
+      .withColumn("cents", col("cents") + lit(MergeShift))
+    Snapshots.commitMergeMor(spark, dir, changes, "event_id")
+    Snapshots.commitOptimize(spark, dir, targetFileBytes = 64L << 20)
+    val perVersion = (1 to 3).map { v =>
+      Snapshots
+        .readVersion(spark, dir, v)
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("cents") >= MergeShift, 1L).otherwise(0L)).as("n_modified"))
+        .select(
+          lit(v.toLong).as("version"),
+          col("n_events"), col("n_users"), col("sum_cents"), col("n_modified"))
+    }
+    perVersion
+      .reduce(_.unionByName(_))
+      .transform(orderedOutput(_, col("version")))
+  }
+
   /** x9: versioned OPTIMIZE ([[graft.sources.Snapshots.commitOptimize]])
     * — compaction-as-a-commit over the fragmented table the exactly-once
     * streaming sink produces: v1..v3 accrete 40 small files across three
@@ -5918,6 +5961,21 @@ object FeatureQueries {
            |  CAST(sum(cents) AS BIGINT) AS sum_cents,
            |  CAST(sum(CASE WHEN cents >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x26_merge_mor" ->
+        s"""WITH prep AS ($prep),
+           |v AS (SELECT unnest(generate_series(1, 3)) AS version),
+           |r AS (
+           |  SELECT v.version, p.user_id,
+           |    CASE WHEN v.version >= 2 AND (p.event_id % 5 = 0 OR p.event_id % 3 = 2)
+           |         THEN p.cents + 1000000000 ELSE p.cents END AS cents
+           |  FROM v JOIN prep p
+           |    ON v.version >= 2 OR p.event_id % 3 <> 2)
+           |SELECT CAST(version AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(CASE WHEN cents >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
       "x9_optimize" ->
         s"""WITH prep AS ($prep),
            |v AS (SELECT unnest(generate_series(3, 4)) AS version)
@@ -6624,6 +6682,7 @@ object FeatureQueries {
     "x22_mor_delete" -> (morDeleteScan(_, _)),
     "x7_vacuum_read" -> (vacuumScan(_, _)),
     "x8_merge_upsert" -> (mergeUpsertScan(_, _)),
+    "x26_merge_mor" -> (mergeMorScan(_, _)),
     "x9_optimize" -> (optimizeScan(_, _)),
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),

@@ -1980,6 +1980,108 @@ object Snapshots {
     }
   }
 
+  /** MERGE-ON-READ keyed upsert — the deletion-vector twin of
+    * [[commitMerge]] (reference: src/lambda/StreamingIngestAggFeatures/
+    * lambda_function.py:31's last-writer-wins put_record, batch form):
+    * instead of rewriting every key-overlapping file, the commit (a)
+    * tombstones the matched base rows' (file, row-index) positions into
+    * the sidecar and (b) lands the ENTIRE change batch (update
+    * postimages + inserts) as ordinary new data files — ZERO existing
+    * files move, so a streaming-rate upsert cadence pays O(changes)
+    * writes per commit instead of O(touched files), the write
+    * amplification [[commitDeleteMor]] kills for DELETE. Reads stay
+    * bit-identical to the COW path (readVersion anti-joins the vector);
+    * [[commitOptimize]] folds the vector into a clean rewrite. Matched
+    * positions are found only in zone-map-overlapping files (same
+    * broadcast hit test as COW); rows already dead never re-match. The
+    * change feed carries the same update_preimage / update_postimage /
+    * insert records as COW — the two paths are indistinguishable to
+    * every consumer. `changes` must carry at most one row per key and
+    * exactly the table's columns. Publishes and returns the new version.
+    */
+  def commitMergeMor(spark: SparkSession, dir: String, changes: DataFrame, keyCol: String): Int = {
+    val prev = latestVersion(spark, dir)
+    require(prev >= 1, s"cannot merge into an empty table at $dir")
+    val (statsCols, entries) = manifest(spark, dir, prev)
+    requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
+    requireNoActiveWiden(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
+    requireNoActiveDrop(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
+    val dupKeys = changes
+      .groupBy(col(keyCol))
+      .count()
+      .filter(col("count") > 1)
+      .limit(1)
+      .count()
+    require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
+    val ci = statsCols.indexOf(keyCol)
+    val touchedPaths: Set[String] =
+      if (ci < 0) entries.map(_.path).toSet
+      else if (entries.isEmpty) Set.empty
+      else {
+        val ranges = spark
+          .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
+          .toDF("path", "mn", "mx")
+        changes
+          .select(col(keyCol).cast("long").as("k"))
+          .distinct()
+          .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+          .select("path")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+      }
+    val touched = entries.filter(e => touchedPaths.contains(e.path))
+    val v = prev + 1
+    // the change batch IS the new file set: postimages and inserts
+    // together, written once — never joined back against the base
+    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+    changes.write.mode("error").parquet(stage.toString)
+    val staged =
+      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+      else listedEntries(spark, stage)
+    val prevDv = dvInfo(spark, dir, prev)
+    val (dvHeader, feed) =
+      if (touched.isEmpty) {
+        (dvCarryHeader(spark, dir, prev), changes.withColumn(ChangeTypeCol, lit("insert")))
+      } else {
+        // matched LIVE base rows (dead rows never re-enter the vector or
+        // the feed) become the new tombstone positions
+        val withPos = spark.read
+          .parquet(touched.map(_.path): _*)
+          .withColumn("__dv_file", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+        val liveTouched = prevDv.fold(withPos) { case (p, _) =>
+          withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
+        }
+        val matched =
+          liveTouched.join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
+        val newDv = prevDv.fold(matched.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
+          spark.read.parquet(p).unionByName(matched.select(col("__dv_file"), col("__dv_pos")))
+        }
+        newDv.write.mode("error").parquet(dvStage.toString)
+        val dvRows = spark.read.parquet(dvStage.toString).count()
+        val matchedKeys = matched.select(col(keyCol)).distinct()
+        val feed = matched
+          .drop("__dv_file", "__dv_pos")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(changes
+            .join(matchedKeys, Seq(keyCol), "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+          .unionByName(changes
+            .join(matchedKeys, Seq(keyCol), "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")))
+        (s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n", feed)
+      }
+    val chStage = stageChanges(spark, dir, feed)
+    // EVERY previous file is carried by reference — the manifest diff is
+    // the staged change files plus the vector header, nothing else
+    publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge", dvHeader)
+    publishChanges(spark, dir, chStage, v)
+    v
+  }
+
   /** Read the table exactly as of `version` (deletion-vector-aware). */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
     readFilesDv(spark, dir, version, manifest(spark, dir, version)._2.map(_.path))

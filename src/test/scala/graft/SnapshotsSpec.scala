@@ -875,6 +875,60 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(cents(v5).length == 2000 - 400 - 200 + 10)
   }
 
+  test("merge-on-read merge: zero rewrites, COW-identical reads and feed, folded by OPTIMIZE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_dvm").toString
+    val cow = java.nio.file.Files.createTempDirectory("snap_dvm_cow").toString
+    val base = spark.range(0, 2000).select(col("id"), (col("id") % 100).as("cents"))
+    Seq(dir, cow).foreach(d =>
+      Snapshots.commitOverwrite(base.repartitionByRange(8, col("id")), d, Seq("id")))
+    // 500 updates (ids 1500-1999) + 500 inserts (2000-2499), unmistakable payloads
+    val changes = spark.range(1500, 2500)
+      .select(col("id"), (col("id") % 100 + 100000L).as("cents"))
+    val v1Files = Snapshots.manifest(spark, dir, 1)._2.map(_.path)
+    Snapshots.commitMergeMor(spark, dir, changes, "id")
+    Snapshots.commitMerge(spark, cow, changes, "id")
+    // the zero-rewrite contract: EVERY v1 file is still listed at v2
+    val v2Paths = Snapshots.manifest(spark, dir, 2)._2.map(_.path)
+    assert(v1Files.forall(v2Paths.contains),
+      "a deletion-vector merge must carry every existing file by reference")
+    def rows(d: String, v: Int) =
+      Snapshots.readVersion(spark, d, v).as[(Long, Long)].collect().toSet
+    // reads: v1 intact (time travel), v2 bit-identical to the COW twin
+    assert(rows(dir, 1) == rows(cow, 1))
+    assert(rows(dir, 2) == rows(cow, 2), "MOR and COW merges must be read-indistinguishable")
+    assert(rows(dir, 2).count(_._2 >= 100000L) == 1000)
+    assert(rows(dir, 2).size == 2500, "500 matched keys must not appear twice")
+    // metadata count nets the vector out of the carried-file sum
+    assert(Snapshots.metadataRowCount(spark, dir, 2) == 2500L)
+    // the change feed is COW's exactly: preimage/postimage/insert parity
+    def feed(d: String) = Snapshots.readChangeFeed(spark, d, 1, 2)
+      .select(col("id"), col("cents"), col(Snapshots.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed(dir) == feed(cow), "MOR merge must emit the same change records as COW")
+    // incremental reads refuse across the merge on both paths
+    intercept[IllegalArgumentException](Snapshots.readChangesSince(spark, dir, 1, 2))
+    // a SECOND MoR merge must tombstone rows living in the files the
+    // FIRST one staged (accumulation over its own postimage files)
+    val changes2 = spark.range(1800, 2200)
+      .select(col("id"), (col("id") % 100 + 200000L).as("cents"))
+    Snapshots.commitMergeMor(spark, dir, changes2, "id")
+    val v3 = rows(dir, 3)
+    assert(v3.size == 2500)
+    assert(v3.count(_._2 >= 200000L) == 400, "re-merged keys carry the second payload once")
+    assert(v3.count(t => t._2 >= 100000L && t._2 < 200000L) == 600)
+    // OPTIMIZE folds: no vector header, rows bit-identical, then vacuum
+    // reclaims the sidecars once no surviving version references them
+    val v4 = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    assert(Snapshots.dvInfo(spark, dir, v4).isEmpty, "OPTIMIZE must fold the vector away")
+    assert(rows(dir, v4) == v3)
+    Snapshots.vacuum(spark, dir, keepFrom = v4)
+    val dvRoot = new java.io.File(dir, "dv")
+    assert(!dvRoot.exists() || dvRoot.listFiles().isEmpty,
+      "no surviving version references a vector; vacuum must reclaim the sidecars")
+    assert(rows(dir, v4).size == 2500)
+  }
+
   test("zombie writers: two interleaved attempts of ONE batch id land exactly once") {
     import spark.implicits._
     // the check-then-act window the r11 code documented: attempt A
