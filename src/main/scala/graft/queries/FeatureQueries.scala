@@ -2582,6 +2582,34 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("version")))
   }
 
+  /** x27: Bloom-sidecar point lookup ([[graft.sources.Snapshots
+    * .buildBlooms]] / [[graft.sources.Snapshots.readVersionPoint]]) —
+    * equality file-skipping on a HIGH-CARDINALITY UNCLUSTERED key, the
+    * case zone maps cannot prune (the table is range-clustered on cents,
+    * so every file's event_id range spans the whole domain): per-file
+    * Bloom sidecars are built in one distributed aggregate pass, and a
+    * point lookup consults |files| bit arrays before scanning. Three
+    * lookups — the max id, an arbitrary interior id, and a guaranteed
+    * MISS (max+1) — pin that pruning never changes results: the oracle
+    * filters the base table directly, so a false-negative bloom (a
+    * dropped real row) diverges the hash, and the miss must return zero
+    * rows even though no file is ever trusted for inclusion.
+    * SnapshotsSpec pins the actual file-skip counts; the gate, as
+    * always, pins results. Runs in the reclaimed [[sandboxed]] sandbox.
+    */
+  def bloomLookupScan(spark: SparkSession, sfDir: String): DataFrame = sandboxed(spark) { dir =>
+    import graft.sources.Snapshots
+    val base = snapBase(spark, sfDir)
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("cents")), dir, Seq("cents"))
+    Snapshots.buildBlooms(spark, dir, 1, "event_id", nBits = 1 << 17, nHashes = 5)
+    val mx = base.agg(max(col("event_id"))).head().getLong(0)
+    Seq(mx, mx / 2, mx + 1)
+      .map(id => Snapshots.readVersionPoint(spark, dir, 1, "event_id", id))
+      .reduce(_.unionByName(_))
+      .select(col("event_id"), col("user_id"), col("cents"))
+      .transform(orderedOutput(_, col("event_id")))
+  }
+
   /** x9: versioned OPTIMIZE ([[graft.sources.Snapshots.commitOptimize]])
     * — compaction-as-a-commit over the fragmented table the exactly-once
     * streaming sink produces: v1..v3 accrete 40 small files across three
@@ -5976,6 +6004,13 @@ object FeatureQueries {
            |  CAST(sum(cents) AS BIGINT) AS sum_cents,
            |  CAST(sum(CASE WHEN cents >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      "x27_bloom_lookup" ->
+        s"""WITH prep AS ($prep),
+           |m AS (SELECT max(event_id) AS mx FROM prep)
+           |SELECT p.event_id, p.user_id, p.cents
+           |FROM prep p, m
+           |WHERE p.event_id = m.mx OR p.event_id = m.mx // 2 OR p.event_id = m.mx + 1
+           |ORDER BY p.event_id""".stripMargin,
       "x9_optimize" ->
         s"""WITH prep AS ($prep),
            |v AS (SELECT unnest(generate_series(3, 4)) AS version)
@@ -6683,6 +6718,7 @@ object FeatureQueries {
     "x7_vacuum_read" -> (vacuumScan(_, _)),
     "x8_merge_upsert" -> (mergeUpsertScan(_, _)),
     "x26_merge_mor" -> (mergeMorScan(_, _)),
+    "x27_bloom_lookup" -> (bloomLookupScan(_, _)),
     "x9_optimize" -> (optimizeScan(_, _)),
     "x10_multi_zone" -> (multiZoneScan(_, _)),
     "x11_schema_travel" -> (schemaTravelScan(_, _)),

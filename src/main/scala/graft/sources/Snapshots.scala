@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max => fMax, min => fMin}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
 
 /** Minimal snapshot-isolated table layout — versioned (time-travel) reads
   * over immutable parquet, the public core idea of lakehouse table
@@ -1155,6 +1156,23 @@ object Snapshots {
           && st.getModificationTime <= cutoffMs)
           f.delete(st.getPath, true)
       }
+    // bloom sidecars are content-addressed by data file: one whose file
+    // is no longer referenced by any surviving version is dead weight
+    // (advisory-only, so reclaim is always safe; same retention guard).
+    // Not counted in the returned total — they are metadata, not data.
+    val bloomKeep = referenced.map { k =>
+      MessageDigest.getInstance("MD5")
+        .digest(k.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString + ".bf"
+    }
+    val bRoot = bloomRoot(dir)
+    if (f.exists(bRoot))
+      f.listStatus(bRoot).foreach { st =>
+        if (st.getPath.getName.endsWith(".bf") && !bloomKeep.contains(st.getPath.getName)
+          && st.getModificationTime <= cutoffMs)
+          f.delete(st.getPath, false)
+      }
     // PROVABLY dead rename entries (their claimed version's manifest
     // exists and belongs to another commit) are reclaimed BEFORE the
     // manifests proving them dead can be deleted below — after which a
@@ -1202,6 +1220,159 @@ object Snapshots {
     }
     deleted
   }
+
+  // ---- Bloom-filter sidecars (point-lookup file skipping) -----------------
+
+  private def bloomRoot(dir: String) = new Path(dir, "bloom")
+
+  /** A data file's bloom sidecar path — content-addressed by the md5 of
+    * its [[fileKey]], so the sidecar rides the FILE (not the version):
+    * appends and OPTIMIZE never invalidate existing sidecars, and vacuum
+    * reclaims a sidecar exactly when its data file dies.
+    */
+  private def bloomPathFor(dir: String, dataPath: String): Path = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(fileKey(dataPath).getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+    new Path(bloomRoot(dir), s"$hex.bf")
+  }
+
+  private val BloomMagic = "graftbf1"
+
+  /** Build per-file Bloom sidecars on `column` for every file of
+    * `version` that lacks one — the equality-skipping complement to zone
+    * maps for HIGH-CARDINALITY unclustered columns (a zone map on a
+    * shuffled key spans the whole domain in every file; a Bloom filter
+    * answers "is THIS key possibly here" per file). Sidecars are pure
+    * ACCELERATORS, deliberately outside the commit protocol: a missing
+    * or half-written sidecar just means "scan that file" — readers never
+    * trust a bloom for inclusion, only for exclusion, so non-atomic
+    * sidecar maintenance can never corrupt a result (the same contract
+    * parquet's own column indexes rely on). ONE distributed pass builds
+    * every missing filter ([[graft.functions.BloomAgg]] — map-side
+    * partial bit-ORs, O(nBits/8) state per file); the driver then writes
+    * |files| small sidecars. Re-run after OPTIMIZE to cover the
+    * rewritten files; already-covered files are skipped (their sidecar
+    * is content-addressed by file, not version). Returns the number of
+    * sidecars written.
+    */
+  def buildBlooms(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      column: String,
+      nBits: Int = 1 << 20,
+      nHashes: Int = 5): Int = {
+    val entries = manifest(spark, dir, version)._2
+    val f = fs(spark, new Path(dir))
+    val missing = entries.filterNot(e => f.exists(bloomPathFor(dir, e.path)))
+    if (missing.isEmpty) return 0
+    val perFile = spark.read
+      .parquet(missing.map(_.path): _*)
+      .select(col(column).as("v"), col("_metadata.file_path").as("__f"))
+      .groupBy(col("__f"))
+      .agg(graft.functions.BloomAgg.bloomAgg(col("v"), nBits, nHashes).as("bf"))
+      .collect()
+    var written = 0
+    perFile.foreach { r =>
+      val dst = bloomPathFor(dir, r.getString(0))
+      val tmp = new Path(bloomRoot(dir), s".tmp-${java.util.UUID.randomUUID()}")
+      f.mkdirs(bloomRoot(dir))
+      val header = s"$BloomMagic\n$column\n$nHashes\n"
+      val out = f.create(tmp, true)
+      try {
+        out.write(header.getBytes(StandardCharsets.UTF_8))
+        out.write(r.getAs[Array[Byte]]("bf"))
+      } finally out.close()
+      if (claimExclusive(f, tmp, dst)) written += 1
+      f.delete(tmp, false)
+    }
+    written
+  }
+
+  /** Load a file's bloom sidecar if present AND built on `column` —
+    * (nHashes, packed bits); None means "no filter, must scan".
+    */
+  private def loadBloom(
+      f: FileSystem,
+      dir: String,
+      dataPath: String,
+      column: String): Option[(Int, Array[Byte])] = {
+    val p = bloomPathFor(dir, dataPath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      val l1 = s.indexOf('\n')
+      if (l1 < 0 || s.substring(0, l1) != BloomMagic) None
+      else {
+        val l2 = s.indexOf('\n', l1 + 1)
+        val l3 = s.indexOf('\n', l2 + 1)
+        if (l2 < 0 || l3 < 0 || s.substring(l1 + 1, l2) != column) None
+        else {
+          val nHashes = s.substring(l2 + 1, l3).toInt
+          Some((nHashes, bytes.drop(l3 + 1)))
+        }
+      }
+    }
+  }
+
+  /** The files of `version` a point lookup `column = value` must scan,
+    * after bloom pruning — the planning half of [[readVersionPoint]],
+    * exposed so the skipping contract is assertable (SnapshotsSpec pins
+    * pruned < total on covered tables and zero result drift). Files
+    * without a usable sidecar are always kept: blooms prune, never veto.
+    */
+  def pointLookupFiles(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      column: String,
+      value: Any): Seq[String] = {
+    val entries = manifest(spark, dir, version)._2
+    val f = fs(spark, new Path(dir))
+    entries.map(_.path).filter { p =>
+      loadBloom(f, dir, p, column) match {
+        case Some((nHashes, bits)) =>
+          graft.functions.BloomHash.mightContain(bits, nHashes, value)
+        case None => true
+      }
+    }
+  }
+
+  /** Point lookup `column = value` as of `version`, scanning only the
+    * bloom-surviving files (deletion-vector-aware, like every read).
+    * False positives cost an extra file scan; the equality filter on the
+    * real scan guarantees exact results either way.
+    */
+  def readVersionPoint(
+      spark: SparkSession,
+      dir: String,
+      version: Int,
+      column: String,
+      value: Any): DataFrame = {
+    val paths = pointLookupFiles(spark, dir, version, column, value)
+    if (paths.isEmpty) readVersion(spark, dir, version).filter(lit(false))
+    else readFilesDv(spark, dir, version, paths).filter(col(column) === lit(value))
+  }
+
+  /** [[readVersionPoint]] at the latest version. */
+  def readLatestPoint(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      value: Any): DataFrame =
+    readVersionPoint(spark, dir, latestVersion(spark, dir), column, value)
 
   // ---- Named refs (tags) -------------------------------------------------
 

@@ -74,6 +74,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ann.filter(col("rnk") =!= 1).count() == 0)
   }
 
+  test("BloomAgg: partitioning-independent bits, no false negatives, bounded FP rate") {
+    import spark.implicits._
+    import graft.functions.{BloomAgg, BloomHash}
+    val rows = (0L until 2000L).map(i => (i % 4, i))
+    def run(parts: Int) = rows
+      .toDF("g", "v")
+      .repartition(parts)
+      .groupBy(col("g"))
+      .agg(BloomAgg.bloomAgg(col("v"), 1 << 14, 5).as("bf"))
+      .as[(Long, Array[Byte])]
+      .collect()
+      .toMap
+    val one = run(1)
+    val many = run(17)
+    assert(one.keySet == many.keySet &&
+      one.forall { case (g, b) => java.util.Arrays.equals(b, many(g)) },
+      "bit-OR merge makes the packed array partitioning-independent")
+    // NO false negative is possible: every inserted value tests positive
+    rows.foreach { case (g, v) =>
+      assert(BloomHash.mightContain(one(g), 5, v), s"false negative for $v in group $g")
+    }
+    // false-positive rate on values never inserted stays near theory
+    // ((1-e^{-kn/m})^k ~ 2.4e-4 at k=5, n=500, m=16384)
+    val fp = (100000L until 110000L).count(v => BloomHash.mightContain(one(0L), 5, v))
+    assert(fp < 50, s"$fp false positives in 10000 probes — far above the designed rate")
+    // serialized size is nBits/8 regardless of row count
+    assert(one(0L).length == (1 << 14) / 8)
+  }
+
   test("KmvDistinctAgg: partitioning-independent, duplicate-blind, O(k) state") {
     import spark.implicits._
     import graft.functions.KmvDistinctAgg.kmvDistinct

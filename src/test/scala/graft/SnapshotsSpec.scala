@@ -929,6 +929,54 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(rows(dir, v4).size == 2500)
   }
 
+  test("bloom sidecars skip files on point lookups and never change results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap_bloom").toString
+    // cluster on bucket so id is SHUFFLED across files — a zone map on id
+    // would span the whole domain in every file (the bloom's raison d'etre)
+    val base = spark.range(0, 4000).select(col("id"), (col("id") % 97).as("bucket"))
+    Snapshots.commitOverwrite(base.repartitionByRange(8, col("bucket")), dir, Seq("bucket"))
+    val total = Snapshots.manifest(spark, dir, 1)._2.size
+    assert(Snapshots.buildBlooms(spark, dir, 1, "id", nBits = 1 << 14, nHashes = 5) == total)
+    // re-running builds nothing: sidecars are content-addressed by file
+    assert(Snapshots.buildBlooms(spark, dir, 1, "id", nBits = 1 << 14, nHashes = 5) == 0)
+    // hits scan FEWER files than the manifest lists, and find exactly the row
+    Seq(0L, 1234L, 3999L).foreach { id =>
+      val files = Snapshots.pointLookupFiles(spark, dir, 1, "id", id)
+      assert(files.nonEmpty && files.size < total,
+        s"bloom pruning must cut the scan set for id=$id (kept ${files.size}/$total)")
+      val got = Snapshots.readVersionPoint(spark, dir, 1, "id", id).as[(Long, Long)].collect()
+      assert(got.toSeq == Seq((id, id % 97)))
+    }
+    // a genuinely absent key prunes everything and returns zero rows
+    assert(Snapshots.pointLookupFiles(spark, dir, 1, "id", 999999L).isEmpty)
+    assert(Snapshots.readVersionPoint(spark, dir, 1, "id", 999999L).count() == 0)
+    // files WITHOUT a sidecar are always scanned: an uncovered append's
+    // rows stay findable (blooms prune, never veto)
+    Snapshots.commitAppend(
+      spark.range(4000, 4100).select(col("id"), (col("id") % 97).as("bucket")),
+      dir, Seq("bucket"))
+    assert(Snapshots.readVersionPoint(spark, dir, 2, "id", 4050L).count() == 1)
+    // a later build covers exactly the uncovered files
+    val built = Snapshots.buildBlooms(spark, dir, 2, "id", nBits = 1 << 14, nHashes = 5)
+    val total2 = Snapshots.manifest(spark, dir, 2)._2.size
+    assert(built == total2 - total, s"built $built, expected ${total2 - total}")
+    // a bloom-routed point read still honors the deletion vector
+    val deadBucket = 1234L % 97
+    Snapshots.commitDeleteMor(spark, dir, "bucket", deadBucket, deadBucket)
+    assert(Snapshots.readVersionPoint(spark, dir, 3, "id", 1234L).count() == 0)
+    assert(Snapshots.readVersionPoint(spark, dir, 2, "id", 1234L).count() == 1,
+      "time travel to the pre-delete version still finds the row")
+    // vacuum reclaims the sidecars of dead files alongside the files
+    val v4 = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    Snapshots.vacuum(spark, dir, keepFrom = v4)
+    val bloomRoot = new java.io.File(dir, "bloom")
+    assert(!bloomRoot.exists() || bloomRoot.listFiles().isEmpty,
+      "every pre-OPTIMIZE file died; vacuum must reclaim their sidecars")
+    // and the un-bloomed post-OPTIMIZE table still answers point reads
+    assert(Snapshots.readVersionPoint(spark, dir, v4, "id", 3999L).count() == 1)
+  }
+
   test("zombie writers: two interleaved attempts of ONE batch id land exactly once") {
     import spark.implicits._
     // the check-then-act window the r11 code documented: attempt A
