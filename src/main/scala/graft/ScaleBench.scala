@@ -178,7 +178,15 @@ object ScaleBench {
     // the embedding-side composition (e2 — d9's cell-blocked SemDedup
     // feeding the exact survivor retrieval): the heavy stage is the
     // in-cell pair scan, cell-capped by MaxCell at any corpus size
-    "e2_embedding_pipeline")
+    "e2_embedding_pipeline",
+    // round-12 session-3: the deletion-vector MERGE lifecycle (x26 —
+    // overwrite + MOR merge + fold; the merge writes O(changes) + the
+    // vector, the fold is the one rewrite — should track x22's shape
+    // with the change batch replacing the doomed range), and the bloom
+    // point-lookup lifecycle (x27 — overwrite + one aggregate pass over
+    // every file for the sidecars + three |files|-bounded lookups)
+    "x26_merge_mor",
+    "x27_bloom_lookup")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -652,6 +652,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact RADIUS retrieval (range search) — every corpus vector whose
+    * cosine to the query is at least `threshold`, per query: the
+    * threshold twin of [[bruteForceTopK]] and the QUERY form of
+    * [[nearDupPairs]] (same scorer, query-set × corpus instead of
+    * all-pairs). The query side broadcasts (bounded by contract, like
+    * every query batch here); the corpus side is ONE linear scan with no
+    * exchange anywhere — the output is result-sized, so unlike top-k no
+    * per-query aggregate is even needed. The RAG shape top-k cannot
+    * express: "everything at least this similar", where the answer size
+    * is data-dependent (possibly zero) rather than fixed at k.
+    */
+  def rangeSearch(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      threshold: Double): DataFrame = {
+    val base = prepared(emb, idCol, embCol)
+    val queries = broadcast(
+      base
+        .filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm")))
+    base
+      .join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** LSH-blocked embedding near-dup: candidates from `tables` independent
     * sign-LSH hash tables (`bits` sign bits each, disjoint component
     * slices), then exact cosine verify on the distinct candidate pairs —

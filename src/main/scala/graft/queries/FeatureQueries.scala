@@ -114,6 +114,33 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("key")))
   }
 
+  /** w31: the online store under record TTL ([[graft.store
+    * .OnlineFeatureStore.snapshotLive]]) — w7's feature job feeds the
+    * store once, then the serving view expires every key whose LATEST
+    * event is a week or more behind the corpus clock (max event time —
+    * the deterministic "now" every serving gate uses). The reference
+    * online store grew exactly this record-level TtlDuration; the gate
+    * pins the read-side semantics (expiry is a filter on the LWW
+    * winner's event time, strict at the boundary), and the spec pins
+    * getLive/expire parity. The oracle re-derives the surviving view
+    * from the raw put log, so a key kept past its TTL — or expired by
+    * its STALE event instead of its latest — diverges the hash.
+    */
+  def storeTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("user_id"), col("ts"), col("ord_us"), col("cents"))
+    val store = new graft.store.OnlineFeatureStore(Seq("cnt_1w", "avg_1w"))
+    graft.operators.FeatureAggJob.run(ev, "user_id", "ts", "cents", store).aggregates.unpersist()
+    val asOf = ev.agg(max(col("ord_us"))).head().getLong(0)
+    store
+      .snapshotLive(spark, asOf, WeekUs)
+      .select(
+        col("key"),
+        col("event_time_us"),
+        col("cnt_1w").cast("long").as("cnt_1w"),
+        col("avg_1w"))
+      .transform(orderedOutput(_, col("key")))
+  }
+
   def latestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = withAggColumns(prepared(spark, sfDir))
     LatestPerKey
@@ -4902,6 +4929,24 @@ object FeatureQueries {
            |FROM (SELECT *, dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
            |      FROM agg) WHERE rk = 1
            |ORDER BY key""".stripMargin,
+      "w31_store_ttl" ->
+        s"""WITH prep AS ($prep), agg AS (
+           |  SELECT user_id, ord_us,
+           |    count(*) OVER w1w AS cnt_1w,
+           |    sum(cents) OVER w1w / count(*) OVER w1w AS avg_1w
+           |  FROM prep
+           |  WINDOW w1w AS (PARTITION BY user_id ORDER BY ord_us
+           |                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+           |latest AS (
+           |  SELECT DISTINCT user_id AS key, ord_us AS event_time_us,
+           |         CAST(cnt_1w AS BIGINT) AS cnt_1w, avg_1w
+           |  FROM (SELECT *, dense_rank() OVER (PARTITION BY user_id ORDER BY ord_us DESC) AS rk
+           |        FROM agg) WHERE rk = 1),
+           |nw AS (SELECT max(ord_us) AS now_us FROM prep)
+           |SELECT l.key, l.event_time_us, l.cnt_1w, l.avg_1w
+           |FROM latest l, nw
+           |WHERE l.event_time_us + ${WeekUs}::BIGINT > nw.now_us
+           |ORDER BY l.key""".stripMargin,
       "j1_enrich_staleness" ->
         s"""$withRatios, snap AS (
            |  SELECT DISTINCT user_id, ts_us AS snap_ts_us, cnt_short, avg_short, cnt_long, avg_long FROM (
@@ -6626,6 +6671,7 @@ object FeatureQueries {
     "w1_trailing_agg" -> (trailingAgg(_, _)),
     "w5_latest_per_key" -> (latestPerKey(_, _)),
     "w7_store_contents" -> (storeContents(_, _)),
+    "w31_store_ttl" -> (storeTtl(_, _)),
     "j1_enrich_staleness" -> (enrichStaleness(_, _)),
     "j3_asof_join" -> (asofSnapshots(_, _)),
     "j11_training_dataset" -> (trainingDataset(_, _)),

@@ -334,6 +334,28 @@ object VectorQueries {
       .transform(orderedOutput(_, col("rnk")))
   }
 
+  /** v24: exact radius retrieval ([[Similarity.rangeSearch]]) — per
+    * query, EVERY corpus vector at cosine >= the threshold, the
+    * data-dependent-answer-size shape top-k cannot express ("all
+    * sufficiently similar", possibly none). One broadcast of the bounded
+    * query batch + one linear corpus scan, no exchange anywhere (the
+    * output is result-sized — no per-query aggregate exists at all); the
+    * oracle runs the identical integer-dot/one-double-division scorer,
+    * so both the membership set AND the scores hash-match.
+    */
+  def rangeSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .rangeSearch(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") < RangeNQueries,
+        RangeThreshold)
+      .transform(orderedOutput(_, col("query_id"), col("vec_id")))
+
+  private val RangeThreshold = 0.3
+  private val RangeNQueries = 16L
+
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
@@ -1175,6 +1197,7 @@ object VectorQueries {
     "v12_ivfpq_topk" -> (ivfPqTopKQuery(_, _)),
     "v13_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
+    "v24_range_search" -> (rangeSearchQuery(_, _)),
     "v23_hybrid_rrf" -> (hybridRrf(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -1733,6 +1756,13 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "v24_range_search" ->
+      s"""WITH $prep
+         |SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |  $cosineExpr AS cosine
+         |FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |WHERE a.vec_id < $RangeNQueries AND $cosineExpr >= $RangeThreshold
+         |ORDER BY query_id, vec_id""".stripMargin,
     // v23: the t20 text CTE verbatim + a one-query exact cosine ranking,
     // fused in integer fixed-point — floor(1e6/(60+rank)) per list,
     // FULL OUTER so single-list items keep their one term

@@ -47,6 +47,35 @@ final class OnlineFeatureStore(val featureNames: Seq[String]) {
     */
   def delete(key: Long): Unit = { records.remove(key); () }
 
+  /** Record-level TTL read — the reference online store's TtlDuration
+    * semantics (record expiry was added to the managed store as a
+    * record-level duration): a record whose event time is `ttlUs` or
+    * more behind `asOfUs` is INVISIBLE to reads immediately, regardless
+    * of whether the background cleaner ([[expire]]) has physically
+    * removed it yet. Expiry is strict at the boundary: a record exactly
+    * `ttlUs` old is expired.
+    */
+  def getLive(key: Long, asOfUs: Long, ttlUs: Long): Option[(Long, Array[Double])] =
+    records.get(key).filter { case (t, _) => t + ttlUs > asOfUs }
+
+  /** TTL-filtered [[snapshot]] — the serving view under record expiry
+    * (what a stream-static join against the store must see when TTL is
+    * declared).
+    */
+  def snapshotLive(spark: SparkSession, asOfUs: Long, ttlUs: Long): DataFrame =
+    snapshot(spark).filter(col("event_time_us") + lit(ttlUs) > lit(asOfUs))
+
+  /** The background cleaner: physically remove every expired record.
+    * Returns the removed count. Reads never depend on it running —
+    * [[getLive]]/[[snapshotLive]] filter regardless — so the cleaner's
+    * cadence is purely a memory-reclaim policy.
+    */
+  def expire(asOfUs: Long, ttlUs: Long): Int = {
+    val dead = records.collect { case (k, (t, _)) if t + ttlUs <= asOfUs => k }.toList
+    dead.foreach(records.remove)
+    dead.size
+  }
+
   def getFeature(key: Long, name: String): Option[Double] = {
     val idx = featureNames.indexOf(name)
     if (idx < 0) None else records.get(key).map(_._2(idx))

@@ -156,4 +156,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("store TTL: getLive filters by the LWW winner's age; expire removes exactly the dead") {
+    (1 to 20).foreach { seed =>
+      val rnd = new Random(seed)
+      val puts = List.fill(40)(
+        (1L + rnd.nextInt(8), rnd.nextInt(100).toLong, rnd.nextInt(1000).toDouble))
+      val store = new OnlineFeatureStore(Seq("v"))
+      puts.foreach { case (k, t, v) => store.put(k, t, Array(v)) }
+      val asOf = 100L
+      val ttl = 1L + rnd.nextInt(100)
+      val latest = puts.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      latest.foreach { case (k, t) =>
+        val live = store.getLive(k, asOf, ttl)
+        // strict boundary: a record exactly ttl old is EXPIRED
+        if (t + ttl > asOf) assert(live.exists(_._1 == t), s"seed $seed key $k alive")
+        else assert(live.isEmpty, s"seed $seed key $k must be expired (t=$t ttl=$ttl)")
+        // expiry filters by the WINNER's age — get() still sees the record
+        assert(store.get(k).isDefined)
+      }
+      // the cleaner removes exactly the expired keys, and reads agree
+      // before and after it runs (expiry never depended on the cleaner)
+      val expectDead = latest.count { case (_, t) => t + ttl <= asOf }
+      assert(store.expire(asOf, ttl) == expectDead, s"seed $seed cleaner count")
+      assert(store.size == latest.size - expectDead)
+      latest.foreach { case (k, t) =>
+        assert(store.getLive(k, asOf, ttl).isDefined == (t + ttl > asOf))
+      }
+    }
+  }
 }
