@@ -545,6 +545,50 @@ object Similarity {
       .select("query_id", "vec_id", "cell", "meta", "rnk", "cosine")
   }
 
+  /** IVF-probed radius retrieval — [[rangeSearch]]'s scale path: the
+    * same coarse quantizer as [[ivfTopKAuto]] narrows each query to its
+    * (capped) cell, and the threshold filter replaces the top-k rank —
+    * per-query cost is cellSize, not corpus size, and the probe join is
+    * the one equi-join. Recall loss is exactly IVF's (a true neighbor in
+    * another cell), pinned by the v26 monitor the way v6 pins top-k.
+    */
+  def ivfRangeSearchAuto(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      threshold: Double,
+      floorCells: Int,
+      capCells: Int,
+      lloydIters: Int,
+      maxCell: Long = DefaultMaxCell,
+      perCell: Long = 64L,
+      nProbe: Int = 1): DataFrame = {
+    val base = preparedCached(emb, idCol, embCol)
+    val n = base.count()
+    val nCells = autoCells(n, floorCells, capCells)
+    val train = trainSample(base, trainStride(n, nCells, perCell))
+    val centroids = kmeansCentroids(train, nCells, lloydIters)
+    val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // multi-probe fans out the QUERY side only (the v4 nprobe knob): a
+    // radius query's recall loss is cell-boundary truncation, and probing
+    // the nProbe nearest cells recovers most of it at nProbe * cellSize
+    // cost per query. Each corpus vector lives in exactly one capped
+    // cell, so no pair can be emitted twice.
+    val queries =
+      if (nProbe == 1) assigned.filter(queryPred)
+      else assignCells(base.filter(queryPred), centroids, nProbe)
+    queries
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("vec_id"),
+        cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   private def ivfFromPrepared(
       base: DataFrame,
       nCells: Int,

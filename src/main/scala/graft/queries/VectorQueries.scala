@@ -356,6 +356,72 @@ object VectorQueries {
   private val RangeThreshold = 0.3
   private val RangeNQueries = 16L
 
+  /** A 0.3-cosine radius is a WIDE query — true results spread across
+    * many cells (the same intrinsic unselectivity the LSH docstring
+    * derives for low thresholds), so the range probe gets twice v4's
+    * probe budget. The cost stays nProbe * cellSize per query at any
+    * corpus size; the v26 monitor pins what the budget buys.
+    */
+  private val RangeNProbe = 8
+
+  /** v25: IVF-probed radius retrieval ([[Similarity.ivfRangeSearchAuto]])
+    * — v24's scale path: the v3 coarse quantizer narrows each query to
+    * its capped cell and the threshold filter replaces the rank, so
+    * per-query cost is cellSize, not corpus size. The oracle replays the
+    * full IVF lifecycle (training sample, md5-rank seeds, two Lloyd
+    * rounds, capped assignment) and filters in-cell, so every surviving
+    * pair AND its score must match bit-for-bit; the recall the cell
+    * restriction forfeits is pinned as a measured value by v26.
+    */
+  def ivfRangeSearch(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity
+      .ivfRangeSearchAuto(
+        Tables.embeddings(spark, sfDir),
+        "vec_id",
+        "embedding",
+        col("vec_id") < RangeNQueries,
+        RangeThreshold,
+        IvfFloorCells,
+        IvfCapCells,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell,
+        RangeNProbe)
+      .transform(orderedOutput(_, col("query_id"), col("vec_id")))
+
+  /** v26: recall monitor for v25 — the fraction of the EXACT radius
+    * result set ([[Similarity.rangeSearch]]) the cell-probed path
+    * retains, the v6/v11/v13/v20 continuous-monitoring convention
+    * applied to range search. Exact hit counts cross the gate; recall is
+    * their one double division.
+    */
+  def ivfRangeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity
+      .rangeSearch(emb, "vec_id", "embedding", col("vec_id") < RangeNQueries, RangeThreshold)
+      .select(col("query_id"), col("vec_id"))
+    val approx = Similarity
+      .ivfRangeSearchAuto(
+        emb,
+        "vec_id",
+        "embedding",
+        col("vec_id") < RangeNQueries,
+        RangeThreshold,
+        IvfFloorCells,
+        IvfCapCells,
+        LloydIters,
+        MaxCell,
+        IvfTrainPerCell,
+        RangeNProbe)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_expected").cast("double"))
+  }
+
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity
       .nearDupPairs(Tables.embeddings(spark, sfDir), "vec_id", "embedding", NearDupThreshold)
@@ -1198,6 +1264,8 @@ object VectorQueries {
     "v13_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "v1_cosine_topk" -> (cosineTopK(_, _)),
     "v24_range_search" -> (rangeSearchQuery(_, _)),
+    "v25_ivf_range" -> (ivfRangeSearch(_, _)),
+    "v26_range_recall" -> (ivfRangeRecall(_, _)),
     "v23_hybrid_rrf" -> (hybridRrf(_, _)),
     "v7_knn_classify" -> (knnClassify(_, _)),
     "v8_sq8_topk" -> (sq8TopK(_, _)),
@@ -1756,6 +1824,51 @@ object VectorQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "v25_ivf_range" ->
+      s"""WITH $ivfAssignedCtes,
+         |probes AS (
+         |  SELECT vec_id, qv, nrm, cell FROM (
+         |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        b.nrm + c.c_nrm
+         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cell) AS arnk
+         |    FROM base b CROSS JOIN cent2 c
+         |    WHERE b.vec_id < $RangeNQueries)
+         |  WHERE arnk <= $RangeNProbe),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    $cosineExpr AS cosine
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id)
+         |SELECT query_id, vec_id, cosine FROM scored
+         |WHERE cosine >= $RangeThreshold
+         |ORDER BY query_id, vec_id""".stripMargin,
+    "v26_range_recall" ->
+      s"""WITH $ivfAssignedCtes,
+         |probes AS (
+         |  SELECT vec_id, qv, nrm, cell FROM (
+         |    SELECT b.vec_id, b.qv, b.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        b.nrm + c.c_nrm
+         |          - 2 * CAST(list_sum(list_transform(list_zip(b.qv, c.c_qv), p -> p[1] * p[2])) AS BIGINT),
+         |        c.cell) AS arnk
+         |    FROM base b CROSS JOIN cent2 c
+         |    WHERE b.vec_id < $RangeNQueries)
+         |  WHERE arnk <= $RangeNProbe),
+         |exact AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+         |  FROM base a JOIN base b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $RangeNQueries AND $cosineExpr >= $RangeThreshold),
+         |approx AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+         |  FROM probes a JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id
+         |  WHERE $cosineExpr >= $RangeThreshold)
+         |SELECT CAST(count(*) AS BIGINT) AS n_expected,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN approx ap
+         |  ON e.query_id = ap.query_id AND e.vec_id = ap.vec_id""".stripMargin,
     "v24_range_search" ->
       s"""WITH $prep
          |SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
