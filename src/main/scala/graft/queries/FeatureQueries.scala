@@ -1065,6 +1065,124 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** s18: Neyman-allocation stratified sampling (Neyman 1934) — the
+    * variance-optimal refinement of s4's equal-rate strata: a stratum's
+    * sample budget is proportional to N_h·S_h (its size times its spend
+    * standard deviation), so volatile strata get the observations that
+    * shrink the estimator most. Exactness discipline: the variance cells
+    * aggregate in decimal(38) (a32's rule), the per-stratum weight
+    * N_h·S_h — the one genuinely irrational quantity — is QUANTIZED to
+    * integer micros (round(w·1e6), the embedding-plane trick applied to
+    * allocation weights), so the total weight is an exact integer sum
+    * and every allocation is one exact integral division
+    * (budget·w_fx div W). The draw is the repo's md5-rank: the n_h
+    * smallest draws per stratum, a partitioned rank window. The gate
+    * exports the allocation table AND the drawn sample's exact
+    * aggregates, so a mis-allocated budget or a mis-drawn row diverges
+    * the hash. (Weight magnitudes: N_h·S_h·1e6 ≲ 1e16 at sf1, inside
+    * BIGINT with the 200-row budget multiplier.)
+    */
+  def neymanSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val ev = prepared(spark, sfDir).select(col("event_type"), col("event_id"), col("cents"))
+    val cells = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_h"),
+        sum(col("cents").cast(d38)).as("s_h"),
+        sum(col("cents").cast(d38) * col("cents").cast(d38)).as("q_h"))
+    val weighted = cells
+      .withColumn(
+        "var_h",
+        (col("q_h").cast(d38) * col("n_h").cast(d38) - col("s_h").cast(d38) * col("s_h").cast(d38))
+          .cast("double") /
+          (col("n_h").cast("double") * (col("n_h") - lit(1L)).cast("double")))
+      .withColumn(
+        "w_fx",
+        round(col("n_h").cast("double") * sqrt(col("var_h")) * lit(1000000.0)).cast("long"))
+    val totalW = broadcast(weighted.agg(sum(col("w_fx")).as("w_total")))
+    val alloc = weighted
+      .crossJoin(totalW)
+      .withColumn("n_alloc", expr(s"($NeymanBudget * w_fx) div w_total"))
+      .select(col("event_type"), col("n_h"), col("w_fx"), col("n_alloc"))
+    // the per-stratum draw is a bounded-heap bottom-k on (draw, id) — a
+    // rank window partitioned by the handful of strata would sort a
+    // corpus-sized run per stratum (the v19 pathology); the aggregate
+    // reduces every partition to <= budget pairs map-side. The 32-bit
+    // draw casts to Double exactly, and its numeric order IS the hex
+    // string order the oracle sorts by.
+    val topDraws = ev
+      .withColumn(
+        "draw",
+        conv(Sampling.hashUniformHex("neyman", col("event_id")), 16, 10).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomKAgg
+        .bottomK(col("draw").cast("double"), col("event_id"), NeymanBudget.toInt).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("e"))
+      .select(col("event_type"), col("e.id").as("event_id"), col("e.rnk").as("draw_rnk"))
+    val picked = topDraws
+      .join(alloc.select(col("event_type"), col("n_alloc")), "event_type")
+      .filter(col("draw_rnk") <= col("n_alloc"))
+      .select(col("event_id"))
+    val drawn = ev
+      .join(broadcast(picked), "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_drawn"), sum(col("cents")).as("sample_cents"))
+    alloc
+      .join(drawn, Seq("event_type"), "left")
+      .select(
+        col("event_type"), col("n_h"), col("w_fx"), col("n_alloc"),
+        coalesce(col("n_drawn"), lit(0L)).as("n_drawn"),
+        coalesce(col("sample_cents"), lit(0L)).as("sample_cents"))
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
+  private val NeymanBudget = 200L
+
+  /** a36: Kruskal–Wallis rank cells (Kruskal & Wallis 1952) — the
+    * RANK-based k-group location test next to a32's parametric ANOVA
+    * (a21's Mann–Whitney generalized past two groups): per event type,
+    * the exact doubled rank sum R2_g = Σ 2·avgrank over the
+    * [[graft.operators.Ranks.doubledRanks]] distinct-value scan (the
+    * a20/a21 tie discipline — no unpartitioned window over data
+    * anywhere), plus the tie-correction cube sum. The gate exports the
+    * a32 shape: exact integer cells per group (n_g, R2_g, n, Σ(t³−t))
+    * and the per-row double terms h_term_g = 3·R2_g²/(n_g·N·(N+1)) and
+    * the tie factor — H = Σ h_term_g − 3(N+1), corrected H/tie_factor,
+    * both one deterministic step from the pinned cells (each row's
+    * double is an independent shared-formula computation; no
+    * order-dependent float summation crosses the gate).
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = prepared(spark, sfDir).select(col("event_type"), col("cents"))
+    val byVal = ev.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ranks.doubledRanks(byVal, "cents", "cnt").select(col("cents"), col("r2"))
+    val perGroup = ev
+      .groupBy(col("cents"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .join(ranked, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2_g"))
+    val totals = broadcast(byVal.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_cube")))
+    perGroup
+      .crossJoin(totals)
+      .withColumn(
+        "h_term_g",
+        lit(3.0) * col("r2_g").cast("double") * col("r2_g").cast("double") /
+          (col("n_g").cast("double") * col("n").cast("double") *
+            (col("n") + lit(1L)).cast("double")))
+      .withColumn(
+        "tie_factor",
+        lit(1.0) - col("tie_cube").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * col("n").cast("double") -
+            col("n").cast("double")))
+      .select("event_type", "n_g", "r2_g", "n", "tie_cube", "h_term_g", "tie_factor")
+      .transform(orderedOutput(_, col("event_type")))
+  }
+
   /** a33: two-feature linear regression via the normal equations —
     * spend ~ hour-of-day + day-of-week per event_type, the distributed
     * "fit a small OLS model in one pass" shape (sufficient statistics →
@@ -4876,6 +4994,55 @@ object FeatureQueries {
            |  n1 * n2 * 2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
            |  CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / (n1 * n2 * 2) AS auc
            |FROM s""".stripMargin,
+      "s18_neyman_sample" ->
+        s"""WITH b AS (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+           |      FROM events),
+           |cells AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+           |      sum(CAST(cents AS HUGEINT)) AS s_h,
+           |      sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q_h
+           |    FROM b GROUP BY 1),
+           |wtd AS (SELECT event_type, n_h,
+           |    CAST(round(CAST(n_h AS DOUBLE)
+           |      * sqrt(CAST(q_h * n_h - s_h * s_h AS DOUBLE)
+           |             / (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE)))
+           |      * 1000000.0) AS BIGINT) AS w_fx
+           |  FROM cells),
+           |tw AS (SELECT CAST(sum(w_fx) AS BIGINT) AS w_total FROM wtd),
+           |alloc AS (SELECT event_type, n_h, w_fx,
+           |    CAST(($NeymanBudget * w_fx) // w_total AS BIGINT) AS n_alloc
+           |  FROM wtd CROSS JOIN tw),
+           |r AS (SELECT event_type, event_id, cents,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY substr(md5('neyman|' || CAST(event_id AS VARCHAR)), 1, 8), event_id)
+           |      AS draw_rnk
+           |  FROM b),
+           |drawn AS (SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_drawn,
+           |      CAST(sum(r.cents) AS BIGINT) AS sample_cents
+           |    FROM r JOIN alloc a ON r.event_type = a.event_type AND r.draw_rnk <= a.n_alloc
+           |    GROUP BY 1)
+           |SELECT a.event_type, a.n_h, a.w_fx, a.n_alloc,
+           |  coalesce(d.n_drawn, 0) AS n_drawn, coalesce(d.sample_cents, 0) AS sample_cents
+           |FROM alloc a LEFT JOIN drawn d USING (event_type)
+           |ORDER BY a.event_type""".stripMargin,
+      "a36_kruskal_wallis" ->
+        """WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          |      FROM events),
+          |r AS (SELECT event_type, cents,
+          |    rank() OVER (ORDER BY cents) * 2 + count(*) OVER (PARTITION BY cents) - 1 AS r2
+          |  FROM b),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+          |        CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cube
+          |      FROM (SELECT count(*) AS cnt FROM b GROUP BY cents)),
+          |g AS (SELECT event_type,
+          |        CAST(count(*) AS BIGINT) AS n_g,
+          |        CAST(sum(r2) AS BIGINT) AS r2_g
+          |      FROM r GROUP BY 1)
+          |SELECT g.event_type, g.n_g, g.r2_g, t.n, t.tie_cube,
+          |  3.0 * CAST(g.r2_g AS DOUBLE) * CAST(g.r2_g AS DOUBLE)
+          |    / (CAST(g.n_g AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE)) AS h_term_g,
+          |  1.0 - CAST(t.tie_cube AS DOUBLE)
+          |    / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)) AS tie_factor
+          |FROM g CROSS JOIN t ORDER BY g.event_type""".stripMargin,
       "k7_ams_f2" -> {
         val zCols = (0 until AmsR)
           .map(r =>
@@ -6656,6 +6823,8 @@ object FeatureQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a20_spearman" -> (spearmanSpend(_, _)),
     "a21_mann_whitney" -> (mannWhitney(_, _)),
+    "a36_kruskal_wallis" -> (kruskalWallis(_, _)),
+    "s18_neyman_sample" -> (neymanSample(_, _)),
     "a22_cramers_v" -> (cramersV(_, _)),
     "a23_ks_test" -> (ksTest(_, _)),
     "a24_wasserstein" -> (wassersteinDistance(_, _)),
