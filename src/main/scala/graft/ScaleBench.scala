@@ -186,7 +186,16 @@ object ScaleBench {
     // point-lookup lifecycle (x27 — overwrite + one aggregate pass over
     // every file for the sidecars + three |files|-bounded lookups)
     "x26_merge_mor",
-    "x27_bloom_lookup")
+    "x27_bloom_lookup",
+    // round-12 session-3 (cont.): the probed radius retrieval (v25 —
+    // the v3 quantizer lifecycle + an nProbe-bounded cell scan per
+    // query; should track v3's shape), the store-TTL serving view (w31
+    // — the w7 feature job + the |keys|-row snapshot filter), and the
+    // Neyman draw (s18 — one decimal(38) moment pass + a bounded-heap
+    // bottom-k per stratum, never a per-stratum sort)
+    "v25_ivf_range",
+    "w31_store_ttl",
+    "s18_neyman_sample")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =
