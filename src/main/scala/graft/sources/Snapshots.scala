@@ -2170,7 +2170,52 @@ object Snapshots {
     * every consumer. `changes` must carry at most one row per key and
     * exactly the table's columns. Publishes and returns the new version.
     */
-  def commitMergeMor(spark: SparkSession, dir: String, changes: DataFrame, keyCol: String): Int = {
+  def commitMergeMor(spark: SparkSession, dir: String, changes: DataFrame, keyCol: String): Int =
+    commitMergeMorBatch(spark, dir, changes, keyCol, None).get
+
+  /** [[commitMergeMor]] as an EXACTLY-ONCE streaming upsert commit: a
+    * batch id the table already holds no-ops (returns false) — the
+    * foreachBatch replay contract [[commitAppendExactlyOnce]] gives
+    * appends, extended to the keyed-upsert cadence that motivated
+    * merge-on-read in the first place (per micro-batch: one small change
+    * file + a vector delta, zero rewrites). A RACING twin of the same
+    * batch id aborts on the lost publish (a merge's staged rows derive
+    * from a snapshot the lost race proves stale — the lost-update
+    * rationale every read-modify-write commit shares); the restarted
+    * query's replay of that id then skips cleanly, so across crash /
+    * replay / zombie interleavings exactly one instance lands.
+    */
+  def commitMergeMorExactlyOnce(
+      spark: SparkSession,
+      dir: String,
+      changes: DataFrame,
+      keyCol: String,
+      batchId: Long): Boolean =
+    commitMergeMorBatch(spark, dir, changes, keyCol, Some(batchId)).isDefined
+
+  /** A foreachBatch function for continuous keyed upserts into the table:
+    * `stream.writeStream.foreachBatch(Snapshots.mergeSink(dir, key))`.
+    * The first data-carrying batch on an EMPTY table bootstraps as an
+    * exactly-once append (a merge into nothing is an insert-all); every
+    * later batch lands as an exactly-once MoR merge. The caller owns the
+    * batch's own LWW collapse (at most one row per key per batch — e.g.
+    * [[graft.operators.LatestPerKey]] inside the query).
+    */
+  def mergeSink(dir: String, keyCol: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val spark = df.sparkSession
+      if (latestVersion(spark, dir) == 0) commitAppendExactlyOnce(df, dir, batchId)
+      else commitMergeMorExactlyOnce(spark, dir, df, keyCol, batchId)
+      ()
+    }
+
+  private def commitMergeMorBatch(
+      spark: SparkSession,
+      dir: String,
+      changes: DataFrame,
+      keyCol: String,
+      batchId: Option[Long]): Option[Int] = {
+    if (batchId.exists(b => lastBatchId(spark, dir).exists(_ >= b))) return None
     val prev = latestVersion(spark, dir)
     require(prev >= 1, s"cannot merge into an empty table at $dir")
     val (statsCols, entries) = manifest(spark, dir, prev)
@@ -2248,9 +2293,11 @@ object Snapshots {
     val chStage = stageChanges(spark, dir, feed)
     // EVERY previous file is carried by reference — the manifest diff is
     // the staged change files plus the vector header, nothing else
-    publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge", dvHeader)
+    publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge",
+      dvHeader + batchId.map(b => s"$BatchHeader$b\n").getOrElse(""))
     publishChanges(spark, dir, chStage, v)
-    v
+    batchId.foreach(b => writeHwm(spark, dir, b, v))
+    Some(v)
   }
 
   /** Read the table exactly as of `version` (deletion-vector-aware). */

@@ -309,6 +309,62 @@ class SnapshotsStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming MoR-merge sink: per-batch upserts, zero rewrites, replay-safe LWW state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snap_mergesink").toString
+    val dir = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    // the reference's streaming put_record cadence landed on the
+    // versioned table: every micro-batch is one keyed upsert, and the
+    // MoR path makes each commit O(changes) — no file ever rewrites
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    def startQuery() = source
+      .toDS()
+      .toDF("id", "cents")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Snapshots.mergeSink(dir, "id"))
+      .start()
+    val chunks = Seq(
+      Seq((1L, 10L), (2L, 20L)), // bootstrap: append into the empty table
+      Seq((2L, 21L), (3L, 30L)), // update 2, insert 3 — the first real merge
+      Seq((1L, 12L)))            // update 1
+    val q = startQuery()
+    try {
+      chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(v: Int) = Snapshots.readVersion(spark, dir, v)
+      .as[(Long, Long)].collect().toSet
+    assert(Snapshots.latestVersion(spark, dir) == 3)
+    assert(rows(3) == Set((1L, 12L), (2L, 21L), (3L, 30L)), "LWW end state")
+    // time travel: each version is exactly the store as of its batch
+    assert(rows(1) == Set((1L, 10L), (2L, 20L)))
+    assert(rows(2) == Set((1L, 10L), (2L, 21L), (3L, 30L)))
+    // ZERO rewrites: v3's manifest still lists every v1 and v2 file
+    val v3Files = Snapshots.manifest(spark, dir, 3)._2.map(_.path).toSet
+    (1 to 2).foreach(v => assert(
+      Snapshots.manifest(spark, dir, v)._2.map(_.path).forall(v3Files.contains),
+      s"the merge sink must carry every v$v file by reference"))
+    // a replayed micro-batch (crash between publish and checkpoint
+    // commit) is a no-op on the live table
+    assert(!Snapshots.commitMergeMorExactlyOnce(
+      spark, dir, chunks(1).toDF("id", "cents"), "id", 1L))
+    assert(Snapshots.latestVersion(spark, dir) == 3 && rows(3).size == 3)
+    // a restart resumes the batch chain; OPTIMIZE then folds the
+    // accumulated vector and the state reads identically
+    val q2 = startQuery()
+    try {
+      source.addData(Seq((3L, 33L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows(4) == Set((1L, 12L), (2L, 21L), (3L, 33L)))
+    val folded = Snapshots.commitOptimize(spark, dir, targetFileBytes = 1L << 20)
+    assert(Snapshots.dvInfo(spark, dir, folded).isEmpty)
+    assert(rows(folded) == Set((1L, 12L), (2L, 21L), (3L, 33L)))
+  }
+
   test("maxVersionsPerBatch drains a backlog one version per micro-batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_src_rate").toString
