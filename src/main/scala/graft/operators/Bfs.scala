@@ -60,6 +60,48 @@ object Bfs {
     dist
   }
 
+  /** Bounded-round WEIGHTED SSSP — the min-plus / Bellman–Ford iteration
+    * (edges `src`, `dst`, integral `w` >= 0) with a changed-set frontier:
+    * each round relaxes only edges out of nodes whose distance IMPROVED
+    * last round (the weighted analog of the BFS frontier — an unimproved
+    * node's outgoing relaxations were already applied at its current
+    * distance, so re-relaxing it can discover nothing), merges by min,
+    * and diffs against the previous table to find the next frontier.
+    * Produces exactly full Bellman–Ford's round-k table (the standard
+    * delta argument), so the oracle stays expressible as k unrolled
+    * min-agg CTEs while the plan pays O(Σ out-deg(improved)) per round.
+    * Fixed rounds, per-round localCheckpoint lineage cuts — the
+    * [[hops]]/k-core discipline; rounds >= the shortest-path HOP bound
+    * gives the exact SSSP (FixpointSpec measures the gate's bound).
+    */
+  def weightedHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    var dist = seeds.select(col("node")).distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var k = 0
+    while (k < rounds && !frontier.isEmpty) {
+      k += 1
+      val relaxed = e
+        .join(frontier.select(col("node").as("src"), col("dist").as("fd")), "src")
+        .select(col("dst").as("node"), (col("fd") + col("w")).as("dist"))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+      val merged = dist
+        .unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = merged
+        .join(dist.withColumnRenamed("dist", "prev"), Seq("node"), "left")
+        .filter(col("prev").isNull || col("dist") < col("prev"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      dist = merged
+    }
+    dist
+  }
+
   /** (node, hop) for every node within `rounds` hops of a seed; hop is
     * the BFS shortest-path hop count (seeds at 0).
     */

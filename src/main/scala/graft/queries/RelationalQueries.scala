@@ -396,6 +396,44 @@ object RelationalQueries {
       .transform(orderedOutput(_, col("node")))
   }
 
+  /** g21: bounded-round weighted shortest paths ([[graft.operators.Bfs
+    * .weightedHops]]) — the min-plus Bellman–Ford iteration over the g5
+    * co-supply graph with edge weight = the pair's minimum shipped
+    * quantity (exact integers), from the lowest-id part node, four
+    * rounds. Completes the graph plane's path family: g5 counts HOPS
+    * (every edge 1), this minimizes additive WEIGHT, where a longer-hop
+    * path can win — the plan relaxes only the nodes whose distance
+    * improved last round (the weighted frontier), while the oracle
+    * unrolls four full min-agg rounds; the two agree exactly by the
+    * standard delta argument, so the gate also pins that equivalence.
+    * FixpointSpec measures what the bounded round count misses.
+    */
+  private val SsspRounds = 4
+
+  def weightedSssp(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSsspRounds(spark, sfDir, SsspRounds)
+
+  private[graft] def weightedSsspRounds(
+      spark: SparkSession,
+      sfDir: String,
+      rounds: Int): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("p"), col("s"))
+      .agg(min(col("q")).as("w"))
+    val edges = pairs
+      .select(col("p").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst"), col("w")))
+    val seed = pairs.agg(min(col("p")).as("node"))
+    graft.operators.Bfs
+      .weightedHops(edges, seed, rounds)
+      .transform(orderedOutput(_, col("node")))
+  }
+
   /** g17: bounded-radius closeness/harmonic centrality — multi-source
     * frontier BFS ([[graft.operators.Bfs.multiHops]]) from the 8
     * lowest-id part nodes over the g5 part↔supplier co-supply graph,
@@ -2029,6 +2067,7 @@ object RelationalQueries {
     "g4_triangles" -> (triangleCounts(_, _)),
     "g7_degree_hist" -> (degreeHistogram(_, _)),
     "g5_khop_reach" -> (khopReach(_, _)),
+    "g21_weighted_sssp" -> (weightedSssp(_, _)),
     "g17_closeness" -> (closeness(_, _)),
     "g6_edge_jaccard" -> (edgeJaccard(_, _)),
     "q11_star_revenue" -> (starRevenue(_, _)),
@@ -2153,7 +2192,29 @@ object RelationalQueries {
        |SELECT node, CAST(hop AS BIGINT) AS hop FROM d$BfsRounds ORDER BY node""".stripMargin
   }
 
+  private def ssspSql: String = {
+    val rounds = (1 to SsspRounds)
+      .map { k =>
+        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, d.dist + e.w AS dist
+           |  FROM edges e JOIN d${k - 1} d ON e.src = d.node) GROUP BY 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pe AS (
+       |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
+       |         min(CAST(round(l_quantity) AS BIGINT)) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |edges AS (SELECT p AS src, s AS dst, w FROM pe
+       |          UNION ALL SELECT s AS src, p AS dst, w FROM pe),
+       |d0 AS (SELECT min(p) AS node, CAST(0 AS BIGINT) AS dist FROM pe),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "g21_weighted_sssp" -> ssspSql,
     // q35: GROUP BY ROLLUP — DuckDB's native grouping sets; the 'ALL'
     // sentinel replaces the subtotal NULLs on both engines, dodging
     // their opposite NULL-ordering defaults

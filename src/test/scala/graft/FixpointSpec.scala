@@ -83,6 +83,27 @@ class FixpointSpec extends AnyFunSuite {
     assert(atGate == wider, "hop sums must be stable once reach is stable")
   }
 
+  test("g21 weighted SSSP: the 4-round distances vs the 8-round fixpoint, measured") {
+    def dists(rounds: Int): Map[Long, Long] = RelationalQueries
+      .weightedSsspRounds(spark, sf, rounds)
+      .as[(Long, Long)].collect().toMap
+    val atGate = dists(4)
+    val wider = dists(8)
+    // hop-4 reach is exhausted on this graph (the g17 proof), so the
+    // node SET cannot grow — but weighted distances can still IMPROVE
+    // through longer-hop lighter paths. Pin the divergence as a measured
+    // value: how many of the gate's distances a deeper run tightens.
+    assert(atGate.keySet == wider.keySet,
+      "reach is hop-bounded and hop-4 was already exhausted (g17)")
+    val improvable = atGate.count { case (n, d) => wider(n) < d }
+    info(s"$improvable of ${atGate.size} distances tighten between round 4 and round 8")
+    assert(atGate.forall { case (n, d) => wider(n) <= d },
+      "deeper rounds may only tighten distances, never worsen them")
+    // and round 8 is itself the fixpoint on this corpus: one more
+    // doubling changes nothing
+    assert(dists(16) == wider, "round 8 must be the min-plus fixpoint at sf0.001")
+  }
+
   test("g20 components: the 8-round budget IS the fixpoint; labels match union-find ground truth") {
     val (labFix, roundsRun, changed) =
       RelationalQueries.componentRounds(spark, sf, maxRounds = 64, toFixpoint = true)
