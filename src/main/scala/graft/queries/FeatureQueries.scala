@@ -1065,6 +1065,52 @@ object FeatureQueries {
       .transform(orderedOutput(_, col("event_type")))
   }
 
+  /** a37: Kaplan–Meier risk-table cells (Kaplan & Meier 1958) — the
+    * survival-analysis staple over time-to-first-purchase: per user, the
+    * duration in days from their first event to their first 'purchase',
+    * RIGHT-CENSORED at the corpus horizon when no purchase ever lands
+    * (the corpus max event time is the deterministic "now", the j1
+    * convention). The gate exports the full risk table — per distinct
+    * duration day: users still at risk, events, censorings — all exact
+    * integers (the a32 cells discipline: the product-limit curve
+    * S(t) = Π (1 − d_i/n_i) is one deterministic fold over the pinned
+    * cells, so no order-dependent float product crosses the gate). The
+    * at-risk count is the N-minus-exclusive-prefix over the distinct-day
+    * frame via the [[graft.operators.Ranks]] two-pass scan — no
+    * unpartitioned window over data anywhere.
+    */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepared(spark, sfDir).select(col("user_id"), col("event_type"), col("ord_us"))
+    val u = e
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ord_us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ord_us"))).as("tp"))
+    val mx = broadcast(e.agg(max(col("ord_us")).as("tmax")))
+    val durations = u
+      .crossJoin(mx)
+      .select(
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $DayUs"))
+          .otherwise(expr(s"(tmax - t0) div $DayUs")).as("day"),
+        when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+    val riskRows = durations
+      .groupBy(col("day"))
+      .agg(
+        sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"),
+        count(lit(1)).as("total_d"))
+    val nTotal = broadcast(u.agg(count(lit(1)).as("n_total")))
+    Ranks
+      .cumulativeOverDistinct(riskRows, "day", Seq("total_d"))
+      .crossJoin(nTotal)
+      .select(
+        col("day"),
+        (col("n_total") - col("cum_total_d") + col("total_d")).as("n_at_risk"),
+        col("d_events"),
+        col("n_censored"))
+      .transform(orderedOutput(_, col("day")))
+  }
+
   /** s18: Neyman-allocation stratified sampling (Neyman 1934) — the
     * variance-optimal refinement of s4's equal-rate strata: a stratum's
     * sample budget is proportional to N_h·S_h (its size times its spend
@@ -5024,6 +5070,27 @@ object FeatureQueries {
            |  coalesce(d.n_drawn, 0) AS n_drawn, coalesce(d.sample_cents, 0) AS sample_cents
            |FROM alloc a LEFT JOIN drawn d USING (event_type)
            |ORDER BY a.event_type""".stripMargin,
+      "a37_kaplan_meier" ->
+        s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ord_us FROM events),
+           |u AS (SELECT user_id, min(ord_us) AS t0,
+           |        min(CASE WHEN event_type = 'purchase' THEN ord_us END) AS tp
+           |      FROM e GROUP BY 1),
+           |mx AS (SELECT max(ord_us) AS tmax FROM e),
+           |d AS (SELECT
+           |        CASE WHEN tp IS NOT NULL THEN (tp - t0) // $DayUs
+           |             ELSE (tmax - t0) // $DayUs END AS day,
+           |        CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+           |      FROM u CROSS JOIN mx),
+           |r AS (SELECT day, CAST(sum(ev) AS BIGINT) AS d_events,
+           |        CAST(sum(1 - ev) AS BIGINT) AS n_censored,
+           |        CAST(count(*) AS BIGINT) AS total_d
+           |      FROM d GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u)
+           |SELECT r.day,
+           |  CAST(n.n_total - (sum(r.total_d) OVER (ORDER BY r.day) - r.total_d) AS BIGINT)
+           |    AS n_at_risk,
+           |  r.d_events, r.n_censored
+           |FROM r CROSS JOIN n ORDER BY r.day""".stripMargin,
       "a36_kruskal_wallis" ->
         """WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
           |      FROM events),
@@ -6824,6 +6891,7 @@ object FeatureQueries {
     "a20_spearman" -> (spearmanSpend(_, _)),
     "a21_mann_whitney" -> (mannWhitney(_, _)),
     "a36_kruskal_wallis" -> (kruskalWallis(_, _)),
+    "a37_kaplan_meier" -> (kaplanMeier(_, _)),
     "s18_neyman_sample" -> (neymanSample(_, _)),
     "a22_cramers_v" -> (cramersV(_, _)),
     "a23_ks_test" -> (ksTest(_, _)),
