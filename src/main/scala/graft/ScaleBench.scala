@@ -195,7 +195,11 @@ object ScaleBench {
     // bottom-k per stratum, never a per-stratum sort)
     "v25_ivf_range",
     "w31_store_ttl",
-    "s18_neyman_sample")
+    "s18_neyman_sample",
+    // weighted SSSP (g21 — per-round changed-set relaxations over the
+    // persisted weighted edge frame; should track g5's frontier shape
+    // with the min-agg merge replacing the anti-join)
+    "g21_weighted_sssp")
 
   /** Pre-threshold candidate/pair probes (see the `scaleProbes` maps). */
   private def probes: Map[String, (SparkSession, String) => DataFrame] =

@@ -142,7 +142,11 @@ object ScaleGen {
         (pmod(xxhash64(lit("part"), col("l_orderkey"), col("i")), lit(parts)) + 1L)
           .as("l_partkey"),
         (pmod(xxhash64(lit("supp"), col("l_orderkey"), col("i")), lit(supps)) + 1L)
-          .as("l_suppkey"))
+          .as("l_suppkey"),
+        // uniform 1..50, the TPC-H quantity band (g21's edge weights)
+        (pmod(xxhash64(lit("qty"), col("l_orderkey"), col("i")), lit(50L)) + 1L)
+          .cast("double")
+          .as("l_quantity"))
   }
 
   /** Orders universe implied by [[lineitem]] (`l_orderkey = id / 4`):
