@@ -541,9 +541,20 @@ object VectorQueries {
     val base = Similarity
       .prepared(emb, "vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cool = Similarity.dropHotBuckets(
-      base.select(col("vec_id"), explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket")),
-      MaxBucket)
+    // cool and cand0 are each referenced several times downstream (cand0
+    // by both g0 and the descent union here; cool by every caller's probe
+    // side — beamSearch's bucketPairs alone reads it twice per unrolled
+    // round). Without a persist each reference re-expands the full
+    // explode + hot-bucket window subtree INTO THE CALLER'S PLAN — the
+    // measured v22 plan held 1,432 Exchange nodes from exactly this
+    // duplication (guide §7.2 "duplicated subtrees", §3.3 "materialise
+    // intermediates"). Persisting pins each to one materialization and
+    // one InMemoryTableScan per reference.
+    val cool = Similarity
+      .dropHotBuckets(
+        base.select(col("vec_id"), explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket")),
+        MaxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // directed candidates via the capped grouped-collect (the
     // verifyCandidates shape): per-bucket work bounded by MaxBucket^2
     val cand0 = cool
@@ -554,6 +565,7 @@ object VectorQueries {
       .select(col("src"), explode(col("ids")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def verified(cand: DataFrame): DataFrame = cand
       .join(base.select(col("vec_id").as("src"), col("qv").as("qa"), col("nrm").as("na")), "src")
       .join(base.select(col("vec_id").as("dst"), col("qv").as("qb"), col("nrm").as("nb")), "dst")
@@ -569,13 +581,22 @@ object VectorQueries {
       .filter(col("rnk") <= KnnGraphK)
     val g0 = topK(verified(cand0)).select("src", "dst")
     // the NN-descent expansion walks the UNDIRECTED init graph (forward
-    // and reverse neighbors both count, per the paper)
-    val und = g0.unionAll(g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // and reverse neighbors both count, per the paper); persisted because
+    // the neighbor-of-neighbor self-join below reads it from both sides
+    // (and g0's verify+topK subtree twice through the union otherwise)
+    val und = g0
+      .unionAll(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand1 = und.as("e1")
       .join(und.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
+    // g1 is read twice by every consumer (v15's mutuality self-join; the
+    // und closure's forward+reverse union in v17/v18/v22) — persist so
+    // the verify+topK subtree runs once, not per reference.
     val g1 = topK(verified(cand0.unionAll(cand1).distinct()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (base, cool, cand0, g1)
   }
 
@@ -674,12 +695,15 @@ object VectorQueries {
       allBuckets: DataFrame,
       und1: DataFrame,
       fullBase: DataFrame): DataFrame = {
+    // referenced three times below (dcand1's probe side and both arms of
+    // the union) — persist so the bucket join runs once, not per reference
     val dcand0 = dbuckets
       .as("d")
       .join(allBuckets.as("o"),
         col("d.bucket") === col("o.bucket") && col("d.vec_id") =!= col("o.vec_id"))
       .select(col("d.vec_id").as("src"), col("o.vec_id").as("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dcand1 = dcand0
       .as("c")
       .join(und1.as("u"), col("u.src") === col("c.dst"))
@@ -737,8 +761,18 @@ object VectorQueries {
     val dbuckets = dprep.select(
       col("vec_id"),
       explode(Similarity.signBuckets(col("qv"), bits, tables)).as("bucket"))
-    val allBuckets = cool.unionAll(dbuckets)
+    // the maintained bucket map is the probe's seed source (read twice
+    // per unrolled beam round) AND the delta's candidate source — persist
+    // it once instead of re-deriving cool ∪ dbuckets at every reference
+    val allBuckets = cool
+      .unionAll(dbuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dg feeds the maintained edge set from BOTH directions; without a
+    // persist the whole delta NN-descent (bucket join + one-hop expansion
+    // + exact verify + top-k window) runs twice (the graphIndexAppend
+    // production twin already persists it)
     val dg = deltaGraphEdges(dprep, dbuckets, allBuckets, und1, fullBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val undM = und1
       .unionAll(dg)
       .unionAll(dg.select(col("dst").as("src"), col("src").as("dst")))
@@ -852,7 +886,16 @@ object VectorQueries {
       undIn: DataFrame,
       nRounds: Int): DataFrame = {
     val base = baseIn
-    val und = undIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist pins the edge materialization (one distinct shuffle, shared
+    // by every probe and — via CacheManager plan dedup — across repeated
+    // invocations in a session); the localCheckpoint on top CUTS THE
+    // LINEAGE, so the per-round jobs below carry a one-node scan instead
+    // of re-analyzing the whole index-build tree on every action (v22's
+    // maintained-edge lineage spans the kNN build + delta NN-descent —
+    // measured ~6 s/rep of pure driver re-analysis without the cut).
+    val und = undIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // O(1) entry points: smallest md5-rank ids (TakeOrdered, no global
     // window), the kmseed draw with its own salt
     val seeds = base
@@ -888,12 +931,25 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("bucket"))
       .join(cool, "bucket")
       .select(col("query_id"), col("vec_id"))
+    // Each round reads the running scored set TWICE (frontier cut + the
+    // union that folds new candidates in), so a lazy fold DOUBLES the
+    // plan per round — after 2 rounds sc0's whole subtree (itself reading
+    // `cool` twice) appeared 4x in the physical plan: the measured v22
+    // plan held 1,432 Exchange nodes and v17's 9k formatted lines from
+    // exactly this duplication (guide §7.2 "duplicated subtrees", §3.3
+    // "materialise intermediates"). The scored set is BOUNDED — |queries|
+    // x (seeds + co-bucket + rounds*beam*degree) rows, corpus-independent
+    // — so eagerly cutting lineage per round (localCheckpoint, the
+    // kCore/Components round convention) keeps the plan LINEAR in rounds:
+    // each round is one window cut + one bounded candidate join + one
+    // scored union over the previous round's materialized rows.
+    val beamW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     val sc0 = score(
       globalPairs
         .unionAll(bucketPairs)
         .filter(col("vec_id") =!= col("query_id"))
         .distinct())
-    val beamW = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      .localCheckpoint()
     val scored = (1 to nRounds).foldLeft(sc0) { (sc, _) =>
       val frontier = sc
         .withColumn("frnk", row_number().over(beamW))
@@ -904,7 +960,7 @@ object VectorQueries {
         .select(col("query_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .distinct()
-      sc.unionAll(score(cands)).distinct()
+      sc.unionAll(score(cands)).distinct().localCheckpoint()
     }
     scored
       .withColumn("rnk", row_number().over(beamW).cast("long"))
