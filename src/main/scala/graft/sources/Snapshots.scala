@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max => fMax, min => fMin}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, when, max => fMax, min => fMin}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
@@ -370,7 +370,96 @@ object Snapshots {
       statsCols: Seq[String]): Seq[ManifestEntry] =
     zoneEntriesOf(spark, Seq(stage.toString), statsCols)
 
+  /** Per-file zone maps + row counts from the staged files' PARQUET
+    * FOOTERS — driver-side metadata reads, never a second scan of data
+    * that was just written (the place Delta/Iceberg writers source their
+    * per-file stats). Footer min/max are EXACT for INT32/INT64 columns
+    * (truncation applies only to binary types), and the commit contract
+    * already restricts zone-map columns to integral types, so the stats
+    * are bit-identical to the scan the old implementation ran — minus
+    * one full Spark read job per commit, which at 100 TB re-read the
+    * entire staged output. Falls back to the scan path if a footer
+    * carries no statistics (e.g. stats-disabled external files on the
+    * COPY INTO path).
+    */
   private def zoneEntriesOf(
+      spark: SparkSession,
+      paths: Seq[String],
+      statsCols: Seq[String]): Seq[ManifestEntry] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[Path] = paths.flatMap { s =>
+      val p = new Path(s)
+      val f = fs(spark, p)
+      if (f.getFileStatus(p).isDirectory)
+        f.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(p)
+    }
+    val out = files.flatMap { fp =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        // a 0-row staged file carries no zone information and is skipped,
+        // exactly as the scan's per-file groupBy produced no row for it
+        if (reader.getRecordCount == 0L) None
+        else {
+          val stats = statsCols.map { c =>
+            require(schema.containsField(c), s"zone-map column $c missing from staged schema")
+            val t = schema.getType(Seq(c): _*)
+            val prim = t.isPrimitive && {
+              val pt = t.asPrimitiveType()
+              (pt.getPrimitiveTypeName == INT64 || pt.getPrimitiveTypeName == INT32) &&
+              (pt.getLogicalTypeAnnotation == null ||
+                pt.getLogicalTypeAnnotation
+                  .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+            }
+            require(prim, s"zone-map column $c must be integral, got ${t}")
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var seen = false
+            footer.getBlocks.forEach { b =>
+              b.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == c) {
+                  val s = cc.getStatistics
+                  // null statistics (stats disabled at write) abort the
+                  // footer path — the caller falls back to the scan
+                  if (s == null) throw new NoFooterStats
+                  if (s.hasNonNullValue) {
+                    val (lo, hi) = (s.genericGetMin, s.genericGetMax) match {
+                      case (a: java.lang.Long, b2: java.lang.Long) => (a.longValue, b2.longValue)
+                      case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                        (a.longValue, b2.longValue)
+                      case other => throw new NoFooterStats
+                    }
+                    if (lo < mn) mn = lo
+                    if (hi > mx) mx = hi
+                    seen = true
+                  }
+                }
+              }
+            }
+            require(seen,
+              s"zone-map column $c is all-NULL in staged file ${fp.toString}; " +
+                "commit refused (a null zone map cannot prune)")
+            ColStats(mn, mx)
+          }
+          Some(ManifestEntry(fp.toString, stats, Some(reader.getRecordCount)))
+        }
+      } catch {
+        case _: NoFooterStats => return zoneEntriesScan(spark, paths, statsCols)
+      } finally reader.close()
+    }
+    out.sortBy(_.path)
+  }
+
+  private final class NoFooterStats extends RuntimeException
+
+  /** The scan-based fallback: one Spark job grouping the staged read by
+    * file. Only taken when a footer carries no usable statistics.
+    */
+  private def zoneEntriesScan(
       spark: SparkSession,
       paths: Seq[String],
       statsCols: Seq[String]): Seq[ManifestEntry] = {
@@ -649,8 +738,12 @@ object Snapshots {
         val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
         // both reads run under the live deletion vector: a raw read of a
         // MOR-deleted table would resurrect its dead rows into the
-        // rewrite (and double-report them in the feed)
-        readFilesDv(spark, dir, prev, touched.map(_.path))
+        // rewrite (and double-report them in the feed). ONE persisted
+        // scan of the pruned file set serves both halves — previously
+        // the survivors and the feed each re-read the touched files.
+        val liveTouched = readFilesDv(spark, dir, prev, touched.map(_.path))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        liveTouched
           .filter(!col(column).between(lo, hi))
           .write.mode("error").parquet(stage.toString)
         // change-feed record: the doomed rows, read from the same pruned
@@ -658,10 +751,12 @@ object Snapshots {
         // CDF-enabled format pays on DELETE (the feed row count is the
         // deleted row count, never the table's)
         chStage = Some(stageChanges(spark, dir,
-          readFilesDv(spark, dir, prev, touched.map(_.path))
+          liveTouched
             .filter(col(column).between(lo, hi))
             .withColumn(ChangeTypeCol, lit("delete"))))
-        zoneEntries(spark, stage, statsCols)
+        val entries = zoneEntries(spark, stage, statsCols)
+        liveTouched.unpersist(blocking = false)
+        entries
       }
     // the carried vector still covers the UNTOUCHED files (its entries
     // for the rewritten files key on paths no longer listed — inert)
@@ -696,13 +791,19 @@ object Snapshots {
     requireNoActiveRename(spark, dir, prev, entries, "MERGE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE")
     requireNoActiveDrop(spark, dir, prev, entries, "MERGE")
-    val dupKeys = changes
+    // ONE aggregation serves both the dup-key guard and every key-distinct
+    // consumer below (hit test, anti-join, feed semi-joins) — the change
+    // batch was previously re-aggregated four times per commit, which at
+    // 100 TB means four reads of the change source (guide §1.2: don't
+    // compute things you throw away). The persisted key frame is
+    // batch-sized (one row per key) and freed before return.
+    val keyCounts = changes
       .groupBy(col(keyCol))
       .count()
-      .filter(col("count") > 1)
-      .limit(1)
-      .count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = keyCounts.filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
+    val changeKeys = keyCounts.select(col(keyCol))
     val ci = statsCols.indexOf(keyCol)
     val touchedPaths: Set[String] =
       if (ci < 0) entries.map(_.path).toSet
@@ -711,9 +812,8 @@ object Snapshots {
         val ranges = spark
           .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
           .toDF("path", "mn", "mx")
-        changes
+        changeKeys
           .select(col(keyCol).cast("long").as("k"))
-          .distinct()
           .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
           .select("path")
           .distinct()
@@ -724,36 +824,53 @@ object Snapshots {
     val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
     val v = prev + 1
     val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
-    val survivors =
-      if (touched.isEmpty) changes
-      else
+    // the touched files are read ONCE (persisted) and shared by the
+    // rewrite and the feed below — previously three separate scans of the
+    // same pruned file set per commit. broadcast() pins the hash join so
+    // the staged files keep the scan's partitioning.
+    val baseTouched =
+      if (touched.isEmpty) None
+      else Some(
         readFilesDv(spark, dir, prev, touched.map(_.path))
-          .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-          .unionByName(changes)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val survivors = baseTouched match {
+      case None => changes
+      case Some(bt) =>
+        bt.join(broadcast(changeKeys), Seq(keyCol), "left_anti").unionByName(changes)
+    }
     survivors.write.mode("error").parquet(stage.toString)
     // change-feed record: replaced rows surface as update_preimage (their
     // old values) + update_postimage (the change row), unmatched change
     // keys as insert — all derived from the SAME pruned touched-file set
     // the rewrite read, so the feed costs O(touched + changes), never a
     // table scan
+    var matchedKeysP: Option[DataFrame] = None
     val chStage = {
-      val feed = touched match {
-        case Seq() => changes.withColumn(ChangeTypeCol, lit("insert"))
-        case _ =>
-          val baseTouched = readFilesDv(spark, dir, prev, touched.map(_.path))
-          val matchedKeys = baseTouched
-            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      val feed = baseTouched match {
+        case None => changes.withColumn(ChangeTypeCol, lit("insert"))
+        case Some(bt) =>
+          val pre = bt.join(broadcast(changeKeys), Seq(keyCol), "left_semi")
+          val matchedKeys = pre
             .select(col(keyCol))
             .distinct()
-          baseTouched
-            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          matchedKeysP = Some(matchedKeys)
+          // one pass over the change batch: a broadcast LEFT join against
+          // the matched keys types each change row in place (matched →
+          // update_postimage, unmatched → insert) — the semi + anti pair
+          // read the batch twice for the same split
+          val changeCols = changes.columns.map(col).toIndexedSeq
+          pre
             .withColumn(ChangeTypeCol, lit("update_preimage"))
             .unionByName(changes
-              .join(matchedKeys, Seq(keyCol), "left_semi")
-              .withColumn(ChangeTypeCol, lit("update_postimage")))
-            .unionByName(changes
-              .join(matchedKeys, Seq(keyCol), "left_anti")
-              .withColumn(ChangeTypeCol, lit("insert")))
+              .join(
+                broadcast(matchedKeys.withColumn("__matched", lit(1L))),
+                Seq(keyCol),
+                "left")
+              .select(changeCols :+
+                when(col("__matched") === 1L, lit("update_postimage"))
+                  .otherwise(lit("insert"))
+                  .as(ChangeTypeCol): _*))
       }
       stageChanges(spark, dir, feed)
     }
@@ -763,6 +880,9 @@ object Snapshots {
     publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge",
       dvCarryHeader(spark, dir, prev))
     publishChanges(spark, dir, chStage, v)
+    keyCounts.unpersist(blocking = false)
+    baseTouched.foreach(_.unpersist(blocking = false))
+    matchedKeysP.foreach(_.unpersist(blocking = false))
     v
   }
 
@@ -2133,13 +2253,19 @@ object Snapshots {
       val liveTouched = prevDv.fold(withPos) { case (p, _) =>
         withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
       }
-      val doomed = liveTouched.filter(col(column).between(lo, hi))
+      // doomed feeds both the vector delta and the feed record — persist
+      // so the touched files are scanned once, not twice
+      val doomed = liveTouched
+        .filter(col(column).between(lo, hi))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
       val newDv = prevDv.fold(doomed.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
         spark.read.parquet(p).unionByName(doomed.select(col("__dv_file"), col("__dv_pos")))
       }
       newDv.write.mode("error").parquet(dvStage.toString)
-      val dvRows = spark.read.parquet(dvStage.toString).count()
+      // row count from the just-written footers (driver-only metadata
+      // read, the listedEntries convention) instead of a count job
+      val dvRows = footerRowsUnder(spark, dvStage)
       // change-feed record: the newly dead rows, table columns only —
       // sized by the change, exactly as on the COW path
       val chStage = stageChanges(spark, dir,
@@ -2147,8 +2273,22 @@ object Snapshots {
       publishOrAbort(spark, dir, v, statsCols, entries, "delete",
         s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n")
       publishChanges(spark, dir, chStage, v)
+      doomed.unpersist(blocking = false)
       v
     }
+  }
+
+  /** Total row count of every parquet file under `p`, from the footers —
+    * one driver-side metadata read per file, never a Spark job.
+    */
+  private def footerRowsUnder(spark: SparkSession, p: Path): Long = {
+    val f = fs(spark, p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(p)
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(footerRowCount(conf, _))
+      .sum
   }
 
   /** MERGE-ON-READ keyed upsert — the deletion-vector twin of
@@ -2222,13 +2362,15 @@ object Snapshots {
     requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
     requireNoActiveDrop(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
-    val dupKeys = changes
+    // one aggregation for the dup guard + every key-distinct consumer
+    // (hit test, tombstone semi-join, feed) — the commitMerge convention
+    val keyCounts = changes
       .groupBy(col(keyCol))
       .count()
-      .filter(col("count") > 1)
-      .limit(1)
-      .count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = keyCounts.filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
+    val changeKeys = keyCounts.select(col(keyCol))
     val ci = statsCols.indexOf(keyCol)
     val touchedPaths: Set[String] =
       if (ci < 0) entries.map(_.path).toSet
@@ -2237,9 +2379,8 @@ object Snapshots {
         val ranges = spark
           .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
           .toDF("path", "mn", "mx")
-        changes
+        changeKeys
           .select(col(keyCol).cast("long").as("k"))
-          .distinct()
           .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
           .select("path")
           .distinct()
@@ -2257,12 +2398,15 @@ object Snapshots {
       if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
       else listedEntries(spark, stage)
     val prevDv = dvInfo(spark, dir, prev)
+    val toFree = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val (dvHeader, feed) =
       if (touched.isEmpty) {
         (dvCarryHeader(spark, dir, prev), changes.withColumn(ChangeTypeCol, lit("insert")))
       } else {
         // matched LIVE base rows (dead rows never re-enter the vector or
-        // the feed) become the new tombstone positions
+        // the feed) become the new tombstone positions; persisted — the
+        // vector delta, the preimage feed, and the matched-key frame all
+        // read it (previously three scans of the touched files)
         val withPos = spark.read
           .parquet(touched.map(_.path): _*)
           .withColumn("__dv_file", col("_metadata.file_path"))
@@ -2270,24 +2414,37 @@ object Snapshots {
         val liveTouched = prevDv.fold(withPos) { case (p, _) =>
           withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
         }
-        val matched =
-          liveTouched.join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        val matched = liveTouched
+          .join(broadcast(changeKeys), Seq(keyCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toFree += matched
         val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
         val newDv = prevDv.fold(matched.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
           spark.read.parquet(p).unionByName(matched.select(col("__dv_file"), col("__dv_pos")))
         }
         newDv.write.mode("error").parquet(dvStage.toString)
-        val dvRows = spark.read.parquet(dvStage.toString).count()
-        val matchedKeys = matched.select(col(keyCol)).distinct()
+        // footer metadata, not a count job (the listedEntries convention)
+        val dvRows = footerRowsUnder(spark, dvStage)
+        val matchedKeys = matched
+          .select(col(keyCol))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toFree += matchedKeys
+        // one pass over the change batch (the commitMerge convention):
+        // matched keys type as update_postimage, the rest as insert
+        val changeCols = changes.columns.map(col).toIndexedSeq
         val feed = matched
           .drop("__dv_file", "__dv_pos")
           .withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(changes
-            .join(matchedKeys, Seq(keyCol), "left_semi")
-            .withColumn(ChangeTypeCol, lit("update_postimage")))
-          .unionByName(changes
-            .join(matchedKeys, Seq(keyCol), "left_anti")
-            .withColumn(ChangeTypeCol, lit("insert")))
+            .join(
+              broadcast(matchedKeys.withColumn("__matched", lit(1L))),
+              Seq(keyCol),
+              "left")
+            .select(changeCols :+
+              when(col("__matched") === 1L, lit("update_postimage"))
+                .otherwise(lit("insert"))
+                .as(ChangeTypeCol): _*))
         (s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n", feed)
       }
     val chStage = stageChanges(spark, dir, feed)
@@ -2297,6 +2454,8 @@ object Snapshots {
       dvHeader + batchId.map(b => s"$BatchHeader$b\n").getOrElse(""))
     publishChanges(spark, dir, chStage, v)
     batchId.foreach(b => writeHwm(spark, dir, b, v))
+    keyCounts.unpersist(blocking = false)
+    toFree.foreach(_.unpersist(blocking = false))
     Some(v)
   }
 
