@@ -104,7 +104,16 @@ object Bucketed {
     */
   def writePlain(df: DataFrame, table: String): Unit = {
     dropWithLocation(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    // Size the output files from the plan's own size estimate (~128 MB
+    // per file, guide §6: aim for 128 MB - 1 GB): a frame arriving from a
+    // 32-partition shuffle otherwise lands as 32 KB-sized files at the
+    // gate corpus — per-file open cost on every probe — while at cluster
+    // scale the estimate grows and the coalesce becomes a no-op
+    // (coalesce never increases partition count). Derived from data, not
+    // the core count.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1L, math.min(200000L, (est / (128L << 20)).toLong + 1L)).toInt
+    df.coalesce(parts).write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Append `df` into an EXISTING bucketed table under the same bucket

@@ -101,8 +101,17 @@ class BucketedJoinSpec extends AnyFunSuite {
     val ev = Tables
       .events(spark, "/root/testdata/sf0.001")
       .select("event_id", "user_id", "event_type", "value")
-    // simulate a micro-batch sink's fragmentation: 64 tiny files
-    Bucketed.writePlain(ev.repartition(64), "ev_fragmented")
+    // simulate a micro-batch sink's fragmentation: 64 tiny files — written
+    // raw (writePlain now sizes its output files from the plan estimate,
+    // which would defragment the fixture before compact had anything to do)
+    spark.sql("DROP TABLE IF EXISTS ev_fragmented")
+    // a fresh session's catalog no longer knows the table, so the managed
+    // location can survive the DROP — remove it explicitly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "ev_fragmented")
+    val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lfs.exists(loc)) lfs.delete(loc, true)
+    ev.repartition(64).write.mode("overwrite").format("parquet").saveAsTable("ev_fragmented")
     val before = spark.table("ev_fragmented")
     val beforeFiles = before.inputFiles.length
     val beforeRows = before.collect().toSet
