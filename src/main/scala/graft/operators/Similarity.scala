@@ -225,6 +225,14 @@ object Similarity {
         col("vec_id"),
         col("rel"),
         lit(null).cast("double").as("maxsim"))
+    // each greedy round reads the running `state` TWICE (the pick's window
+    // + the next state's join through the pick), so composing the rounds
+    // lazily DOUBLES the plan per round — the beamSearch disease (round-12
+    // fix): the composed v9 plan measured 11,628 formatted lines / 981
+    // Exchanges / 813 parquet scans for 4 rounds. `state` is bounded
+    // (|queries| * candK rows, corpus-independent), so localCheckpoint per
+    // round keeps the plan LINEAR in rounds at one tiny job each — the
+    // graph-rounds convention.
     var state = candSlim
       .join(sel1.select(col("query_id"), col("vec_id").as("sel_id")), "query_id")
       .filter(col("vec_id") =!= col("sel_id"))
@@ -232,6 +240,7 @@ object Similarity {
         broadcast(pairs.withColumnRenamed("pa", "vec_id").withColumnRenamed("pb", "sel_id")),
         Seq("query_id", "vec_id", "sel_id"))
       .select(col("query_id"), col("vec_id"), col("rel"), col("sim").as("maxsim"))
+      .localCheckpoint()
     var out = sel1
     val wMmr = Window
       .partitionBy(col("query_id"))
@@ -255,6 +264,7 @@ object Similarity {
             col("vec_id"),
             col("rel"),
             greatest(col("maxsim"), col("sim")).as("maxsim"))
+          .localCheckpoint()
       }
     }
     out
@@ -353,12 +363,11 @@ object Similarity {
     require(bits >= 1 && bits <= 62, s"packed signature needs 1..62 bits, got $bits")
     require(planes.length >= bits, s"need $bits hyperplanes, got ${planes.length}")
     val base = preparedCached(emb, idCol, embCol)
-    val sig = (0 until bits)
-      .map { i =>
-        val dotP = graft.functions.LongDotProduct.dotLong(col("qv"), typedLit(planes(i).toSeq))
-        when(dotP >= 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    // one codegen'd pass over the plane matrix per row — the composed
+    // 62-term CASE/dot sum blew past the whole-stage-codegen method limit
+    // and dropped the WHOLE scan to interpreted evaluation (measured 4.5 s
+    // vs sub-second; see graft.functions.PackedSignBits)
+    val sig = graft.functions.PackedSignBits.packedSigns(col("qv"), planes.take(bits))
     val signed = base.select(col("vec_id"), sig.as("sig"))
     val qSigs = broadcast(
       signed.filter(queryPred).select(col("vec_id").as("query_id"), col("sig").as("q_sig")))
