@@ -407,15 +407,30 @@ object Similarity {
     * broadcast side is bounded by [[autoCells]]'s capCells (it never grows
     * with the corpus), so per-vector cost is O(cells * d) flat.
     */
-  private[operators] def assignCells(base: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+  private[graft] def assignCells(base: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame =
+    // Bounded-heap aggregate, NOT a rank window: the window form shuffled
+    // the FULL |base| x |cells| cross-join output — every candidate row
+    // still carrying the d-long vector — onto |base| partitions and sorted
+    // each (at sf0.1 that is ~10M rows x ~600 B through one exchange, per
+    // assignment pass; at 100 TB it is the index build's wall). The cross
+    // join is against a broadcast, so every vector's candidate rows are
+    // partition-local and the aggregate reduces them to one buffer per
+    // vector BEFORE the exchange — O(n) narrow rows shuffled, no sort.
+    // Selection is identical: bottomK orders by (key, id) = (dist2, cell),
+    // exactly the window's orderBy, and dist2 is exact in the double key
+    // (quantized micros: |comp| <= ~2^21, d <= 64 => dist2 < 2^50 << 2^53).
+    // qv/nrm are constant within a vec_id group, so first() is determinate.
     base
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", col("nrm") + col("c_nrm") - lit(2L) * dot(col("qv"), col("c_qv")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") <= probes)
-      .select(col("vec_id"), col("qv"), col("nrm"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        first(col("nrm")).as("nrm"),
+        graft.functions.BottomKAgg
+          .bottomK(col("dist2").cast("double"), col("cell"), probes).as("__tk"))
+      .select(col("vec_id"), col("qv"), col("nrm"), explode(col("__tk")).as("__e"))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("__e.id").as("cell"))
 
   /** Deterministic k-means (Lloyd) over the quantized vectors: seed with
     * the `nCells` training vectors of smallest md5-rank (order by
@@ -536,8 +551,7 @@ object Similarity {
     val assigned = capBySize(assignCells(base, centroids), "cell", maxCell)
       .join(meta, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    assigned
+    val scored = assigned
       .as("a")
       .join(
         assigned.as("b"),
@@ -549,8 +563,7 @@ object Similarity {
         col("a.cell").as("cell"),
         col("a.meta").as("meta"),
         cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= k)
+    topKScored(scored, k, extraKeys = Seq("meta"))
       .select("query_id", "vec_id", "cell", "meta", "rnk", "cosine")
   }
 
@@ -621,8 +634,7 @@ object Similarity {
     val queries =
       if (nProbe == 1) assigned
       else assignCells(base, centroids, nProbe)
-    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    queries
+    val scored = queries
       .as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
@@ -630,9 +642,35 @@ object Similarity {
         col("b.vec_id").as("vec_id"),
         col("b.cell").as("cell"),
         cosine(dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cosine"))
+    topKScored(scored, k)
+  }
+
+  /** Per-query top-k of an in-cell scored frame — a per-(query, cell)
+    * bounded-heap partial ([[graft.functions.BottomKAgg]]) feeding one
+    * BOUNDED rank window, NOT a rank window over the raw scored rows: the
+    * raw frame is |queries| x nProbe x cellSize and the window shuffled
+    * and sorted ALL of it by query_id; the per-cell heap collapses each
+    * cell's candidates to <= k map-side (the join's cell partitioning
+    * makes every (query, cell) group partition-local), so both remaining
+    * exchanges carry O(|queries| * nProbe * k) rows. The union of per-cell
+    * top-k contains the global top-k, the (negated-cosine, vec_id) heap
+    * order equals the window's (cosine DESC, vec_id) order, and the
+    * negation is an exact IEEE sign flip — selection, ranks, and the
+    * recovered cosine are bit-identical (the bruteForceTopK argument).
+    */
+  private[graft] def topKScored(scored: DataFrame, k: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val groupCols = (Seq("query_id", "cell") ++ extraKeys).map(col)
+    val outCols = Seq("query_id", "vec_id", "cell") ++ extraKeys ++ Seq("rnk", "cosine")
+    scored
+      .groupBy(groupCols: _*)
+      .agg(graft.functions.BottomKAgg.bottomK(negate(col("cosine")), col("vec_id"), k).as("__tk"))
+      .select((groupCols :+ explode(col("__tk")).as("__e")): _*)
+      .withColumn("vec_id", col("__e.id"))
+      .withColumn("cosine", negate(col("__e.key")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "cell", "rnk", "cosine")
+      .select(outCols.head, outCols.tail: _*)
   }
 
   /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,

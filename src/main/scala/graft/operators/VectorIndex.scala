@@ -45,17 +45,28 @@ object VectorIndex {
       perCell: Long = 64L,
       buckets: Int = 32): Unit = {
     val base = Similarity.prepared(emb, idCol, embCol).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // the centroid frame feeds BOTH writes below (the assignment embeds it
+    // as the broadcast side; the centroid table stores it) — unpersisted,
+    // the whole Lloyd chain re-ran once per write (measured ~1 s of the
+    // ~3 s sf0.1 build; at 100 TB it doubles the training cost). The frame
+    // is bounded (capCells rows), so the persist is O(1); both blocks are
+    // freed before return — the index tables are on disk, nothing later
+    // reads these plans.
+    val centroidsP = {
       val n = base.count()
       val nCells = Similarity.autoCells(n, floorCells, capCells)
       val stride = Similarity.trainStride(n, nCells, perCell)
-      val centroids =
-        Similarity.kmeansCentroids(Similarity.trainSample(base, stride), nCells, lloydIters)
-      val assigned = Similarity.capBySize(Similarity.assignCells(base, centroids), "cell", maxCell)
+      Similarity
+        .kmeansCentroids(Similarity.trainSample(base, stride), nCells, lloydIters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      val assigned = Similarity.capBySize(Similarity.assignCells(base, centroidsP), "cell", maxCell)
       Bucketed.write(assigned, table, "cell", buckets)
-      Bucketed.writePlain(centroids, s"${table}_centroids")
+      Bucketed.writePlain(centroidsP, s"${table}_centroids")
     } finally {
       base.unpersist()
+      centroidsP.unpersist()
       ()
     }
   }
@@ -232,11 +243,10 @@ object VectorIndex {
       excludeSelf: Boolean = false): DataFrame = {
     val probes =
       Similarity.assignCells(Similarity.prepared(queries, idCol, embCol), centroids, nProbe)
-    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     val sameCell = col("a.cell") === col("b.cell")
     val joinCond =
       if (excludeSelf) sameCell && col("a.vec_id") =!= col("b.vec_id") else sameCell
-    probes
+    val scored = probes
       .as("a")
       .join(assigned.as("b"), joinCond)
       .select(
@@ -246,9 +256,10 @@ object VectorIndex {
         Similarity
           .cosine(Similarity.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm"))
           .as("cosine"))
-      .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "cell", "rnk", "cosine")
+    // per-(query, cell) bounded heap + bounded final window instead of a
+    // rank window over the raw |queries| x nProbe x cellSize scored frame —
+    // see Similarity.topKScored for the exactness argument
+    Similarity.topKScored(scored, k)
   }
 
   /** [[probeFrames]] against the catalog tables [[build]] wrote. */

@@ -12,6 +12,22 @@ class PlanPostureSpec extends AnyFunSuite {
   lazy val spark = Sessions.local("4")
   private val sf = "/root/testdata/sf0.001"
 
+  /** Operators of the physical plan, unwrapping the AQE root (a bare
+    * `executedPlan.collect` on an AdaptiveSparkPlanExec sees only the
+    * wrapper — every count would be vacuously zero) — and NOT the plan
+    * TEXT, because a cached reference (InMemoryTableScan) re-prints its
+    * stored child plan at every use, so text counts vary with whichever
+    * suites warmed the CacheManager first.
+    */
+  private def physicalOps(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val root = df.queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collect { case p => p }
+  }
+
   test("both trailing horizons share ONE hash exchange and ONE partition sort") {
     val plan = FeatureQueries
       .trailingAgg(spark, sf)
@@ -64,10 +80,11 @@ class PlanPostureSpec extends AnyFunSuite {
     // caps that table at 65536 rows REGARDLESS of n (asserted below), so
     // the one BNLJ in the plan is O(1)-bounded — every other join (the
     // in-cell probe) must be an equi-join that shuffles by cell id.
-    val plan = queries.VectorQueries.annIvf(spark, sf)
-      .queryExecution.executedPlan.toString
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    val cartesian = "CartesianProduct".r.findAllIn(plan).length
+    val df = queries.VectorQueries.annIvf(spark, sf)
+    val ops = physicalOps(df)
+    val bnlj = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    val cartesian = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    val plan = df.queryExecution.executedPlan.toString
     // 2 Lloyd rounds + final assignment = 3 bounded centroid broadcasts;
     // the in-cell probe self-join duplicates the assignment subtree on its
     // a/b sides, so the physical plan shows each at most twice
@@ -302,15 +319,22 @@ class PlanPostureSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"codebook should broadcast:\n$plan")
   }
 
-  test("MMR greedy rounds join the bounded pair frame as broadcasts") {
+  test("MMR greedy rounds are checkpointed: composed plan linear, no cartesian") {
     val plan = queries.VectorQueries.mmrDiverse(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in v9 plan:\n$plan")
-    // every pairs-frame join in the greedy rounds must be a broadcast
-    // hash join (the frame is |queries|*candK^2, O(1) in corpus size)
+    // each greedy round reads the running state twice (pick window + next
+    // state's join), so lazy composition DOUBLES the plan per round — the
+    // round-12 beamSearch disease (v9 measured 11,628 formatted lines /
+    // 981 Exchanges before the round-13 fix). Rounds are localCheckpointed
+    // (the pairs-frame broadcast joins execute inside those bounded round
+    // jobs), so the composed plan must read checkpoint scans and stay
+    // small — linear in selectK, not exponential.
     assert(
-      "BroadcastHashJoin".r.findAllIn(plan).length >= 4,
-      s"greedy rounds should broadcast the pair frame:\n$plan")
+      "Scan ExistingRDD".r.findAllIn(plan).length >= 3,
+      s"greedy rounds should read localCheckpointed state:\n$plan")
+    val lines = plan.linesIterator.length
+    assert(lines < 1500, s"v9 plan re-expanded to $lines lines — round checkpointing broken")
   }
 
   test("d18: probing the standing band index never re-shuffles the corpus side") {
@@ -328,13 +352,17 @@ class PlanPostureSpec extends AnyFunSuite {
   }
 
   test("IVF+PQ: only bounded centroid broadcasts go non-equi; ADC scan is equi + broadcast") {
-    val plan = queries.VectorQueries.ivfPqTopKQuery(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"cartesian in v12 plan:\n$plan")
+    // tree-based count (see the v3 posture test: cached references
+    // re-print their stored plans, inflating text counts)
+    val df = queries.VectorQueries.ivfPqTopKQuery(spark, sf)
+    val ops = physicalOps(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(ops.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]) == 0,
+      s"cartesian in v12 plan:\n$plan")
     // the only BNLJs are the capped centroid-table assignment broadcasts
     // (corpus + query sides, 2 Lloyd rounds, subtrees duplicated at most
     // twice — the v3 bound); the candidate and code joins must be equi
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val bnlj = ops.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(bnlj <= 8, s"unbounded join shape ($bnlj BNLJ) in v12 plan:\n$plan")
     assert(
       plan.contains("BroadcastHashJoin"),
