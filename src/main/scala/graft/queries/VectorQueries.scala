@@ -960,7 +960,12 @@ object VectorQueries {
         .select(col("query_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .distinct()
-      sc.unionAll(score(cands)).distinct().localCheckpoint()
+      val next = sc.unionAll(score(cands)).distinct().localCheckpoint()
+      // the superseded round's blocks are dead once `next` materializes
+      // (eager checkpoint): nothing reads `sc` again — free it instead of
+      // holding round-count block sets until batch reclamation (§5)
+      graft.CacheScope.freeCheckpoint(sc)
+      next
     }
     scored
       .withColumn("rnk", row_number().over(beamW).cast("long"))

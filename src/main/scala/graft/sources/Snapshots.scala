@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, when, max => fMax, min => fMin}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count => fCount, input_file_name, lit, when, max => fMax, min => fMin}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
@@ -408,14 +408,26 @@ object Snapshots {
           val stats = statsCols.map { c =>
             require(schema.containsField(c), s"zone-map column $c missing from staged schema")
             val t = schema.getType(Seq(c): _*)
+            val ann: org.apache.parquet.schema.LogicalTypeAnnotation =
+              if (t.isPrimitive) t.asPrimitiveType().getLogicalTypeAnnotation else null
             val prim = t.isPrimitive && {
               val pt = t.asPrimitiveType()
               (pt.getPrimitiveTypeName == INT64 || pt.getPrimitiveTypeName == INT32) &&
-              (pt.getLogicalTypeAnnotation == null ||
-                pt.getLogicalTypeAnnotation
-                  .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+              (ann == null ||
+                ann.isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
             }
             require(prim, s"zone-map column $c must be integral, got ${t}")
+            // UNSIGNED int columns (possible on the COPY INTO path) store
+            // unsigned-ordered statistics whose raw bits sign-extend wrong
+            // through genericGetMin/Max — take the scan fallback, which
+            // reads UINT32 as LongType correctly (and refuses UINT64 as
+            // Decimal, exactly as before the footer path existed)
+            ann match {
+              case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if !i.isSigned =>
+                throw new NoFooterStats
+              case _ => ()
+            }
             var mn = Long.MaxValue
             var mx = Long.MinValue
             var seen = false
@@ -743,20 +755,23 @@ object Snapshots {
         // the survivors and the feed each re-read the touched files.
         val liveTouched = readFilesDv(spark, dir, prev, touched.map(_.path))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        liveTouched
-          .filter(!col(column).between(lo, hi))
-          .write.mode("error").parquet(stage.toString)
-        // change-feed record: the doomed rows, read from the same pruned
-        // file set the rewrite read — O(touched files), the price every
-        // CDF-enabled format pays on DELETE (the feed row count is the
-        // deleted row count, never the table's)
-        chStage = Some(stageChanges(spark, dir,
+        try {
           liveTouched
-            .filter(col(column).between(lo, hi))
-            .withColumn(ChangeTypeCol, lit("delete"))))
-        val entries = zoneEntries(spark, stage, statsCols)
-        liveTouched.unpersist(blocking = false)
-        entries
+            .filter(!col(column).between(lo, hi))
+            .write.mode("error").parquet(stage.toString)
+          // change-feed record: the doomed rows, read from the same pruned
+          // file set the rewrite read — O(touched files), the price every
+          // CDF-enabled format pays on DELETE (the feed row count is the
+          // deleted row count, never the table's)
+          chStage = Some(stageChanges(spark, dir,
+            liveTouched
+              .filter(col(column).between(lo, hi))
+              .withColumn(ChangeTypeCol, lit("delete"))))
+          zoneEntries(spark, stage, statsCols)
+        } finally {
+          liveTouched.unpersist(blocking = false)
+          ()
+        }
       }
     // the carried vector still covers the UNTOUCHED files (its entries
     // for the rewritten files key on paths no longer listed — inert)
@@ -784,6 +799,25 @@ object Snapshots {
     * [[graft.operators.LatestPerKey]]) and exactly the table's columns.
     * Publishes and returns the new version.
     */
+  /** Broadcast hint gated on a KNOWN row count. The change-batch key set
+    * and deletion vectors are broadcast-joined by design at CDC scale,
+    * but both are unbounded in principle — a backfill merge can carry
+    * hundreds of millions of keys, a long-unoptimized vector likewise —
+    * and a forced broadcast past Spark's 8 GB / 512M-row relation cap is
+    * a hard driver failure, not a slowdown (guide §3.1). At or under the
+    * threshold the hint pins the hash join (keeping the probe side's
+    * scan partitioning); above it the hint is dropped and the planner
+    * picks the join from its own estimates (shuffle join at real scale).
+    * Tunable: `spark.graft.broadcastMaxRows` (default 8M rows ≈ tens of
+    * MB hashed — comfortably under the cap, far above any CDC batch).
+    */
+  private def maybeBroadcast(spark: SparkSession, df: DataFrame, rows: Long): DataFrame = {
+    val cap =
+      try spark.conf.get("spark.graft.broadcastMaxRows", "8000000").toLong
+      catch { case _: NumberFormatException => 8000000L }
+    if (rows <= cap) broadcast(df) else df
+  }
+
   def commitMerge(spark: SparkSession, dir: String, changes: DataFrame, keyCol: String): Int = {
     val prev = latestVersion(spark, dir)
     require(prev >= 1, s"cannot merge into an empty table at $dir")
@@ -801,89 +835,107 @@ object Snapshots {
       .groupBy(col(keyCol))
       .count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupKeys = keyCounts.filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
-    val changeKeys = keyCounts.select(col(keyCol))
-    val ci = statsCols.indexOf(keyCol)
-    val touchedPaths: Set[String] =
-      if (ci < 0) entries.map(_.path).toSet
-      else if (entries.isEmpty) Set.empty
-      else {
-        val ranges = spark
-          .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
-          .toDF("path", "mn", "mx")
-        changeKeys
-          .select(col(keyCol).cast("long").as("k"))
-          .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
-          .select("path")
-          .distinct()
-          .collect()
-          .map(_.getString(0))
-          .toSet
-      }
-    val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
-    val v = prev + 1
-    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
-    // the touched files are read ONCE (persisted) and shared by the
-    // rewrite and the feed below — previously three separate scans of the
-    // same pruned file set per commit. broadcast() pins the hash join so
-    // the staged files keep the scan's partitioning.
-    val baseTouched =
-      if (touched.isEmpty) None
-      else Some(
-        readFilesDv(spark, dir, prev, touched.map(_.path))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val survivors = baseTouched match {
-      case None => changes
-      case Some(bt) =>
-        bt.join(broadcast(changeKeys), Seq(keyCol), "left_anti").unionByName(changes)
-    }
-    survivors.write.mode("error").parquet(stage.toString)
-    // change-feed record: replaced rows surface as update_preimage (their
-    // old values) + update_postimage (the change row), unmatched change
-    // keys as insert — all derived from the SAME pruned touched-file set
-    // the rewrite read, so the feed costs O(touched + changes), never a
-    // table scan
+    var baseTouched: Option[DataFrame] = None
     var matchedKeysP: Option[DataFrame] = None
-    val chStage = {
-      val feed = baseTouched match {
-        case None => changes.withColumn(ChangeTypeCol, lit("insert"))
-        case Some(bt) =>
-          val pre = bt.join(broadcast(changeKeys), Seq(keyCol), "left_semi")
-          val matchedKeys = pre
-            .select(col(keyCol))
+    // try/finally so an abort in publishOrAbort (or any write failure)
+    // frees the MEMORY_AND_DISK blocks too — commit paths run outside
+    // CacheScope, so a leak here lived for the session
+    try {
+      // ONE aggregation over the persisted key frame serves the dup-key
+      // guard AND the broadcast-size guard (row count)
+      val kc = keyCounts
+        .agg(fCount(lit(1)).as("n"), coalesce(fMax(col("count")), lit(0L)).as("mx"))
+        .head()
+      val nKeys = kc.getLong(0)
+      require(kc.getLong(1) <= 1L, s"merge changes must carry at most one row per $keyCol")
+      def keyB(df: DataFrame): DataFrame = maybeBroadcast(spark, df, nKeys)
+      val changeKeys = keyCounts.select(col(keyCol))
+      val ci = statsCols.indexOf(keyCol)
+      val touchedPaths: Set[String] =
+        if (ci < 0) entries.map(_.path).toSet
+        else if (entries.isEmpty) Set.empty
+        else {
+          val ranges = spark
+            .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
+            .toDF("path", "mn", "mx")
+          changeKeys
+            .select(col(keyCol).cast("long").as("k"))
+            .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+            .select("path")
             .distinct()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          matchedKeysP = Some(matchedKeys)
-          // one pass over the change batch: a broadcast LEFT join against
-          // the matched keys types each change row in place (matched →
-          // update_postimage, unmatched → insert) — the semi + anti pair
-          // read the batch twice for the same split
-          val changeCols = changes.columns.map(col).toIndexedSeq
-          pre
-            .withColumn(ChangeTypeCol, lit("update_preimage"))
-            .unionByName(changes
-              .join(
-                broadcast(matchedKeys.withColumn("__matched", lit(1L))),
-                Seq(keyCol),
-                "left")
-              .select(changeCols :+
-                when(col("__matched") === 1L, lit("update_postimage"))
-                  .otherwise(lit("insert"))
-                  .as(ChangeTypeCol): _*))
+            .collect()
+            .map(_.getString(0))
+            .toSet
+        }
+      val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
+      val v = prev + 1
+      val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+      // the touched files are read ONCE (persisted) and shared by the
+      // rewrite and the feed below — previously three separate scans of the
+      // same pruned file set per commit. The guarded broadcast pins the hash
+      // join so the staged files keep the scan's partitioning.
+      baseTouched =
+        if (touched.isEmpty) None
+        else Some(
+          readFilesDv(spark, dir, prev, touched.map(_.path))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val survivors = baseTouched match {
+        case None => changes
+        case Some(bt) =>
+          bt.join(keyB(changeKeys), Seq(keyCol), "left_anti").unionByName(changes)
       }
-      stageChanges(spark, dir, feed)
+      survivors.write.mode("error").parquet(stage.toString)
+      // change-feed record: replaced rows surface as update_preimage (their
+      // old values) + update_postimage (the change row), unmatched change
+      // keys as insert — all derived from the SAME pruned touched-file set
+      // the rewrite read, so the feed costs O(touched + changes), never a
+      // table scan
+      val chStage = {
+        val feed = baseTouched match {
+          case None => changes.withColumn(ChangeTypeCol, lit("insert"))
+          case Some(bt) =>
+            val pre = bt.join(keyB(changeKeys), Seq(keyCol), "left_semi")
+            val matchedKeys = pre
+              .select(col(keyCol))
+              .distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            matchedKeysP = Some(matchedKeys)
+            // one pass over the change batch: a guarded-broadcast LEFT join
+            // against the matched keys types each change row in place
+            // (matched → update_postimage, unmatched → insert) — the
+            // semi + anti pair read the batch twice for the same split.
+            // Marker column name is salted so a table column can never
+            // collide with it (an ambiguous-reference AnalysisException
+            // at commit time otherwise).
+            val mCol = s"__matched_${java.util.UUID.randomUUID().toString.take(8)}"
+            val changeCols = changes.columns.map(col).toIndexedSeq
+            pre
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(changes
+                .join(
+                  keyB(matchedKeys.withColumn(mCol, lit(1L))),
+                  Seq(keyCol),
+                  "left")
+                .select(changeCols :+
+                  when(col(mCol) === 1L, lit("update_postimage"))
+                    .otherwise(lit("insert"))
+                    .as(ChangeTypeCol): _*))
+        }
+        stageChanges(spark, dir, feed)
+      }
+      val staged =
+        if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+        else listedEntries(spark, stage)
+      publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge",
+        dvCarryHeader(spark, dir, prev))
+      publishChanges(spark, dir, chStage, v)
+      v
+    } finally {
+      keyCounts.unpersist(blocking = false)
+      baseTouched.foreach(_.unpersist(blocking = false))
+      matchedKeysP.foreach(_.unpersist(blocking = false))
+      ()
     }
-    val staged =
-      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
-      else listedEntries(spark, stage)
-    publishOrAbort(spark, dir, v, statsCols, untouched ++ staged, "merge",
-      dvCarryHeader(spark, dir, prev))
-    publishChanges(spark, dir, chStage, v)
-    keyCounts.unpersist(blocking = false)
-    baseTouched.foreach(_.unpersist(blocking = false))
-    matchedKeysP.foreach(_.unpersist(blocking = false))
-    v
   }
 
   /** Versioned OPTIMIZE — compaction + re-cluster AS A SNAPSHOT COMMIT:
@@ -2205,12 +2257,15 @@ object Snapshots {
     val base = rd.parquet(paths: _*)
     dvInfo(spark, dir, version) match {
       case None => base
-      case Some((dvPath, _)) =>
+      case Some((dvPath, dvRows)) =>
         val cols = base.columns.map(col).toSeq
         base
           .withColumn("__dv_file", col("_metadata.file_path"))
           .withColumn("__dv_pos", col("_metadata.row_index"))
-          .join(broadcast(spark.read.parquet(dvPath)), Seq("__dv_file", "__dv_pos"), "left_anti")
+          .join(
+            maybeBroadcast(spark, spark.read.parquet(dvPath), dvRows),
+            Seq("__dv_file", "__dv_pos"),
+            "left_anti")
           .select(cols: _*)
     }
   }
@@ -2250,31 +2305,38 @@ object Snapshots {
         .parquet(touched.map(_.path): _*)
         .withColumn("__dv_file", col("_metadata.file_path"))
         .withColumn("__dv_pos", col("_metadata.row_index"))
-      val liveTouched = prevDv.fold(withPos) { case (p, _) =>
-        withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
+      val liveTouched = prevDv.fold(withPos) { case (p, n) =>
+        withPos.join(
+          maybeBroadcast(spark, spark.read.parquet(p), n),
+          Seq("__dv_file", "__dv_pos"),
+          "left_anti")
       }
       // doomed feeds both the vector delta and the feed record — persist
       // so the touched files are scanned once, not twice
       val doomed = liveTouched
         .filter(col(column).between(lo, hi))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
-      val newDv = prevDv.fold(doomed.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
-        spark.read.parquet(p).unionByName(doomed.select(col("__dv_file"), col("__dv_pos")))
+      try {
+        val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
+        val newDv = prevDv.fold(doomed.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
+          spark.read.parquet(p).unionByName(doomed.select(col("__dv_file"), col("__dv_pos")))
+        }
+        newDv.write.mode("error").parquet(dvStage.toString)
+        // row count from the just-written footers (driver-only metadata
+        // read, the listedEntries convention) instead of a count job
+        val dvRows = footerRowsUnder(spark, dvStage)
+        // change-feed record: the newly dead rows, table columns only —
+        // sized by the change, exactly as on the COW path
+        val chStage = stageChanges(spark, dir,
+          doomed.drop("__dv_file", "__dv_pos").withColumn(ChangeTypeCol, lit("delete")))
+        publishOrAbort(spark, dir, v, statsCols, entries, "delete",
+          s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n")
+        publishChanges(spark, dir, chStage, v)
+        v
+      } finally {
+        doomed.unpersist(blocking = false)
+        ()
       }
-      newDv.write.mode("error").parquet(dvStage.toString)
-      // row count from the just-written footers (driver-only metadata
-      // read, the listedEntries convention) instead of a count job
-      val dvRows = footerRowsUnder(spark, dvStage)
-      // change-feed record: the newly dead rows, table columns only —
-      // sized by the change, exactly as on the COW path
-      val chStage = stageChanges(spark, dir,
-        doomed.drop("__dv_file", "__dv_pos").withColumn(ChangeTypeCol, lit("delete")))
-      publishOrAbort(spark, dir, v, statsCols, entries, "delete",
-        s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n")
-      publishChanges(spark, dir, chStage, v)
-      doomed.unpersist(blocking = false)
-      v
     }
   }
 
@@ -2368,95 +2430,111 @@ object Snapshots {
       .groupBy(col(keyCol))
       .count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupKeys = keyCounts.filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0, s"merge changes must carry at most one row per $keyCol")
-    val changeKeys = keyCounts.select(col(keyCol))
-    val ci = statsCols.indexOf(keyCol)
-    val touchedPaths: Set[String] =
-      if (ci < 0) entries.map(_.path).toSet
-      else if (entries.isEmpty) Set.empty
-      else {
-        val ranges = spark
-          .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
-          .toDF("path", "mn", "mx")
-        changeKeys
-          .select(col(keyCol).cast("long").as("k"))
-          .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
-          .select("path")
-          .distinct()
-          .collect()
-          .map(_.getString(0))
-          .toSet
-      }
-    val touched = entries.filter(e => touchedPaths.contains(e.path))
-    val v = prev + 1
-    // the change batch IS the new file set: postimages and inserts
-    // together, written once — never joined back against the base
-    val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
-    changes.write.mode("error").parquet(stage.toString)
-    val staged =
-      if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
-      else listedEntries(spark, stage)
-    val prevDv = dvInfo(spark, dir, prev)
     val toFree = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val (dvHeader, feed) =
-      if (touched.isEmpty) {
-        (dvCarryHeader(spark, dir, prev), changes.withColumn(ChangeTypeCol, lit("insert")))
-      } else {
-        // matched LIVE base rows (dead rows never re-enter the vector or
-        // the feed) become the new tombstone positions; persisted — the
-        // vector delta, the preimage feed, and the matched-key frame all
-        // read it (previously three scans of the touched files)
-        val withPos = spark.read
-          .parquet(touched.map(_.path): _*)
-          .withColumn("__dv_file", col("_metadata.file_path"))
-          .withColumn("__dv_pos", col("_metadata.row_index"))
-        val liveTouched = prevDv.fold(withPos) { case (p, _) =>
-          withPos.join(broadcast(spark.read.parquet(p)), Seq("__dv_file", "__dv_pos"), "left_anti")
+    // try/finally: an abort in publishOrAbort or a write failure must
+    // free the persisted blocks too (the commitMerge convention)
+    try {
+      // one aggregation for the dup guard + the broadcast-size guard
+      val kc = keyCounts
+        .agg(fCount(lit(1)).as("n"), coalesce(fMax(col("count")), lit(0L)).as("mx"))
+        .head()
+      val nKeys = kc.getLong(0)
+      require(kc.getLong(1) <= 1L, s"merge changes must carry at most one row per $keyCol")
+      def keyB(df: DataFrame): DataFrame = maybeBroadcast(spark, df, nKeys)
+      val changeKeys = keyCounts.select(col(keyCol))
+      val ci = statsCols.indexOf(keyCol)
+      val touchedPaths: Set[String] =
+        if (ci < 0) entries.map(_.path).toSet
+        else if (entries.isEmpty) Set.empty
+        else {
+          val ranges = spark
+            .createDataFrame(entries.map(e => (e.path, e.stats(ci).min, e.stats(ci).max)))
+            .toDF("path", "mn", "mx")
+          changeKeys
+            .select(col(keyCol).cast("long").as("k"))
+            .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+            .select("path")
+            .distinct()
+            .collect()
+            .map(_.getString(0))
+            .toSet
         }
-        val matched = liveTouched
-          .join(broadcast(changeKeys), Seq(keyCol), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        toFree += matched
-        val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
-        val newDv = prevDv.fold(matched.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
-          spark.read.parquet(p).unionByName(matched.select(col("__dv_file"), col("__dv_pos")))
+      val touched = entries.filter(e => touchedPaths.contains(e.path))
+      val v = prev + 1
+      // the change batch IS the new file set: postimages and inserts
+      // together, written once — never joined back against the base
+      val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
+      changes.write.mode("error").parquet(stage.toString)
+      val staged =
+        if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
+        else listedEntries(spark, stage)
+      val prevDv = dvInfo(spark, dir, prev)
+      val (dvHeader, feed) =
+        if (touched.isEmpty) {
+          (dvCarryHeader(spark, dir, prev), changes.withColumn(ChangeTypeCol, lit("insert")))
+        } else {
+          // matched LIVE base rows (dead rows never re-enter the vector or
+          // the feed) become the new tombstone positions; persisted — the
+          // vector delta, the preimage feed, and the matched-key frame all
+          // read it (previously three scans of the touched files)
+          val withPos = spark.read
+            .parquet(touched.map(_.path): _*)
+            .withColumn("__dv_file", col("_metadata.file_path"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          val liveTouched = prevDv.fold(withPos) { case (p, n) =>
+            withPos.join(
+              maybeBroadcast(spark, spark.read.parquet(p), n),
+              Seq("__dv_file", "__dv_pos"),
+              "left_anti")
+          }
+          val matched = liveTouched
+            .join(keyB(changeKeys), Seq(keyCol), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          toFree += matched
+          val dvStage = new Path(dir, s"dv/dv-${java.util.UUID.randomUUID()}")
+          val newDv = prevDv.fold(matched.select(col("__dv_file"), col("__dv_pos"))) { case (p, _) =>
+            spark.read.parquet(p).unionByName(matched.select(col("__dv_file"), col("__dv_pos")))
+          }
+          newDv.write.mode("error").parquet(dvStage.toString)
+          // footer metadata, not a count job (the listedEntries convention)
+          val dvRows = footerRowsUnder(spark, dvStage)
+          val matchedKeys = matched
+            .select(col(keyCol))
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          toFree += matchedKeys
+          // one pass over the change batch (the commitMerge convention):
+          // matched keys type as update_postimage, the rest as insert;
+          // marker column salted against table-schema collisions
+          val mCol = s"__matched_${java.util.UUID.randomUUID().toString.take(8)}"
+          val changeCols = changes.columns.map(col).toIndexedSeq
+          val feed = matched
+            .drop("__dv_file", "__dv_pos")
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(changes
+              .join(
+                keyB(matchedKeys.withColumn(mCol, lit(1L))),
+                Seq(keyCol),
+                "left")
+              .select(changeCols :+
+                when(col(mCol) === 1L, lit("update_postimage"))
+                  .otherwise(lit("insert"))
+                  .as(ChangeTypeCol): _*))
+          (s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n", feed)
         }
-        newDv.write.mode("error").parquet(dvStage.toString)
-        // footer metadata, not a count job (the listedEntries convention)
-        val dvRows = footerRowsUnder(spark, dvStage)
-        val matchedKeys = matched
-          .select(col(keyCol))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        toFree += matchedKeys
-        // one pass over the change batch (the commitMerge convention):
-        // matched keys type as update_postimage, the rest as insert
-        val changeCols = changes.columns.map(col).toIndexedSeq
-        val feed = matched
-          .drop("__dv_file", "__dv_pos")
-          .withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(changes
-            .join(
-              broadcast(matchedKeys.withColumn("__matched", lit(1L))),
-              Seq(keyCol),
-              "left")
-            .select(changeCols :+
-              when(col("__matched") === 1L, lit("update_postimage"))
-                .otherwise(lit("insert"))
-                .as(ChangeTypeCol): _*))
-        (s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n", feed)
-      }
-    val chStage = stageChanges(spark, dir, feed)
-    // EVERY previous file is carried by reference — the manifest diff is
-    // the staged change files plus the vector header, nothing else
-    publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge",
-      dvHeader + batchId.map(b => s"$BatchHeader$b\n").getOrElse(""))
-    publishChanges(spark, dir, chStage, v)
-    batchId.foreach(b => writeHwm(spark, dir, b, v))
-    keyCounts.unpersist(blocking = false)
-    toFree.foreach(_.unpersist(blocking = false))
-    Some(v)
+      val chStage = stageChanges(spark, dir, feed)
+      // EVERY previous file is carried by reference — the manifest diff is
+      // the staged change files plus the vector header, nothing else
+      publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge",
+        dvHeader + batchId.map(b => s"$BatchHeader$b\n").getOrElse(""))
+      publishChanges(spark, dir, chStage, v)
+      batchId.foreach(b => writeHwm(spark, dir, b, v))
+      Some(v)
+    } finally {
+      keyCounts.unpersist(blocking = false)
+      toFree.foreach(_.unpersist(blocking = false))
+      ()
+    }
   }
 
   /** Read the table exactly as of `version` (deletion-vector-aware). */

@@ -1228,6 +1228,46 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, dir).count() == 10L)
   }
 
+  test("over-threshold merge batches drop the broadcast hint; results identical") {
+    import spark.implicits._
+    // spark.graft.broadcastMaxRows gates every change-key / deletion-vector
+    // broadcast: AT scale an unbounded forced broadcast is a driver OOM
+    // (guide §3.1 — the 8 GB / 512M-row relation cap), so past the
+    // threshold the hint is dropped and the planner chooses the join.
+    // Pin the threshold below this batch's key count and below the DV row
+    // count so BOTH merge flavors and the DV read take the unhinted path,
+    // then assert bit-identical tables and change feeds.
+    def lifecycle(tag: String): (Map[Long, Long], Map[Long, Long], Set[(Long, String, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"snap_bcast_$tag").toString
+      val rows = (1L to 4000L).map(i => (i, i % 97))
+      Snapshots.commitOverwrite(
+        rows.toDF("id", "x").repartitionByRange(8, col("id")), dir, Seq("id"))
+      val changes = ((200L to 260L) ++ (5001L to 5005L)).map(i => (i, -i)).toDF("id", "x")
+      Snapshots.commitMerge(spark, dir, changes, "id")
+      val cow = Snapshots.readLatest(spark, dir).as[(Long, Long)].collect().toMap
+      val dirM = java.nio.file.Files.createTempDirectory(s"snap_bcast_mor_$tag").toString
+      Snapshots.commitOverwrite(
+        rows.toDF("id", "x").repartitionByRange(8, col("id")), dirM, Seq("id"))
+      Snapshots.commitDeleteMor(spark, dirM, "id", 100L, 199L)
+      Snapshots.commitMergeMor(spark, dirM, changes, "id")
+      val mor = Snapshots.readLatest(spark, dirM).as[(Long, Long)].collect().toMap
+      val feed = Snapshots
+        .readChangeFeed(spark, dirM, 1, 3)
+        .select(col("id"), col(Snapshots.ChangeTypeCol), col(Snapshots.ChangeVersionCol))
+        .as[(Long, String, Long)]
+        .collect()
+        .toSet
+      (cow, mor, feed)
+    }
+    val before = lifecycle("hint")
+    spark.conf.set("spark.graft.broadcastMaxRows", "3")
+    try {
+      val after = lifecycle("shuffle")
+      assert(after == before,
+        "dropping the broadcast hint past the threshold must not change any result")
+    } finally spark.conf.unset("spark.graft.broadcastMaxRows")
+  }
+
   test("widen refuses while a rename is active (the mutual half)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snap_widen_mutual").toString
