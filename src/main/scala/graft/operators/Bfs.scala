@@ -36,14 +36,7 @@ object Bfs {
     */
   def multiHops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    // hash-partition the edge list by the per-round join key ONCE (the
-    // PageRank e convention): every round's edges-frontier join then
-    // reuses the persisted partitioning and shuffles only the frontier,
-    // instead of re-exchanging the full edge frame per round (guide
-    // §2.4). The joins hint SHUFFLE_HASH on the bounded side so no round
-    // re-sorts the edge or distance frames (guide §3.1: sort-merge is
-    // wasteful for re-sorted iterative joins).
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    val e = edges.select(col("src"), col("dst")).persist()
     var dist = sources
       .select(col("source"))
       .distinct()
@@ -54,10 +47,10 @@ object Bfs {
     while (k < rounds && !frontier.isEmpty) {
       k += 1
       val discovered = e
-        .join(frontier.select(col("source"), col("node").as("src")).hint("shuffle_hash"), "src")
+        .join(frontier.select(col("source"), col("node").as("src")), "src")
         .select(col("source"), col("dst").as("node"))
         .distinct()
-        .join(dist.select("source", "node").hint("shuffle_hash"), Seq("source", "node"), "left_anti")
+        .join(dist.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("hop", lit(k.toLong))
         .select(col("source"), col("node"), col("hop"))
         .localCheckpoint()
@@ -83,15 +76,14 @@ object Bfs {
     */
   def weightedHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    // src-partitioned once + per-round SHUFFLE_HASH, as in [[multiHops]]
-    val e = edges.select(col("src"), col("dst"), col("w")).repartition(col("src")).persist()
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
     var dist = seeds.select(col("node")).distinct().withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
     var k = 0
     while (k < rounds && !frontier.isEmpty) {
       k += 1
       val relaxed = e
-        .join(frontier.select(col("node").as("src"), col("dist").as("fd")).hint("shuffle_hash"), "src")
+        .join(frontier.select(col("node").as("src"), col("dist").as("fd")), "src")
         .select(col("dst").as("node"), (col("fd") + col("w")).as("dist"))
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
@@ -101,7 +93,7 @@ object Bfs {
         .agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       frontier = merged
-        .join(dist.withColumnRenamed("dist", "prev").hint("shuffle_hash"), Seq("node"), "left")
+        .join(dist.withColumnRenamed("dist", "prev"), Seq("node"), "left")
         .filter(col("prev").isNull || col("dist") < col("prev"))
         .select(col("node"), col("dist"))
         .localCheckpoint()
@@ -118,17 +110,17 @@ object Bfs {
     // every round joins the edge list — persist it once (callers run
     // inside CacheScope, the PageRank contract) instead of recomputing
     // its upstream per round
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    val e = edges.select(col("src"), col("dst")).persist()
     var dist = seeds.select(col("node")).distinct().withColumn("hop", lit(0L)).localCheckpoint()
     var frontier = dist
     var k = 0
     while (k < rounds && !frontier.isEmpty) {
       k += 1
       val discovered = e
-        .join(frontier.select(col("node").as("src")).hint("shuffle_hash"), "src")
+        .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node"))
         .distinct()
-        .join(dist.select("node").hint("shuffle_hash"), Seq("node"), "left_anti")
+        .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(k.toLong))
         .localCheckpoint()
       dist = dist.unionAll(discovered).localCheckpoint()

@@ -51,21 +51,13 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     var ranks = deg.select(col("src").as("node"), col("deg"), lit(Scale).as("pr"))
     for (_ <- 1 to iterations) {
-      // SHUFFLE_HASH on the rank side: sort-merge re-SORTS the persisted
-      // edge frame (and the rank frame) every round — five rounds, ten
-      // sorts of frames whose partitioning never changes. Hashing the
-      // |V|-sized rank/contribution side instead makes each round's join
-      // sort-free (guide §3.1: sort-merge is wasteful for re-sorted
-      // iterative joins); the build side is the SMALL side (|V| rows vs
-      // |E|), so per-partition build memory is the rank frame's share,
-      // which spills gracefully via shuffled-hash in Spark 3.2+.
       val contrib = e
-        .join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+        .join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_sum"))
       ranks = deg
-        .join(contrib.hint("shuffle_hash"), deg("src") === contrib("dst"), "left")
+        .join(contrib, deg("src") === contrib("dst"), "left")
         .select(
           deg("src").as("node"),
           deg("deg"),
@@ -101,14 +93,13 @@ object PageRank {
       col("is_seed"),
       (col("is_seed") * Scale).as("pr"))
     for (_ <- 1 to iterations) {
-      // shuffle-hash per round, same rationale as [[run]]
       val contrib = e
-        .join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+        .join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_sum"))
       ranks = deg
-        .join(contrib.hint("shuffle_hash"), deg("src") === contrib("dst"), "left")
+        .join(contrib, deg("src") === contrib("dst"), "left")
         .select(
           deg("src").as("node"),
           deg("deg"),

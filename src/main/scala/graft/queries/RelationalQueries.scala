@@ -1330,15 +1330,13 @@ object RelationalQueries {
     var alive = und.select(col("src").as("node")).distinct().localCheckpoint()
     var r = 0
     while (r < KCoreRounds) {
-      // SHUFFLE_HASH on the bounded alive side: sort-merge re-sorted the
-      // persisted dst-partitioned edge frame every round (guide §3.1)
       val deep = und
-        .join(alive.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .groupBy(col("src"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCoreK)
         .select(col("src").as("node"))
-      alive = alive.join(deep.hint("shuffle_hash"), Seq("node"), "left_semi").localCheckpoint()
+      alive = alive.join(deep, Seq("node"), "left_semi").localCheckpoint()
       r += 1
       onRound(r, alive)
     }
@@ -1429,9 +1427,7 @@ object RelationalQueries {
     def aliveTriangles(alive: DataFrame, nAlive: Long): DataFrame = {
       def side(k: String) = {
         val f = alive.select(col("e").as(k))
-        // over the broadcast cap the semi-joins still skip the sort-merge
-        // re-sort of the persisted triangle frame (guide §3.1)
-        if (nAlive <= TrussBcastAliveMax) broadcast(f) else f.hint("shuffle_hash")
+        if (nAlive <= TrussBcastAliveMax) broadcast(f) else f
       }
       tris
         .join(side("e1"), Seq("e1"), "left_semi")
@@ -1606,30 +1602,25 @@ object RelationalQueries {
     var r = 1
     var done = false
     while (!done && r <= maxRounds) {
-      // dst-semi FIRST: und is dst-partitioned, so that semi-join is
-      // exchange-free; the src-semi's exchange is then REUSED by the
-      // groupBy(src) below — one edge-mass exchange per round where the
-      // src-first order paid three (src-semi + dst-semi + groupBy).
-      // SHUFFLE_HASH keeps every round sort-free (guide §2.4, §3.1).
       val uE = und
-        .join(undecided.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"), "left_semi")
-        .join(undecided.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(undecided.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(undecided.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       val minNbr = uE
         .groupBy(col("src"))
         .agg(min(pkey(col("dst"))).as("mn"))
         .withColumnRenamed("src", "node")
       val winners = undecided
-        .join(minNbr.hint("shuffle_hash"), Seq("node"), "left")
+        .join(minNbr, Seq("node"), "left")
         .filter(col("mn").isNull || pkey(col("node")) < col("mn"))
         .select(col("node"))
         .localCheckpoint()
       rounds += winners.withColumn("round", lit(r.toLong))
       val removed = und
-        .join(winners.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(winners.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("dst").as("node"))
       undecided = undecided
-        .join(winners.hint("shuffle_hash"), Seq("node"), "left_anti")
-        .join(removed.hint("shuffle_hash"), Seq("node"), "left_anti")
+        .join(winners, Seq("node"), "left_anti")
+        .join(removed, Seq("node"), "left_anti")
         .localCheckpoint()
       if (toFixpoint) {
         undecidedLeft = undecided.count()
@@ -1735,13 +1726,13 @@ object RelationalQueries {
     while (!done && r <= maxRounds) {
       val nbrMin = und
         .join(
-          labels.select(col("node").as("dst"), col("comp").as("dcomp")).hint("shuffle_hash"),
+          labels.select(col("node").as("dst"), col("comp").as("dcomp")),
           Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dcomp")).as("nmin"))
         .withColumnRenamed("src", "node")
       val hashed = labels
-        .join(nbrMin.hint("shuffle_hash"), Seq("node"), "left")
+        .join(nbrMin, Seq("node"), "left")
         .select(
           col("node"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
@@ -1749,7 +1740,7 @@ object RelationalQueries {
       // mapping (labels are node ids, so every comp resolves to a row)
       val ptr = hashed.select(col("node").as("pnode"), col("comp").as("pcomp"))
       val compressed = hashed
-        .join(ptr.hint("shuffle_hash"), col("comp") === col("pnode"), "left")
+        .join(ptr, col("comp") === col("pnode"), "left")
         .select(
           col("node"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
@@ -1802,16 +1793,13 @@ object RelationalQueries {
     val und = e
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      // pre-partitioned on the per-round join key (the kCore/PageRank e
-      // convention): each round shuffles only the label frame, never und
-      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("node"), col("src").as("label")).distinct()
     var r = 0
     while (r < LpaRounds) {
       val prev = labels
       labels = und
-        .join(labels.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"))
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
@@ -1904,23 +1892,14 @@ object RelationalQueries {
         Seq("ok"))
       .select(col("c"), col("p"))
       .distinct()
-      // TWO hash-partitioned copies of the bipartite edge frame, one per
-      // round-join key: every hub round joins on c, every authority round
-      // on p, so each round previously re-exchanged the full edge frame
-      // (guide §2.4 — two operations keyed the same way share one
-      // exchange). The copies cost one extra |E| materialization once;
-      // the rounds then shuffle only the |V|-sized score frames, and the
-      // SHUFFLE_HASH hints keep the cached edge sides sort-free (§3.1).
-      .repartition(col("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eP = e.repartition(col("p")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var h = e.select(col("c")).distinct().withColumn("score", lit(1L).cast(d38))
-    var a = e.join(h.hint("shuffle_hash"), Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
-    h = eP.join(a.hint("shuffle_hash"), Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
+    var a = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
+    h = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
     var r = 1
     while (r < HitsRounds) {
-      a = e.join(h.hint("shuffle_hash"), Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
-      h = eP.join(a.hint("shuffle_hash"), Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
+      a = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("score")).as("score"))
+      h = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("score")).as("score"))
       r += 1
     }
     a.select(lit("auth").as("role"), col("p").as("node"), col("score").cast("string").as("score"))
@@ -1957,9 +1936,10 @@ object RelationalQueries {
     val sym = e
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      // every step joins on src: partition once, persist (the Bfs e
-      // convention) — steps then shuffle only the walk frontier
-      .repartition(col("src"))
+      // every step joins the same symmetric edge frame — persist it once
+      // (guide §3.3) instead of re-expanding the union per step; measured
+      // 2.66 -> 2.1 s at sf0.1 (plans/r13). Freed by the caller's
+      // CacheScope, the engine-wide persist contract (SparkEntry).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var frontier = sym
       .select(col("src").as("node"))
@@ -1972,7 +1952,6 @@ object RelationalQueries {
         col("seed").cast("string").as("path"))
     (1 to WalkLen).foreach { s =>
       frontier = frontier
-        .hint("shuffle_hash")
         .join(sym, col("cur") === col("src"))
         .withColumn(
           "h",
