@@ -67,6 +67,11 @@ object Snapshots {
   val ChangeTypeCol = "_change_type"
   val ChangeVersionCol = "_commit_version"
 
+  /** Target rows per staged change-record file (~4M narrow CDC rows ≈
+    * tens of MB of snappy parquet — the guide-§6 file-size band).
+    */
+  private val FeedRowsPerFile = 4000000L
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -825,13 +830,20 @@ object Snapshots {
     requireNoActiveRename(spark, dir, prev, entries, "MERGE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE")
     requireNoActiveDrop(spark, dir, prev, entries, "MERGE")
+    // The change SOURCE is read once (persisted) and shared by the key
+    // aggregation, the rewrite's union side, and the feed's postimage
+    // typing join — previously each of those re-derived the caller's
+    // change query (three scans of the change source per commit; guide
+    // §1.2: don't recompute what you already have). Batch-sized, freed
+    // before return.
+    val ch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE aggregation serves both the dup-key guard and every key-distinct
     // consumer below (hit test, anti-join, feed semi-joins) — the change
     // batch was previously re-aggregated four times per commit, which at
     // 100 TB means four reads of the change source (guide §1.2: don't
     // compute things you throw away). The persisted key frame is
     // batch-sized (one row per key) and freed before return.
-    val keyCounts = changes
+    val keyCounts = ch
       .groupBy(col(keyCol))
       .count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -880,9 +892,9 @@ object Snapshots {
           readFilesDv(spark, dir, prev, touched.map(_.path))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val survivors = baseTouched match {
-        case None => changes
+        case None => ch
         case Some(bt) =>
-          bt.join(keyB(changeKeys), Seq(keyCol), "left_anti").unionByName(changes)
+          bt.join(keyB(changeKeys), Seq(keyCol), "left_anti").unionByName(ch)
       }
       survivors.write.mode("error").parquet(stage.toString)
       // change-feed record: replaced rows surface as update_preimage (their
@@ -892,7 +904,7 @@ object Snapshots {
       // table scan
       val chStage = {
         val feed = baseTouched match {
-          case None => changes.withColumn(ChangeTypeCol, lit("insert"))
+          case None => ch.withColumn(ChangeTypeCol, lit("insert"))
           case Some(bt) =>
             val pre = bt.join(keyB(changeKeys), Seq(keyCol), "left_semi")
             val matchedKeys = pre
@@ -908,10 +920,10 @@ object Snapshots {
             // collide with it (an ambiguous-reference AnalysisException
             // at commit time otherwise).
             val mCol = s"__matched_${java.util.UUID.randomUUID().toString.take(8)}"
-            val changeCols = changes.columns.map(col).toIndexedSeq
+            val changeCols = ch.columns.map(col).toIndexedSeq
             pre
               .withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(changes
+              .unionByName(ch
                 .join(
                   keyB(matchedKeys.withColumn(mCol, lit(1L))),
                   Seq(keyCol),
@@ -921,7 +933,8 @@ object Snapshots {
                     .otherwise(lit("insert"))
                     .as(ChangeTypeCol): _*))
         }
-        stageChanges(spark, dir, feed)
+        // the feed is at most one preimage + one postimage per change key
+        stageChanges(spark, dir, feed, approxRows = 2L * nKeys)
       }
       val staged =
         if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
@@ -931,6 +944,7 @@ object Snapshots {
       publishChanges(spark, dir, chStage, v)
       v
     } finally {
+      ch.unpersist(blocking = false)
       keyCounts.unpersist(blocking = false)
       baseTouched.foreach(_.unpersist(blocking = false))
       matchedKeysP.foreach(_.unpersist(blocking = false))
@@ -1110,9 +1124,32 @@ object Snapshots {
     * change set still writes one schema-bearing empty file so the feed
     * read can infer its schema.
     */
-  private def stageChanges(spark: SparkSession, dir: String, rows: DataFrame): Path = {
+  private def stageChanges(
+      spark: SparkSession,
+      dir: String,
+      rows: DataFrame,
+      approxRows: Long = -1L): Path = {
     val stage = new Path(dir, s"changes/stage-${java.util.UUID.randomUUID()}")
-    rows.write.mode("error").parquet(stage.toString)
+    // When the caller knows the feed's row count (the merge paths do —
+    // it is bounded by 2x the change-key count), pack the record into
+    // row-count-derived files instead of inheriting the union's task
+    // layout (touched-file scan partitions + the change batch's) — a
+    // CDC-sized feed otherwise lands as ~40 near-empty files whose
+    // per-file open cost every change-feed read then pays (guide §6).
+    // Data-derived, so a backfill-sized batch still fans out. The floor
+    // keeps a few write tasks alive below one file's worth of rows:
+    // coalesce folds the upstream into its tasks (guide §2), and a
+    // single-task parquet encode of a ~1M-row feed measurably serialized
+    // the commit (+0.9 s at sf0.1).
+    val packed =
+      if (approxRows >= 0L) {
+        val sizeParts = approxRows / FeedRowsPerFile + 1L
+        val parts =
+          if (sizeParts >= 8L) math.min(10000L, sizeParts)
+          else math.min(8L, approxRows / 32768L + 1L)
+        rows.coalesce(parts.toInt)
+      } else rows
+    packed.write.mode("error").parquet(stage.toString)
     val f = fs(spark, stage)
     if (!f.listStatus(stage).exists(_.getPath.getName.endsWith(".parquet")))
       spark
@@ -2424,9 +2461,13 @@ object Snapshots {
     requireNoActiveRename(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
     requireNoActiveWiden(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
     requireNoActiveDrop(spark, dir, prev, entries, "MERGE-ON-READ MERGE")
+    // the change source is read once (persisted) and shared by the key
+    // aggregation, the new-file staging write, and the feed's postimage
+    // typing join — the commitMerge convention (guide §1.2)
+    val ch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one aggregation for the dup guard + every key-distinct consumer
     // (hit test, tombstone semi-join, feed) — the commitMerge convention
-    val keyCounts = changes
+    val keyCounts = ch
       .groupBy(col(keyCol))
       .count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2464,14 +2505,14 @@ object Snapshots {
       // the change batch IS the new file set: postimages and inserts
       // together, written once — never joined back against the base
       val stage = new Path(dir, s"data/stage-${java.util.UUID.randomUUID()}")
-      changes.write.mode("error").parquet(stage.toString)
+      ch.write.mode("error").parquet(stage.toString)
       val staged =
         if (statsCols.nonEmpty) zoneEntries(spark, stage, statsCols)
         else listedEntries(spark, stage)
       val prevDv = dvInfo(spark, dir, prev)
       val (dvHeader, feed) =
         if (touched.isEmpty) {
-          (dvCarryHeader(spark, dir, prev), changes.withColumn(ChangeTypeCol, lit("insert")))
+          (dvCarryHeader(spark, dir, prev), ch.withColumn(ChangeTypeCol, lit("insert")))
         } else {
           // matched LIVE base rows (dead rows never re-enter the vector or
           // the feed) become the new tombstone positions; persisted — the
@@ -2507,11 +2548,11 @@ object Snapshots {
           // matched keys type as update_postimage, the rest as insert;
           // marker column salted against table-schema collisions
           val mCol = s"__matched_${java.util.UUID.randomUUID().toString.take(8)}"
-          val changeCols = changes.columns.map(col).toIndexedSeq
+          val changeCols = ch.columns.map(col).toIndexedSeq
           val feed = matched
             .drop("__dv_file", "__dv_pos")
             .withColumn(ChangeTypeCol, lit("update_preimage"))
-            .unionByName(changes
+            .unionByName(ch
               .join(
                 keyB(matchedKeys.withColumn(mCol, lit(1L))),
                 Seq(keyCol),
@@ -2522,7 +2563,8 @@ object Snapshots {
                   .as(ChangeTypeCol): _*))
           (s"$DvHeader${dvStage.toString}\n$DvRowsHeader$dvRows\n", feed)
         }
-      val chStage = stageChanges(spark, dir, feed)
+      // at most one preimage + one postimage per change key
+      val chStage = stageChanges(spark, dir, feed, approxRows = 2L * nKeys)
       // EVERY previous file is carried by reference — the manifest diff is
       // the staged change files plus the vector header, nothing else
       publishOrAbort(spark, dir, v, statsCols, entries ++ staged, "merge",
@@ -2531,6 +2573,7 @@ object Snapshots {
       batchId.foreach(b => writeHwm(spark, dir, b, v))
       Some(v)
     } finally {
+      ch.unpersist(blocking = false)
       keyCounts.unpersist(blocking = false)
       toFree.foreach(_.unpersist(blocking = false))
       ()
