@@ -327,6 +327,33 @@ object Bench {
     (1 to reps).map(_ => once())
   }
 
+  /** PARALLEL-EFFICIENCY calibration kernel. The fixed kernel above is
+    * the right DRIFT anchor but carries ~0.5 s of work — at sf0.1 it
+    * times the same at 8 and 32 cores (scheduling/latency-bound), so the
+    * round-12 audit could not tell "the probe cannot discriminate" from
+    * "nothing scales". This kernel is sized to be COMPUTE-bound: ~4
+    * billion generated rows through a 6-hash codegen chain folded into
+    * one aggregate — no shuffle, no parquet, ~250 core-seconds of pure
+    * per-partition work over 256 even splits. Its 8-vs-32-core runtime
+    * ratio is the machine's demonstrated parallel speedup (~4x when
+    * cores scale), which makes the per-gate c8/c32 ratios interpretable:
+    * a gate whose ratio sits near 1 while this kernel's sits near 4 is
+    * genuinely latency-bound, not mis-plumbed.
+    */
+  private def calibParRuns(spark: SparkSession, reps: Int = 3): Seq[Double] = {
+    import org.apache.spark.sql.functions.{bit_xor => fBitXor}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val h = (1 to 6).foldLeft(col("id"))((c, i) => xxhash64(c, lit(i.toLong)))
+      spark
+        .range(0, 4000000000L, 1, 256)
+        .agg(fBitXor(h))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to reps).map(_ => once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -337,6 +364,9 @@ object Bench {
     catch { case _: Throwable => () }
     // calibration probe, START placement (fresh warmed JVM)
     val calibStart = try calibRuns(spark) catch { case _: Throwable => Seq(-1.0) }
+    // parallel-efficiency probe (once per run — it is core-count
+    // evidence, not a drift anchor, so no END placement)
+    val calibPar = try calibParRuns(spark) catch { case _: Throwable => Seq(-1.0) }
     // The three rate sections, shared by both placements below.
     def streamSection() =
       try streamRates(spark, sfDir, reps = 5)
@@ -479,6 +509,8 @@ object Bench {
         s""""query_errors":$errs,"sf":"$sfDir","rate_load_ceiling":$RateLoadCeiling,""" +
         s""""calib_secs":${steadyMedian(calibStart)},""" +
         s""""calib_start_runs":${calibStart.mkString("[", ",", "]")},""" +
+        s""""calib_par_secs":${steadyMedian(calibPar)},""" +
+        s""""calib_par_runs":${calibPar.mkString("[", ",", "]")},""" +
         s""""calib_end_secs":${steadyMedian(calibEnd)},""" +
         s""""calib_end_runs":${calibEnd.mkString("[", ",", "]")},""" +
         s""""ref_workload_rows_per_sec":$refHeadline,""" +

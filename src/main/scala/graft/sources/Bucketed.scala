@@ -111,9 +111,18 @@ object Bucketed {
     // scale the estimate grows and the coalesce becomes a no-op
     // (coalesce never increases partition count). Derived from data, not
     // the core count.
+    // stats.sizeInBytes is the UNCOMPRESSED in-memory estimate; snappy
+    // parquet lands ~3x smaller, so divide before sizing or every file
+    // undershoots the target. The parallelism floor keeps a mid-size
+    // write from collapsing to one task: coalesce is narrow, so a
+    // 1-part coalesce would fold the whole upstream compute into a
+    // single task (guide §2), not just serialize the write.
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1L, math.min(200000L, (est / (128L << 20)).toLong + 1L)).toInt
-    df.coalesce(parts).write.mode("overwrite").format("parquet").saveAsTable(table)
+    val sizeParts = ((est / 3L) / (128L << 20)).toLong + 1L
+    val parts =
+      if (sizeParts >= 8L) math.min(200000L, sizeParts)
+      else math.min(8L, (est / (16L << 20)).toLong + 1L)
+    df.coalesce(parts.toInt).write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Append `df` into an EXISTING bucketed table under the same bucket
